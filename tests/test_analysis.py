@@ -1,0 +1,136 @@
+"""Analyzer parity vs the real whoosh (imported from the reference tree as an
+oracle — behavior comparison only)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+
+from whoosh_reloaded_ray.functions.analysis import (
+    STOP_WORDS,
+    id_analyzer,
+    keyword_analyzer,
+    make_analyzer,
+    ngram_analyzer,
+    porter_stem,
+    simple_analyzer,
+    standard_analyzer,
+    stemming_analyzer,
+)
+
+SAMPLES = [
+    "",
+    "Hello, World!",
+    "this is a test",
+    "The quick brown fox JUMPED over the lazy dog's back",
+    "foo.bar.baz version 3.2.1 released",
+    "a an and of the to is",  # all stopwords
+    "x y z aa bb",  # minsize filtering
+    "tool_call(search_web) -> {'query': 'ray data map_batches'}",
+    "Ünïcödé tëxt — naïve café 日本語 テスト",
+    "CamelCase snake_case kebab-case dotted.name star*glob",
+    "  leading and trailing   whitespace  ",
+    "123 4567 89.01 1e9",
+    "don't stop believing — it's can't won't",
+]
+
+
+def whoosh_tokens(whoosh, analyzer, text):
+    return [(t.text, t.pos) for t in analyzer(text, positions=True)]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(42)
+
+
+def random_texts(rng, n=200):
+    words = [
+        "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 10)))
+        for _ in range(50)
+    ] + list(STOP_WORDS)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 30)
+        toks = [rng.choice(words) for _ in range(k)]
+        sep = rng.choice([" ", "  ", ", ", ". ", "\n"])
+        out.append(sep.join(toks))
+    return out
+
+
+def test_standard_analyzer_parity(whoosh, rng):
+    from whoosh.analysis import StandardAnalyzer
+
+    ours = make_analyzer(standard_analyzer())
+    theirs = StandardAnalyzer()
+    for text in SAMPLES + random_texts(rng):
+        assert ours(text) == whoosh_tokens(whoosh, theirs, text), repr(text)
+
+
+def test_simple_analyzer_parity(whoosh, rng):
+    from whoosh.analysis import SimpleAnalyzer
+
+    ours = make_analyzer(simple_analyzer())
+    theirs = SimpleAnalyzer()
+    for text in SAMPLES + random_texts(rng):
+        assert ours(text) == whoosh_tokens(whoosh, theirs, text), repr(text)
+
+
+def test_id_and_keyword_analyzers(whoosh):
+    from whoosh.analysis import IDAnalyzer, KeywordAnalyzer
+
+    ours = make_analyzer(id_analyzer())
+    theirs = IDAnalyzer()
+    for text in ["Hello World", "x", "MiXeD Case"]:
+        assert ours(text) == whoosh_tokens(whoosh, theirs, text)
+
+    ours = make_analyzer(keyword_analyzer(lowercase=True, commas=True))
+    theirs = KeywordAnalyzer(lowercase=True, commas=True)
+    for text in ["a,b, c,D e", "one,two,three"]:
+        assert ours(text) == whoosh_tokens(whoosh, theirs, text)
+
+
+def test_ngram_analyzer_parity(whoosh):
+    from whoosh.analysis import NgramAnalyzer
+
+    ours = make_analyzer(ngram_analyzer(2, 4))
+    theirs = NgramAnalyzer(minsize=2, maxsize=4)
+    for text in ["hello", "ab", "a", "whoosh rocks"]:
+        ours_terms = sorted(t for t, _ in ours(text))
+        theirs_terms = sorted(t.text for t in theirs(text))
+        assert ours_terms == theirs_terms, repr(text)
+
+
+def test_porter_stem_parity(whoosh, rng):
+    from whoosh.lang.porter import stem as whoosh_stem
+
+    words = [
+        "caresses", "ponies", "ties", "caress", "cats", "feed", "agreed",
+        "plastered", "bled", "motoring", "sing", "conflated", "troubled",
+        "sized", "hopping", "tanned", "falling", "hissing", "fizzed",
+        "failing", "filing", "happy", "sky", "relational", "conditional",
+        "rational", "valenci", "hesitanci", "digitizer", "conformabli",
+        "radicalli", "differentli", "vileli", "analogousli", "vietnamization",
+        "predication", "operator", "feudalism", "decisiveness", "hopefulness",
+        "callousness", "formaliti", "sensitiviti", "sensibiliti", "triplicate",
+        "formative", "formalize", "electriciti", "electrical", "hopeful",
+        "goodness", "revival", "allowance", "inference", "airliner",
+        "gyroscopic", "adjustable", "defensible", "irritant", "replacement",
+        "adjustment", "dependent", "adoption", "homologou", "communism",
+        "activate", "angulariti", "homologous", "effective", "bowdlerize",
+        "probate", "rate", "cease", "controll", "roll", "generalization",
+    ]
+    words += ["".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(3, 12))) for _ in range(300)]
+    for w in words:
+        assert porter_stem(w) == whoosh_stem(w), w
+
+
+def test_stemming_analyzer_parity(whoosh, rng):
+    from whoosh.analysis import StemmingAnalyzer
+
+    ours = make_analyzer(stemming_analyzer())
+    theirs = StemmingAnalyzer()
+    for text in SAMPLES + random_texts(rng, 100):
+        assert ours(text) == whoosh_tokens(whoosh, theirs, text), repr(text)

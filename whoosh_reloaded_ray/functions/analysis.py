@@ -1,0 +1,389 @@
+"""Analysis chain: tokenizers/filters/analyzers with whoosh-parity semantics.
+
+Semantics replicated (behavior only, from reading the reference):
+  - RegexTokenizer default pattern ``[\\w\\*]+(\\.?[\\w\\*]+)*`` with
+    ``re.UNICODE`` (reference: src/whoosh/analysis/tokenizers.py:31,79-198).
+  - LowercaseFilter: per-token ``str.lower()`` applied AFTER tokenization
+    (tokenizing the original text, then lowering each token — lowering first
+    can change offsets for some unicode chars).
+  - StopFilter: drop tokens with ``len < minsize`` (default 2), ``len >
+    maxsize`` (default None) or in the stoplist; with ``renumber=True`` the
+    FIRST surviving token keeps its ORIGINAL position and subsequent
+    survivors get consecutive positions (reference:
+    src/whoosh/analysis/filters.py:277-362).
+  - StandardAnalyzer = RegexTokenizer | LowercaseFilter | StopFilter
+    (reference: src/whoosh/analysis/analyzers.py:175-198).
+
+Analyzers are *config-as-data*: an :class:`AnalyzerSpec` is a plain
+dataclass shipped to Ray workers; :func:`make_analyzer` compiles it once per
+worker into a fast callable ``text -> list[(term, pos)]``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+# Default English stop words — same *data* as the reference's
+# analysis/filters.py STOP_WORDS (a published word list, required bit-for-bit
+# for rank parity with the reference).
+STOP_WORDS = frozenset(
+    (
+        "a and are as at be by can for from have if in is it may not of on "
+        "or tbd that the this to us we when will with yet you your an"
+    ).split()
+)
+
+# Default token pattern: word chars and '*', optionally joined by single dots
+# (so "foo.bar.baz" is one token). Non-capturing group so findall() returns
+# whole matches.
+DEFAULT_TOKEN_PATTERN = r"[\w\*]+(?:\.?[\w\*]+)*"
+
+Token = tuple  # (term: str, pos: int)
+AnalyzeFn = Callable[[str], list]
+
+
+@dataclass(frozen=True)
+class AnalyzerSpec:
+    """Serializable analyzer configuration (shipped to Ray workers)."""
+
+    kind: str = "standard"  # standard | simple | id | keyword | ngram | stemming
+    pattern: str = DEFAULT_TOKEN_PATTERN
+    lowercase: bool = True
+    stopwords: Optional[frozenset] = STOP_WORDS  # None => no stop filtering
+    minsize: int = 2
+    maxsize: Optional[int] = None
+    renumber: bool = True
+    # keyword analyzer
+    commas: bool = False
+    # ngram analyzer
+    ngram_min: int = 2
+    ngram_max: int = 4
+
+
+def standard_analyzer(
+    stopwords: Optional[frozenset] = STOP_WORDS,
+    minsize: int = 2,
+    maxsize: Optional[int] = None,
+) -> "AnalyzerSpec":
+    return AnalyzerSpec(kind="standard", stopwords=stopwords, minsize=minsize, maxsize=maxsize)
+
+
+def simple_analyzer() -> "AnalyzerSpec":
+    """Regex tokenize + lowercase, no stop filter."""
+    return AnalyzerSpec(kind="simple", stopwords=None, minsize=0)
+
+
+def id_analyzer(lowercase: bool = False) -> "AnalyzerSpec":
+    """Whole value = one token (reference IDTokenizer)."""
+    return AnalyzerSpec(kind="id", lowercase=lowercase, stopwords=None, minsize=0)
+
+
+def keyword_analyzer(lowercase: bool = False, commas: bool = False) -> "AnalyzerSpec":
+    """Space- (or comma-)separated tokens, optional lowercase, no stops."""
+    return AnalyzerSpec(kind="keyword", lowercase=lowercase, commas=commas, stopwords=None, minsize=0)
+
+
+def ngram_analyzer(minsize: int = 2, maxsize: int = 4) -> "AnalyzerSpec":
+    """Character n-grams over the raw (lowercased) text, like NgramAnalyzer."""
+    return AnalyzerSpec(kind="ngram", ngram_min=minsize, ngram_max=maxsize, stopwords=None, minsize=0)
+
+
+def stemming_analyzer(
+    stopwords: Optional[frozenset] = STOP_WORDS,
+    minsize: int = 2,
+    maxsize: Optional[int] = None,
+) -> "AnalyzerSpec":
+    """RegexTokenizer | Lowercase | Stop | PorterStem (reference StemmingAnalyzer)."""
+    return AnalyzerSpec(kind="stemming", stopwords=stopwords, minsize=minsize, maxsize=maxsize)
+
+
+def _stop_and_renumber(
+    toks: list,
+    stops,
+    minsize: int,
+    maxsize,
+    renumber: bool,
+) -> list:
+    """Apply stop/size filtering with whoosh's position renumbering rule."""
+    out = []
+    pos = None
+    for i, t in enumerate(toks):
+        lt = len(t)
+        if lt >= minsize and (maxsize is None or lt <= maxsize) and (stops is None or t not in stops):
+            if renumber:
+                if pos is None:
+                    pos = i  # first survivor keeps its original position
+                else:
+                    pos += 1
+                out.append((t, pos))
+            else:
+                out.append((t, i))
+    return out
+
+
+def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
+    """Compile an AnalyzerSpec into ``text -> [(term, pos), ...]``.
+
+    Compile once per worker/actor (regex + frozenset lookups are the hot
+    path); call per value.
+    """
+    kind = spec.kind
+    lower = spec.lowercase
+    stops = spec.stopwords
+    minsize = spec.minsize
+    maxsize = spec.maxsize
+    renumber = spec.renumber
+
+    if kind in ("standard", "simple", "stemming"):
+        pat = re.compile(spec.pattern, re.UNICODE)
+        stem = _porter_stem_cached() if kind == "stemming" else None
+
+        def analyze(text: str) -> list:
+            if not text:
+                return []
+            toks = pat.findall(text)
+            if lower:
+                toks = [t.lower() for t in toks]
+            if stops is None and minsize <= 0 and maxsize is None:
+                res = list(zip(toks, range(len(toks))))
+            else:
+                res = _stop_and_renumber(toks, stops, minsize, maxsize, renumber)
+            if stem is not None:
+                res = [(stem(t), p) for (t, p) in res]
+            return res
+
+        return analyze
+
+    if kind == "id":
+
+        def analyze_id(text: str) -> list:
+            if text is None or text == "":
+                return []
+            t = text.lower() if lower else text
+            # reference IDTokenizer yields pos = start_pos + 1
+            # (analysis/tokenizers.py:70)
+            return [(t, 1)]
+
+        return analyze_id
+
+    if kind == "keyword":
+        # commas=True: CommaSeparatedTokenizer = split on commas only, then
+        # strip whitespace from each token (reference
+        # analysis/tokenizers.py:330-342); else split on whitespace.
+        splitter = re.compile(r"[^,]+" if spec.commas else r"[^ \t\r\n]+")
+        strip = spec.commas
+
+        def analyze_kw(text: str) -> list:
+            if not text:
+                return []
+            toks = splitter.findall(text)
+            if strip:
+                toks = [t.strip() for t in toks]
+            if lower:
+                toks = [t.lower() for t in toks]
+            return list(zip(toks, range(len(toks))))
+
+        return analyze_kw
+
+    if kind == "ngram":
+        nmin, nmax = spec.ngram_min, spec.ngram_max
+
+        def analyze_ng(text: str) -> list:
+            if not text:
+                return []
+            t = text.lower() if lower else text
+            out = []
+            pos = 0
+            n = len(t)
+            for size in range(nmin, nmax + 1):
+                for i in range(0, n - size + 1):
+                    out.append((t[i : i + size], pos))
+                    pos += 1
+            return out
+
+        return analyze_ng
+
+    raise ValueError(f"unknown analyzer kind: {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer with the reference's exact semantics. The reference
+# (src/whoosh/lang/porter.py) implements Porter 1980 via anchored regexes,
+# which gives it some distinctive behaviors we must reproduce for term
+# parity (verified against it in tests/test_analysis.py):
+#   * 'y' counts as a vowel everywhere in measure/vowel tests, except a
+#     leading 'y' (temporarily treated as a consonant via case-swap);
+#   * the step-1b "at/bl/iz" and double-consonant rules only fire when the
+#     whole stem IS "at"/"bl"/"iz" or a 2-char doubled consonant (the
+#     reference uses re.match on `$`-anchored patterns, so the pattern must
+#     cover the entire stem);
+#   * the "cvc -> add e" test matches the WHOLE stem (cons+ vowel cons), not
+#     just the last three characters.
+# ---------------------------------------------------------------------------
+
+
+def _porter_stem_cached(cachesize: int = 50000):
+    from functools import lru_cache
+
+    return lru_cache(maxsize=cachesize)(porter_stem)
+
+
+# Character classes exactly as the reference uses them: the "vowel run"
+# class is [aeiou] (no y) while the "consonant run" class is [^aeiouy]
+# (y in neither) — so a 'y' in the wrong place makes the measure tests fail,
+# and we must reproduce that.
+_V = frozenset("aeiou")
+_NOT_CY = frozenset("aeiouy")  # consonant run = chars NOT in this set
+
+
+def _scan_run(s: str, i: int, in_v: bool) -> int:
+    """Advance past a maximal run of vowel ([aeiou]) or consonant
+    ([^aeiouy]) characters starting at i; returns the new index."""
+    n = len(s)
+    if in_v:
+        while i < n and s[i] in _V:
+            i += 1
+    else:
+        while i < n and s[i] not in _NOT_CY:
+            i += 1
+    return i
+
+
+def _m_prefix(s: str, pairs: int) -> bool:
+    """Prefix-match: optional consonant run, then `pairs` x (vowel run +
+    consonant run). Implements the reference's m>0 (pairs=1) and m>1
+    (pairs=2) anchored-regex tests."""
+    i = _scan_run(s, 0, in_v=False)
+    for _ in range(pairs):
+        j = _scan_run(s, i, in_v=True)
+        if j == i:
+            return False
+        i = _scan_run(s, j, in_v=False)
+        if i == j:
+            return False
+    return True
+
+
+def _m_eq1(s: str) -> bool:
+    """Full-match: C? V+ C+ V?$ — the reference's m==1 test."""
+    i = _scan_run(s, 0, in_v=False)
+    j = _scan_run(s, i, in_v=True)
+    if j == i:
+        return False
+    i = _scan_run(s, j, in_v=False)
+    if i == j:
+        return False
+    j = _scan_run(s, i, in_v=True)
+    return j == len(s)
+
+
+def _has_vowel(stem: str) -> bool:
+    # reference _s_v: any [aeiouy] char reachable past leading consonants
+    return any(ch in _NOT_CY for ch in stem)
+
+
+def _whole_cvc(stem: str) -> bool:
+    """Whole stem is [^aeiouy]+ [aeiouy] [^aeiouwxy] (reference _c_v)."""
+    if len(stem) < 3:
+        return False
+    return (
+        stem[-1] not in "aeiouwxy"
+        and stem[-2] in _NOT_CY
+        and all(c not in _NOT_CY for c in stem[:-2])
+    )
+
+
+def porter_stem(w: str) -> str:
+    if len(w) < 3:
+        return w
+
+    first_is_y = w[0] == "y"
+    if first_is_y:
+        w = "Y" + w[1:]  # leading y acts as a consonant
+
+    # step 1a
+    if w.endswith("s"):
+        if w.endswith(("sses", "ies")):
+            w = w[:-2]
+        elif w[-2] != "s":
+            w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _m_prefix(w[:-3], 1):
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed"):
+            stem = w[:-2]
+        elif w.endswith("ing"):
+            stem = w[:-3]
+        if stem is not None and _has_vowel(stem):
+            w = stem
+            if w in ("at", "bl", "iz"):
+                w += "e"
+            elif len(w) == 2 and w[0] == w[1] and w[0] not in "aeiouylsz":
+                w = w[:-1]
+            elif _whole_cvc(w):
+                w += "e"
+
+    # step 1c: trailing y -> i when the stem has a vowel
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # steps 2-4: longest matching suffix from each table (within each table,
+    # suffix-of-suffix chains are listed longest first so `endswith` picks
+    # the same winner as the reference's lazy-anchored regex)
+    step2 = (
+        ("ational", "ate"), ("tional", "tion"), ("ization", "ize"),
+        ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+        ("biliti", "ble"), ("ousli", "ous"), ("entli", "ent"), ("aliti", "al"),
+        ("iviti", "ive"), ("ation", "ate"), ("alism", "al"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("alli", "al"), ("ator", "ate"),
+        ("logi", "log"), ("bli", "ble"), ("eli", "e"),
+    )
+    for suf, rep in step2:
+        if w.endswith(suf) and len(w) > len(suf):
+            if _m_prefix(w[: -len(suf)], 1):
+                w = w[: -len(suf)] + rep
+            break
+
+    step3 = (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    )
+    for suf, rep in step3:
+        if w.endswith(suf) and len(w) > len(suf):
+            if _m_prefix(w[: -len(suf)], 1):
+                w = w[: -len(suf)] + rep
+            break
+
+    step4 = (
+        "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+        "ate", "iti", "ous", "ive", "ize", "al", "er", "ic", "ou",
+    )
+    matched4 = False
+    for suf in step4:
+        if w.endswith(suf) and len(w) > len(suf):
+            matched4 = True
+            if _m_prefix(w[: -len(suf)], 2):
+                w = w[: -len(suf)]
+            break
+    if not matched4 and w.endswith("ion") and len(w) > 4 and w[-4] in "st":
+        if _m_prefix(w[:-3], 2):
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e") and len(w) > 1:
+        stem = w[:-1]
+        if _m_prefix(stem, 2) or (_m_eq1(stem) and not _whole_cvc(stem)):
+            w = stem
+    # step 5b
+    if w.endswith("ll") and _m_prefix(w, 2):
+        w = w[:-1]
+
+    if first_is_y:
+        w = "y" + w[1:]
+    return w
