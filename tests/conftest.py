@@ -16,6 +16,15 @@ WHOOSH_SRC = "/root/reference/src"
 
 @pytest.fixture(scope="session")
 def whoosh():
+    # whoosh-reloaded imports the py2-era `cached_property` package; shim it
+    # with the stdlib implementation.
+    import functools
+    import types
+
+    if "cached_property" not in sys.modules:
+        m = types.ModuleType("cached_property")
+        m.cached_property = functools.cached_property
+        sys.modules["cached_property"] = m
     if WHOOSH_SRC not in sys.path:
         sys.path.insert(0, WHOOSH_SRC)
     import whoosh as w

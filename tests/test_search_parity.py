@@ -1,0 +1,252 @@
+"""End-to-end parity: our Ray-built index vs a real whoosh index on the same
+synthetic transcript corpus — rank-identical docnums and BM25 scores
+(atol 1e-6), per BASELINE.md criterion 3."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query import (
+    And,
+    AndMaybe,
+    AndNot,
+    DisMax,
+    Every,
+    Not,
+    NumericRange,
+    Or,
+    Phrase,
+    Prefix,
+    Require,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+N_TURNS = 1500
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=N_TURNS, avg_turn_words=30, seed=123, rows_per_file=400)
+    return path
+
+
+@pytest.fixture(scope="module")
+def our_index(corpus, ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path_factory.mktemp("index"))
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=400)
+    return IndexSearcher(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def whoosh_index(corpus, whoosh, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True),
+        turn_idx=fields.NUMERIC(int, stored=True),
+        role=fields.ID(stored=True),
+        text=fields.TEXT,
+        tool=fields.ID,
+        ts=fields.DATETIME,
+    )
+    d = str(tmp_path_factory.mktemp("whoosh_index"))
+    ix = index.create_in(d, schema)
+    w = ix.writer(limitmb=256)
+    tbl = pq.read_table(corpus)
+    for row in tbl.to_pylist():
+        w.add_document(
+            conv_id=row["conv_id"],
+            turn_idx=row["turn_idx"],
+            role=row["role"],
+            text=row["text"],
+            tool=row["tool"] or None,
+            ts=row["ts"],
+        )
+    w.commit()
+    return ix
+
+
+def _whoosh_hits(whoosh_index, wq, limit):
+    with whoosh_index.searcher() as s:
+        r = s.search(wq, limit=limit)
+        return [(h.docnum, h.score) for h in r]
+
+
+def _our_hits(our_index, q, limit):
+    t = our_index.search(q, limit=limit)
+    return list(zip(t["docnum"].to_pylist(), t["score"].to_pylist()))
+
+
+def both(our_index, whoosh_index, q, wq, limit=10):
+    ours = _our_hits(our_index, q, limit)
+    theirs = _whoosh_hits(whoosh_index, wq, limit)
+    assert [d for d, _ in ours] == [d for d, _ in theirs], (
+        f"docnum mismatch\nours:   {ours}\ntheirs: {theirs}"
+    )
+    np.testing.assert_allclose(
+        [s for _, s in ours], [s for _, s in theirs], atol=1e-6, rtol=0
+    )
+
+
+@pytest.fixture(scope="module")
+def wq(whoosh):
+    from whoosh import query as q
+
+    return q
+
+
+# pick terms that exist with a range of frequencies
+COMMON, MID, RARE = None, None, None
+
+
+@pytest.fixture(scope="module", autouse=True)
+def pick_terms(corpus):
+    global COMMON, MID, RARE
+    from collections import Counter
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    an = make_analyzer(standard_analyzer())
+    c = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        c.update({w for w, _ in an(t)})
+    ranked = [w for w, _ in c.most_common()]
+    COMMON, MID, RARE = ranked[0], ranked[len(ranked) // 3], ranked[-5]
+
+
+def test_term(our_index, whoosh_index, wq):
+    for t in (COMMON, MID, RARE):
+        both(our_index, whoosh_index, Term("text", t), wq.Term("text", t))
+        both(our_index, whoosh_index, Term("text", t), wq.Term("text", t), limit=None)
+
+
+def test_term_missing(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Term("text", "zzzzmissing"), wq.Term("text", "zzzzmissing"))
+
+
+def test_term_boost(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Term("text", MID, boost=2.5), wq.Term("text", MID, boost=2.5))
+
+
+def test_id_field_term(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Term("role", "assistant"), wq.Term("role", "assistant"))
+    both(our_index, whoosh_index, Term("conv_id", "conv-00000003"), wq.Term("conv_id", "conv-00000003"), limit=None)
+
+
+def test_and(our_index, whoosh_index, wq):
+    q = And([Term("text", COMMON), Term("text", MID)])
+    w = wq.And([wq.Term("text", COMMON), wq.Term("text", MID)])
+    both(our_index, whoosh_index, q, w)
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_or(our_index, whoosh_index, wq):
+    q = Or([Term("text", MID), Term("text", RARE)])
+    w = wq.Or([wq.Term("text", MID), wq.Term("text", RARE)])
+    both(our_index, whoosh_index, q, w)
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_or_many(our_index, whoosh_index, wq):
+    terms = [COMMON, MID, RARE, "alpha", "data"]
+    q = Or([Term("text", t) for t in terms])
+    w = wq.Or([wq.Term("text", t) for t in terms])
+    both(our_index, whoosh_index, q, w, limit=25)
+
+
+def test_dismax(our_index, whoosh_index, wq):
+    q = DisMax([Term("text", MID), Term("text", RARE)])
+    w = wq.DisjunctionMax([wq.Term("text", MID), wq.Term("text", RARE)])
+    both(our_index, whoosh_index, q, w)
+
+
+def test_not(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Not(Term("text", COMMON)), wq.Not(wq.Term("text", COMMON)), limit=None)
+
+
+def test_andnot(our_index, whoosh_index, wq):
+    q = AndNot(Term("text", MID), Term("text", COMMON))
+    w = wq.AndNot(wq.Term("text", MID), wq.Term("text", COMMON))
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_andmaybe(our_index, whoosh_index, wq):
+    q = AndMaybe(Term("text", MID), Term("text", COMMON))
+    w = wq.AndMaybe(wq.Term("text", MID), wq.Term("text", COMMON))
+    both(our_index, whoosh_index, q, w)
+
+
+def test_require(our_index, whoosh_index, wq):
+    q = Require(Term("text", MID), Term("text", COMMON))
+    w = wq.Require(wq.Term("text", MID), wq.Term("text", COMMON))
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_phrase(corpus, our_index, whoosh_index, wq):
+    # take a real bigram and trigram from the corpus
+    texts = pq.read_table(corpus, columns=["text"])["text"].to_pylist()
+    words2 = texts[7].split()[:2]
+    words3 = texts[11].split()[2:5]
+    for words in (words2, words3):
+        q = Phrase("text", words)
+        w = wq.Phrase("text", words)
+        both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_phrase_slop(corpus, our_index, whoosh_index, wq):
+    texts = pq.read_table(corpus, columns=["text"])["text"].to_pylist()
+    w0, _, w2 = texts[3].split()[:3]
+    q = Phrase("text", [w0, w2], slop=2)
+    w = wq.Phrase("text", [w0, w2], slop=2)
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_prefix(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Prefix("text", MID[:2]), wq.Prefix("text", MID[:2]), limit=20)
+
+
+def test_wildcard(our_index, whoosh_index, wq):
+    pat = MID[:2] + "*" + MID[-1]
+    both(our_index, whoosh_index, Wildcard("text", pat), wq.Wildcard("text", pat), limit=20)
+
+
+def test_termrange(our_index, whoosh_index, wq):
+    q = TermRange("text", "ca", "ce")
+    w = wq.TermRange("text", "ca", "ce")
+    both(our_index, whoosh_index, q, w, limit=20)
+
+
+def test_numeric_range(our_index, whoosh_index, wq):
+    q = NumericRange("turn_idx", 2, 5)
+    w = wq.NumericRange("turn_idx", 2, 5)
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_every(our_index, whoosh_index, wq):
+    both(our_index, whoosh_index, Every(), wq.Every(), limit=None)
+
+
+def test_combined(our_index, whoosh_index, wq):
+    q = And([Term("text", MID), NumericRange("turn_idx", 0, 10), Term("role", "user")])
+    w = wq.And([wq.Term("text", MID), wq.NumericRange("turn_idx", 0, 10), wq.Term("role", "user")])
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_nested_boolean(our_index, whoosh_index, wq):
+    q = Or([And([Term("text", MID), Term("text", COMMON)]), Term("text", RARE, boost=0.5)])
+    w = wq.Or(
+        [wq.And([wq.Term("text", MID), wq.Term("text", COMMON)]), wq.Term("text", RARE, boost=0.5)]
+    )
+    both(our_index, whoosh_index, q, w, limit=30)

@@ -14,12 +14,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Encode a 1-D array of unsigned ints as concatenated varints."""
+def encode_varints_with_offsets(values: np.ndarray):
+    """Encode a 1-D array of unsigned ints as concatenated varints.
+
+    Returns ``(buf: np.uint8 array, offsets: int64 array of len n+1)`` where
+    value i occupies ``buf[offsets[i]:offsets[i+1]]`` — the offsets let a
+    caller slice per-posting / per-block byte ranges out of ONE vectorized
+    encode pass instead of encoding each block separately."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlength/7), min 1
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     nonzero = tmp > 0
@@ -38,7 +42,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > b).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, offsets
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Encode a 1-D array of unsigned ints as concatenated varints."""
+    return encode_varints_with_offsets(values)[0].tobytes()
 
 
 def decode_varints(buf: bytes, count: int | None = None) -> np.ndarray:

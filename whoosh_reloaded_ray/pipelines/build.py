@@ -1,0 +1,174 @@
+"""Index build pipeline: read -> tokenize -> shard shuffle -> segment write.
+
+The Ray-Data-native equivalent of the reference's MpWriter map->sort->reduce
+build (multiproc.py:61-351), with the parent-side single-threaded merge
+replaced by the groupby(term-shard) shuffle:
+
+    read_corpus(partitions)                       # stateless read tasks,
+                                                  #   docnums from the plan
+      .map_batches(Tokenizer, batch_format=...)   # analysis chain, vectorized
+      .groupby("shard").map_groups(ShardSegmentWriter)  # the shuffle + reduce
+      -> per-shard parquet block files + terminfo + doclens
+    commit_manifest()                             # atomic TOC generation
+
+Checkpoint/resume: segments are committed one manifest generation at a
+time; a resumed build diff's the plan against committed lineage and only
+runs missing segments.  A killed run leaves at most uncommitted shard files
+that the resume overwrites atomically.
+
+Scale: each segment group is one bounded sub-pipeline that saturates the
+cluster (read/tokenize/shuffle stream concurrently with backpressure); at
+100 TB you get N_segments sequential waves, each an all-to-all over only
+``rows_per_segment`` rows — the shuffle never spans the whole corpus and a
+lost wave costs one segment, not the build.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from ..schema import IndexSchema, transcript_schema
+from ..sources.corpus import Partition, plan_partitions, read_corpus
+from ..stages.segment_write import ShardSegmentWriter
+from ..stages.tokenize import LEN_SENTINEL, Tokenizer
+from ..state.manifest import Manifest, SegmentMeta, commit_manifest, load_manifest
+
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def build_index(
+    source_paths,
+    index_dir: str,
+    schema: IndexSchema | None = None,
+    num_shards: int = 16,
+    rows_per_segment: int | None = None,
+    partition_rows: int = 250_000,
+    resume: bool = True,
+    tokenizer_concurrency=None,
+) -> Manifest:
+    """Build (or resume building) an index over parquet transcript files.
+
+    Returns the committed manifest."""
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    if isinstance(source_paths, str):
+        source_paths = [source_paths]
+    schema = schema or transcript_schema()
+
+    parts = plan_partitions(source_paths, target_rows=partition_rows)
+    total_rows = sum(p.rows for p in parts)
+    rows_per_segment = rows_per_segment or max(total_rows, 1)
+
+    # group partitions into segment specs (contiguous docnum ranges)
+    seg_specs: list[list[Partition]] = []
+    cur: list[Partition] = []
+    cur_rows = 0
+    for p in parts:
+        if cur and cur_rows + p.rows > rows_per_segment:
+            seg_specs.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(p)
+        cur_rows += p.rows
+    if cur:
+        seg_specs.append(cur)
+
+    manifest = None
+    committed_lineage = set()
+    if resume:
+        manifest = load_manifest(index_dir)
+        if manifest is not None:
+            committed_lineage = {
+                tuple(sorted((p.path, p.row_groups, p.base) for p in s.partitions))
+                for s in manifest.segments
+            }
+    if manifest is None:
+        manifest = Manifest(schema=schema)
+
+    for i, spec in enumerate(seg_specs):
+        key = tuple(sorted((p.path, p.row_groups, p.base) for p in spec))
+        if key in committed_lineage:
+            logger.info("segment %d already committed; skipping", i)
+            continue
+        seg = _build_segment(
+            f"seg-{i:05d}", spec, index_dir, schema, num_shards, tokenizer_concurrency
+        )
+        manifest.segments.append(seg)
+        manifest.segments.sort(key=lambda s: s.doc_base)
+        commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def _build_segment(
+    name: str,
+    spec: list,
+    index_dir: str,
+    schema: IndexSchema,
+    num_shards: int,
+    tokenizer_concurrency,
+) -> SegmentMeta:
+    t0 = time.time()
+    seg_dir = os.path.join(index_dir, name)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    indexed_cols = [f.name for f in schema.indexed_fields]
+    ds = read_corpus(spec, columns=indexed_cols)
+    tok = Tokenizer(schema, num_shards=num_shards)
+    kwargs = {}
+    if tokenizer_concurrency:
+        kwargs["concurrency"] = tokenizer_concurrency
+    postings = ds.map_batches(tok, batch_format="pyarrow", **kwargs)
+    writer = ShardSegmentWriter(seg_dir)
+
+    def write_shard(group):
+        return writer(group)
+
+    summary = (
+        postings.groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # field totals for avgfl come from the doclens sentinel rows, which we
+    # re-aggregate cheaply from the written doclens parquet (small: one row
+    # per doc per scorable field)
+    field_lengths = _field_lengths_from_doclens(seg_dir)
+
+    doc_base = min(p.base for p in spec)
+    doc_count = sum(p.rows for p in spec)
+    meta = SegmentMeta(
+        name=name,
+        doc_base=doc_base,
+        doc_count=doc_count,
+        num_shards=num_shards,
+        partitions=list(spec),
+        field_lengths=field_lengths,
+        n_terms=int(summary["n_terms"].sum()) if len(summary) else 0,
+        n_postings=int(summary["n_postings"].sum()) if len(summary) else 0,
+    )
+    logger.info(
+        "built %s: %d docs, %d postings in %.1fs",
+        name,
+        doc_count,
+        meta.n_postings,
+        time.time() - t0,
+    )
+    return meta
+
+
+def _field_lengths_from_doclens(seg_dir: str) -> dict:
+    import glob
+
+    import duckdb
+
+    files = glob.glob(os.path.join(seg_dir, "doclens-*.parquet"))
+    if not files:
+        return {}
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT field, CAST(SUM(length) AS BIGINT) FROM read_parquet({files!r}) GROUP BY field"
+    ).fetchall()
+    return {f: int(s) for f, s in rows}

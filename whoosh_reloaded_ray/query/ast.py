@@ -1,0 +1,219 @@
+"""Query AST: plain-data nodes broadcast to searcher actors.
+
+Node set mirrors the reference's v1 parity scope (query/terms.py,
+query/compound.py, query/positional.py, query/ranges.py): Term, And, Or,
+Not, AndNot, AndMaybe, Require, DisMax, Phrase, Prefix, Wildcard,
+TermRange, NumericRange, Every, with per-node boost.  Nodes serialize to
+dicts (msgpack/pickle-friendly) for actor transport.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+    def children(self) -> tuple:
+        return ()
+
+    def leaves(self):
+        if not self.children():
+            yield self
+        for c in self.children():
+            yield from c.leaves()
+
+    def terms(self):
+        """All (field, text) Term leaves (for global df gathering)."""
+        for leaf in self.leaves():
+            if isinstance(leaf, Term):
+                yield (leaf.field, leaf.text)
+            elif isinstance(leaf, Phrase):
+                for w in leaf.words:
+                    yield (leaf.field, w)
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    field: str = "text"
+    text: str = ""
+
+    def __init__(self, field="text", text="", boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "text", text)
+        object.__setattr__(self, "boost", boost)
+
+
+class _Compound(Query):
+    def children(self) -> tuple:
+        return tuple(self.subqueries)
+
+
+@dataclass(frozen=True)
+class And(_Compound):
+    subqueries: tuple = ()
+
+    def __init__(self, subqueries, boost=1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Or(_Compound):
+    subqueries: tuple = ()
+
+    def __init__(self, subqueries, boost=1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class DisMax(_Compound):
+    subqueries: tuple = ()
+    tiebreak: float = 0.0
+
+    def __init__(self, subqueries, boost=1.0, tiebreak=0.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "tiebreak", tiebreak)
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    subquery: Optional[Query] = None
+
+    def __init__(self, subquery, boost=1.0):
+        object.__setattr__(self, "subquery", subquery)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.subquery,)
+
+
+@dataclass(frozen=True)
+class _Binary(Query):
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+
+    def __init__(self, a, b, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+
+class AndNot(_Binary):
+    """Docs matching a but not b; scores from a."""
+
+
+class AndMaybe(_Binary):
+    """Docs matching a; b's score added where it also matches."""
+
+
+class Require(_Binary):
+    """Docs matching both; scores from a only."""
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    field: str = "text"
+    words: tuple = ()
+    slop: int = 1
+
+    def __init__(self, field, words, slop=1, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    field: str = "text"
+    text: str = ""
+
+    def __init__(self, field, text, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "text", text)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    field: str = "text"
+    pattern: str = ""
+
+    def __init__(self, field, pattern, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "pattern", pattern)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    field: str = "text"
+    start: Optional[str] = None
+    end: Optional[str] = None
+    startexcl: bool = False
+    endexcl: bool = False
+
+    def __init__(self, field, start, end, startexcl=False, endexcl=False, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "start", start)
+        object.__setattr__(self, "end", end)
+        object.__setattr__(self, "startexcl", startexcl)
+        object.__setattr__(self, "endexcl", endexcl)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class NumericRange(Query):
+    """Range over a columnar (numeric/datetime) field — evaluated as a
+    vectorized Parquet predicate instead of the reference's
+    tiered-precision term expansion (same doc set)."""
+
+    field: str = ""
+    start: object = None
+    end: object = None
+    startexcl: bool = False
+    endexcl: bool = False
+
+    def __init__(self, field, start, end, startexcl=False, endexcl=False, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "start", start)
+        object.__setattr__(self, "end", end)
+        object.__setattr__(self, "startexcl", startexcl)
+        object.__setattr__(self, "endexcl", endexcl)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class ConstantTerms(Query):
+    """Union of pre-expanded terms with CONSTANT score 1.0 per doc
+    (replicates the reference's constant-score multiterm path:
+    PatternQuery/TermRange default constantscore=True routed through
+    ArrayUnionMatcher with scored=False, which sets every score to exactly
+    1 and ignores boost — matching/combo.py:216-219).  Produced by the
+    searcher's multiterm rewrite, not by users directly."""
+
+    field: str = "text"
+    termlist: tuple = ()
+
+    def __init__(self, field, termlist, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "termlist", tuple(termlist))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    field: Optional[str] = None
+
+    def __init__(self, field=None, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "boost", boost)

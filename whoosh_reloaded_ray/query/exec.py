@@ -1,0 +1,499 @@
+"""Per-segment query evaluation: posting fetch, BM25F, vectorized matchers.
+
+Scoring parity (verified against the reference searcher in tests):
+  idf       = log(doc_count_all / (df + 1)) + 1           [scoring.py:51-57]
+  bm25      = idf * (tf*(K1+1)) / (tf + K1*((1-B) + B*fl/avgfl))
+              with tf = summed posting weight, fl = byte_to_length(stored
+              length byte) — the LOSSY quantized length [scoring.py:264-271]
+  And/Or/Phrase/AndMaybe sum constituent scores; DisMax takes max;
+  Require/AndNot keep the left side's scores; Not/Every/NumericRange score
+  a constant 1.0 * boost per doc (non-scorable fields likewise score
+  weight*boost).  Ties order by ascending docnum.
+
+Matchers are sorted-uint64-array set algebra (numpy) instead of the
+reference's leapfrog matcher trees (matching/binary.py) — same results,
+vectorized per segment.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.quant import BYTE_TO_LENGTH
+from ..functions.varint import decode_varints
+from ..sources.corpus import read_partition
+from ..stages.segment_write import (
+    DOCLENS_FILE,
+    POSTINGS_FILE,
+    TERMINFO_FILE,
+    WEIGHTS_VARINT,
+)
+from ..stages.tokenize import _shard_of
+from ..state.manifest import Manifest, SegmentMeta
+from . import ast
+
+
+class PostingList:
+    """Decoded postings of one term in one segment."""
+
+    __slots__ = ("docs", "weights", "len_bytes", "block_starts", "pos_blobs", "block_counts")
+
+    def __init__(self, docs, weights, len_bytes, block_starts, block_counts, pos_blobs=None):
+        self.docs = docs  # uint64 sorted
+        self.weights = weights  # float64
+        self.len_bytes = len_bytes  # uint8
+        self.block_starts = block_starts  # int64, posting index of each block
+        self.block_counts = block_counts
+        self.pos_blobs = pos_blobs  # list[bytes] per block (when requested)
+
+    def positions_for(self, posting_idx: int) -> np.ndarray:
+        """Decode the position list of one posting (lazy, per block)."""
+        b = int(np.searchsorted(self.block_starts, posting_idx, side="right") - 1)
+        blob = self.pos_blobs[b]
+        vals = decode_varints(blob)
+        i = 0
+        target = posting_idx - int(self.block_starts[b])
+        for k in range(int(self.block_counts[b])):
+            cnt = int(vals[i])
+            if k == target:
+                deltas = vals[i + 1 : i + 1 + cnt]
+                return np.cumsum(deltas, dtype=np.uint64)
+            i += 1 + cnt
+        return np.empty(0, dtype=np.uint64)
+
+
+class SegmentReader:
+    """Reads one segment's terminfo/postings/doclens (cached)."""
+
+    def __init__(self, index_dir: str, seg: SegmentMeta):
+        self.seg = seg
+        self.dir = os.path.join(index_dir, seg.name)
+        self._postings_cache: dict = {}
+        self._terminfo_cache: dict = {}
+        self._column_cache: dict = {}
+        self._vocab_cache: dict = {}
+
+    # ---- terminfo ---------------------------------------------------------
+
+    def terminfo(self, field: str, term: str):
+        key = (field, term)
+        if key in self._terminfo_cache:
+            return self._terminfo_cache[key]
+        shard = _shard_of(field, term, self.seg.num_shards)
+        path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
+        info = None
+        if os.path.exists(path):
+            t = pq.read_table(path, filters=[("field", "=", field), ("term", "=", term)])
+            if t.num_rows:
+                info = {c: t[c][0].as_py() for c in t.column_names}
+        self._terminfo_cache[key] = info
+        return info
+
+    def doc_frequency(self, field: str, term: str) -> int:
+        info = self.terminfo(field, term)
+        return int(info["doc_freq"]) if info else 0
+
+    def expand_terms(self, field: str, start=None, end=None, startexcl=False, endexcl=False):
+        """Terms of `field` in [start, end] across all shards (sorted).
+        Parquet row-group stats prune the term column scan."""
+        key = (field, start, end, startexcl, endexcl)
+        if key in self._vocab_cache:
+            return self._vocab_cache[key]
+        filters = [("field", "=", field)]
+        if start is not None:
+            filters.append(("term", ">" if startexcl else ">=", start))
+        if end is not None:
+            filters.append(("term", "<" if endexcl else "<=", end))
+        terms = []
+        for shard in range(self.seg.num_shards):
+            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["term"], filters=filters)
+            terms.extend(t["term"].to_pylist())
+        out = sorted(set(terms))
+        self._vocab_cache[key] = out
+        return out
+
+    # ---- postings ---------------------------------------------------------
+
+    def postings(self, field: str, term: str, need_positions=False):
+        key = (field, term, need_positions)
+        cached = self._postings_cache.get(key)
+        if cached is not None:
+            return cached
+        if not need_positions and (plist := self._postings_cache.get((field, term, True))):
+            return plist
+        shard = _shard_of(field, term, self.seg.num_shards)
+        path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
+        if not os.path.exists(path):
+            self._postings_cache[key] = None
+            return None
+        cols = ["count", "wflag", "docs", "weights", "lens"]
+        if need_positions:
+            cols += ["positions"]
+        t = pq.read_table(path, columns=cols, filters=[("field", "=", field), ("term", "=", term)])
+        if t.num_rows == 0:
+            self._postings_cache[key] = None
+            return None
+        counts = t["count"].to_numpy()
+        n = int(counts.sum())
+        block_starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=block_starts[1:])
+
+        # docnums: concat varint streams decode in one pass, then segmented
+        # cumsum with reset at block starts (first value per block absolute)
+        doc_blob = b"".join(t["docs"].to_pylist())
+        deltas = decode_varints(doc_blob, count=n)
+        csum = np.cumsum(deltas, dtype=np.uint64)
+        base = np.zeros(len(counts), dtype=np.uint64)
+        base[1:] = csum[block_starts[1:] - 1]
+        docs = csum - np.repeat(base, counts)
+
+        wflag = int(t["wflag"][0].as_py())
+        w_blob = b"".join(t["weights"].to_pylist())
+        if wflag == WEIGHTS_VARINT:
+            weights = decode_varints(w_blob, count=n).astype(np.float64)
+        else:
+            weights = np.frombuffer(w_blob, dtype="<f4").astype(np.float64)
+
+        lens = np.frombuffer(b"".join(t["lens"].to_pylist()), dtype=np.uint8)
+        pos_blobs = t["positions"].to_pylist() if need_positions else None
+        plist = PostingList(docs, weights, lens, block_starts, counts, pos_blobs)
+        self._postings_cache[key] = plist
+        return plist
+
+    # ---- columnar fields --------------------------------------------------
+
+    def column(self, field: str) -> np.ndarray:
+        """Dense per-docnum values of a columnar field for this segment
+        (docnum - doc_base indexes it)."""
+        arr = self._column_cache.get(field)
+        if arr is None:
+            parts = []
+            for p in sorted(self.seg.partitions, key=lambda p: p.base):
+                tbl = read_partition(p, columns=[field])
+                parts.append(tbl[field].to_numpy(zero_copy_only=False))
+            arr = np.concatenate(parts)
+            self._column_cache[field] = arr
+        return arr
+
+    def doclens(self, field: str) -> np.ndarray:
+        """Dense per-docnum length bytes (for doc_field_length parity API)."""
+        key = ("__lens__", field)
+        arr = self._column_cache.get(key)
+        if arr is None:
+            arr = np.zeros(self.seg.doc_count, dtype=np.uint8)
+            for shard in range(self.seg.num_shards):
+                path = os.path.join(self.dir, DOCLENS_FILE.format(shard=shard))
+                if not os.path.exists(path):
+                    continue
+                t = pq.read_table(path, filters=[("field", "=", field)])
+                idx = t["docnum"].to_numpy() - self.seg.doc_base
+                arr[idx] = t["len_byte"].to_numpy()
+            self._column_cache[key] = arr
+        return arr
+
+
+class ScoreContext:
+    """Global scoring constants, computed once per query on the driver."""
+
+    def __init__(self, doc_count: int, avgfl: dict, idf: dict, B=0.75, K1=1.2):
+        self.doc_count = doc_count
+        self.avgfl = avgfl  # field -> float
+        self.idf = idf  # (field, term) -> float
+        self.B = B
+        self.K1 = K1
+
+
+EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+
+
+def bm25_scores(plist: PostingList, idf: float, avgfl: float, B: float, K1: float) -> np.ndarray:
+    tf = plist.weights
+    fl = BYTE_TO_LENGTH[plist.len_bytes].astype(np.float64)
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + B * fl / avgfl))
+
+
+def evaluate(reader: SegmentReader, q: ast.Query, ctx: ScoreContext, scored=True):
+    """Evaluate a query tree on one segment -> (docnums sorted, scores)."""
+    return _EVAL[type(q).__name__](reader, q, ctx, scored)
+
+
+def _eval_term(reader, q: ast.Term, ctx, scored):
+    plist = reader.postings(q.field, q.text)
+    if plist is None:
+        return EMPTY
+    if not scored:
+        return plist.docs, np.ones(plist.docs.size)
+    idf = ctx.idf.get((q.field, q.text), 1.0)
+    avgfl = ctx.avgfl.get(q.field)
+    if avgfl:  # scorable field
+        scores = bm25_scores(plist, idf, avgfl, ctx.B, ctx.K1)
+    else:  # non-scorable: score = weight (reference WeightScorer)
+        scores = plist.weights.astype(np.float64)
+    if q.boost != 1.0:
+        scores = scores * q.boost
+    return plist.docs, scores
+
+
+def _intersect(a, b):
+    (da, sa), (db, sb) = a, b
+    common, ia, ib = np.intersect1d(da, db, assume_unique=True, return_indices=True)
+    return common, sa[ia] + sb[ib]
+
+
+def _eval_and(reader, q: ast.And, ctx, scored):
+    subs = [evaluate(reader, s, ctx, scored) for s in q.subqueries]
+    if not subs:
+        return EMPTY
+    subs.sort(key=lambda r: r[0].size)
+    acc = subs[0]
+    for s in subs[1:]:
+        if acc[0].size == 0:
+            return EMPTY
+        acc = _intersect(acc, s)
+    return _apply_boost(acc, q.boost)
+
+
+def _union(results):
+    results = [r for r in results if r[0].size]
+    if not results:
+        return EMPTY
+    if len(results) == 1:
+        return results[0]
+    all_docs = np.concatenate([r[0] for r in results])
+    union = np.unique(all_docs)
+    scores = np.zeros(union.size, dtype=np.float64)
+    for docs, s in results:
+        idx = np.searchsorted(union, docs)
+        np.add.at(scores, idx, s)
+    return union, scores
+
+
+def _eval_or(reader, q: ast.Or, ctx, scored):
+    return _apply_boost(_union([evaluate(reader, s, ctx, scored) for s in q.subqueries]), q.boost)
+
+
+def _eval_dismax(reader, q: ast.DisMax, ctx, scored):
+    """Replicates the reference DisjunctionMaxMatcher's CURSOR semantics
+    (matching/binary.py:367-374): score() takes max(a.score(), b.score())
+    WITHOUT checking doc alignment, so at doc d each still-active subquery
+    contributes the score of its cursor position = its first posting >= d
+    (an exhausted subquery contributes nothing).  Tree shape doesn't matter
+    because max is associative and the activity rule is symmetric."""
+    results = [r for r in (evaluate(reader, s, ctx, scored) for s in q.subqueries) if r[0].size]
+    if not results:
+        return EMPTY
+    union = np.unique(np.concatenate([r[0] for r in results]))
+    best = np.full(union.size, -np.inf)
+    for docs, s in results:
+        ia = np.searchsorted(docs, union, side="left")
+        active = ia < docs.size
+        val = np.full(union.size, -np.inf)
+        val[active] = s[ia[active]]
+        np.maximum(best, val, out=best)
+    return _apply_boost((union, best), q.boost)
+
+
+def _eval_not(reader, q: ast.Not, ctx, scored):
+    sub_docs, _ = evaluate(reader, q.subquery, ctx, scored=False)
+    seg = reader.seg
+    all_docs = np.arange(seg.doc_base, seg.doc_base + seg.doc_count, dtype=np.uint64)
+    mask = np.ones(seg.doc_count, dtype=bool)
+    mask[(sub_docs - seg.doc_base).astype(np.int64)] = False
+    docs = all_docs[mask]
+    return docs, np.full(docs.size, 1.0 * q.boost)
+
+
+def _eval_andnot(reader, q: ast.AndNot, ctx, scored):
+    """Replicates the reference AndNotMatcher including its initialization
+    quirk (matching/binary.py:573-576 _find_first): the FIRST positive doc
+    is only excluded when the negative matcher's first doc happens to equal
+    it exactly — otherwise it survives even if it appears later in the
+    negative list."""
+    da, sa = evaluate(reader, q.a, ctx, scored)
+    db, _ = evaluate(reader, q.b, ctx, scored=False)
+    if da.size == 0 or db.size == 0:
+        return _apply_boost((da, sa), q.boost)
+    keep = ~np.isin(da, db, assume_unique=True)
+    if db[0] != da[0]:
+        keep[0] = True
+    return _apply_boost((da[keep], sa[keep]), q.boost)
+
+
+def _eval_require(reader, q: ast.Require, ctx, scored):
+    da, sa = evaluate(reader, q.a, ctx, scored)
+    db, _ = evaluate(reader, q.b, ctx, scored=False)
+    keep = np.isin(da, db, assume_unique=True)
+    return _apply_boost((da[keep], sa[keep]), q.boost)
+
+
+def _eval_andmaybe(reader, q: ast.AndMaybe, ctx, scored):
+    da, sa = evaluate(reader, q.a, ctx, scored)
+    db, sb = evaluate(reader, q.b, ctx, scored)
+    common, ia, ib = np.intersect1d(da, db, assume_unique=True, return_indices=True)
+    out = sa.copy()
+    out[ia] += sb[ib]
+    return _apply_boost((da, out), q.boost)
+
+
+def _eval_every(reader, q: ast.Every, ctx, scored):
+    seg = reader.seg
+    docs = np.arange(seg.doc_base, seg.doc_base + seg.doc_count, dtype=np.uint64)
+    return docs, np.full(docs.size, 1.0 * q.boost)
+
+
+def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
+    """Position-verified And (reference Phrase -> SpanNear2 ordered,
+    consecutive pair gap in [1, slop]); score = sum of term scores."""
+    plists = [reader.postings(q.field, w, need_positions=True) for w in q.words]
+    if not plists or any(p is None for p in plists):
+        return EMPTY
+    # intersect doc sets, tracking posting indices per term
+    docs = plists[0].docs
+    idxs = [np.arange(docs.size)]
+    for p in plists[1:]:
+        docs, ia, ib = np.intersect1d(docs, p.docs, assume_unique=True, return_indices=True)
+        idxs = [ix[ia] for ix in idxs]
+        idxs.append(ib)
+    if docs.size == 0:
+        return EMPTY
+    # verify positions per candidate doc
+    slop = q.slop
+    ok = np.zeros(docs.size, dtype=bool)
+    for i in range(docs.size):
+        reach = plists[0].positions_for(int(idxs[0][i])).astype(np.int64)
+        for t in range(1, len(plists)):
+            nxt = plists[t].positions_for(int(idxs[t][i])).astype(np.int64)
+            # keep positions p in nxt with some r in reach: 1 <= p - r <= slop
+            lo = np.searchsorted(nxt, reach + 1, side="left")
+            hi = np.searchsorted(nxt, reach + slop, side="right")
+            spans = [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+            sel = np.unique(np.concatenate(spans)) if spans else np.empty(0, dtype=np.int64)
+            if sel.size == 0:
+                reach = np.empty(0, dtype=np.int64)
+                break
+            reach = nxt[sel]
+        ok[i] = reach.size > 0
+    docs = docs[ok]
+    if not scored:
+        return docs, np.ones(docs.size)
+    # score = sum of per-term BM25 on surviving docs
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for t, (p, w) in enumerate(zip(plists, q.words)):
+        sub = idxs[t][ok]
+        idf = ctx.idf.get((q.field, w), 1.0)
+        avgfl = ctx.avgfl.get(q.field)
+        if avgfl:
+            s = bm25_scores(p, idf, avgfl, ctx.B, ctx.K1)
+        else:
+            s = p.weights.astype(np.float64)
+        scores += s[sub]
+    return _apply_boost((docs, scores), q.boost)
+
+
+def _expand_to_or(reader, q, ctx, scored, terms):
+    sub = ast.Or([ast.Term(q.field, t) for t in terms], boost=q.boost)
+    return evaluate(reader, sub, ctx, scored)
+
+
+def _eval_prefix(reader, q: ast.Prefix, ctx, scored):
+    # [prefix, prefix + ￿] covers all strings starting with prefix
+    terms = reader.expand_terms(q.field, start=q.text, end=q.text + "￿")
+    return _expand_to_or(reader, q, ctx, scored, terms)
+
+
+def _eval_wildcard(reader, q: ast.Wildcard, ctx, scored):
+    pat = q.pattern
+    # literal prefix bounds the terminfo scan
+    m = re.match(r"[^*?\[]*", pat)
+    prefix = m.group(0)
+    if prefix == pat:
+        return evaluate(reader, ast.Term(q.field, pat, boost=q.boost), ctx, scored)
+    cands = reader.expand_terms(
+        q.field, start=prefix or None, end=(prefix + "￿") if prefix else None
+    )
+    rex = re.compile(_wildcard_to_regex(pat))
+    terms = [t for t in cands if rex.fullmatch(t)]
+    return _expand_to_or(reader, q, ctx, scored, terms)
+
+
+def _wildcard_to_regex(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _eval_termrange(reader, q: ast.TermRange, ctx, scored):
+    terms = reader.expand_terms(q.field, q.start, q.end, q.startexcl, q.endexcl)
+    return _expand_to_or(reader, q, ctx, scored, terms)
+
+
+def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
+    col = reader.column(q.field)
+    vals = col
+    if np.issubdtype(vals.dtype, np.datetime64):
+        vals = vals.astype("datetime64[us]").astype(np.int64)
+        conv = lambda v: np.datetime64(v, "us").astype(np.int64) if v is not None else None
+    else:
+        conv = lambda v: v
+    mask = np.ones(vals.size, dtype=bool)
+    lo, hi = conv(q.start), conv(q.end)
+    if lo is not None:
+        mask &= (vals > lo) if q.startexcl else (vals >= lo)
+    if hi is not None:
+        mask &= (vals < hi) if q.endexcl else (vals <= hi)
+    docs = reader.seg.doc_base + np.flatnonzero(mask).astype(np.uint64)
+    return docs, np.full(docs.size, 1.0 * q.boost)
+
+
+def _eval_constant_terms(reader, q: ast.ConstantTerms, ctx, scored):
+    docs_list = []
+    for t in q.termlist:
+        plist = reader.postings(q.field, t)
+        if plist is not None:
+            docs_list.append(plist.docs)
+    if not docs_list:
+        return EMPTY
+    union = np.unique(np.concatenate(docs_list))
+    # score is exactly 1 (boost ignored): reference matching/combo.py:216-219
+    return union, np.ones(union.size, dtype=np.float64)
+
+
+def _apply_boost(res, boost):
+    if boost != 1.0:
+        return res[0], res[1] * boost
+    return res
+
+
+_EVAL = {
+    "Term": _eval_term,
+    "And": _eval_and,
+    "Or": _eval_or,
+    "DisMax": _eval_dismax,
+    "Not": _eval_not,
+    "AndNot": _eval_andnot,
+    "Require": _eval_require,
+    "AndMaybe": _eval_andmaybe,
+    "Every": _eval_every,
+    "ConstantTerms": _eval_constant_terms,
+    "Phrase": _eval_phrase,
+    "Prefix": _eval_prefix,
+    "Wildcard": _eval_wildcard,
+    "TermRange": _eval_termrange,
+    "NumericRange": _eval_numericrange,
+}

@@ -1,0 +1,126 @@
+"""Index schema: config-as-data field specs (reference: fields.py Schema/FieldType).
+
+A field is either:
+  * ``indexed``  — analyzed into the inverted index (TEXT/ID/KEYWORD-style);
+    ``scorable`` controls whether per-doc field lengths are recorded and BM25
+    length normalization applies (reference fields.py:60-373);
+  * ``columnar`` — numeric/datetime/boolean fields that stay in the source
+    Parquet and are queried with vectorized range predicates instead of the
+    reference's tiered-precision term expansion (same result set, Arrow-native
+    execution; reference fields.py:522-934).
+
+The schema is plain data (dataclasses) so it ships to Ray workers and is
+serialized into the index manifest (the reference pickles its Schema into the
+TOC, index.py:707).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field as dc_field
+from typing import Optional
+
+from .functions.analysis import AnalyzerSpec, standard_analyzer, id_analyzer
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    kind: str = "text"  # text | id | keyword | numeric | datetime | boolean
+    analyzer: Optional[AnalyzerSpec] = None  # None for columnar fields
+    scorable: bool = False  # record lengths + BM25 length normalization
+    stored: bool = True  # returned with hits (fetched from source parquet)
+    positions: bool = True  # index positions (needed for phrase queries)
+    boost: float = 1.0
+
+    @property
+    def indexed(self) -> bool:
+        return self.analyzer is not None
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        if self.analyzer is not None:
+            d["analyzer"]["stopwords"] = (
+                sorted(self.analyzer.stopwords) if self.analyzer.stopwords is not None else None
+            )
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "FieldSpec":
+        d = dict(d)
+        if d.get("analyzer") is not None:
+            a = dict(d["analyzer"])
+            if a.get("stopwords") is not None:
+                a["stopwords"] = frozenset(a["stopwords"])
+            d["analyzer"] = AnalyzerSpec(**a)
+        return FieldSpec(**d)
+
+
+def text_field(name: str, analyzer: Optional[AnalyzerSpec] = None, **kw) -> FieldSpec:
+    """TEXT-equivalent: StandardAnalyzer, scorable, positions."""
+    return FieldSpec(
+        name=name,
+        kind="text",
+        analyzer=analyzer or standard_analyzer(),
+        scorable=kw.pop("scorable", True),
+        positions=kw.pop("positions", True),
+        **kw,
+    )
+
+
+def id_field(name: str, **kw) -> FieldSpec:
+    """ID-equivalent: whole value = one term, not scorable, no positions."""
+    return FieldSpec(
+        name=name,
+        kind="id",
+        analyzer=id_analyzer(),
+        scorable=False,
+        positions=kw.pop("positions", False),
+        **kw,
+    )
+
+
+def numeric_field(name: str, kind: str = "numeric", **kw) -> FieldSpec:
+    """Columnar numeric/datetime field: range/equality via Parquet predicates."""
+    return FieldSpec(name=name, kind=kind, analyzer=None, scorable=False, positions=False, **kw)
+
+
+@dataclass
+class IndexSchema:
+    fields: list  # list[FieldSpec] in declaration order
+
+    def __post_init__(self):
+        self.by_name = {f.name: f for f in self.fields}
+
+    @property
+    def indexed_fields(self) -> list:
+        return [f for f in self.fields if f.indexed]
+
+    @property
+    def scorable_fields(self) -> list:
+        return [f for f in self.fields if f.scorable]
+
+    def field(self, name: str) -> FieldSpec:
+        return self.by_name[name]
+
+    def to_dict(self) -> dict:
+        return {"fields": [f.to_dict() for f in self.fields]}
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexSchema":
+        return IndexSchema(fields=[FieldSpec.from_dict(f) for f in d["fields"]])
+
+
+def transcript_schema() -> IndexSchema:
+    """Default schema for the transcripts corpus (BASELINE.json input_hint):
+    (conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+    ts:timestamp[us])."""
+    return IndexSchema(
+        fields=[
+            id_field("conv_id"),
+            numeric_field("turn_idx"),
+            id_field("role"),
+            text_field("text"),
+            id_field("tool"),
+            numeric_field("ts", kind="datetime"),
+        ]
+    )

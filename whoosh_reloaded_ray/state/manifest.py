@@ -1,0 +1,155 @@
+"""Manifest = the reference's generation-numbered TOC (index.py:576-728).
+
+The manifest JSON is the ONLY source of truth for what belongs to the index:
+segment files not named by the committed manifest are invisible (partial
+writes from a killed run are simply ignored, then overwritten by the
+resumed run's atomic renames).  Commit protocol: write
+``manifest-<gen>.json.tmp`` then ``os.replace`` — same temp+rename
+discipline as the reference's ``_write_toc``.
+
+Per-segment lineage records exactly which input partitions (file + row
+groups + docnum base) produced it — a resumed build skips segments whose
+lineage is already committed, and hit lookup maps docnums back to source
+rows through it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+from ..schema import IndexSchema
+from ..sources.corpus import Partition
+
+MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
+
+
+@dataclass
+class SegmentMeta:
+    name: str  # e.g. "seg-00000"
+    doc_base: int  # first docnum covered
+    doc_count: int  # docs in segment (docnums are [doc_base, doc_base+doc_count))
+    num_shards: int
+    partitions: list  # list[Partition] lineage
+    field_lengths: dict  # field -> total TRUE token count (for avgfl)
+    n_terms: int = 0
+    n_postings: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "doc_base": self.doc_base,
+            "doc_count": self.doc_count,
+            "num_shards": self.num_shards,
+            "partitions": [p.to_dict() for p in self.partitions],
+            "field_lengths": self.field_lengths,
+            "n_terms": self.n_terms,
+            "n_postings": self.n_postings,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "SegmentMeta":
+        d = dict(d)
+        d["partitions"] = [Partition.from_dict(p) for p in d["partitions"]]
+        return SegmentMeta(**d)
+
+
+@dataclass
+class Manifest:
+    schema: IndexSchema
+    generation: int = 0
+    segments: list = field(default_factory=list)  # list[SegmentMeta]
+    version: int = 1
+
+    # ---- global stats (parity: searcher-level doc_count_all / field_length)
+    @property
+    def doc_count(self) -> int:
+        return sum(s.doc_count for s in self.segments)
+
+    def field_length(self, fieldname: str) -> int:
+        return sum(s.field_lengths.get(fieldname, 0) for s in self.segments)
+
+    def avg_field_length(self, fieldname: str) -> float:
+        # reference searching.py:277-280: field_length / (doccount or 1)
+        return self.field_length(fieldname) / (self.doc_count or 1)
+
+    @property
+    def partitions(self) -> list:
+        out = []
+        for s in self.segments:
+            out.extend(s.partitions)
+        return out
+
+    def to_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "generation": self.generation,
+            "schema": self.schema.to_dict(),
+            "segments": [s.to_dict() for s in self.segments],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "Manifest":
+        return Manifest(
+            schema=IndexSchema.from_dict(d["schema"]),
+            generation=d["generation"],
+            segments=[SegmentMeta.from_dict(s) for s in d["segments"]],
+            version=d.get("version", 1),
+        )
+
+
+def latest_generation(index_dir: str) -> int:
+    gens = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
+        if (m := MANIFEST_RE.search(os.path.basename(p)))
+    ]
+    return max(gens) if gens else -1
+
+
+def load_manifest(index_dir: str) -> Manifest | None:
+    gen = latest_generation(index_dir)
+    if gen < 0:
+        return None
+    with open(os.path.join(index_dir, f"manifest-{gen}.json")) as f:
+        return Manifest.from_dict(json.load(f))
+
+
+def commit_manifest(index_dir: str, manifest: Manifest) -> int:
+    """Atomically write the next generation; returns the generation number."""
+    os.makedirs(index_dir, exist_ok=True)
+    gen = latest_generation(index_dir) + 1
+    manifest.generation = gen
+    path = os.path.join(index_dir, f"manifest-{gen}.json")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_dict(), f, indent=1)
+    os.replace(tmp, path)
+    return gen
+
+
+def clean_files(index_dir: str, keep_generations: int = 2):
+    """GC segment dirs not referenced by the latest manifests (reference
+    index.py:373-402 clean_files): old generations' manifests beyond
+    ``keep_generations`` are removed, then unreferenced seg-* dirs."""
+    import shutil
+
+    gens = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
+        if (m := MANIFEST_RE.search(os.path.basename(p)))
+    )
+    keep = set(gens[-keep_generations:])
+    referenced = set()
+    for g in keep:
+        with open(os.path.join(index_dir, f"manifest-{g}.json")) as f:
+            referenced.update(s["name"] for s in json.load(f)["segments"])
+    for g in gens:
+        if g not in keep:
+            os.remove(os.path.join(index_dir, f"manifest-{g}.json"))
+    for seg_dir in glob.glob(os.path.join(index_dir, "seg-*")):
+        if os.path.basename(seg_dir) not in referenced:
+            shutil.rmtree(seg_dir, ignore_errors=True)

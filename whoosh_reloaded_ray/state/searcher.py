@@ -1,0 +1,265 @@
+"""Index searcher: global stats + per-segment fan-out + exact top-k merge.
+
+Mirrors the reference Searcher/MultiReader split (searching.py:104-173,
+reading.py:1003-1050): IDF and average field length are GLOBAL (manifest
+stats + summed per-segment doc_freq), per-segment evaluation is local, and
+the driver merges per-segment results — exact, because scores depend only on
+global stats, so per-segment top-k + heap merge equals whole-index top-k
+(ties by ascending docnum, matching the reference's (score, -docnum) heap,
+collectors.py:466-483).
+
+Two executors:
+  * local  — evaluate segments in-process (tests, small indexes, and the
+    driver-gate queries);
+  * ray    — an actor pool, each actor pinning a disjoint set of segments
+    with warm caches (terminfo/postings/doclens), queries fan out as actor
+    calls.  This is the query-side scale path: segments partition the doc
+    space, so adding nodes adds segment actors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..query import ast
+from ..query.exec import ScoreContext, SegmentReader, evaluate
+from ..state.manifest import Manifest, load_manifest
+
+
+class _SegmentWorker:
+    """Holds SegmentReaders for a subset of segments (used in-process or as
+    the body of a Ray actor)."""
+
+    def __init__(self, index_dir: str, manifest_dict: dict, seg_indices: list):
+        man = Manifest.from_dict(manifest_dict)
+        self.readers = [SegmentReader(index_dir, man.segments[i]) for i in seg_indices]
+
+    def doc_freqs(self, terms: list) -> dict:
+        out = {}
+        for r in self.readers:
+            for f, t in terms:
+                out[(f, t)] = out.get((f, t), 0) + r.doc_frequency(f, t)
+        return out
+
+    def expand_terms(self, specs: list) -> dict:
+        """specs: list of (field, start, end, startexcl, endexcl)."""
+        out = {}
+        for spec in specs:
+            acc = set()
+            for r in self.readers:
+                acc.update(r.expand_terms(*spec))
+            out[spec] = sorted(acc)
+        return out
+
+    def evaluate(self, q: ast.Query, ctx: ScoreContext, limit, scored=True):
+        """Per-worker matches; top-`limit` per segment when limit is set."""
+        docs_all, scores_all = [], []
+        for r in self.readers:
+            docs, scores = evaluate(r, q, ctx, scored=scored)
+            if limit is not None and docs.size > limit:
+                top = np.lexsort((docs, -scores))[:limit]
+                top.sort()
+                docs, scores = docs[top], scores[top]
+            docs_all.append(docs)
+            scores_all.append(scores)
+        return (
+            np.concatenate(docs_all) if docs_all else np.empty(0, np.uint64),
+            np.concatenate(scores_all) if scores_all else np.empty(0, np.float64),
+        )
+
+
+class IndexSearcher:
+    def __init__(
+        self,
+        index_dir: str,
+        manifest: Manifest | None = None,
+        executor: str = "local",
+        num_actors: int | None = None,
+        B: float = 0.75,
+        K1: float = 1.2,
+        field_B: dict | None = None,
+    ):
+        self.index_dir = index_dir
+        self.manifest = manifest or load_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no committed manifest in {index_dir}")
+        self.B, self.K1 = B, K1
+        self.field_B = field_B or {}
+        self.executor = executor
+        n_seg = len(self.manifest.segments)
+        if executor == "ray":
+            import ray
+
+            from .._rayutil import ensure_serializable
+
+            ensure_serializable()
+            num_actors = min(num_actors or 4, max(n_seg, 1))
+            Actor = ray.remote(_SegmentWorker)
+            mdict = self.manifest.to_dict()
+            groups = [list(range(i, n_seg, num_actors)) for i in range(num_actors)]
+            self.workers = [
+                Actor.remote(index_dir, mdict, g) for g in groups if g
+            ]
+            self._ray = ray
+        else:
+            self.local = _SegmentWorker(
+                index_dir, self.manifest.to_dict(), list(range(n_seg))
+            )
+
+    # ---- global stats ----------------------------------------------------
+
+    def doc_count_all(self) -> int:
+        return self.manifest.doc_count
+
+    def avg_field_length(self, field: str) -> float:
+        return self.manifest.avg_field_length(field)
+
+    def doc_frequency(self, field: str, term: str) -> int:
+        return self._doc_freqs([(field, term)])[(field, term)]
+
+    def idf(self, field: str, term: str) -> float:
+        df = self.doc_frequency(field, term)
+        return math.log(self.doc_count_all() / (df + 1)) + 1
+
+    def _doc_freqs(self, terms: list) -> dict:
+        if self.executor == "ray":
+            parts = self._ray.get([w.doc_freqs.remote(terms) for w in self.workers])
+            out = {}
+            for p in parts:
+                for k, v in p.items():
+                    out[k] = out.get(k, 0) + v
+            return out
+        return self.local.doc_freqs(terms)
+
+    def _expand(self, specs: list) -> dict:
+        if self.executor == "ray":
+            parts = self._ray.get([w.expand_terms.remote(specs) for w in self.workers])
+            out = {s: set() for s in specs}
+            for p in parts:
+                for s, terms in p.items():
+                    out[s].update(terms)
+            return {s: sorted(v) for s, v in out.items()}
+        return self.local.expand_terms(specs)
+
+    # ---- query rewrite (global multiterm expansion) ----------------------
+
+    def _rewrite(self, q: ast.Query) -> ast.Query:
+        """Expand Prefix/Wildcard/TermRange into Or-of-Terms using the GLOBAL
+        vocabulary so IDF is consistent across segments (the reference
+        computes idf on the top-level searcher, scoring.py:314-325)."""
+        import re as _re
+
+        from ..query.exec import _wildcard_to_regex
+
+        if isinstance(q, ast.Prefix):
+            spec = (q.field, q.text, q.text + "￿", False, False)
+            terms = self._expand([spec])[spec]
+            return self._multiterm(q.field, terms, q.boost)
+        if isinstance(q, ast.Wildcard):
+            m = _re.match(r"[^*?\[]*", q.pattern)
+            prefix = m.group(0)
+            if prefix == q.pattern:
+                return ast.Term(q.field, q.pattern, boost=q.boost)
+            spec = (
+                q.field,
+                prefix or None,
+                (prefix + "￿") if prefix else None,
+                False,
+                False,
+            )
+            cands = self._expand([spec])[spec]
+            rex = _re.compile(_wildcard_to_regex(q.pattern))
+            return self._multiterm(
+                q.field, [t for t in cands if rex.fullmatch(t)], q.boost
+            )
+        if isinstance(q, ast.TermRange):
+            spec = (q.field, q.start, q.end, q.startexcl, q.endexcl)
+            terms = self._expand([spec])[spec]
+            return self._multiterm(q.field, terms, q.boost)
+        # recurse
+        if isinstance(q, (ast.And, ast.Or, ast.DisMax)):
+            subs = [self._rewrite(s) for s in q.subqueries]
+            kw = {"tiebreak": q.tiebreak} if isinstance(q, ast.DisMax) else {}
+            return type(q)(subs, boost=q.boost, **kw)
+        if isinstance(q, ast.Not):
+            return ast.Not(self._rewrite(q.subquery), boost=q.boost)
+        if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require)):
+            return type(q)(self._rewrite(q.a), self._rewrite(q.b), boost=q.boost)
+        return q
+
+    # matcher-selection thresholds from the reference (compound.py:282,
+    # 334-345): < TOO_MANY_CLAUSES terms AND (2 terms or doc_count > 5000)
+    # -> real scored Or; otherwise the preloaded array matcher, which for
+    # constant-score multiterm queries pins every score to exactly 1.
+    TOO_MANY_CLAUSES = 1024
+
+    def _multiterm(self, field: str, terms: list, boost: float) -> ast.Query:
+        """Rewrite an expanded Prefix/Wildcard/TermRange (constantscore=True
+        in the reference) per the reference's matcher auto-selection:
+        one term -> plain Term (boost DROPPED — reference MultiTerm.matcher
+        builds the single term without boost, terms.py:409); scored Or for
+        2 terms or large doc counts; constant 1.0 otherwise."""
+        n = len(terms)
+        if n == 0:
+            return ast.Or([])
+        if n == 1:
+            return ast.Term(field, terms[0])
+        if n < self.TOO_MANY_CLAUSES and (n == 2 or self.doc_count_all() > 5000):
+            return ast.Or([ast.Term(field, t) for t in terms], boost=boost)
+        return ast.ConstantTerms(field, terms)
+
+    def _context(self, q: ast.Query) -> ScoreContext:
+        terms = sorted(set(q.terms()))
+        dfs = self._doc_freqs(terms) if terms else {}
+        N = self.doc_count_all()
+        idf = {k: math.log(N / (df + 1)) + 1 for k, df in dfs.items()}
+        avgfl = {
+            f.name: self.manifest.avg_field_length(f.name) or 1
+            for f in self.manifest.schema.scorable_fields
+        }
+        return ScoreContext(N, avgfl, idf, B=self.B, K1=self.K1)
+
+    # ---- search ----------------------------------------------------------
+
+    def search(self, q: ast.Query, limit: int | None = 10, scored: bool = True) -> pa.Table:
+        """Top-`limit` (or all, limit=None) matches as an Arrow table
+        (docnum:uint64, score:float64) ordered by (-score, docnum)."""
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        if self.executor == "ray":
+            parts = self._ray.get(
+                [w.evaluate.remote(q, ctx, limit, scored) for w in self.workers]
+            )
+            docs = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+        else:
+            docs, scores = self.local.evaluate(q, ctx, limit, scored)
+        order = np.lexsort((docs, -scores))
+        if limit is not None:
+            order = order[:limit]
+        return pa.table(
+            {
+                "docnum": pa.array(docs[order], type=pa.uint64()),
+                "score": pa.array(scores[order], type=pa.float64()),
+            }
+        )
+
+    def search_with_fields(self, q, limit=10, columns=None) -> pa.Table:
+        """search() + stored fields fetched from the source parquet via the
+        manifest's partition lineage (the index stores no doc content)."""
+        from ..sources.corpus import fetch_rows
+
+        res = self.search(q, limit=limit)
+        if res.num_rows == 0:
+            return res
+        rows = fetch_rows(self.manifest.partitions, res["docnum"].to_pylist(), columns=columns)
+        rows = rows.sort_by("docnum")
+        res = res.sort_by("docnum")
+        joined = res.join(rows, keys="docnum") if rows is not None else res
+        order = np.lexsort(
+            (joined["docnum"].to_numpy(), -joined["score"].to_numpy())
+        )
+        return joined.take(pa.array(order))
