@@ -3,42 +3,62 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive the transcripts
+    corpus, build the inverted index (read -> tokenize map_batches ->
+    term-shard shuffle -> segment write -> manifest commit), then run a BM25
+    search and return the top hits with stored fields."""
+    from whoosh_reloaded_ray.pipelines.fulltext import get_searcher
+    from whoosh_reloaded_ray.query import And, Or, Term
+
+    s = get_searcher("/root/testdata/sf0.001")
+    q = Or([And([Term("text", "window"), Term("text", "hash")]), Term("text", "spark", boost=1.5)])
+    return s.search_with_fields(q, limit=20, columns=["conv_id", "turn_idx", "role", "doc_id"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from whoosh_reloaded_ray.pipelines import fulltext as ft
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "search_term_top10": ft.search_term_top10,
+        "search_and_top10": ft.search_and_top10,
+        "search_or_top10": ft.search_or_top10,
+        "match_phrase": ft.match_phrase,
+        "match_not": ft.match_not,
+        "match_and_numrange": ft.match_and_numrange,
+        "term_stats_prefix": ft.term_stats_prefix,
+        "doclen_quantized": ft.doclen_quantized,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from whoosh_reloaded_ray.pipelines import fulltext as ft
+
+    return {
+        "search_term_top10": ft.oracle_search_term_top10(),
+        "search_and_top10": ft.oracle_search_and_top10(),
+        "search_or_top10": ft.oracle_search_or_top10(),
+        "match_phrase": ft.oracle_match_phrase(),
+        "match_not": ft.oracle_match_not(),
+        "match_and_numrange": ft.oracle_match_and_numrange(),
+        "term_stats_prefix": ft.oracle_term_stats_prefix(),
+        "doclen_quantized": ft.oracle_doclen_quantized(),
+    }

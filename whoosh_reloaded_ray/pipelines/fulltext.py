@@ -1,0 +1,336 @@
+"""Driver-gate fulltext pipelines: index-backed queries over the transcripts
+derived from an sf dir's `documents` table, plus the matching DuckDB oracle
+SQL (the CTE in sources/corpus.py mirrors the Python derivation exactly).
+
+Each query returns an Arrow table whose column names match its oracle SQL so
+the driver's order-insensitive value-hash comparison passes.  BM25 scores
+are rounded to 6 decimals on BOTH sides (identical double arithmetic order;
+see query/exec.py scoring notes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.quant import BYTE_TO_LENGTH
+from ..query import And, Not, NumericRange, Or, Phrase, Prefix, Term
+from ..sources.corpus import TRANSCRIPTS_CTE, derive_transcripts, fetch_rows
+from ..state.manifest import load_manifest
+from ..state.searcher import IndexSearcher
+
+_searchers: dict = {}
+
+TOKENIZE_SQL = (
+    "list_filter(list_transform(regexp_extract_all(text, "
+    "'[\\w*]+(?:\\.?[\\w*]+)*'), t -> lower(t)), "
+    "t -> length(t) >= 2 AND t NOT IN ({stops}))"
+)
+
+
+def _stops_sql() -> str:
+    from ..functions.analysis import STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+
+def tokenize_sql() -> str:
+    return TOKENIZE_SQL.format(stops=_stops_sql())
+
+
+def quantized_len_sql(col: str) -> str:
+    """SQL for byte_to_length(length_to_byte(col)): smallest table value
+    >= col (clamped to the 255-byte ceiling)."""
+    vals = ", ".join(f"({int(v)})" for v in BYTE_TO_LENGTH)
+    return (
+        f"(SELECT MIN(v) FROM (VALUES {vals}) qt(v) "
+        f"WHERE v >= LEAST({col}, {int(BYTE_TO_LENGTH[255])}))"
+    )
+
+
+def get_searcher(sf_dir: str) -> IndexSearcher:
+    """Build (once, resumable) and cache the index for an sf dir."""
+    key = os.path.normpath(sf_dir)
+    s = _searchers.get(key)
+    if s is not None:
+        return s
+    corpus = derive_transcripts(sf_dir)
+    tag = os.path.basename(key)
+    index_dir = f"/tmp/wrr_index/{tag}"
+    man = load_manifest(index_dir)
+    if man is None or os.path.getmtime(corpus) > _manifest_mtime(index_dir):
+        from .build import build_index
+
+        build_index([corpus], index_dir, num_shards=8, partition_rows=100_000)
+    s = IndexSearcher(index_dir)
+    _searchers[key] = s
+    return s
+
+
+def _manifest_mtime(index_dir: str) -> float:
+    import glob
+
+    files = glob.glob(os.path.join(index_dir, "manifest-*.json"))
+    return max((os.path.getmtime(f) for f in files), default=-1.0)
+
+
+def _hits_with_keys(s: IndexSearcher, res: pa.Table, with_rank=True) -> pa.Table:
+    """Attach (doc_id, conv_id, turn_idx) from source rows; keep result order."""
+    if res.num_rows == 0:
+        cols = {
+            "doc_id": pa.array([], pa.int64()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "score_r": pa.array([], pa.float64()),
+        }
+        if with_rank:
+            cols["rank"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    rows = fetch_rows(
+        s.manifest.partitions,
+        res["docnum"].to_pylist(),
+        columns=["conv_id", "turn_idx", "doc_id"],
+    )
+    lookup = {d: i for i, d in enumerate(rows["docnum"].to_pylist())}
+    order = [lookup[d] for d in res["docnum"].to_pylist()]
+    rows = rows.take(pa.array(order))
+    out = {
+        "doc_id": rows["doc_id"],
+        "conv_id": rows["conv_id"],
+        "turn_idx": rows["turn_idx"],
+        "score_r": pa.array(np.round(res["score"].to_numpy(), 6)),
+    }
+    if with_rank:
+        out["rank"] = pa.array(np.arange(1, res.num_rows + 1))
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Query entries (engine side)
+# ---------------------------------------------------------------------------
+
+
+def search_term_top10(sf_dir: str) -> pa.Table:
+    s = get_searcher(sf_dir)
+    return _hits_with_keys(s, s.search(Term("text", "spark"), limit=10))
+
+
+def search_and_top10(sf_dir: str) -> pa.Table:
+    s = get_searcher(sf_dir)
+    q = And([Term("text", "window"), Term("text", "hash")])
+    return _hits_with_keys(s, s.search(q, limit=10))
+
+
+def search_or_top10(sf_dir: str) -> pa.Table:
+    s = get_searcher(sf_dir)
+    q = Or([Term("text", "merge"), Term("text", "scan")])
+    return _hits_with_keys(s, s.search(q, limit=10))
+
+
+def match_phrase(sf_dir: str) -> pa.Table:
+    """All docs containing the exact phrase "key order" (doc ids only)."""
+    s = get_searcher(sf_dir)
+    res = s.search(Phrase("text", ["key", "order"]), limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def match_not(sf_dir: str) -> pa.Table:
+    s = get_searcher(sf_dir)
+    res = s.search(Not(Term("text", "window")), limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def match_and_numrange(sf_dir: str) -> pa.Table:
+    """Docs with 'join' in turns 1-3 of their conversation."""
+    s = get_searcher(sf_dir)
+    q = And([Term("text", "join"), NumericRange("turn_idx", 1, 3)])
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def term_stats_prefix(sf_dir: str) -> pa.Table:
+    """df + total tf for every text term starting with 's' — bulk tokenizer
+    parity check straight off the terminfo files."""
+    s = get_searcher(sf_dir)
+    import pyarrow.parquet as pq
+
+    parts = []
+    for seg in s.manifest.segments:
+        for shard in range(seg.num_shards):
+            path = os.path.join(
+                s.index_dir, seg.name, f"terminfo-{shard:04d}.parquet"
+            )
+            if os.path.exists(path):
+                t = pq.read_table(
+                    path,
+                    columns=["term", "doc_freq", "weight_sum"],
+                    filters=[("field", "=", "text"), ("term", ">=", "s"), ("term", "<", "t")],
+                )
+                parts.append(t)
+    tbl = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    agg = (
+        tbl.group_by("term")
+        .aggregate([("doc_freq", "sum"), ("weight_sum", "sum")])
+        .rename_columns(["term", "df", "total_tf"])
+    )
+    agg = agg.set_column(2, "total_tf", pc.cast(pc.round(agg["total_tf"]), pa.int64()))
+    agg = agg.set_column(1, "df", pc.cast(agg["df"], pa.int64()))
+    return agg.sort_by("term")
+
+
+def doclen_quantized(sf_dir: str) -> pa.Table:
+    """Per-doc true + quantized text length — quantization parity in bulk."""
+    s = get_searcher(sf_dir)
+    import pyarrow.parquet as pq
+
+    parts = []
+    for seg in s.manifest.segments:
+        for shard in range(seg.num_shards):
+            path = os.path.join(s.index_dir, seg.name, f"doclens-{shard:04d}.parquet")
+            if os.path.exists(path):
+                parts.append(pq.read_table(path, filters=[("field", "=", "text")]))
+    tbl = pa.concat_tables(parts).sort_by("docnum")
+    rows = fetch_rows(s.manifest.partitions, tbl["docnum"].to_pylist(), columns=["doc_id"])
+    qlen = BYTE_TO_LENGTH[tbl["len_byte"].to_numpy()]
+    return pa.table(
+        {
+            "doc_id": rows.sort_by("docnum")["doc_id"],
+            "length": pa.array(tbl["length"].to_numpy().astype(np.int64)),
+            "qlen": pa.array(qlen.astype(np.int64)),
+        }
+    ).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — all over the shared transcripts CTE
+# ---------------------------------------------------------------------------
+
+
+def _bm25_oracle(term_exprs: list, match: str, limit: int = 10) -> str:
+    """Build a full BM25F top-k oracle: per-term score CTEs + tie-break by
+    the docnum order (conv_id, turn_idx)."""
+    toks = tokenize_sql()
+    score_sum = " + ".join(f"COALESCE(s{i}.score, 0)" for i in range(len(term_exprs)))
+    joins = "\n".join(
+        f"LEFT JOIN scores{i} s{i} ON t.doc_id = s{i}.doc_id" for i in range(len(term_exprs))
+    )
+    score_ctes = ",\n".join(
+        f"""scores{i} AS (
+  SELECT d.doc_id,
+         (LN((SELECT N FROM stats) / ((SELECT COUNT(*) FROM docterms WHERE tf_{i} > 0) + 1)) + 1)
+         * (d.tf_{i} * 2.2)
+         / (d.tf_{i} + 1.2 * (0.25 + 0.75 * d.qlen / (SELECT avgfl FROM stats))) AS score
+  FROM docterms d WHERE d.tf_{i} > 0
+)"""
+        for i in range(len(term_exprs))
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{w}')) AS tf_{i}" for i, w in enumerate(term_exprs)
+    )
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (
+  SELECT doc_id, conv_id, turn_idx, {toks} AS toks FROM transcripts
+),
+docterms AS (
+  SELECT doc_id, conv_id, turn_idx,
+         {tf_cols},
+         {quantized_len_sql("len(toks)")}::DOUBLE AS qlen,
+         len(toks) AS doclen
+  FROM tokd
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS N, SUM(doclen)::DOUBLE / COUNT(*) AS avgfl FROM docterms
+),
+{score_ctes}
+SELECT t.doc_id, t.conv_id, t.turn_idx,
+       ROUND({score_sum}, 6) AS score_r,
+       ROW_NUMBER() OVER (ORDER BY ({score_sum}) DESC, t.conv_id, t.turn_idx) AS rank
+FROM docterms t
+{joins}
+WHERE {match}
+ORDER BY rank
+LIMIT {limit}
+"""
+
+
+def oracle_search_term_top10() -> str:
+    return _bm25_oracle(["spark"], "t.tf_0 > 0")
+
+
+def oracle_search_and_top10() -> str:
+    return _bm25_oracle(["window", "hash"], "t.tf_0 > 0 AND t.tf_1 > 0")
+
+
+def oracle_search_or_top10() -> str:
+    return _bm25_oracle(["merge", "scan"], "t.tf_0 > 0 OR t.tf_1 > 0")
+
+
+def oracle_match_phrase() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE len(list_filter(generate_series(1, len(toks) - 1),
+                      i -> toks[i] = 'key' AND toks[i + 1] = 'order')) > 0
+ORDER BY doc_id
+"""
+
+
+def oracle_match_not() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE NOT list_contains(toks, 'window')
+ORDER BY doc_id
+"""
+
+
+def oracle_match_and_numrange() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, turn_idx, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE list_contains(toks, 'join') AND turn_idx BETWEEN 1 AND 3
+ORDER BY doc_id
+"""
+
+
+def oracle_term_stats_prefix() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts),
+exploded AS (SELECT doc_id, unnest(toks) AS term FROM tokd)
+SELECT term,
+       COUNT(DISTINCT doc_id)::BIGINT AS df,
+       COUNT(*)::BIGINT AS total_tf
+FROM exploded
+WHERE term >= 's' AND term < 't'
+GROUP BY term
+ORDER BY term
+"""
+
+
+def oracle_doclen_quantized() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
+SELECT doc_id,
+       len(toks)::BIGINT AS length,
+       {quantized_len_sql("len(toks)")}::BIGINT AS qlen
+FROM tokd
+ORDER BY doc_id
+"""

@@ -122,7 +122,7 @@ def fetch_rows(partitions, docnums, columns=None) -> pa.Table:
 # text, tool, ts).  The sandbox's sf dirs ship a `documents` table instead,
 # so we derive transcripts from it with a pure deterministic mapping that is
 # also expressible as a DuckDB CTE (see __ray_entry__.oracle_sql):
-#   conv_id  = source || '-' || (doc_id % 97)
+#   conv_id  = source || '-' || (doc_id % 11)
 #   turn_idx = rank of doc_id within conv_id (0-based)
 #   role     = lang
 #   tool     = 'tool_' || (doc_id % 5)
@@ -133,9 +133,9 @@ def fetch_rows(partitions, docnums, columns=None) -> pa.Table:
 
 TRANSCRIPTS_CTE = """
 SELECT
-    source || '-' || CAST(doc_id % 97 AS VARCHAR) AS conv_id,
+    source || '-' || CAST(doc_id % 11 AS VARCHAR) AS conv_id,
     CAST(ROW_NUMBER() OVER (
-        PARTITION BY source || '-' || CAST(doc_id % 97 AS VARCHAR)
+        PARTITION BY source || '-' || CAST(doc_id % 11 AS VARCHAR)
         ORDER BY doc_id) - 1 AS INTEGER) AS turn_idx,
     lang AS role,
     text,
