@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data fulltext engine.
+
+Default run (the driver's per-round job): over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) —
+  1. derive the transcripts corpus and build the inverted index end-to-end
+     (read -> tokenize map_batches -> term-shard shuffle -> segment write ->
+     manifest commit) into a fresh /tmp dir, timed;
+  2. run the reference query set (term/and/or/dismax/phrase/not/prefix/
+     wildcard/range) against the warm searcher, timed per query (median of
+     repeats);
+  3. build over a larger deterministic synthetic transcripts corpus
+     (``$WRR_BENCH_TURNS`` turns, default 120k) for a throughput number the
+     tiny sf corpora can't provide.
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "build": {...}, "synthetic": {...}}
+
+``--scaling``: runs the SAME synthetic build twice in fresh subprocesses
+(``ray.init(num_cpus=8)`` then ``num_cpus=32`` — override via
+``--scale-cpus A B``) on the same input and reports throughput at both plus
+efficiency = (rate_hi/rate_lo)/(hi/lo); appends the result to BASELINE.md.
+This evidences the north-rule's N->4N cluster-size criterion at two
+parallelism levels (no real cluster in this sandbox).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("WRR_BENCH_TURNS", "120000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _query_set():
+    from whoosh_reloaded_ray.query import (
+        And,
+        DisMax,
+        Not,
+        NumericRange,
+        Or,
+        Phrase,
+        Prefix,
+        Term,
+        TermRange,
+        Wildcard,
+    )
+
+    return {
+        "q_term": Term("text", "spark"),
+        "q_and": And([Term("text", "window"), Term("text", "hash")]),
+        "q_or": Or([Term("text", "merge"), Term("text", "scan"), Term("text", "index")]),
+        "q_dismax": DisMax([Term("text", "join"), Term("text", "sort")]),
+        "q_phrase": Phrase("text", ["key", "order"]),
+        "q_not": And([Term("text", "data"), Not(Term("text", "window"))]),
+        "q_prefix": Prefix("text", "pre"),
+        "q_wildcard": Wildcard("text", "s?ar*"),
+        "q_termrange": TermRange("text", "sa", "sc"),
+        "q_numrange": And([Term("text", "join"), NumericRange("turn_idx", 1, 3)]),
+    }
+
+
+def _time_queries(searcher, reps: int = 5) -> dict:
+    out = {}
+    qs = _query_set()
+    for name, q in qs.items():
+        searcher.search(q, limit=10)  # warm (fills posting caches)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            searcher.search(q, limit=10)
+            times.append(time.perf_counter() - t0)
+        out[name] = statistics.median(times)
+    return out
+
+
+def _build(corpus: str, index_dir: str, num_shards: int = 16, partition_rows: int = 25_000):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    t0 = time.perf_counter()
+    man = build_index(
+        [corpus], index_dir, num_shards=num_shards, partition_rows=partition_rows
+    )
+    return time.perf_counter() - t0, man
+
+
+def _synth_corpus(n_turns: int) -> str:
+    from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+
+    path = f"/tmp/wrr_bench/synth-{n_turns}.parquet"
+    if not os.path.exists(path):
+        generate_transcripts(path, n_turns=n_turns, avg_turn_words=40, seed=42)
+    return path
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    from whoosh_reloaded_ray.sources.corpus import derive_transcripts
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+    t_total0 = time.perf_counter()
+
+    # 1. sf-dir headline: derive + build + query
+    corpus = derive_transcripts(sf_dir)
+    import pyarrow.parquet as pq
+
+    sf_rows = pq.ParquetFile(corpus).metadata.num_rows
+    index_dir = tempfile.mkdtemp(prefix="wrr_bench_idx_")
+    build_s, man = _build(corpus, index_dir, num_shards=8, partition_rows=4096)
+    searcher = IndexSearcher(index_dir)
+    queries = _time_queries(searcher)
+
+    # 2. synthetic throughput build
+    synth = {}
+    if BENCH_TURNS > 0:
+        spath = _synth_corpus(BENCH_TURNS)
+        sdir = tempfile.mkdtemp(prefix="wrr_bench_synth_")
+        synth_s, sman = _build(spath, sdir, num_shards=32, partition_rows=25_000)
+        synth = {
+            "turns": BENCH_TURNS,
+            "build_sec": synth_s,
+            "turns_per_sec": BENCH_TURNS / synth_s,
+            "postings": sman.segments[0].n_postings if sman.segments else 0,
+        }
+        shutil.rmtree(sdir, ignore_errors=True)
+
+    total = time.perf_counter() - t_total0
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return {
+        "metric": "fulltext index build + BM25 query latency",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "build": {"rows": sf_rows, "build_sec": build_s, "rows_per_sec": sf_rows / build_s},
+        "synthetic": synth,
+    }
+
+
+def run_child_build(corpus: str, num_cpus: int, out_path: str):
+    """Fresh-process scaling probe: init ray at num_cpus, build, report."""
+    import ray
+
+    _init_ray(num_cpus)
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(corpus).metadata.num_rows
+    sdir = tempfile.mkdtemp(prefix=f"wrr_scale_{num_cpus}_")
+    elapsed, _ = _build(corpus, sdir, num_shards=32, partition_rows=25_000)
+    shutil.rmtree(sdir, ignore_errors=True)
+    with open(out_path, "w") as f:
+        json.dump({"num_cpus": num_cpus, "rows": rows, "elapsed": elapsed}, f)
+    ray.shutdown()
+
+
+def run_scaling(lo: int, hi: int) -> dict:
+    corpus = _synth_corpus(BENCH_TURNS)
+    results = {}
+    for cpus in (lo, hi):
+        out = tempfile.mktemp(suffix=".json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child-build",
+             "--cpus", str(cpus), "--corpus", corpus, "--out", out],
+            check=True,
+            cwd=REPO,
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+        os.unlink(out)
+    r_lo = results[lo]["rows"] / results[lo]["elapsed"]
+    r_hi = results[hi]["rows"] / results[hi]["elapsed"]
+    eff = (r_hi / r_lo) / (hi / lo)
+    report = {
+        "metric": "index-build scaling efficiency",
+        "value": eff,
+        "unit": "efficiency",
+        "turns": BENCH_TURNS,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "turns_per_sec_lo": r_lo,
+        "turns_per_sec_hi": r_hi,
+        "elapsed_lo": results[lo]["elapsed"],
+        "elapsed_hi": results[hi]["elapsed"],
+        "queries": {},
+        "sf": "synthetic",
+        "num_cpus": hi,
+    }
+    _record_scaling(report)
+    return report
+
+
+def _record_scaling(rep: dict):
+    """Append the measured scaling block to BASELINE.md."""
+    path = os.path.join(REPO, "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    block = (
+        f"\n## Measured scaling ({stamp})\n\n"
+        f"Synthetic transcripts corpus, {rep['turns']} turns; identical build in fresh\n"
+        f"processes at num_cpus={rep['cpus_lo']} vs num_cpus={rep['cpus_hi']}:\n\n"
+        f"| num_cpus | build sec | turns/s |\n|---|---|---|\n"
+        f"| {rep['cpus_lo']} | {rep['elapsed_lo']:.2f} | {rep['turns_per_sec_lo']:.0f} |\n"
+        f"| {rep['cpus_hi']} | {rep['elapsed_hi']:.2f} | {rep['turns_per_sec_hi']:.0f} |\n\n"
+        f"**Scaling efficiency ({rep['cpus_lo']}→{rep['cpus_hi']} CPUs): "
+        f"{rep['value']:.3f}** (criterion: ≥ 0.8)\n"
+    )
+    with open(path, "a") as f:
+        f.write(block)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-cpus", nargs=2, type=int, default=[8, 32])
+    ap.add_argument("--_child-build", action="store_true", dest="child_build")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--corpus")
+    ap.add_argument("--out")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.child_build:
+        run_child_build(args.corpus, args.cpus, args.out)
+        return
+
+    if args.scaling:
+        rep = run_scaling(*args.scale_cpus)
+        print(json.dumps(rep))
+        return
+
+    import ray
+
+    _init_ray(args.cpus)
+    rep = run_default(args.sf_dir, args.cpus)
+    print(json.dumps(rep))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
