@@ -1,0 +1,88 @@
+"""Hot-term salting: skewed terms split across reducers, same results.
+
+North-rule requirement: explicit salting/repartitioning handles skewed hot
+terms.  The salt splits a hot term's postings by contiguous docnum range
+into n_salts sub-shards; queries must return byte-identical results because
+the reader re-concatenates the self-contained blocks by doc_min.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.pipelines.build import build_index, estimate_hot_terms
+from whoosh_reloaded_ray.query import And, Or, Phrase, Term
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts, plan_partitions
+from whoosh_reloaded_ray.schema import transcript_schema
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("saltcorpus")
+    path = str(d / "transcripts.parquet")
+    # zipf vocabulary -> genuinely skewed term frequencies
+    generate_transcripts(path, n_turns=2000, avg_turn_words=30, seed=3, rows_per_file=500)
+    return path
+
+
+def _hottest_terms(idx_dir, n=2):
+    files = glob.glob(f"{idx_dir}/seg-*/terminfo-*.parquet")
+    t = pa.concat_tables(pq.read_table(f, columns=["field", "term", "doc_freq"]) for f in files)
+    t = t.filter(pc.equal(t["field"], "text"))
+    agg = t.group_by("term").aggregate([("doc_freq", "sum")]).sort_by(
+        [("doc_freq_sum", "descending")]
+    )
+    return agg["term"].to_pylist()[:n]
+
+
+def test_salted_build_matches_unsalted(corpus, ray_session, tmp_path_factory):
+    plain_dir = str(tmp_path_factory.mktemp("plainidx"))
+    build_index([corpus], plain_dir, num_shards=4, partition_rows=500)
+    hot1, hot2 = _hottest_terms(plain_dir)
+
+    salted_dir = str(tmp_path_factory.mktemp("saltidx"))
+    salted = {("text", hot1): 3, ("text", hot2): 2}
+    build_index([corpus], salted_dir, num_shards=4, partition_rows=500, salted_terms=salted)
+
+    # the hot term's postings really are spread over several shard files
+    s_salt = IndexSearcher(salted_dir)
+    seg = s_salt.manifest.segments[0]
+    assert seg.salted_terms == {"text": {hot1: 3, hot2: 2}}
+    shards_with_hot1 = [
+        shard
+        for shard in range(seg.num_shards)
+        for f in [os.path.join(salted_dir, seg.name, f"postings-{shard:04d}.parquet")]
+        if os.path.exists(f)
+        and pq.read_table(f, columns=["term"], filters=[("term", "=", hot1)]).num_rows > 0
+    ]
+    assert len(shards_with_hot1) >= 2, "salting should spread the hot term"
+
+    s_plain = IndexSearcher(plain_dir)
+    queries = [
+        Term("text", hot1),
+        And([Term("text", hot1), Term("text", hot2)]),
+        Or([Term("text", hot1), Term("text", hot2)]),
+        Phrase("text", [hot1, hot2]),
+    ]
+    for q in queries:
+        a = s_plain.search(q, limit=None)
+        b = s_salt.search(q, limit=None)
+        np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
+        np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+    # stats parity through the salted terminfo aggregation
+    assert s_plain.doc_frequency("text", hot1) == s_salt.doc_frequency("text", hot1)
+
+
+def test_estimate_hot_terms(corpus):
+    parts = plan_partitions([corpus], target_rows=500)
+    hot = estimate_hot_terms(parts, transcript_schema(), df_ratio=0.2, sample_rows=1000)
+    assert hot, "zipf corpus should surface hot terms"
+    assert all(f == "text" and n >= 2 for (f, _), n in hot.items())

@@ -48,8 +48,19 @@ def build_index(
     partition_rows: int = 250_000,
     resume: bool = True,
     tokenizer_concurrency=None,
+    writer_concurrency: int | None = None,
+    salted_terms: dict | None = None,
+    salt_df_ratio: float | None = None,
+    salt_sample_rows: int = 100_000,
 ) -> Manifest:
     """Build (or resume building) an index over parquet transcript files.
+
+    Hot-term skew valve: ``salted_terms`` = {(field, term): n_salts} splits a
+    hot term's postings across n_salts reducers by docnum range (see
+    stages/tokenize.py).  ``salt_df_ratio`` (e.g. 0.05) auto-detects instead:
+    a driver-side sample of ``salt_sample_rows`` rows estimates per-term doc
+    frequency, and terms appearing in more than ``salt_df_ratio`` of docs get
+    n_salts proportional to their estimated share.
 
     Returns the committed manifest."""
     from .._rayutil import ensure_serializable
@@ -62,6 +73,9 @@ def build_index(
     parts = plan_partitions(source_paths, target_rows=partition_rows)
     total_rows = sum(p.rows for p in parts)
     rows_per_segment = rows_per_segment or max(total_rows, 1)
+
+    if salted_terms is None and salt_df_ratio is not None:
+        salted_terms = estimate_hot_terms(parts, schema, salt_df_ratio, salt_sample_rows)
 
     # group partitions into segment specs (contiguous docnum ranges)
     seg_specs: list[list[Partition]] = []
@@ -94,7 +108,8 @@ def build_index(
             logger.info("segment %d already committed; skipping", i)
             continue
         seg = _build_segment(
-            f"seg-{i:05d}", spec, index_dir, schema, num_shards, tokenizer_concurrency
+            f"seg-{i:05d}", spec, index_dir, schema, num_shards,
+            tokenizer_concurrency, writer_concurrency, salted_terms,
         )
         manifest.segments.append(seg)
         manifest.segments.sort(key=lambda s: s.doc_base)
@@ -109,26 +124,46 @@ def _build_segment(
     schema: IndexSchema,
     num_shards: int,
     tokenizer_concurrency,
+    writer_concurrency: int | None = None,
+    salted_terms: dict | None = None,
 ) -> SegmentMeta:
     t0 = time.time()
     seg_dir = os.path.join(index_dir, name)
     os.makedirs(seg_dir, exist_ok=True)
 
+    doc_base = min(p.base for p in spec)
+    doc_count = sum(p.rows for p in spec)
     indexed_cols = [f.name for f in schema.indexed_fields]
     ds = read_corpus(spec, columns=indexed_cols)
-    tok = Tokenizer(schema, num_shards=num_shards)
+    tok = Tokenizer(
+        schema,
+        num_shards=num_shards,
+        salted=salted_terms,
+        doc_range=(doc_base, doc_count),
+    )
     kwargs = {}
     if tokenizer_concurrency:
         kwargs["concurrency"] = tokenizer_concurrency
     postings = ds.map_batches(tok, batch_format="pyarrow", **kwargs)
-    writer = ShardSegmentWriter(seg_dir)
 
-    def write_shard(group):
-        return writer(group)
+    # Reducer = stateful actor pool with BOUNDED concurrency (~cpus/4):
+    # unbounded write tasks run concurrently with every tokenizer and
+    # memory-bandwidth-thrash each other (measured 5-20x UDF cpu-time
+    # inflation at 32-way); a small pool doubles end-to-end throughput and
+    # leaves the remaining cores to the tokenize stage.
+    if writer_concurrency is None:
+        import ray
 
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        writer_concurrency = max(2, total_cpus // 4)
     summary = (
         postings.groupby("shard")
-        .map_groups(write_shard, batch_format="pyarrow")
+        .map_groups(
+            ShardSegmentWriter,
+            fn_constructor_args=(seg_dir,),
+            concurrency=writer_concurrency,
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
 
@@ -137,8 +172,9 @@ def _build_segment(
     # per doc per scorable field)
     field_lengths = _field_lengths_from_doclens(seg_dir)
 
-    doc_base = min(p.base for p in spec)
-    doc_count = sum(p.rows for p in spec)
+    salted_serial: dict = {}
+    for (f, t), n in (salted_terms or {}).items():
+        salted_serial.setdefault(f, {})[t] = int(n)
     meta = SegmentMeta(
         name=name,
         doc_base=doc_base,
@@ -148,6 +184,7 @@ def _build_segment(
         field_lengths=field_lengths,
         n_terms=int(summary["n_terms"].sum()) if len(summary) else 0,
         n_postings=int(summary["n_postings"].sum()) if len(summary) else 0,
+        salted_terms=salted_serial,
     )
     logger.info(
         "built %s: %d docs, %d postings in %.1fs",
@@ -157,6 +194,56 @@ def _build_segment(
         time.time() - t0,
     )
     return meta
+
+
+def estimate_hot_terms(
+    parts: list,
+    schema: IndexSchema,
+    df_ratio: float,
+    sample_rows: int,
+    max_salts: int = 32,
+) -> dict:
+    """Driver-side sampled doc-frequency estimate -> {(field, term): n_salts}.
+
+    Reads up to ``sample_rows`` rows spread across the partition plan (first
+    row groups of evenly spaced partitions — cheap metadata-guided reads, no
+    cluster pass), tokenizes with the schema analyzers, and marks any term
+    whose sampled doc ratio exceeds ``df_ratio`` as hot with
+    ``n_salts ~ ratio / df_ratio`` (capped).  Deterministic for a fixed plan."""
+    from collections import Counter
+
+    from ..functions.analysis import make_analyzer
+    from ..sources.corpus import read_partition
+
+    if not parts:
+        return {}
+    step = max(1, len(parts) // 8)
+    sampled = parts[::step][:8]
+    per_part = max(1, sample_rows // len(sampled))
+    counters = {f.name: Counter() for f in schema.indexed_fields if f.scorable}
+    analyzers = {
+        f.name: make_analyzer(f.analyzer)
+        for f in schema.indexed_fields
+        if f.scorable
+    }
+    n_docs = 0
+    for p in sampled:
+        tbl = read_partition(p, columns=list(analyzers))
+        tbl = tbl.slice(0, per_part)
+        n_docs += tbl.num_rows
+        for fname, analyze in analyzers.items():
+            for text in tbl[fname].to_pylist():
+                if text:
+                    counters[fname].update({t for t, _ in analyze(text)})
+    hot: dict = {}
+    if n_docs == 0:
+        return hot
+    for fname, ctr in counters.items():
+        for term, df in ctr.items():
+            ratio = df / n_docs
+            if ratio > df_ratio:
+                hot[(fname, term)] = min(max_salts, max(2, int(ratio / df_ratio)))
+    return hot
 
 
 def _field_lengths_from_doclens(seg_dir: str) -> dict:

@@ -33,9 +33,10 @@ from ..stages.segment_write import (
     DOCLENS_FILE,
     POSTINGS_FILE,
     TERMINFO_FILE,
+    WEIGHTS_FLOAT32,
     WEIGHTS_VARINT,
 )
-from ..stages.tokenize import _shard_of
+from ..stages.tokenize import _salted_shard_of, _shard_of
 from ..state.manifest import Manifest, SegmentMeta
 from . import ast
 
@@ -79,6 +80,40 @@ class SegmentReader:
         self._terminfo_cache: dict = {}
         self._column_cache: dict = {}
         self._vocab_cache: dict = {}
+        # partition docnum ranges (sorted); a MERGED segment's ranges may be
+        # non-contiguous, so docnum <-> dense-index mapping goes through them
+        parts = sorted(seg.partitions, key=lambda p: p.base)
+        self._part_bases = np.array([p.base for p in parts], dtype=np.int64)
+        self._part_rows = np.array([p.rows for p in parts], dtype=np.int64)
+        self._part_cum = np.concatenate([[0], np.cumsum(self._part_rows)])
+
+    def all_docnums(self) -> np.ndarray:
+        """Every docnum in this segment, ascending (from partition lineage)."""
+        return np.concatenate(
+            [
+                np.arange(b, b + r, dtype=np.uint64)
+                for b, r in zip(self._part_bases, self._part_rows)
+            ]
+        ) if self._part_bases.size else np.empty(0, dtype=np.uint64)
+
+    def dense_index(self, docnums: np.ndarray) -> np.ndarray:
+        """Map docnums -> dense [0, doc_count) positions in all_docnums order."""
+        d = docnums.astype(np.int64)
+        pi = np.searchsorted(self._part_bases, d, side="right") - 1
+        return self._part_cum[pi] + (d - self._part_bases[pi])
+
+    # ---- shard resolution (salted hot terms live in several shards) -------
+
+    def _shards_for(self, field: str, term: str) -> list:
+        n_salts = self.seg.salted_terms.get(field, {}).get(term)
+        if not n_salts:
+            return [_shard_of(field, term, self.seg.num_shards)]
+        return sorted(
+            {
+                _salted_shard_of(field, term, s, self.seg.num_shards)
+                for s in range(n_salts)
+            }
+        )
 
     # ---- terminfo ---------------------------------------------------------
 
@@ -86,13 +121,30 @@ class SegmentReader:
         key = (field, term)
         if key in self._terminfo_cache:
             return self._terminfo_cache[key]
-        shard = _shard_of(field, term, self.seg.num_shards)
-        path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
+        parts = []
+        for shard in self._shards_for(field, term):
+            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if os.path.exists(path):
+                t = pq.read_table(path, filters=[("field", "=", field), ("term", "=", term)])
+                if t.num_rows:
+                    parts.append(t)
         info = None
-        if os.path.exists(path):
-            t = pq.read_table(path, filters=[("field", "=", field), ("term", "=", term)])
-            if t.num_rows:
+        if parts:
+            t = pa.concat_tables(parts)
+            if t.num_rows == 1:
                 info = {c: t[c][0].as_py() for c in t.column_names}
+            else:  # aggregate a salted term's per-sub-shard rows (associative)
+                info = {
+                    "field": field,
+                    "term": term,
+                    "doc_freq": int(pc.sum(t["doc_freq"]).as_py()),
+                    "weight_sum": float(pc.sum(t["weight_sum"]).as_py()),
+                    "max_weight": float(pc.max(t["max_weight"]).as_py()),
+                    "doc_min": int(pc.min(t["doc_min"]).as_py()),
+                    "doc_max": int(pc.max(t["doc_max"]).as_py()),
+                    "min_len_byte": int(pc.min(t["min_len_byte"]).as_py()),
+                    "max_len_byte": int(pc.max(t["max_len_byte"]).as_py()),
+                }
         self._terminfo_cache[key] = info
         return info
 
@@ -131,18 +183,27 @@ class SegmentReader:
             return cached
         if not need_positions and (plist := self._postings_cache.get((field, term, True))):
             return plist
-        shard = _shard_of(field, term, self.seg.num_shards)
-        path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
-        if not os.path.exists(path):
-            self._postings_cache[key] = None
-            return None
-        cols = ["count", "wflag", "docs", "weights", "lens"]
+        cols = ["doc_min", "count", "wflag", "docs", "weights", "lens"]
         if need_positions:
             cols += ["positions"]
-        t = pq.read_table(path, columns=cols, filters=[("field", "=", field), ("term", "=", term)])
-        if t.num_rows == 0:
+        parts = []
+        for shard in self._shards_for(field, term):
+            path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
+            if os.path.exists(path):
+                tt = pq.read_table(
+                    path, columns=cols, filters=[("field", "=", field), ("term", "=", term)]
+                )
+                if tt.num_rows:
+                    parts.append(tt)
+        if not parts:
             self._postings_cache[key] = None
             return None
+        t = pa.concat_tables(parts)
+        if len(parts) > 1:
+            # salted term: sub-shards hold disjoint docnum ranges; blocks are
+            # self-contained, so ordering block rows by doc_min restores the
+            # globally doc-sorted posting list
+            t = t.take(pc.sort_indices(t, sort_keys=[("doc_min", "ascending")]))
         counts = t["count"].to_numpy()
         n = int(counts.sum())
         block_starts = np.zeros(len(counts), dtype=np.int64)
@@ -157,12 +218,21 @@ class SegmentReader:
         base[1:] = csum[block_starts[1:] - 1]
         docs = csum - np.repeat(base, counts)
 
-        wflag = int(t["wflag"][0].as_py())
-        w_blob = b"".join(t["weights"].to_pylist())
-        if wflag == WEIGHTS_VARINT:
-            weights = decode_varints(w_blob, count=n).astype(np.float64)
+        # weights: wflag is per block (merged segments can mix encodings)
+        wflags = t["wflag"].to_numpy()
+        w_blobs = t["weights"].to_pylist()
+        if (wflags == WEIGHTS_VARINT).all():
+            weights = decode_varints(b"".join(w_blobs), count=n).astype(np.float64)
+        elif (wflags == WEIGHTS_FLOAT32).all():
+            weights = np.frombuffer(b"".join(w_blobs), dtype="<f4").astype(np.float64)
         else:
-            weights = np.frombuffer(w_blob, dtype="<f4").astype(np.float64)
+            weights = np.empty(n, dtype=np.float64)
+            for b, blob in enumerate(w_blobs):
+                s, c = int(block_starts[b]), int(counts[b])
+                if wflags[b] == WEIGHTS_VARINT:
+                    weights[s : s + c] = decode_varints(blob, count=c)
+                else:
+                    weights[s : s + c] = np.frombuffer(blob, dtype="<f4")
 
         lens = np.frombuffer(b"".join(t["lens"].to_pylist()), dtype=np.uint8)
         pos_blobs = t["positions"].to_pylist() if need_positions else None
@@ -305,10 +375,9 @@ def _eval_dismax(reader, q: ast.DisMax, ctx, scored):
 
 def _eval_not(reader, q: ast.Not, ctx, scored):
     sub_docs, _ = evaluate(reader, q.subquery, ctx, scored=False)
-    seg = reader.seg
-    all_docs = np.arange(seg.doc_base, seg.doc_base + seg.doc_count, dtype=np.uint64)
-    mask = np.ones(seg.doc_count, dtype=bool)
-    mask[(sub_docs - seg.doc_base).astype(np.int64)] = False
+    all_docs = reader.all_docnums()
+    mask = np.ones(all_docs.size, dtype=bool)
+    mask[reader.dense_index(sub_docs)] = False
     docs = all_docs[mask]
     return docs, np.full(docs.size, 1.0 * q.boost)
 
@@ -346,8 +415,7 @@ def _eval_andmaybe(reader, q: ast.AndMaybe, ctx, scored):
 
 
 def _eval_every(reader, q: ast.Every, ctx, scored):
-    seg = reader.seg
-    docs = np.arange(seg.doc_base, seg.doc_base + seg.doc_count, dtype=np.uint64)
+    docs = reader.all_docnums()
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 
@@ -457,7 +525,7 @@ def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
         mask &= (vals > lo) if q.startexcl else (vals >= lo)
     if hi is not None:
         mask &= (vals < hi) if q.endexcl else (vals <= hi)
-    docs = reader.seg.doc_base + np.flatnonzero(mask).astype(np.uint64)
+    docs = reader.all_docnums()[mask]
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 

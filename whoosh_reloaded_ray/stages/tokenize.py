@@ -53,6 +53,10 @@ def _shard_of(field: str, term: str, num_shards: int) -> int:
     return zlib.crc32(f"{field}:{term}".encode("utf-8")) % num_shards
 
 
+def _salted_shard_of(field: str, term: str, salt: int, num_shards: int) -> int:
+    return zlib.crc32(f"{field}:{term}#{salt}".encode("utf-8")) % num_shards
+
+
 class Tokenizer:
     """Callable for ``map_batches``: compiles analyzers once per worker.
 
@@ -60,9 +64,25 @@ class Tokenizer:
     analyzers; pass the CLASS to map_batches with ``concurrency=`` to get an
     actor pool when analyzers hold heavy state (stemmer LRU cache)."""
 
-    def __init__(self, schema: IndexSchema, num_shards: int = 16):
+    def __init__(
+        self,
+        schema: IndexSchema,
+        num_shards: int = 16,
+        salted: dict | None = None,
+        doc_range: tuple | None = None,
+    ):
+        """``salted``: {(field, term): n_salts} — HOT TERMS whose postings
+        are split across n_salts sub-shards by contiguous docnum range
+        (``doc_range`` = (first_docnum, n_docs) of the segment), so each
+        sub-shard's posting blocks cover a disjoint docnum range and the
+        reader can concatenate block rows sorted by doc_min (the same
+        self-contained-block property the segment merge relies on).  This is
+        the skew valve: the hottest term's reduce work fans out over
+        n_salts reducers instead of serializing in one."""
         self.schema = schema
         self.num_shards = num_shards
+        self.salted = salted or {}
+        self.doc_range = doc_range or (0, 1)
         self.analyzers = [
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
@@ -70,6 +90,8 @@ class Tokenizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         R = self.num_shards
+        salted = self.salted
+        doc_lo, doc_n = self.doc_range
         fields_out, terms_out, docs_out = [], [], []
         weights_out, pos_out, lens_out, shard_out = [], [], [], []
         docnums = batch["docnum"].to_numpy(zero_copy_only=False)
@@ -103,7 +125,12 @@ class Tokenizer:
                     weights_out.append(w)
                     pos_out.append(poss if keep_pos else None)
                     lens_out.append(lb)
-                    shard_out.append(_shard_of(fname, term, R))
+                    n_salts = salted.get((fname, term))
+                    if n_salts:
+                        salt = (docnum - doc_lo) * n_salts // max(doc_n, 1)
+                        shard_out.append(_salted_shard_of(fname, term, salt, R))
+                    else:
+                        shard_out.append(_shard_of(fname, term, R))
                 if scorable:
                     # sentinel doc-length row
                     fields_out.append(fname)

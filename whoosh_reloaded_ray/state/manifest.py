@@ -37,6 +37,9 @@ class SegmentMeta:
     field_lengths: dict  # field -> total TRUE token count (for avgfl)
     n_terms: int = 0
     n_postings: int = 0
+    # hot-term salt config used at build time: {field: {term: n_salts}};
+    # the reader needs it to find a salted term's sub-shards
+    salted_terms: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -48,12 +51,14 @@ class SegmentMeta:
             "field_lengths": self.field_lengths,
             "n_terms": self.n_terms,
             "n_postings": self.n_postings,
+            "salted_terms": self.salted_terms,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "SegmentMeta":
         d = dict(d)
         d["partitions"] = [Partition.from_dict(p) for p in d["partitions"]]
+        d.setdefault("salted_terms", {})
         return SegmentMeta(**d)
 
 
