@@ -1,0 +1,95 @@
+"""Block-max WAND: exact top-k equivalence + actual block skipping.
+
+The WAND path (query/wand.py) must return byte-identical top-k to the full
+evaluator for every Term / Or-of-Terms query, while decoding strictly fewer
+blocks on skewed corpora (the reference's block_quality pruning,
+collectors.py:376-420, is likewise exact)."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query import Or, Term
+from whoosh_reloaded_ray.query.wand import topk_wand, wandable_terms
+from whoosh_reloaded_ray.query.exec import evaluate
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def index(ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    d = tmp_path_factory.mktemp("wandcorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=4000, avg_turn_words=30, seed=17, rows_per_file=1000)
+    idx_dir = str(tmp_path_factory.mktemp("wandidx"))
+    build_index([path], idx_dir, num_shards=4, partition_rows=1000)
+    return IndexSearcher(idx_dir)
+
+
+def _vocab_by_df(searcher):
+    files = glob.glob(f"{searcher.index_dir}/seg-*/terminfo-*.parquet")
+    t = pa.concat_tables(pq.read_table(f, columns=["field", "term", "doc_freq"]) for f in files)
+    t = t.filter(pc.equal(t["field"], "text"))
+    agg = t.group_by("term").aggregate([("doc_freq", "sum")]).sort_by(
+        [("doc_freq_sum", "descending")]
+    )
+    return agg["term"].to_pylist()
+
+
+def _full_topk(searcher, q, k):
+    """Reference result: unpruned evaluation + driver top-k."""
+    reader = searcher.local.readers[0]
+    ctx = searcher._context(q)
+    docs, scores = evaluate(reader, q, ctx, scored=True)
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def test_wand_equals_full_random(index):
+    vocab = _vocab_by_df(index)
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        n = int(rng.integers(1, 5))
+        terms = list(rng.choice(vocab[: min(len(vocab), 400)], size=n, replace=False))
+        boosts = rng.choice([1.0, 1.0, 2.0, 0.5], size=n)
+        q = (
+            Term("text", terms[0], boost=float(boosts[0]))
+            if n == 1
+            else Or([Term("text", t, boost=float(b)) for t, b in zip(terms, boosts)])
+        )
+        k = int(rng.integers(1, 20))
+        res = index.search(q, limit=k)
+        fdocs, fscores = _full_topk(index, q, k)
+        np.testing.assert_array_equal(res["docnum"].to_numpy(), fdocs)
+        np.testing.assert_allclose(res["score"].to_numpy(), fscores, rtol=0, atol=0)
+
+
+def test_wand_skips_blocks_on_skew(index):
+    vocab = _vocab_by_df(index)
+    hot, rare = vocab[0], vocab[300]
+    q = Or([Term("text", hot), Term("text", rare)])
+    ctx = index._context(q)
+    reader = index.local.readers[0]
+    stats: dict = {}
+    topk_wand(reader, wandable_terms(q), ctx, 5, stats_out=stats)
+    assert stats["blocks_total"] > 4, "hot term should have several blocks"
+    assert stats["blocks_decoded"] < stats["blocks_total"], (
+        f"expected pruning: {stats}"
+    )
+
+
+def test_wand_single_hot_term(index):
+    vocab = _vocab_by_df(index)
+    q = Term("text", vocab[0])
+    res = index.search(q, limit=10)
+    fdocs, fscores = _full_topk(index, q, 10)
+    np.testing.assert_array_equal(res["docnum"].to_numpy(), fdocs)
+    np.testing.assert_allclose(res["score"].to_numpy(), fscores, atol=0)

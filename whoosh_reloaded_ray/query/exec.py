@@ -70,6 +70,45 @@ class PostingList:
         return np.empty(0, dtype=np.uint64)
 
 
+def _decode_posting_columns(t: pa.Table):
+    """Decode block rows -> (docs, weights, len_bytes, block_starts, counts).
+
+    Blocks are self-contained (first docnum absolute, per-block wflag), so
+    this works on ANY subset of a term's blocks in doc order."""
+    counts = t["count"].to_numpy()
+    n = int(counts.sum())
+    block_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=block_starts[1:])
+
+    # docnums: concat varint streams decode in one pass, then segmented
+    # cumsum with reset at block starts (first value per block absolute)
+    doc_blob = b"".join(t["docs"].to_pylist())
+    deltas = decode_varints(doc_blob, count=n)
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    base = np.zeros(len(counts), dtype=np.uint64)
+    base[1:] = csum[block_starts[1:] - 1]
+    docs = csum - np.repeat(base, counts)
+
+    # weights: wflag is per block (merged segments can mix encodings)
+    wflags = t["wflag"].to_numpy()
+    w_blobs = t["weights"].to_pylist()
+    if (wflags == WEIGHTS_VARINT).all():
+        weights = decode_varints(b"".join(w_blobs), count=n).astype(np.float64)
+    elif (wflags == WEIGHTS_FLOAT32).all():
+        weights = np.frombuffer(b"".join(w_blobs), dtype="<f4").astype(np.float64)
+    else:
+        weights = np.empty(n, dtype=np.float64)
+        for b, blob in enumerate(w_blobs):
+            s, c = int(block_starts[b]), int(counts[b])
+            if wflags[b] == WEIGHTS_VARINT:
+                weights[s : s + c] = decode_varints(blob, count=c)
+            else:
+                weights[s : s + c] = np.frombuffer(blob, dtype="<f4")
+
+    lens = np.frombuffer(b"".join(t["lens"].to_pylist()), dtype=np.uint8)
+    return docs, weights, lens, block_starts, counts
+
+
 class SegmentReader:
     """Reads one segment's terminfo/postings/doclens (cached)."""
 
@@ -77,6 +116,7 @@ class SegmentReader:
         self.seg = seg
         self.dir = os.path.join(index_dir, seg.name)
         self._postings_cache: dict = {}
+        self._raw_cache: dict = {}
         self._terminfo_cache: dict = {}
         self._column_cache: dict = {}
         self._vocab_cache: dict = {}
@@ -176,14 +216,16 @@ class SegmentReader:
 
     # ---- postings ---------------------------------------------------------
 
-    def postings(self, field: str, term: str, need_positions=False):
-        key = (field, term, need_positions)
-        cached = self._postings_cache.get(key)
-        if cached is not None:
-            return cached
-        if not need_positions and (plist := self._postings_cache.get((field, term, True))):
-            return plist
-        cols = ["doc_min", "count", "wflag", "docs", "weights", "lens"]
+    def _read_blocks(self, field: str, term: str, need_positions=False):
+        """Raw block rows of a term, doc-ordered across (possibly salted)
+        shards; cached."""
+        rkey = (field, term, need_positions)
+        if rkey in self._raw_cache:
+            return self._raw_cache[rkey]
+        if not need_positions and (t := self._raw_cache.get((field, term, True))) is not None:
+            return t
+        cols = ["doc_min", "doc_max", "max_weight", "min_len_byte",
+                "count", "wflag", "docs", "weights", "lens"]
         if need_positions:
             cols += ["positions"]
         parts = []
@@ -195,46 +237,54 @@ class SegmentReader:
                 )
                 if tt.num_rows:
                     parts.append(tt)
-        if not parts:
+        t = None
+        if parts:
+            t = pa.concat_tables(parts)
+            if len(parts) > 1:
+                # salted term: sub-shards hold disjoint docnum ranges; blocks
+                # are self-contained, so ordering block rows by doc_min
+                # restores the globally doc-sorted posting list
+                t = t.take(pc.sort_indices(t, sort_keys=[("doc_min", "ascending")]))
+        self._raw_cache[rkey] = t
+        return t
+
+    def block_meta(self, field: str, term: str):
+        """Per-block bound metadata for block-max WAND: dict of numpy arrays
+        (doc_min, doc_max, count, max_weight, min_len_byte) or None.
+
+        Scale note: at 100 TB the bound columns are a tiny columnar slice of
+        the postings parquet — reading them without the blob columns is the
+        distributed analogue of the reference's block headers."""
+        t = self._read_blocks(field, term)
+        if t is None:
+            return None
+        return {
+            "doc_min": t["doc_min"].to_numpy(),
+            "doc_max": t["doc_max"].to_numpy(),
+            "count": t["count"].to_numpy(),
+            "max_weight": t["max_weight"].to_numpy(),
+            "min_len_byte": t["min_len_byte"].to_numpy(),
+        }
+
+    def decode_blocks(self, field: str, term: str, keep: np.ndarray):
+        """Decode only the selected blocks -> (docs, weights, len_bytes)."""
+        t = self._read_blocks(field, term)
+        t = t.take(pa.array(np.flatnonzero(keep)))
+        docs, weights, lens, _, _ = _decode_posting_columns(t)
+        return docs, weights, lens
+
+    def postings(self, field: str, term: str, need_positions=False):
+        key = (field, term, need_positions)
+        cached = self._postings_cache.get(key)
+        if cached is not None:
+            return cached
+        if not need_positions and (plist := self._postings_cache.get((field, term, True))):
+            return plist
+        t = self._read_blocks(field, term, need_positions)
+        if t is None:
             self._postings_cache[key] = None
             return None
-        t = pa.concat_tables(parts)
-        if len(parts) > 1:
-            # salted term: sub-shards hold disjoint docnum ranges; blocks are
-            # self-contained, so ordering block rows by doc_min restores the
-            # globally doc-sorted posting list
-            t = t.take(pc.sort_indices(t, sort_keys=[("doc_min", "ascending")]))
-        counts = t["count"].to_numpy()
-        n = int(counts.sum())
-        block_starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=block_starts[1:])
-
-        # docnums: concat varint streams decode in one pass, then segmented
-        # cumsum with reset at block starts (first value per block absolute)
-        doc_blob = b"".join(t["docs"].to_pylist())
-        deltas = decode_varints(doc_blob, count=n)
-        csum = np.cumsum(deltas, dtype=np.uint64)
-        base = np.zeros(len(counts), dtype=np.uint64)
-        base[1:] = csum[block_starts[1:] - 1]
-        docs = csum - np.repeat(base, counts)
-
-        # weights: wflag is per block (merged segments can mix encodings)
-        wflags = t["wflag"].to_numpy()
-        w_blobs = t["weights"].to_pylist()
-        if (wflags == WEIGHTS_VARINT).all():
-            weights = decode_varints(b"".join(w_blobs), count=n).astype(np.float64)
-        elif (wflags == WEIGHTS_FLOAT32).all():
-            weights = np.frombuffer(b"".join(w_blobs), dtype="<f4").astype(np.float64)
-        else:
-            weights = np.empty(n, dtype=np.float64)
-            for b, blob in enumerate(w_blobs):
-                s, c = int(block_starts[b]), int(counts[b])
-                if wflags[b] == WEIGHTS_VARINT:
-                    weights[s : s + c] = decode_varints(blob, count=c)
-                else:
-                    weights[s : s + c] = np.frombuffer(blob, dtype="<f4")
-
-        lens = np.frombuffer(b"".join(t["lens"].to_pylist()), dtype=np.uint8)
+        docs, weights, lens, block_starts, counts = _decode_posting_columns(t)
         pos_blobs = t["positions"].to_pylist() if need_positions else None
         plist = PostingList(docs, weights, lens, block_starts, counts, pos_blobs)
         self._postings_cache[key] = plist

@@ -1,0 +1,149 @@
+"""Block-max WAND top-k: exact pruned evaluation of Term / Or-of-Terms.
+
+Mirrors the reference's block-quality pruning (collectors.py:376-420 +
+codec/whoosh3.py:1085-1098 block_quality / skip_to_quality; scoring.py
+WeightLengthScorer supplies the (block_max_weight, block_min_length) upper
+bound) — re-expressed score-at-a-time over our per-block metadata columns
+``(doc_min, doc_max, max_weight, min_len_byte)`` instead of a cursor tree.
+
+Algorithm (exact; proof sketch in comments):
+  * process terms rarest-first, accumulating EXACT partial scores per doc;
+  * before decoding a block of term j, bound every doc d in its range by
+        bound = max_partial_in_range + ub_block(j) + suffix_ub(j)
+    where suffix_ub(j) = sum over not-yet-processed terms of their best
+    block bound.  If bound < theta (current kth-best partial), no doc in the
+    block can reach the final kth-best TRUE score (theta only grows, scores
+    only grow), so the block is skipped without decode.
+  * a doc with any skipped contribution is strictly below the final theta,
+    so every reported top-k doc has an exact, complete score and ties break
+    identically to the unpruned path (strict < keeps tie candidates).
+
+Block doc ranges within one term are disjoint (blocks are consecutive runs
+of the doc-sorted posting list), so a doc gets at most one contribution per
+term.  Bounds are valid because BM25 is monotone increasing in tf(=weight)
+and decreasing in field length, exactly the reference's argument for
+``block_quality``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.quant import BYTE_TO_LENGTH
+from . import ast
+
+EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
+
+
+def wandable_terms(q: ast.Query):
+    """Return [(field, term, boost)] if q is Term / Or-of-Terms (the WAND
+    fast path), else None.  Or's own boost multiplies each child."""
+    if isinstance(q, ast.Term):
+        return [(q.field, q.text, q.boost)]
+    if isinstance(q, ast.Or):
+        out = []
+        for s in q.subqueries:
+            if not isinstance(s, ast.Term):
+                return None
+            out.append((s.field, s.text, s.boost * q.boost))
+        return out if out else None
+    return None
+
+
+def _block_ub(meta, idf: float, avgfl, boost: float, B: float, K1: float) -> np.ndarray:
+    """Per-block score upper bound (reference BM25FScorer.block_quality)."""
+    maxw = meta["max_weight"].astype(np.float64)
+    if avgfl:
+        minlen = BYTE_TO_LENGTH[meta["min_len_byte"]].astype(np.float64)
+        ub = idf * (maxw * (K1 + 1.0)) / (maxw + K1 * ((1.0 - B) + B * minlen / avgfl))
+    else:
+        ub = maxw
+    return ub * boost
+
+
+def topk_wand(reader, terms: list, ctx, k: int, stats_out: dict | None = None):
+    """Exact top-k (docs, scores) for sum-scored terms on one segment.
+
+    ``stats_out`` (optional dict) receives {blocks_total, blocks_decoded}."""
+    metas, infos = [], []
+    for f, t, b in terms:
+        meta = reader.block_meta(f, t)
+        if meta is None:
+            continue
+        idf = ctx.idf.get((f, t), 1.0)
+        avgfl = ctx.avgfl.get(f)
+        ub = _block_ub(meta, idf, avgfl, b, ctx.B, ctx.K1)
+        infos.append(
+            {
+                "field": f,
+                "term": t,
+                "boost": b,
+                "idf": idf,
+                "avgfl": avgfl,
+                "meta": meta,
+                "ub": ub,
+                "n_postings": int(meta["count"].sum()),
+            }
+        )
+    if not infos:
+        return EMPTY
+    # rarest first: short lists build theta cheaply before the hot lists
+    infos.sort(key=lambda i: i["n_postings"])
+    suffix = np.zeros(len(infos) + 1)
+    for j in range(len(infos) - 1, -1, -1):
+        suffix[j] = suffix[j + 1] + float(infos[j]["ub"].max())
+
+    pdocs = np.empty(0, dtype=np.uint64)  # partial docs (sorted)
+    pscores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    blocks_decoded = blocks_total = 0
+
+    for j, info in enumerate(infos):
+        meta, ub = info["meta"], info["ub"]
+        nb = ub.size
+        blocks_total += nb
+        rest = suffix[j + 1]
+        if np.isfinite(theta):
+            # best partial score of any already-seen doc in each block's doc
+            # range (unseen docs contribute best_in = 0)
+            lo = np.searchsorted(pdocs, meta["doc_min"], side="left")
+            hi = np.searchsorted(pdocs, meta["doc_max"], side="right")
+            best_in = np.zeros(nb)
+            if pscores.size:
+                idx = np.flatnonzero(hi > lo)
+                best_in[idx] = [pscores[l:h].max() for l, h in zip(lo[idx], hi[idx])]
+            keep = best_in + ub + rest >= theta
+        else:
+            keep = np.ones(nb, dtype=bool)
+        if not keep.any():
+            continue
+        blocks_decoded += int(keep.sum())
+        docs, weights, lens = reader.decode_blocks(info["field"], info["term"], keep)
+        if info["avgfl"]:
+            fl = BYTE_TO_LENGTH[lens].astype(np.float64)
+            s = (
+                info["idf"]
+                * (weights * (ctx.K1 + 1.0))
+                / (weights + ctx.K1 * ((1.0 - ctx.B) + ctx.B * fl / info["avgfl"]))
+            )
+        else:
+            s = weights.astype(np.float64)
+        if info["boost"] != 1.0:
+            s = s * info["boost"]
+        # merge into partials (sorted union)
+        merged = np.union1d(pdocs, docs)
+        ns = np.zeros(merged.size)
+        ns[np.searchsorted(merged, pdocs)] = pscores
+        np.add.at(ns, np.searchsorted(merged, docs), s)
+        pdocs, pscores = merged, ns
+        if pscores.size >= k:
+            theta = np.partition(pscores, pscores.size - k)[pscores.size - k]
+
+    if stats_out is not None:
+        stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + blocks_total
+        stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + blocks_decoded
+    if pdocs.size == 0:
+        return EMPTY
+    order = np.lexsort((pdocs, -pscores))[:k]
+    order.sort()  # return doc-sorted like the full evaluator
+    return pdocs[order], pscores[order]

@@ -55,14 +55,27 @@ class _SegmentWorker:
         return out
 
     def evaluate(self, q: ast.Query, ctx: ScoreContext, limit, scored=True):
-        """Per-worker matches; top-`limit` per segment when limit is set."""
+        """Per-worker matches; top-`limit` per segment when limit is set.
+
+        Scored Term / Or-of-Terms top-k takes the block-max WAND path:
+        per-block (max_weight, min_len_byte) bounds prune block decodes,
+        mirroring the reference's block_quality skipping
+        (collectors.py:376-420) — exact, so results match the full path."""
+        from ..query.wand import topk_wand, wandable_terms
+
+        wand_terms = (
+            wandable_terms(q) if (scored and limit is not None) else None
+        )
         docs_all, scores_all = [], []
         for r in self.readers:
-            docs, scores = evaluate(r, q, ctx, scored=scored)
-            if limit is not None and docs.size > limit:
-                top = np.lexsort((docs, -scores))[:limit]
-                top.sort()
-                docs, scores = docs[top], scores[top]
+            if wand_terms:
+                docs, scores = topk_wand(r, wand_terms, ctx, limit)
+            else:
+                docs, scores = evaluate(r, q, ctx, scored=scored)
+                if limit is not None and docs.size > limit:
+                    top = np.lexsort((docs, -scores))[:limit]
+                    top.sort()
+                    docs, scores = docs[top], scores[top]
             docs_all.append(docs)
             scores_all.append(scores)
         return (
