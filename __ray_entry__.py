@@ -35,9 +35,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
+    from whoosh_reloaded_ray.stages import multimodal as mm
 
     return {
+        # full-text index + BM25 engine
         "search_term_top10": ft.search_term_top10,
         "search_and_top10": ft.search_and_top10,
         "search_or_top10": ft.search_or_top10,
@@ -46,11 +50,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_and_numrange": ft.match_and_numrange,
         "term_stats_prefix": ft.term_stats_prefix,
         "doclen_quantized": ft.doclen_quantized,
+        # training-data corpus ops (documents table)
+        "dedup_exact": co.dedup_exact,
+        "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
+        "dedup_minhash": co.dedup_minhash,
+        "simhash_fingerprints": co.simhash_fingerprints,  # rows-only (bit ops)
+        "text_stats": co.text_stats,
+        "fingerprint_docs": co.fingerprint_docs,
+        "lang_id": co.lang_id,
+        # similarity search (embeddings table)
+        "ann_cosine_topk": ann.ann_cosine_topk,
+        "neardup_embedding_pairs": ann.neardup_embedding_pairs,
+        "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
+        # multimodal plumbing (stubbed decode, real actor-pool stages)
+        "decode_image_meta": mm.decode_image_meta,
+        "frame_sample_meta": mm.frame_sample_meta,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
+    from whoosh_reloaded_ray.stages import multimodal as mm
 
     return {
         "search_term_top10": ft.oracle_search_term_top10(),
@@ -61,4 +83,16 @@ def oracle_sql() -> dict[str, str]:
         "match_and_numrange": ft.oracle_match_and_numrange(),
         "term_stats_prefix": ft.oracle_term_stats_prefix(),
         "doclen_quantized": ft.oracle_doclen_quantized(),
+        "dedup_exact": co.oracle_dedup_exact(),
+        "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
+        "dedup_minhash": co.oracle_dedup_minhash(),
+        # simhash_fingerprints: no oracle (64-bit twiddling isn't sane SQL)
+        "text_stats": co.oracle_text_stats(),
+        "fingerprint_docs": co.oracle_fingerprint_docs(),
+        "lang_id": co.oracle_lang_id(),
+        "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
+        "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
+        # ann_ivf_topk: no oracle (approximate by design)
+        "decode_image_meta": mm.oracle_decode_image_meta(),
+        "frame_sample_meta": mm.oracle_frame_sample_meta(),
     }

@@ -1,0 +1,107 @@
+"""Training-data ops vs DuckDB oracles at sf0.001 (the driver gate runs the
+same comparison at sf0.01 across every queries()/oracle_sql() entry)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _assert_match(mine, con, sql):
+    orc = con.sql(sql).df()
+    m = mine.to_pandas().sort_index(axis=1)
+    o = orc.sort_index(axis=1)
+    m = m.sort_values(list(m.columns)).reset_index(drop=True)
+    o = o.sort_values(list(o.columns)).reset_index(drop=True)
+    assert len(m) == len(o)
+    o = o.astype({c: m[c].dtype for c in m.columns})
+    for c in m.columns:
+        assert (m[c].values == o[c].values).all(), f"column {c} mismatch"
+
+
+def test_dedup_exact(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    _assert_match(co.dedup_exact(SF), con, co.oracle_dedup_exact())
+
+
+def test_neardup_ngram_jaccard(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    res = co.neardup_ngram_jaccard(SF)
+    _assert_match(res, con, co.oracle_neardup_ngram_jaccard())
+    assert res.num_rows > 0, "sf corpus plants near-duplicates"
+
+
+def test_dedup_minhash(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    _assert_match(co.dedup_minhash(SF), con, co.oracle_dedup_minhash())
+
+
+def test_text_analysis(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    _assert_match(co.text_stats(SF), con, co.oracle_text_stats())
+    _assert_match(co.fingerprint_docs(SF), con, co.oracle_fingerprint_docs())
+    _assert_match(co.lang_id(SF), con, co.oracle_lang_id())
+
+
+def test_simhash_pairs_symmetric(ray_session):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    sig = co.simhash_fingerprints(SF)
+    assert sig.num_rows == 500
+    pairs = co.simhash_neardup_pairs(SF, max_hamming=8)
+    # every reported pair respects the bound and ordering
+    if pairs.num_rows:
+        assert max(pairs["hamming"].to_pylist()) <= 8
+        a, b = pairs["a"].to_numpy(), pairs["b"].to_numpy()
+        assert (a < b).all()
+
+
+def test_ann_brute_force(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import ann
+
+    _assert_match(ann.ann_cosine_topk(SF), con, ann.oracle_ann_cosine_topk())
+    _assert_match(
+        ann.neardup_embedding_pairs(SF), con, ann.oracle_neardup_embedding_pairs()
+    )
+
+
+def test_ann_ivf_recall(ray_session):
+    from whoosh_reloaded_ray.pipelines import ann
+
+    bf = ann.ann_cosine_topk(SF).to_pandas()
+    # full probe == exact brute force
+    full = ann.ann_ivf_topk(SF, n_clusters=8, nprobe=8).to_pandas()
+    assert set(map(tuple, full[["qid", "vec_id"]].values)) == set(
+        map(tuple, bf[["qid", "vec_id"]].values)
+    )
+    # partial probe trades recall for fewer candidates but stays plausible
+    part = ann.ann_ivf_topk(SF, n_clusters=8, nprobe=3).to_pandas()
+    recall = len(
+        set(map(tuple, part[["qid", "vec_id"]].values))
+        & set(map(tuple, bf[["qid", "vec_id"]].values))
+    ) / len(bf)
+    assert recall >= 0.3
+
+
+def test_multimodal_stages(ray_session, con):
+    from whoosh_reloaded_ray.stages import multimodal as mm
+
+    _assert_match(mm.decode_image_meta(SF), con, mm.oracle_decode_image_meta())
+    _assert_match(mm.frame_sample_meta(SF), con, mm.oracle_frame_sample_meta())
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_real(b"xx")

@@ -1,0 +1,286 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+list<float>, label).
+
+Exact brute-force cosine top-k is the baseline: the query matrix is
+``ray.put`` ONCE and every ``map_batches`` task reads it from the object
+store (broadcast, not per-batch reship); each task computes a float64
+matmul against its batch and emits only its LOCAL top-k rows per query, so
+the driver merge sees num_blocks x k rows regardless of corpus size.
+
+The scale path is IVF: a deterministic k-means coarse quantizer (driver
+trains on a sample, centroids broadcast), cluster assignment as a stateless
+map, and queries probing only the ``nprobe`` nearest clusters — recall is
+checked against brute force in tests (approximate => no SQL oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read_embeddings(sf_dir: str, columns=None):
+    import ray.data
+
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=columns
+    )
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """The benchmark query set = the ``n_queries`` smallest vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    qids = t["vec_id"].to_pylist()[:n_queries]
+    Q = np.array(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    return qids, Q
+
+
+def ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    """Exact cosine top-k for each query vector (self excluded).
+
+    Output: (qid, vec_id, sim_r, rank) — sims rounded to 4dp, rank by
+    (rounded sim desc, vec_id asc) so the ordering is reproducible across
+    float implementations."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir, n_queries)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Qn_ = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy()
+        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Qn_ @ Xn.T  # (nq, batch)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            sims = S[qi]
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            top = cand[np.argsort(-sims[cand], kind="stable")[: k]]
+            out_q.extend([qid] * top.size)
+            out_v.extend(ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    parts = [
+        b
+        for b in ds.map_batches(partial_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    t = pa.concat_tables(parts)
+    # driver merge: num_blocks x k rows -> final top-k per query
+    import pyarrow.compute as pc
+
+    t = t.set_column(2, "sim_r", pc.round(t["sim"], 4))
+    rows = []
+    for qid in qids:
+        sub = t.filter(pc.equal(t["qid"], qid))
+        s = sub["sim_r"].to_numpy()
+        v = sub["vec_id"].to_numpy()
+        order = np.lexsort((v, -s))[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, int(v[i]), float(s[i]), rank))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "sim_r": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def oracle_ann_cosine_topk(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}
+),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS sim_r
+  FROM q JOIN embeddings e ON e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_r,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_r DESC, vec_id) AS rank
+  FROM sims)
+SELECT qid, vec_id, sim_r, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+def neardup_embedding_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
+    """All pairs with cosine >= tau — exact blocked matmul: the full
+    normalized matrix is broadcast once (fits while one 10^9-vector shard
+    per task does at 100 TB you'd LSH-bucket first; see ann_ivf for the
+    bucketing machinery) and each task emits only its rows' qualifying
+    pairs."""
+    import ray
+    import pyarrow.compute as pc
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    all_ids = np.array(full["vec_id"].to_pylist())
+    X = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    m_ref = ray.put((all_ids, Xn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_, Xn_ = ray.get(m_ref)
+        bids = batch["vec_id"].to_numpy()
+        B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = Bn @ Xn_.T
+        a_out, b_out, s_out = [], [], []
+        for i, a in enumerate(bids):
+            hit = np.flatnonzero((S[i] >= tau) & (ids_ > a))
+            a_out.extend([a] * hit.size)
+            b_out.extend(ids_[hit].tolist())
+            s_out.extend(S[i][hit].tolist())
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "sim": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    parts = [
+        b
+        for b in ds.map_batches(pairs, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    t = pa.concat_tables(parts)
+    t = t.set_column(2, "sim_r", pc.round(t["sim"], 4))
+    return t.select(["a", "b", "sim_r"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
+
+
+def oracle_neardup_embedding_pairs(tau: float = 0.4) -> str:
+    return f"""
+SELECT a.vec_id a, b.vec_id b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {tau}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF: the approximate scale path (no SQL oracle; recall tested vs brute)
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 13):
+    """Deterministic Lloyd k-means on (a sample of) X, cosine geometry."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[rng.choice(len(Xn), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) or 1.0)
+    return C
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF approximate top-k: coarse-quantize every vector to its nearest
+    centroid (stateless map over broadcast centroids), then score queries
+    against only the ``nprobe`` closest clusters.  At 10^12 vectors the
+    cluster assignment is the partitioning key for the vector parquet, so a
+    probe reads ~nprobe/n_clusters of the data."""
+    import ray
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    X = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    C = _train_centroids(X, n_clusters)
+    qids, Q = _query_matrix(sf_dir, n_queries)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    bcast = ray.put((qids, Qn, C, probe))
+
+    def scored(batch: pa.Table) -> pa.Table:
+        qids_, Qn_, C_, probe_ = ray.get(bcast)
+        ids = batch["vec_id"].to_numpy()
+        X_ = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Xn_ = X_ / np.linalg.norm(X_, axis=1, keepdims=True)
+        assign = np.argmax(Xn_ @ C_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            m = np.isin(assign, probe_[qi]) & (ids != qid)
+            cand = np.flatnonzero(m)
+            if cand.size == 0:
+                continue
+            sims = Xn_[cand] @ Qn_[qi]
+            top = cand[np.argsort(-sims, kind="stable")[: k]]
+            out_q.extend([qid] * top.size)
+            out_v.extend(ids[top].tolist())
+            out_s.extend((Xn_[top] @ Qn_[qi]).tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    parts = [
+        b
+        for b in ds.map_batches(scored, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    t = pa.concat_tables(parts)
+    import pyarrow.compute as pc
+
+    rows = []
+    for qid in qids:
+        sub = t.filter(pc.equal(t["qid"], qid))
+        s = sub["sim"].to_numpy()
+        v = sub["vec_id"].to_numpy()
+        order = np.lexsort((v, -np.round(s, 4)))[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, int(v[i]), round(float(s[i]), 4), rank))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "sim_r": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
