@@ -1,0 +1,156 @@
+"""Query-string parser parity: same query strings through our parser +
+engine and whoosh's QueryParser + engine must return identical hits.
+
+Covers the reference's default plugin pipeline semantics: default-AND
+juxtaposition, AND>OR precedence, NOT prefix, ANDNOT/ANDMAYBE, phrases and
+slop, field prefixes, boosts, prefix/wildcard, term/numeric ranges, parens,
+Every."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query.parser import QueryParser
+from whoosh_reloaded_ray.schema import transcript_schema
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+N_TURNS = 800
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pcorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=N_TURNS, avg_turn_words=25, seed=29, rows_per_file=200)
+    return path
+
+
+@pytest.fixture(scope="module")
+def our_index(corpus, ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path_factory.mktemp("pindex"))
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=200)
+    return IndexSearcher(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def whoosh_index(corpus, whoosh, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True),
+        turn_idx=fields.NUMERIC(int, stored=True),
+        role=fields.ID(stored=True),
+        text=fields.TEXT,
+        tool=fields.ID,
+        ts=fields.DATETIME,
+    )
+    d = str(tmp_path_factory.mktemp("pwhoosh"))
+    ix = index.create_in(d, schema)
+    w = ix.writer(limitmb=256)
+    for row in pq.read_table(corpus).to_pylist():
+        w.add_document(
+            conv_id=row["conv_id"],
+            turn_idx=row["turn_idx"],
+            role=row["role"],
+            text=row["text"],
+            tool=row["tool"] or None,
+            ts=row["ts"],
+        )
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def terms(corpus):
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    analyze = make_analyzer(standard_analyzer())
+    ctr = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        ctr.update(tok for tok, _ in analyze(t))
+    ordered = [w for w, _ in ctr.most_common()]
+    return {
+        "hot": ordered[0],
+        "mid": ordered[len(ordered) // 8],
+        "mid2": ordered[len(ordered) // 6],
+        "rare": ordered[len(ordered) // 2],
+    }
+
+
+def _compare(our_index, whoosh_index, whoosh, qstring, limit=10):
+    from whoosh.qparser import QueryParser as WQP
+
+    wq = WQP("text", whoosh_index.schema).parse(qstring)
+    ours = QueryParser("text", transcript_schema()).parse(qstring)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, h.score) for h in s.search(wq, limit=limit)]
+    t = our_index.search(ours, limit=limit)
+    ores = list(zip(t["docnum"].to_pylist(), t["score"].to_pylist()))
+    assert [d for d, _ in ores] == [d for d, _ in wres], (
+        f"{qstring!r}\nparsed ours:   {ours}\nparsed whoosh: {wq!r}\n"
+        f"ours: {ores}\ntheirs: {wres}"
+    )
+    np.testing.assert_allclose(
+        [s for _, s in ores], [s for _, s in wres], atol=1e-6, rtol=0
+    )
+
+
+QUERY_TEMPLATES = [
+    "{mid}",
+    "{mid} {rare}",                      # default AND
+    "{mid} AND {rare}",
+    "{mid} OR {rare}",
+    "{mid} OR {rare} AND {mid2}",        # AND binds tighter
+    "{mid} AND {rare} OR {mid2}",
+    "NOT {mid} AND {rare}",
+    "{mid} ANDNOT {rare}",
+    "{mid} ANDMAYBE {rare}",
+    "{mid} OR {rare} ANDNOT {mid2}",     # ANDNOT loosest
+    '"{mid} {rare}"',
+    '"{mid} {rare}"~3',
+    "role:user AND {mid}",
+    "{mid}^2 OR {rare}",
+    "({mid} OR {rare}) AND {mid2}",
+    "turn_idx:2 AND {mid}",
+    "turn_idx:[1 TO 3] AND {mid}",
+    "turn_idx:{{1 TO 4}} AND {mid}",     # exclusive numeric range
+    "text:[{mid} TO {mid2}]",
+    "{pfx}*",
+    "{w1}?{w2}*",
+]
+
+
+def test_parser_parity(our_index, whoosh_index, whoosh, terms):
+    vocab = dict(terms)
+    vocab["pfx"] = terms["mid"][:3]
+    vocab["w1"] = terms["mid"][:2]
+    vocab["w2"] = ""
+    for tmpl in QUERY_TEMPLATES:
+        qstring = tmpl.format(**vocab)
+        _compare(our_index, whoosh_index, whoosh, qstring)
+
+
+def test_parser_structure():
+    """Spot-check resolved AST shapes (precedence + flattening)."""
+    from whoosh_reloaded_ray.query import And, AndNot, Not, Or, Phrase, Term
+
+    p = QueryParser("text", transcript_schema())
+    assert p.parse("a1 b1 c1") == And([Term("text", "a1"), Term("text", "b1"), Term("text", "c1")])
+    q = p.parse("a1 OR b1 AND c1")
+    assert isinstance(q, Or) and isinstance(q.subqueries[1], And)
+    q = p.parse("a1 AND b1 OR c1")
+    assert isinstance(q, Or) and isinstance(q.subqueries[0], And)
+    q = p.parse("a1 OR b1 ANDNOT c1")
+    assert isinstance(q, AndNot) and isinstance(q.a, Or)
+    q = p.parse("NOT a1 AND b1")
+    assert isinstance(q, And) and isinstance(q.subqueries[0], Not)
+    q = p.parse('"x1 y1"~2')
+    assert isinstance(q, Phrase) and q.slop == 2
+    assert p.parse("the") == Or([])  # stopword removed -> null query

@@ -15,3 +15,5 @@ from .ast import (  # noqa: F401
     TermRange,
     Wildcard,
 )
+from .ast import ConstantTerms  # noqa: F401
+from .parser import QueryParser  # noqa: F401

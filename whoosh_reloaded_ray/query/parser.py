@@ -1,0 +1,390 @@
+"""Query-string parser with whoosh default-syntax semantics.
+
+Replicates the behavior of the reference's default plugin pipeline
+(qparser/default.py:95-111 plugins; qparser/plugins.py taggers/filters):
+
+  * whitespace-separated nodes, parenthesised groups, the parser's default
+    group (AndGroup, default.py:61) joining bare juxtaposition;
+  * ``field:`` prefixes for schema fields (unknown names stay literal
+    text, like the reference's FieldsPlugin);
+  * quoted phrases ``"a b"`` with optional slop ``"a b"~2``
+    (PhrasePlugin);
+  * wildcards ``?``/``*`` normalizing to Term / Prefix / Every exactly like
+    Wildcard.normalize (query/terms.py:310-421);
+  * ranges ``[a TO b]`` / ``{a TO b}`` / mixed, numeric fields ->
+    NumericRange (RangePlugin);
+  * boosts ``term^2`` (BoostPlugin);
+  * operators resolved IN THE REFERENCE'S PASS ORDER over each node list
+    (OperatorsPlugin.do_operators, plugins.py:975-1005): NOT (prefix),
+    then AND, OR (merging infix — left-assoc flattening), then ANDNOT,
+    ANDMAYBE (binary infix), then REQUIRE; so AND binds tighter than OR,
+    and ANDNOT/ANDMAYBE are looser than both;
+  * query text re-analyzed with the target field's analyzer (default.py
+    term_query): 0 tokens -> ignored, 1 -> Term, >1 -> default group of
+    Terms.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..schema import IndexSchema
+from . import ast
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<fphrase>(?P<fpf>\w+):"(?P<fptext>[^"]*)"(?:~(?P<fpslop>\d+))?)
+  | (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?)
+  | (?P<frange>(?P<frf>\w+):(?P<frbody>[\[{][^\]}]*[\]}]))
+  | (?P<range>[\[{](?P<rbody>[^\]}]*)[\]}])
+  | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+  | (?P<word>[^\s()^]+)
+""",
+    re.VERBOSE,
+)
+
+_RANGE_RE = re.compile(r"^([\[{])(.*?)\sTO\s(.*?)([\]}])$", re.DOTALL)
+
+
+@dataclass
+class _Op:
+    kind: str  # "NOT" | "AND" | "OR" | "ANDNOT" | "ANDMAYBE" | "REQUIRE"
+
+
+class _Group(list):
+    pass
+
+
+class QueryParser:
+    """``QueryParser("text", schema).parse("hello AND field:world^2")``."""
+
+    OPERATORS = ("NOT", "AND", "OR", "ANDNOT", "ANDMAYBE", "REQUIRE")
+
+    def __init__(self, default_field: str, schema: IndexSchema, group: str = "and"):
+        self.default_field = default_field
+        self.schema = schema
+        self.group_cls = ast.And if group == "and" else ast.Or
+        self.fields = {f.name: f for f in schema.fields}
+
+    # -- tokenize ----------------------------------------------------------
+
+    def _tokens(self, text: str):
+        out = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            if m.lastgroup is None:
+                continue
+            if m.group("lparen"):
+                out.append(("(", None))
+            elif m.group("rparen"):
+                out.append((")", None))
+            elif m.group("fphrase") is not None:
+                out.append(
+                    ("fphrase", (m.group("fpf"), m.group("fptext"), int(m.group("fpslop") or 1)))
+                )
+            elif m.group("phrase") is not None:
+                out.append(("phrase", (m.group("phtext"), int(m.group("slop") or 1))))
+            elif m.group("frange") is not None:
+                out.append(("frange", (m.group("frf"), m.group("frbody"))))
+            elif m.group("range") is not None:
+                out.append(("range", m.group(0)))
+            elif m.group("boost") is not None:
+                out.append(("boost", float(m.group("bval"))))
+            elif m.group("word") is not None:
+                w = m.group("word")
+                if w in self.OPERATORS:
+                    out.append(("op", w))
+                else:
+                    out.append(("word", w))
+            pos = m.end()
+        return out
+
+    # -- node building -----------------------------------------------------
+
+    def parse(self, text: str) -> ast.Query:
+        tokens = self._tokens(text)
+        group, _ = self._build_group(tokens, 0)
+        q = self._resolve(group)
+        return q if q is not None else ast.Or([])
+
+    def _build_group(self, tokens, i) -> tuple:
+        nodes = _Group()
+        field_ctx = None  # pending "field:" prefix for the next node
+        while i < len(tokens):
+            kind, val = tokens[i]
+            if kind == ")":
+                return nodes, i + 1
+            if kind == "(":
+                sub, i = self._build_group(tokens, i + 1)
+                nodes.append(self._with_field(sub, field_ctx))
+                field_ctx = None
+                continue
+            if kind == "op":
+                nodes.append(_Op(val))
+            elif kind == "boost":
+                if nodes and not isinstance(nodes[-1], _Op):
+                    nodes[-1] = _Boosted(nodes[-1], val)
+            elif kind == "phrase":
+                nodes.append(_PhraseNode(field_ctx or self.default_field, *val))
+                field_ctx = None
+            elif kind == "fphrase":
+                f, text, slop = val
+                f = f if f in self.fields else self.default_field
+                nodes.append(_PhraseNode(f, text, slop))
+                field_ctx = None
+            elif kind == "range":
+                nodes.append(_RangeNode(field_ctx or self.default_field, val))
+                field_ctx = None
+            elif kind == "frange":
+                f, body = val
+                f = f if f in self.fields else self.default_field
+                nodes.append(_RangeNode(f, body))
+                field_ctx = None
+            elif kind == "word":
+                w = val
+                fm = re.match(r"^(\w+):(.*)$", w, re.UNICODE)
+                if fm and fm.group(1) in self.fields:
+                    if fm.group(2) == "":
+                        field_ctx = fm.group(1)  # "field:(...)" / "field:[..]"
+                        i += 1
+                        continue
+                    nodes.append(_WordNode(fm.group(1), fm.group(2)))
+                else:
+                    nodes.append(_WordNode(field_ctx or self.default_field, w))
+                field_ctx = None
+            i += 1
+        return nodes, i
+
+    def _with_field(self, node, field):
+        if field is None:
+            return node
+        if isinstance(node, _Group):
+            return _Group(self._with_field(n, field) for n in node)
+        if isinstance(node, (_WordNode, _PhraseNode, _RangeNode)):
+            node.field = field
+        if isinstance(node, _Boosted):
+            node.node = self._with_field(node.node, field)
+        return node
+
+    # -- operator resolution (reference pass order) ------------------------
+
+    def _resolve(self, group: _Group):
+        nodes = [
+            self._resolve(n) if isinstance(n, _Group) else n for n in group
+        ]
+        nodes = [n for n in nodes if n is not None or isinstance(n, _Op)]
+
+        # pass 1: NOT (prefix)
+        i = 0
+        while i < len(nodes):
+            n = nodes[i]
+            if isinstance(n, _Op) and n.kind == "NOT":
+                del nodes[i]
+                if i < len(nodes):
+                    nodes[i] = _NotNode(nodes[i])
+            else:
+                i += 1
+
+        # passes 2+: infix ops in reference order
+        for opname, builder in (
+            ("AND", lambda l, r: _flatten("AND", l, r)),
+            ("OR", lambda l, r: _flatten("OR", l, r)),
+            ("ANDNOT", lambda l, r: _BinNode("ANDNOT", l, r)),
+            ("ANDMAYBE", lambda l, r: _BinNode("ANDMAYBE", l, r)),
+            ("REQUIRE", lambda l, r: _BinNode("REQUIRE", l, r)),
+        ):
+            i = 0
+            while i < len(nodes):
+                n = nodes[i]
+                if isinstance(n, _Op) and n.kind == opname:
+                    if 0 < i < len(nodes) - 1:
+                        left, right = nodes[i - 1], nodes[i + 1]
+                        nodes[i - 1 : i + 2] = [builder(left, right)]
+                        i -= 1
+                    else:
+                        del nodes[i]
+                        continue
+                i += 1
+
+        # drop any dangling operators
+        nodes = [n for n in nodes if not isinstance(n, _Op)]
+        queries = [q for q in (self._to_query(n) for n in nodes) if q is not None]
+        if not queries:
+            return None
+        if len(queries) == 1:
+            return queries[0]
+        return self.group_cls(queries)
+
+    # -- node -> ast.Query -------------------------------------------------
+
+    def _to_query(self, node):
+        if node is None or isinstance(node, _Op):
+            return None
+        if isinstance(node, ast.Query):
+            return node
+        if isinstance(node, _GroupNode):
+            subs = [q for q in (self._to_query(n) for n in node.children) if q is not None]
+            if not subs:
+                return None
+            if len(subs) == 1:
+                return subs[0]
+            return (ast.And if node.kind == "AND" else ast.Or)(subs)
+        if isinstance(node, _BinNode):
+            lq, rq = self._to_query(node.left), self._to_query(node.right)
+            if lq is None:
+                return rq
+            if rq is None:
+                return lq
+            cls = {"ANDNOT": ast.AndNot, "ANDMAYBE": ast.AndMaybe, "REQUIRE": ast.Require}[node.kind]
+            return cls(lq, rq)
+        if isinstance(node, _NotNode):
+            sub = self._to_query(node.node)
+            return ast.Not(sub) if sub is not None else None
+        if isinstance(node, _Boosted):
+            q = self._to_query(node.node)
+            if q is not None:
+                q = _apply_boost(q, node.boost)
+            return q
+        if isinstance(node, _PhraseNode):
+            words = self._analyze(node.field, node.text)
+            if not words:
+                return None
+            if len(words) == 1:
+                return ast.Term(node.field, words[0])
+            return ast.Phrase(node.field, words, slop=node.slop)
+        if isinstance(node, _RangeNode):
+            return self._range_query(node)
+        if isinstance(node, _WordNode):
+            return self._word_query(node.field, node.text)
+        raise TypeError(f"unknown node {node!r}")
+
+    def _analyze(self, field: str, text: str) -> list:
+        from ..functions.analysis import make_analyzer
+
+        spec = self.fields.get(field)
+        if spec is None or spec.analyzer is None:
+            return [text]
+        return [t for t, _ in make_analyzer(spec.analyzer)(text)]
+
+    def _word_query(self, field: str, text: str):
+        spec = self.fields.get(field)
+        is_numeric = spec is not None and spec.kind in ("numeric", "datetime")
+        if text == "*":
+            return ast.Every(field)
+        if "*" in text or "?" in text:
+            # Wildcard.normalize: plain text -> Term, trailing-* only -> Prefix
+            if not is_numeric:
+                core = text[:-1]
+                if text.endswith("*") and "*" not in core and "?" not in core:
+                    return ast.Prefix(field, core.lower())
+                return ast.Wildcard(field, text.lower())
+        if is_numeric:
+            try:
+                v = int(text)
+            except ValueError:
+                return None
+            return ast.NumericRange(field, v, v)
+        words = self._analyze(field, text)
+        if not words:
+            return None
+        if len(words) == 1:
+            return ast.Term(field, words[0])
+        return self.group_cls([ast.Term(field, w) for w in words])
+
+    def _range_query(self, node):
+        m = _RANGE_RE.match(node.text)
+        if not m:
+            return self._word_query(node.field, node.text)
+        lb, lo, hi, rb = m.groups()
+        lo = lo.strip() or None
+        hi = hi.strip() or None
+        startexcl = lb == "{"
+        endexcl = rb == "}"
+        spec = self.fields.get(node.field)
+        if spec is not None and spec.kind in ("numeric", "datetime"):
+            conv = int if spec.kind == "numeric" else str
+            return ast.NumericRange(
+                node.field,
+                conv(lo) if lo is not None else None,
+                conv(hi) if hi is not None else None,
+                startexcl=startexcl,
+                endexcl=endexcl,
+            )
+        low = self._analyze(node.field, lo)[0] if lo else None
+        high = self._analyze(node.field, hi)[0] if hi else None
+        return ast.TermRange(node.field, low, high, startexcl=startexcl, endexcl=endexcl)
+
+
+def _apply_boost(q: ast.Query, boost: float) -> ast.Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=q.boost * boost)
+
+
+class _GroupNode:
+    __slots__ = ("kind", "children")
+
+    def __init__(self, kind, children):
+        self.kind = kind
+        self.children = children
+
+
+class _BinNode:
+    __slots__ = ("kind", "left", "right")
+
+    def __init__(self, kind, left, right):
+        self.kind = kind
+        self.left = left
+        self.right = right
+
+
+def _flatten(kind, left, right):
+    """Left-assoc merging exactly like InfixOperator.replace_self
+    (syntax.py:614-642): append to an existing same-type group."""
+    if isinstance(left, _GroupNode) and left.kind == kind:
+        left.children.append(right)
+        return left
+    return _GroupNode(kind, [left, right])
+
+
+class _WordNode:
+    __slots__ = ("field", "text")
+
+    def __init__(self, field, text):
+        self.field = field
+        self.text = text
+
+
+class _PhraseNode:
+    __slots__ = ("field", "text", "slop")
+
+    def __init__(self, field, text, slop=1):
+        self.field = field
+        self.text = text
+        self.slop = slop
+
+
+class _RangeNode:
+    __slots__ = ("field", "text")
+
+    def __init__(self, field, text):
+        self.field = field
+        self.text = text
+
+
+class _NotNode:
+    __slots__ = ("node",)
+
+    def __init__(self, node):
+        self.node = node
+
+
+class _Boosted:
+    __slots__ = ("node", "boost")
+
+    def __init__(self, node, boost):
+        self.node = node
+        self.boost = boost
