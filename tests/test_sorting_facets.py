@@ -1,0 +1,143 @@
+"""Sorting / faceting / collapse parity vs whoosh (reference
+tests/test_sorting.py behaviors: sortedby, groupedby, collapse)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query import Or, Term
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=600, avg_turn_words=20, seed=31, rows_per_file=150)
+    return path
+
+
+@pytest.fixture(scope="module")
+def our_index(corpus, ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path_factory.mktemp("sindex"))
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=150)
+    return IndexSearcher(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def whoosh_index(corpus, whoosh, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True, sortable=True),
+        turn_idx=fields.NUMERIC(int, stored=True, sortable=True),
+        role=fields.ID(stored=True, sortable=True),
+        text=fields.TEXT,
+    )
+    d = str(tmp_path_factory.mktemp("swhoosh"))
+    ix = index.create_in(d, schema)
+    w = ix.writer(limitmb=256)
+    for row in pq.read_table(corpus).to_pylist():
+        w.add_document(
+            conv_id=row["conv_id"],
+            turn_idx=row["turn_idx"],
+            role=row["role"],
+            text=row["text"],
+        )
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def mid_term(corpus):
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    analyze = make_analyzer(standard_analyzer())
+    ctr = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        ctr.update(tok for tok, _ in analyze(t))
+    ordered = [w for w, _ in ctr.most_common()]
+    return ordered[len(ordered) // 10]
+
+
+def test_sortedby_numeric(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.search_sorted(q, "turn_idx", limit=20)
+    with whoosh_index.searcher() as s:
+        from whoosh.query import Term as WT
+
+        r = s.search(WT("text", mid_term), sortedby="turn_idx", limit=20)
+        theirs = [h.docnum for h in r]
+    assert ours["docnum"].to_pylist() == theirs
+
+
+def test_sortedby_string_reverse(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.search_sorted(q, "conv_id", limit=15, reverse=True)
+    with whoosh_index.searcher() as s:
+        from whoosh.query import Term as WT
+
+        r = s.search(WT("text", mid_term), sortedby="conv_id", reverse=True, limit=15)
+        theirs = [h.docnum for h in r]
+    assert ours["docnum"].to_pylist() == theirs
+
+
+def test_sortedby_multi(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.search_sorted(q, ["role", "turn_idx"], limit=None)
+    with whoosh_index.searcher() as s:
+        from whoosh import sorting
+        from whoosh.query import Term as WT
+
+        facet = sorting.MultiFacet(["role", "turn_idx"])
+        r = s.search(WT("text", mid_term), sortedby=facet, limit=None)
+        theirs = [h.docnum for h in r]
+    assert ours["docnum"].to_pylist() == theirs
+
+
+def test_groupedby(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.search_grouped(q, "role", limit=None)
+    with whoosh_index.searcher() as s:
+        from whoosh.query import Term as WT
+
+        r = s.search(WT("text", mid_term), groupedby="role", limit=None)
+        theirs = r.groups("role")
+    assert ours == theirs
+
+
+def test_facet_counts(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.facet_counts(q, "role")
+    with whoosh_index.searcher() as s:
+        from whoosh import sorting
+        from whoosh.query import Term as WT
+
+        r = s.search(
+            WT("text", mid_term),
+            groupedby=sorting.FieldFacet("role", maptype=sorting.Count),
+            limit=None,
+        )
+        theirs = r.groups("role")
+    assert ours == theirs
+
+
+def test_collapse(our_index, whoosh_index, mid_term):
+    q = Term("text", mid_term)
+    ours = our_index.search_collapsed(q, "conv_id", limit=10, collapse_limit=1)
+    with whoosh_index.searcher() as s:
+        from whoosh.query import Term as WT
+
+        r = s.search(WT("text", mid_term), collapse="conv_id", collapse_limit=1, limit=10)
+        theirs = [(h.docnum, h.score) for h in r]
+    assert ours["docnum"].to_pylist() == [d for d, _ in theirs]
+    np.testing.assert_allclose(
+        ours["score"].to_pylist(), [sc for _, sc in theirs], atol=1e-6
+    )

@@ -29,6 +29,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.analysis import make_analyzer
 from ..functions.quant import length_to_byte
@@ -83,22 +84,220 @@ class Tokenizer:
         self.num_shards = num_shards
         self.salted = salted or {}
         self.doc_range = doc_range or (0, 1)
+        self.specs = [
+            (f.name, f.analyzer, f.scorable, f.positions, f.boost)
+            for f in schema.indexed_fields
+        ]
         self.analyzers = [
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
         ]
+        self._vec_pats: dict = {}
+
+    # ---- vectorized standard/simple path ---------------------------------
+
+    def _vector_field(self, fname, spec_tuple, batch, docnums, out):
+        """Vectorized analysis for standard/simple analyzers: one regex C
+        call per row; pyarrow kernels for lowercase + dictionary encode;
+        stop/size masks computed per UNIQUE term; whoosh position
+        renumbering and per-(doc,term) aggregation as numpy segment ops —
+        no per-token Python loop."""
+        import itertools
+        import re as _re
+
+        from ..functions.quant import lengths_to_bytes
+
+        _, analyzer_spec, scorable, keep_pos, boost = spec_tuple
+        pat = self._vec_pats.setdefault(
+            fname, _re.compile(analyzer_spec.pattern, _re.UNICODE)
+        )
+        stops = analyzer_spec.stopwords
+        minsize = analyzer_spec.minsize
+        maxsize = analyzer_spec.maxsize
+
+        texts = batch[fname].to_pylist()
+        valid = np.array([t is not None for t in texts])
+        toks_per_row = [pat.findall(t) if t is not None else [] for t in texts]
+        counts = np.fromiter((len(r) for r in toks_per_row), dtype=np.int64, count=len(texts))
+        n = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(texts)), counts)
+        arr = pa.array(list(itertools.chain.from_iterable(toks_per_row)), type=pa.string())
+        if analyzer_spec.lowercase:
+            arr = pc.utf8_lower(arr)
+
+        # dictionary-encode FIRST: stop/size masks computed once per UNIQUE
+        # term (a few thousand) instead of per token (hundreds of thousands)
+        denc = pc.dictionary_encode(arr)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = denc.dictionary
+        nu = len(uniques)
+        keep_u = np.ones(nu, dtype=bool)
+        ulen = pc.utf8_length(uniques).to_numpy(zero_copy_only=False)
+        if minsize:
+            keep_u &= ulen >= minsize
+        if maxsize is not None:
+            keep_u &= ulen <= maxsize
+        if stops:
+            keep_u &= ~pc.is_in(uniques, value_set=pa.array(list(stops), pa.string())).to_numpy(
+                zero_copy_only=False
+            )
+        keep = keep_u[codes] if n else np.zeros(0, dtype=bool)
+
+        # positions: pre-filter index within row, then whoosh renumbering
+        # (first survivor keeps its ORIGINAL index, rest consecutive)
+        row_tok_start = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=row_tok_start[1:])
+        pre_pos = np.arange(n) - np.repeat(row_tok_start, counts)
+        csum = np.cumsum(keep)
+        base = np.repeat(csum[row_tok_start] - keep[row_tok_start], counts)
+        srank = csum - base  # 1-based survivor rank within row (on survivors)
+        survivors_per_row = np.zeros(len(texts), dtype=np.int64)
+        if n:
+            np.add.at(survivors_per_row, row_idx, keep)
+        # first survivor's pre-filter position per row, scattered back
+        p_first = np.zeros(len(texts), dtype=np.int64)
+        first_mask = keep & (srank == 1)
+        p_first[row_idx[first_mask]] = pre_pos[first_mask]
+        pos_final = np.repeat(p_first, counts) + srank - 1
+
+        # filtered posting stream
+        r_f = row_idx[keep]
+        c_f = codes[keep]
+        p_f = pos_final[keep]
+
+        # per-(row, term) aggregation via stable sort on the composite key
+        key = r_f * nu + c_f
+        order = np.argsort(key, kind="stable")  # stable: positions stay ascending
+        ks = key[order]
+        gstart = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]]) if ks.size else np.empty(0, np.int64)
+        gcount = np.diff(np.r_[gstart, ks.size])
+        g_row = r_f[order][gstart] if ks.size else np.empty(0, np.int64)
+        g_code = c_f[order][gstart] if ks.size else np.empty(0, np.int64)
+        g_doc = docnums[g_row]
+
+        # shard per unique term (salted hot terms shard by docnum range)
+        R = self.num_shards
+        u_list = uniques.to_pylist()
+        u_shard = np.fromiter(
+            (_shard_of(fname, t, R) for t in u_list), dtype=np.int32, count=nu
+        )
+        shard = u_shard[g_code] if ks.size else np.empty(0, np.int32)
+        if self.salted:
+            doc_lo, doc_n = self.doc_range
+            u_index = {t: i for i, t in enumerate(u_list)}
+            for (f, t), n_salts in self.salted.items():
+                if f != fname or t not in u_index:
+                    continue
+                m = g_code == u_index[t]
+                salt = (g_doc[m] - doc_lo) * n_salts // max(doc_n, 1)
+                shard[m] = np.fromiter(
+                    (_salted_shard_of(fname, t, int(s), R) for s in salt),
+                    dtype=np.int32,
+                    count=int(m.sum()),
+                )
+
+        lb_rows = lengths_to_bytes(survivors_per_row) if scorable else np.zeros(len(texts), np.uint8)
+        g_lb = lb_rows[g_row]
+
+        # positions list column (only when the field stores positions)
+        if keep_pos and ks.size:
+            offsets = np.r_[0, np.cumsum(gcount)].astype(np.int32)
+            pos_col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(p_f[order].astype(np.uint32), pa.uint32()),
+            )
+        else:
+            pos_col = pa.nulls(len(gstart), pa.list_(pa.uint32()))
+
+        out["field"].append(pa.array(np.full(len(gstart), fname, dtype=object), pa.string()))
+        out["term"].append(
+            uniques.take(pa.array(g_code, pa.int64())) if ks.size else pa.array([], pa.string())
+        )
+        out["docnum"].append(pa.array(g_doc.astype(np.uint64), pa.uint64()))
+        out["weight"].append(pa.array((gcount * boost).astype(np.float32), pa.float32()))
+        out["positions"].append(pos_col)
+        out["len_byte"].append(pa.array(g_lb, pa.uint8()))
+        out["shard"].append(pa.array(shard, pa.int32()))
+
+        if scorable:
+            # sentinel doc-length rows for every non-null row
+            v = np.flatnonzero(valid)
+            out["field"].append(pa.array(np.full(v.size, fname, dtype=object), pa.string()))
+            # NB: np.full(n, "\x00") silently yields "" (C-string fill)
+            out["term"].append(pa.array([LEN_SENTINEL] * v.size, pa.string()))
+            out["docnum"].append(pa.array(docnums[v].astype(np.uint64), pa.uint64()))
+            out["weight"].append(pa.array(survivors_per_row[v].astype(np.float32), pa.float32()))
+            out["positions"].append(pa.nulls(v.size, pa.list_(pa.uint32())))
+            out["len_byte"].append(pa.array(lb_rows[v], pa.uint8()))
+            out["shard"].append(pa.array((docnums[v] % R).astype(np.int32), pa.int32()))
+
+    def _vector_id_field(self, fname, aspec, keep_pos, boost, batch, docnums, out):
+        """Vectorized IDTokenizer: whole value = one token at pos 1
+        (reference analysis/tokenizers.py:44-76); null/empty values emit
+        nothing (non-scorable fields only)."""
+        col = batch[fname]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col
+        if aspec.lowercase:
+            arr = pc.utf8_lower(arr)
+        ok = pc.and_(pc.is_valid(arr), pc.not_equal(arr, "")).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(ok)
+        terms = arr.take(pa.array(idx, pa.int64()))
+        R = self.num_shards
+        shard = np.fromiter(
+            (_shard_of(fname, t, R) for t in terms.to_pylist()),
+            dtype=np.int32,
+            count=len(idx),
+        )
+        out["field"].append(pa.array(np.full(idx.size, fname, dtype=object), pa.string()))
+        out["term"].append(terms)
+        out["docnum"].append(pa.array(docnums[idx].astype(np.uint64), pa.uint64()))
+        out["weight"].append(pa.array(np.full(idx.size, boost, dtype=np.float32), pa.float32()))
+        if keep_pos:
+            out["positions"].append(
+                pa.ListArray.from_arrays(
+                    pa.array(np.arange(idx.size + 1, dtype=np.int32), pa.int32()),
+                    pa.array(np.ones(idx.size, dtype=np.uint32), pa.uint32()),
+                )
+            )
+        else:
+            out["positions"].append(pa.nulls(idx.size, pa.list_(pa.uint32())))
+        out["len_byte"].append(pa.array(np.zeros(idx.size, dtype=np.uint8), pa.uint8()))
+        out["shard"].append(pa.array(shard, pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        docnums = batch["docnum"].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in ("field", "term", "docnum", "weight", "positions", "len_byte", "shard")}
+        for i, spec_tuple in enumerate(self.specs):
+            fname, aspec, scorable, keep_pos, boost = spec_tuple
+            if fname not in batch.column_names:
+                continue
+            if aspec is not None and aspec.kind in ("standard", "simple") and aspec.renumber:
+                self._vector_field(fname, spec_tuple, batch, docnums, out)
+            elif aspec is not None and aspec.kind == "id" and not scorable:
+                self._vector_id_field(fname, aspec, keep_pos, boost, batch, docnums, out)
+            else:
+                self._loop_field(self.analyzers[i], batch, docnums, out)
+        cols = []
+        for name in POSTING_SCHEMA.names:
+            chunks = out[name]
+            if chunks:
+                cols.append(pa.chunked_array(chunks).combine_chunks())
+            else:
+                cols.append(pa.array([], type=POSTING_SCHEMA.field(name).type))
+        return pa.Table.from_arrays(cols, schema=POSTING_SCHEMA)
+
+    def _loop_field(self, analyzer_tuple, batch, docnums, out):
+        """Row-at-a-time fallback for stateful/exotic analyzers (stemming,
+        ngram, id, keyword)."""
         R = self.num_shards
         salted = self.salted
         doc_lo, doc_n = self.doc_range
         fields_out, terms_out, docs_out = [], [], []
         weights_out, pos_out, lens_out, shard_out = [], [], [], []
-        docnums = batch["docnum"].to_numpy(zero_copy_only=False)
 
-        for fname, analyze, scorable, keep_pos, boost in self.analyzers:
-            if fname not in batch.column_names:
-                continue
+        for fname, analyze, scorable, keep_pos, boost in [analyzer_tuple]:
             col = batch[fname].to_pylist()
             for i, text in enumerate(col):
                 if text is None:
@@ -141,15 +340,10 @@ class Tokenizer:
                     lens_out.append(lb)
                     shard_out.append(docnum % R)
 
-        return pa.Table.from_arrays(
-            [
-                pa.array(fields_out, type=pa.string()),
-                pa.array(terms_out, type=pa.string()),
-                pa.array(docs_out, type=pa.uint64()),
-                pa.array(weights_out, type=pa.float32()),
-                pa.array(pos_out, type=pa.list_(pa.uint32())),
-                pa.array(lens_out, type=pa.uint8()),
-                pa.array(shard_out, type=pa.int32()),
-            ],
-            schema=POSTING_SCHEMA,
-        )
+        out["field"].append(pa.array(fields_out, type=pa.string()))
+        out["term"].append(pa.array(terms_out, type=pa.string()))
+        out["docnum"].append(pa.array(docs_out, type=pa.uint64()))
+        out["weight"].append(pa.array(weights_out, type=pa.float32()))
+        out["positions"].append(pa.array(pos_out, type=pa.list_(pa.uint32())))
+        out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
+        out["shard"].append(pa.array(shard_out, type=pa.int32()))

@@ -260,6 +260,100 @@ class IndexSearcher:
             }
         )
 
+    # ---- sorting / faceting / collapse -----------------------------------
+    # Mirrors the reference's SortingCollector (collectors.py:536-583),
+    # FacetCollector group maps (collectors.py:764-851, sorting.py:950-1076)
+    # and CollapseCollector (collectors.py:854-1009) over our columnar
+    # source fields (sort/facet values are native Parquet columns — the
+    # reference builds per-segment column caches for the same purpose).
+
+    def _doc_values(self, field: str, docnums: np.ndarray) -> np.ndarray:
+        """Field values for the given (sorted) docnums via segment columns."""
+        readers = self.local.readers if self.executor != "ray" else None
+        if readers is None:
+            raise NotImplementedError("doc-value fetch uses the local executor")
+        out = []
+        for r in readers:
+            seg = r.seg
+            lo = np.searchsorted(docnums, np.uint64(seg.doc_base))
+            hi = np.searchsorted(docnums, np.uint64(seg.doc_base + seg.doc_count))
+            sub = docnums[lo:hi]
+            if sub.size:
+                out.append(r.column(field)[r.dense_index(sub)])
+        return np.concatenate(out) if out else np.empty(0, dtype=object)
+
+    def search_sorted(
+        self, q: ast.Query, sortedby, limit: int | None = None, reverse: bool = False
+    ) -> pa.Table:
+        """Matches ordered by field value(s) (reference ``sortedby``):
+        ascending, ties by ascending docnum; ``reverse`` flips the whole
+        ordering (including the docnum tiebreak, matching the reference's
+        key-reversal)."""
+        if isinstance(sortedby, str):
+            sortedby = [sortedby]
+        res = self.search(q, limit=None, scored=False)
+        docs = res["docnum"].to_numpy()
+        cols = {f: self._doc_values(f, docs) for f in sortedby}
+        keys = [docs] + [cols[f] for f in reversed(sortedby)]
+        order = np.lexsort(keys)
+        if reverse:
+            order = order[::-1]
+        if limit is not None:
+            order = order[:limit]
+        out = {"docnum": pa.array(docs[order], pa.uint64())}
+        for f in sortedby:
+            out[f] = pa.array(cols[f][order])
+        return pa.table(out)
+
+    def search_grouped(self, q: ast.Query, groupedby: str, limit: int | None = None):
+        """Scored search + ``results.groups()``: {facet value: [docnum, ...]}
+        with docnums in result (score) order — the reference's OrderedList
+        facet map (sorting.py:950-1076)."""
+        res = self.search(q, limit=limit)
+        docs = res["docnum"].to_numpy()
+        svals = self._doc_values(groupedby, np.sort(docs))
+        by_doc = dict(zip(np.sort(docs).tolist(), svals.tolist()))
+        groups: dict = {}
+        for d in docs.tolist():
+            groups.setdefault(by_doc[d], []).append(d)
+        return groups
+
+    def facet_counts(self, q: ast.Query, field: str) -> dict:
+        """{facet value: matching doc count} (reference Count facet map)."""
+        res = self.search(q, limit=None, scored=False)
+        docs = res["docnum"].to_numpy()
+        vals = self._doc_values(field, docs)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return dict(zip(uniq.tolist(), cnt.astype(int).tolist()))
+
+    def search_collapsed(
+        self, q: ast.Query, collapse: str, limit: int | None = 10, collapse_limit: int = 1
+    ) -> pa.Table:
+        """Top-`limit` after keeping at most ``collapse_limit`` best-scoring
+        docs per collapse-key (reference CollapseCollector semantics: lower
+        ranked duplicates beyond the per-key budget are removed)."""
+        res = self.search(q, limit=None)
+        docs = res["docnum"].to_numpy()
+        scores = res["score"].to_numpy()
+        sorted_docs = np.sort(docs)
+        vals = self._doc_values(collapse, sorted_docs)
+        by_doc = dict(zip(sorted_docs.tolist(), vals.tolist()))
+        seen: dict = {}
+        keep = []
+        for i, d in enumerate(docs.tolist()):  # docs already in (-score, doc) order
+            k = by_doc[d]
+            c = seen.get(k, 0)
+            if c < collapse_limit:
+                keep.append(i)
+                seen[k] = c + 1
+        keep = keep[:limit] if limit is not None else keep
+        return pa.table(
+            {
+                "docnum": pa.array(docs[np.asarray(keep, dtype=np.int64)], pa.uint64()),
+                "score": pa.array(scores[np.asarray(keep, dtype=np.int64)], pa.float64()),
+            }
+        )
+
     def search_with_fields(self, q, limit=10, columns=None) -> pa.Table:
         """search() + stored fields fetched from the source parquet via the
         manifest's partition lineage (the index stores no doc content)."""
