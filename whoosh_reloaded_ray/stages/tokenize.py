@@ -31,8 +31,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import itertools
+import re as _re
+
 from ..functions.analysis import make_analyzer
-from ..functions.quant import length_to_byte
+from ..functions.quant import length_to_byte, lengths_to_bytes
 from ..schema import IndexSchema
 
 LEN_SENTINEL = "\x00"
@@ -102,11 +105,6 @@ class Tokenizer:
         stop/size masks computed per UNIQUE term; whoosh position
         renumbering and per-(doc,term) aggregation as numpy segment ops —
         no per-token Python loop."""
-        import itertools
-        import re as _re
-
-        from ..functions.quant import lengths_to_bytes
-
         _, analyzer_spec, scorable, keep_pos, boost = spec_tuple
         pat = self._vec_pats.setdefault(
             fname, _re.compile(analyzer_spec.pattern, _re.UNICODE)
