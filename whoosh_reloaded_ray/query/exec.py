@@ -44,7 +44,10 @@ from . import ast
 class PostingList:
     """Decoded postings of one term in one segment."""
 
-    __slots__ = ("docs", "weights", "len_bytes", "block_starts", "pos_blobs", "block_counts")
+    __slots__ = (
+        "docs", "weights", "len_bytes", "block_starts", "pos_blobs",
+        "block_counts", "_pos_cache",
+    )
 
     def __init__(self, docs, weights, len_bytes, block_starts, block_counts, pos_blobs=None):
         self.docs = docs  # uint64 sorted
@@ -53,21 +56,74 @@ class PostingList:
         self.block_starts = block_starts  # int64, posting index of each block
         self.block_counts = block_counts
         self.pos_blobs = pos_blobs  # list[bytes] per block (when requested)
+        self._pos_cache: dict = {}
+
+    def _block_positions(self, b: int):
+        """Decode one block's interleaved (count, deltas...) stream ONCE,
+        returning (values, per-posting start offsets into values)."""
+        cached = self._pos_cache.get(b)
+        if cached is not None:
+            return cached
+        vals = decode_varints(self.pos_blobs[b])
+        nb = int(self.block_counts[b])
+        starts = np.empty(nb + 1, dtype=np.int64)
+        i = 0
+        for k in range(nb):
+            starts[k] = i
+            i += 1 + int(vals[i])
+        starts[nb] = i
+        self._pos_cache[b] = (vals, starts)
+        return vals, starts
 
     def positions_for(self, posting_idx: int) -> np.ndarray:
-        """Decode the position list of one posting (lazy, per block)."""
+        """Position list of one posting (block decoded once, cached)."""
         b = int(np.searchsorted(self.block_starts, posting_idx, side="right") - 1)
-        blob = self.pos_blobs[b]
-        vals = decode_varints(blob)
+        vals, starts = self._block_positions(b)
+        k = posting_idx - int(self.block_starts[b])
+        i = int(starts[k])
+        cnt = int(vals[i])
+        return np.cumsum(vals[i + 1 : i + 1 + cnt], dtype=np.uint64)
+
+    def positions_bulk(self, posting_idxs: np.ndarray):
+        """Positions for MANY postings at once -> (flat uint64 positions,
+        counts per posting, in the order given).  One decode + one segmented
+        cumsum per touched block instead of per-posting numpy calls."""
+        pidx = np.asarray(posting_idxs, dtype=np.int64)
+        npost = pidx.size
+        counts_all = np.zeros(npost, dtype=np.int64)
+        b_of = np.searchsorted(self.block_starts, pidx, side="right") - 1
+        order = np.argsort(b_of, kind="stable")
+        groups = []  # (orig_indices, pos_concat, cnts)
         i = 0
-        target = posting_idx - int(self.block_starts[b])
-        for k in range(int(self.block_counts[b])):
-            cnt = int(vals[i])
-            if k == target:
-                deltas = vals[i + 1 : i + 1 + cnt]
-                return np.cumsum(deltas, dtype=np.uint64)
-            i += 1 + cnt
-        return np.empty(0, dtype=np.uint64)
+        while i < npost:
+            b = b_of[order[i]]
+            j = i
+            while j < npost and b_of[order[j]] == b:
+                j += 1
+            vals, starts = self._block_positions(int(b))
+            oi = order[i:j]
+            ks = pidx[oi] - int(self.block_starts[b])
+            s = starts[ks]
+            cnts = vals[s].astype(np.int64)
+            tot = int(cnts.sum())
+            seg0 = np.cumsum(cnts) - cnts  # segment starts in the flat stream
+            gidx = np.repeat(s + 1 - seg0, cnts) + np.arange(tot)
+            deltas = vals[gidx]
+            cs = np.cumsum(deltas, dtype=np.uint64)
+            base = np.zeros(cnts.size, dtype=np.uint64)
+            nz = np.flatnonzero(seg0 > 0)
+            base[nz] = cs[seg0[nz] - 1]
+            pos = cs - np.repeat(base, cnts)
+            counts_all[oi] = cnts
+            groups.append((oi, pos, cnts))
+            i = j
+        flat = np.empty(int(counts_all.sum()), dtype=np.uint64)
+        final_start = np.cumsum(counts_all) - counts_all
+        for oi, pos, cnts in groups:
+            seg0 = np.cumsum(cnts) - cnts
+            dest = np.repeat(final_start[oi] - seg0, cnts) + np.arange(pos.size)
+            flat[dest] = pos
+        return flat, counts_all
 
 
 def _decode_posting_columns(t: pa.Table):
@@ -484,23 +540,28 @@ def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
         idxs.append(ib)
     if docs.size == 0:
         return EMPTY
-    # verify positions per candidate doc
+    # verify positions VECTORIZED across all candidate docs at once:
+    # key = doc << 32 | pos, so chains can't cross doc boundaries; a term's
+    # position p extends a chain ending at r iff 1 <= p - r <= slop
+    # (reference SpanNear2 ordered, positional.py:134-277)
     slop = q.slop
-    ok = np.zeros(docs.size, dtype=bool)
-    for i in range(docs.size):
-        reach = plists[0].positions_for(int(idxs[0][i])).astype(np.int64)
-        for t in range(1, len(plists)):
-            nxt = plists[t].positions_for(int(idxs[t][i])).astype(np.int64)
-            # keep positions p in nxt with some r in reach: 1 <= p - r <= slop
-            lo = np.searchsorted(nxt, reach + 1, side="left")
-            hi = np.searchsorted(nxt, reach + slop, side="right")
-            spans = [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
-            sel = np.unique(np.concatenate(spans)) if spans else np.empty(0, dtype=np.int64)
-            if sel.size == 0:
-                reach = np.empty(0, dtype=np.int64)
-                break
-            reach = nxt[sel]
-        ok[i] = reach.size > 0
+
+    def _keys(t: int) -> np.ndarray:
+        flat, counts = plists[t].positions_bulk(idxs[t])
+        return (np.repeat(docs, counts) << np.uint64(32)) + flat
+
+    reach = _keys(0)
+    for t in range(1, len(plists)):
+        nxt = np.sort(_keys(t))
+        hits = []
+        for d in range(1, slop + 1):
+            cand = reach + np.uint64(d)
+            hits.append(cand[np.isin(cand, nxt)])
+        reach = np.unique(np.concatenate(hits)) if hits else np.empty(0, np.uint64)
+        if reach.size == 0:
+            return EMPTY
+    ok_docs = np.unique(reach >> np.uint64(32))
+    ok = np.isin(docs, ok_docs, assume_unique=True)
     docs = docs[ok]
     if not scored:
         return docs, np.ones(docs.size)
