@@ -1,0 +1,131 @@
+"""Delete / append / update lifecycle: tombstone masking with unchanged
+collection stats (whoosh deletion parity), append docnum continuity, and
+update-by-unique-key semantics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.pipelines import write_ops
+from whoosh_reloaded_ray.query import And, Not, Or, Term
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    path = str(tmp_path / "transcripts.parquet")
+    generate_transcripts(path, n_turns=500, avg_turn_words=20, seed=41, rows_per_file=125)
+    return path
+
+
+@pytest.fixture()
+def idx(corpus, ray_session, tmp_path):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path / "idx")
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=125)
+    return idx_dir
+
+
+def _terms(corpus, n=2):
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    analyze = make_analyzer(standard_analyzer())
+    ctr = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        ctr.update(tok for tok, _ in analyze(t))
+    ordered = [w for w, _ in ctr.most_common()]
+    return ordered[5], ordered[len(ordered) // 4]
+
+
+def test_delete_parity_with_whoosh(corpus, idx, whoosh, tmp_path):
+    t1, t2 = _terms(corpus)
+    from whoosh import fields, index
+    from whoosh.query import Term as WT
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True),
+        turn_idx=fields.NUMERIC(int, stored=True),
+        text=fields.TEXT,
+    )
+    wdir = str(tmp_path / "whooshidx")
+    import os
+
+    os.makedirs(wdir)
+    ix = index.create_in(wdir, schema)
+    w = ix.writer(limitmb=128)
+    for row in pq.read_table(corpus).to_pylist():
+        w.add_document(conv_id=row["conv_id"], turn_idx=row["turn_idx"], text=row["text"])
+    w.commit()
+
+    n_ours = write_ops.delete_by_term(idx, "text", t1)
+    w = ix.writer()
+    n_theirs = w.delete_by_term("text", t1)
+    w.commit()
+    assert n_ours == n_theirs > 0
+
+    s = IndexSearcher(idx)
+    for q, wq in [
+        (Term("text", t2), WT("text", t2)),
+        (Or([Term("text", t1), Term("text", t2)]), WT("text", t1) | WT("text", t2)),
+        (
+            And([Term("text", t2), Not(Term("text", t1))]),
+            __import__("whoosh.query", fromlist=["And", "Not"]).And(
+                [WT("text", t2), __import__("whoosh.query", fromlist=["Not"]).Not(WT("text", t1))]
+            ),
+        ),
+    ]:
+        ours = s.search(q, limit=20)
+        with ix.searcher() as ws:
+            theirs = [(h.docnum, h.score) for h in ws.search(wq, limit=20)]
+        assert ours["docnum"].to_pylist() == [d for d, _ in theirs]
+        np.testing.assert_allclose(
+            ours["score"].to_pylist(), [sc for _, sc in theirs], atol=1e-6
+        )
+
+
+def test_delete_then_append_and_update(corpus, idx, ray_session, tmp_path):
+    s0 = IndexSearcher(idx)
+    n0 = s0.manifest.doc_count
+
+    # append 100 new turns mentioning a unique marker word
+    extra = str(tmp_path / "extra.parquet")
+    tbl = pq.read_table(corpus).slice(0, 100)
+    texts = [t + " zzmarkerzz" for t in tbl["text"].to_pylist()]
+    conv = [f"newconv-{i:04d}" for i in range(100)]
+    out = pa.table(
+        {
+            "conv_id": pa.array(conv),
+            "turn_idx": tbl["turn_idx"],
+            "role": tbl["role"],
+            "text": pa.array(texts),
+            "tool": tbl["tool"],
+            "ts": tbl["ts"],
+        }
+    )
+    pq.write_table(out, extra, row_group_size=50)
+
+    write_ops.append_documents(idx, extra, partition_rows=50)
+    s1 = IndexSearcher(idx)
+    assert s1.manifest.doc_count == n0 + 100
+    hits = s1.search(Term("text", "zzmarkerzz"), limit=None)
+    assert hits.num_rows == 100
+    assert int(hits["docnum"].to_numpy().min()) >= n0  # appended docnums follow
+
+    # update: replace 50 of the appended docs by unique (conv_id, turn_idx)
+    upd = str(tmp_path / "upd.parquet")
+    sub = out.slice(0, 50)
+    sub = sub.set_column(3, "text", pa.array([t.replace("zzmarkerzz", "qqreplacedqq") for t in sub["text"].to_pylist()]))
+    pq.write_table(sub, upd, row_group_size=50)
+    write_ops.update_documents(idx, upd, unique_fields=("conv_id", "turn_idx"), partition_rows=50)
+
+    s2 = IndexSearcher(idx)
+    assert s2.search(Term("text", "qqreplacedqq"), limit=None).num_rows == 50
+    # the replaced rows no longer match the old marker
+    assert s2.search(Term("text", "zzmarkerzz"), limit=None).num_rows == 50

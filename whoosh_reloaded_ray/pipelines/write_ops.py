@@ -1,0 +1,121 @@
+"""Index mutation: delete / append / update (reference writing.py:309-502).
+
+Deletes are TOMBSTONES: a parquet sidecar of deleted docnums committed with
+a new manifest generation (the reference marks per-segment deleted bitsets,
+index data is untouched either way).  Deleted docs stay in the collection
+statistics until segments are rewritten — exactly the reference's behavior
+(doc_count_all() includes deleted docs, so BM25 idf/avgfl are unchanged by
+deletion; reading.py doc_count vs doc_count_all).
+
+Appends plan new partitions with docnum bases AFTER the current maximum so
+global docnums stay dense-per-partition and unique.  ``update_documents`` =
+delete-by-unique-key then append (writing.py:439-502 update_document).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..query import ast
+from ..state.manifest import Manifest, commit_manifest, load_manifest
+from ..state.searcher import IndexSearcher
+
+
+def _write_tombstones(index_dir: str, manifest: Manifest, docnums: np.ndarray) -> Manifest:
+    existing = manifest.load_tombstones(index_dir)
+    merged = np.union1d(existing, docnums.astype(np.uint64))
+    gen = manifest.generation + 1
+    fname = f"tombstones-{gen:05d}.parquet"
+    tmp = os.path.join(index_dir, fname + ".tmp")
+    pq.write_table(pa.table({"docnum": pa.array(merged, pa.uint64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, fname))
+    manifest.tombstones = fname
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def delete_by_query(index_dir: str, q: ast.Query) -> int:
+    """Mark every doc matching ``q`` deleted; returns the newly-deleted
+    count.  (reference delete_by_query, writing.py:334-342)"""
+    s = IndexSearcher(index_dir)
+    res = s.search(q, limit=None, scored=False)
+    docs = res["docnum"].to_numpy().astype(np.uint64)
+    before = s.manifest.load_tombstones(index_dir)
+    new = np.setdiff1d(docs, before)
+    if new.size:
+        _write_tombstones(index_dir, s.manifest, docs)
+    return int(new.size)
+
+
+def delete_by_term(index_dir: str, field: str, text: str) -> int:
+    """(reference delete_by_term, writing.py:309-324)"""
+    return delete_by_query(index_dir, ast.Term(field, text))
+
+
+def append_documents(index_dir: str, source_paths, **build_kwargs) -> Manifest:
+    """Index additional parquet files as new segment(s) appended after the
+    existing docnum space."""
+    from ..sources.corpus import plan_partitions
+    from .build import _build_segment
+    from ..schema import IndexSchema
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
+    base = max(
+        (p.base + p.rows for s in manifest.segments for p in s.partitions), default=0
+    )
+    if isinstance(source_paths, str):
+        source_paths = [source_paths]
+    parts = plan_partitions(source_paths, target_rows=build_kwargs.get("partition_rows", 250_000))
+    # shift the fresh plan's docnum bases past the existing index
+    from ..sources.corpus import Partition
+
+    parts = [Partition(p.path, p.row_groups, p.base + base, p.rows) for p in parts]
+    seg_no = len(manifest.segments)
+    seg = _build_segment(
+        f"seg-{seg_no:05d}a{manifest.generation + 1}",
+        parts,
+        index_dir,
+        manifest.schema,
+        num_shards=build_kwargs.get("num_shards", manifest.segments[0].num_shards if manifest.segments else 16),
+        tokenizer_concurrency=build_kwargs.get("tokenizer_concurrency"),
+        writer_concurrency=build_kwargs.get("writer_concurrency"),
+        salted_terms=build_kwargs.get("salted_terms"),
+    )
+    manifest.segments.append(seg)
+    manifest.segments.sort(key=lambda s: s.doc_base)
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def update_documents(
+    index_dir: str, source_path: str, unique_fields=("conv_id", "turn_idx"), **build_kwargs
+) -> Manifest:
+    """Replace docs whose unique-key tuple matches an incoming row, then
+    append the incoming rows (reference update_document semantics:
+    delete-by-unique-terms then add, writing.py:439-502)."""
+    s = IndexSearcher(index_dir)
+    incoming = pq.read_table(source_path, columns=list(unique_fields))
+    # delete matches per incoming unique-key tuple
+    to_delete = []
+    for row in incoming.to_pylist():
+        subs = []
+        for f in unique_fields:
+            v = row[f]
+            spec = next(fs for fs in s.manifest.schema.fields if fs.name == f)
+            if spec.kind in ("numeric", "datetime"):
+                subs.append(ast.NumericRange(f, v, v))
+            else:
+                subs.append(ast.Term(f, v))
+        res = s.search(ast.And(subs), limit=None, scored=False)
+        to_delete.append(res["docnum"].to_numpy())
+    dels = np.concatenate(to_delete) if to_delete else np.empty(0, np.uint64)
+    manifest = s.manifest
+    if dels.size:
+        manifest = _write_tombstones(index_dir, manifest, dels.astype(np.uint64))
+    return append_documents(index_dir, source_path, **build_kwargs)

@@ -61,10 +61,14 @@ def _block_ub(meta, idf: float, avgfl, boost: float, B: float, K1: float) -> np.
     return ub * boost
 
 
-def topk_wand(reader, terms: list, ctx, k: int, stats_out: dict | None = None):
+def topk_wand(
+    reader, terms: list, ctx, k: int, stats_out: dict | None = None, excluded=None
+):
     """Exact top-k (docs, scores) for sum-scored terms on one segment.
 
-    ``stats_out`` (optional dict) receives {blocks_total, blocks_decoded}."""
+    ``excluded``: sorted docnum array of tombstoned docs to drop before
+    ranking.  ``stats_out`` (optional dict) receives
+    {blocks_total, blocks_decoded}."""
     metas, infos = [], []
     for f, t, b in terms:
         meta = reader.block_meta(f, t)
@@ -119,6 +123,9 @@ def topk_wand(reader, terms: list, ctx, k: int, stats_out: dict | None = None):
             continue
         blocks_decoded += int(keep.sum())
         docs, weights, lens = reader.decode_blocks(info["field"], info["term"], keep)
+        if excluded is not None and docs.size:
+            m = ~np.isin(docs, excluded)
+            docs, weights, lens = docs[m], weights[m], lens[m]
         if info["avgfl"]:
             fl = BYTE_TO_LENGTH[lens].astype(np.float64)
             s = (

@@ -68,6 +68,12 @@ class Manifest:
     generation: int = 0
     segments: list = field(default_factory=list)  # list[SegmentMeta]
     version: int = 1
+    # tombstone sidecar: parquet file (docnum:uint64) of deleted docs, or
+    # None.  Mirrors the reference's per-segment deleted-doc sets
+    # (codec/whoosh3.py W3Segment._deleted) as one global docnum set; kept
+    # as a parquet sidecar so it scales past JSON (at 10^12 docs it becomes
+    # per-segment bitset files keyed the same way).
+    tombstones: str | None = None
 
     # ---- global stats (parity: searcher-level doc_count_all / field_length)
     @property
@@ -94,6 +100,7 @@ class Manifest:
             "generation": self.generation,
             "schema": self.schema.to_dict(),
             "segments": [s.to_dict() for s in self.segments],
+            "tombstones": self.tombstones,
         }
 
     @staticmethod
@@ -103,7 +110,19 @@ class Manifest:
             generation=d["generation"],
             segments=[SegmentMeta.from_dict(s) for s in d["segments"]],
             version=d.get("version", 1),
+            tombstones=d.get("tombstones"),
         )
+
+    def load_tombstones(self, index_dir: str):
+        """Deleted docnums as a sorted uint64 numpy array (empty if none)."""
+        import numpy as np
+
+        if not self.tombstones:
+            return np.empty(0, dtype=np.uint64)
+        import pyarrow.parquet as pq
+
+        path = os.path.join(index_dir, self.tombstones)
+        return pq.read_table(path)["docnum"].to_numpy().astype(np.uint64)
 
 
 def latest_generation(index_dir: str) -> int:
@@ -149,12 +168,19 @@ def clean_files(index_dir: str, keep_generations: int = 2):
     )
     keep = set(gens[-keep_generations:])
     referenced = set()
+    live_tombstones = set()
     for g in keep:
         with open(os.path.join(index_dir, f"manifest-{g}.json")) as f:
-            referenced.update(s["name"] for s in json.load(f)["segments"])
+            d = json.load(f)
+            referenced.update(s["name"] for s in d["segments"])
+            if d.get("tombstones"):
+                live_tombstones.add(d["tombstones"])
     for g in gens:
         if g not in keep:
             os.remove(os.path.join(index_dir, f"manifest-{g}.json"))
     for seg_dir in glob.glob(os.path.join(index_dir, "seg-*")):
         if os.path.basename(seg_dir) not in referenced:
             shutil.rmtree(seg_dir, ignore_errors=True)
+    for tf in glob.glob(os.path.join(index_dir, "tombstones-*.parquet")):
+        if os.path.basename(tf) not in live_tombstones:
+            os.remove(tf)

@@ -36,6 +36,10 @@ class _SegmentWorker:
     def __init__(self, index_dir: str, manifest_dict: dict, seg_indices: list):
         man = Manifest.from_dict(manifest_dict)
         self.readers = [SegmentReader(index_dir, man.segments[i]) for i in seg_indices]
+        # tombstone mask (deleted docs stay in collection stats, exactly
+        # like the reference's doc_count_all; they are filtered from every
+        # result set at evaluation time)
+        self.excluded = man.load_tombstones(index_dir)
 
     def doc_freqs(self, terms: list) -> dict:
         out = {}
@@ -67,11 +71,15 @@ class _SegmentWorker:
             wandable_terms(q) if (scored and limit is not None) else None
         )
         docs_all, scores_all = [], []
+        excluded = self.excluded if self.excluded.size else None
         for r in self.readers:
             if wand_terms:
-                docs, scores = topk_wand(r, wand_terms, ctx, limit)
+                docs, scores = topk_wand(r, wand_terms, ctx, limit, excluded=excluded)
             else:
                 docs, scores = evaluate(r, q, ctx, scored=scored)
+                if excluded is not None:
+                    m = ~np.isin(docs, excluded, assume_unique=False)
+                    docs, scores = docs[m], scores[m]
                 if limit is not None and docs.size > limit:
                     top = np.lexsort((docs, -scores))[:limit]
                     top.sort()
