@@ -1,0 +1,104 @@
+"""Spelling suggestion + key-term expansion parity vs whoosh
+(reference spelling.py ReaderCorrector, classify.py Bo1/Bo2/KL)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("secorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=700, avg_turn_words=20, seed=53, rows_per_file=175)
+    return path
+
+
+@pytest.fixture(scope="module")
+def our_index(corpus, ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path_factory.mktemp("seindex"))
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=175)
+    return IndexSearcher(idx_dir)
+
+
+@pytest.fixture(scope="module")
+def whoosh_index(corpus, whoosh, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True),
+        turn_idx=fields.NUMERIC(int, stored=True),
+        text=fields.TEXT(stored=True, spelling=True),
+    )
+    d = str(tmp_path_factory.mktemp("sewhoosh"))
+    ix = index.create_in(d, schema)
+    w = ix.writer(limitmb=128)
+    for row in pq.read_table(corpus).to_pylist():
+        w.add_document(conv_id=row["conv_id"], turn_idx=row["turn_idx"], text=row["text"])
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def vocab(corpus):
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    analyze = make_analyzer(standard_analyzer())
+    ctr = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        ctr.update(tok for tok, _ in analyze(t))
+    return [w for w, _ in ctr.most_common()]
+
+
+def test_suggest_parity(our_index, whoosh_index, vocab):
+    with whoosh_index.searcher() as ws:
+        corr = ws.corrector("text")
+        for word in vocab[10:16] + vocab[len(vocab) // 2 : len(vocab) // 2 + 4]:
+            # misspell: drop 2nd char
+            misspelled = word[0] + word[2:]
+            theirs = corr.suggest(misspelled, limit=5, maxdist=2)
+            ours = our_index.suggest("text", misspelled, limit=5, maxdist=2)
+            assert ours == theirs, f"{misspelled!r}: {ours} != {theirs}"
+
+
+def test_suggest_prefix_and_limit(our_index, whoosh_index, vocab):
+    word = vocab[3]
+    misspelled = word + "x"
+    with whoosh_index.searcher() as ws:
+        corr = ws.corrector("text")
+        theirs = corr.suggest(misspelled, limit=3, maxdist=1, prefix=1)
+    ours = our_index.suggest("text", misspelled, limit=3, maxdist=1, prefix=1)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("model_name", ["Bo1Model", "Bo2Model", "KLModel"])
+def test_key_terms_parity(our_index, whoosh_index, model_name):
+    from whoosh import classify as wclassify
+
+    from whoosh_reloaded_ray.query import expand
+
+    wmodel = getattr(wclassify, model_name)
+    omodel = getattr(expand, model_name)
+    docnums = [3, 17, 42, 99]
+    with whoosh_index.searcher() as ws:
+        theirs = ws.key_terms(docnums, "text", numterms=8, model=wmodel)
+    ours = our_index.key_terms(docnums, "text", numterms=8, model=omodel)
+    assert [t for t, _ in ours] == [t for t, _ in theirs]
+    np.testing.assert_allclose(
+        [w for _, w in ours], [w for _, w in theirs], atol=1e-9
+    )
+
+
+def test_more_like_excludes_source(our_index):
+    res = our_index.more_like(5, "text", limit=10)
+    assert res.num_rows > 0
+    assert 5 not in res["docnum"].to_pylist()

@@ -48,6 +48,16 @@ class _SegmentWorker:
                 out[(f, t)] = out.get((f, t), 0) + r.doc_frequency(f, t)
         return out
 
+    def frequencies(self, terms: list) -> dict:
+        """Total term weight (reference reader.frequency) per (field, term)."""
+        out = {}
+        for r in self.readers:
+            for f, t in terms:
+                info = r.terminfo(f, t)
+                if info:
+                    out[(f, t)] = out.get((f, t), 0.0) + float(info["weight_sum"])
+        return out
+
     def expand_terms(self, specs: list) -> dict:
         """specs: list of (field, start, end, startexcl, endexcl)."""
         out = {}
@@ -144,6 +154,47 @@ class IndexSearcher:
     def idf(self, field: str, term: str) -> float:
         df = self.doc_frequency(field, term)
         return math.log(self.doc_count_all() / (df + 1)) + 1
+
+    def frequencies(self, terms: list) -> dict:
+        if self.executor == "ray":
+            parts = self._ray.get([w.frequencies.remote(terms) for w in self.workers])
+            out: dict = {}
+            for p in parts:
+                for k, v in p.items():
+                    out[k] = out.get(k, 0.0) + v
+            return out
+        return self.local.frequencies(terms)
+
+    # ---- spelling / key-term expansion -----------------------------------
+
+    def suggest(self, field: str, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
+        from ..query.suggest import suggest as _suggest
+
+        return _suggest(self, field, text, limit=limit, maxdist=maxdist, prefix=prefix)
+
+    def key_terms(self, docnums, fieldname, numterms=5, model=None, normalize=True):
+        from ..query import expand
+
+        return expand.key_terms(
+            self, docnums, fieldname, numterms=numterms,
+            model=model or expand.Bo1Model, normalize=normalize,
+        )
+
+    def key_terms_from_text(self, fieldname, text, numterms=5, model=None, normalize=True):
+        from ..query import expand
+
+        return expand.key_terms_from_text(
+            self, fieldname, text, numterms=numterms,
+            model=model or expand.Bo1Model, normalize=normalize,
+        )
+
+    def more_like(self, docnum, fieldname, limit=10, numterms=5, model=None):
+        from ..query import expand
+
+        return expand.more_like(
+            self, docnum, fieldname, limit=limit, numterms=numterms,
+            model=model or expand.Bo1Model,
+        )
 
     def _doc_freqs(self, terms: list) -> dict:
         if self.executor == "ray":
