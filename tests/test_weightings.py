@@ -1,0 +1,131 @@
+"""Scoring-model parity vs whoosh (reference tests/test_weightings.py
+style: every weighting over the same corpus must rank and score
+identically)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query import And, Or, Term
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wcorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=600, avg_turn_words=25, seed=61, rows_per_file=150)
+    return path
+
+
+@pytest.fixture(scope="module")
+def idx_dir(corpus, ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    d = str(tmp_path_factory.mktemp("widx"))
+    build_index([corpus], d, num_shards=4, partition_rows=150)
+    return d
+
+
+@pytest.fixture(scope="module")
+def whoosh_index(corpus, whoosh, tmp_path_factory):
+    from whoosh import fields, index
+
+    schema = fields.Schema(
+        conv_id=fields.ID(stored=True),
+        turn_idx=fields.NUMERIC(int, stored=True),
+        text=fields.TEXT,
+    )
+    d = str(tmp_path_factory.mktemp("wwhoosh"))
+    ix = index.create_in(d, schema)
+    w = ix.writer(limitmb=128)
+    for row in pq.read_table(corpus).to_pylist():
+        w.add_document(conv_id=row["conv_id"], turn_idx=row["turn_idx"], text=row["text"])
+    w.commit()
+    return ix
+
+
+@pytest.fixture(scope="module")
+def terms(corpus):
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    analyze = make_analyzer(standard_analyzer())
+    ctr = Counter()
+    for t in pq.read_table(corpus, columns=["text"])["text"].to_pylist():
+        ctr.update(tok for tok, _ in analyze(t))
+    ordered = [w for w, _ in ctr.most_common()]
+    return ordered[4], ordered[len(ordered) // 6]
+
+
+def _whoosh_weighting(whoosh, name):
+    from whoosh import scoring
+
+    return {
+        "tfidf": scoring.TF_IDF(),
+        "frequency": scoring.Frequency(),
+        "dfree": scoring.DFree(),
+        "pl2": scoring.PL2(),
+    }[name]
+
+
+@pytest.mark.parametrize("model", ["tfidf", "frequency", "dfree", "pl2"])
+def test_weighting_parity(idx_dir, whoosh_index, whoosh, terms, model):
+    t1, t2 = terms
+    ours = IndexSearcher(idx_dir, weighting=model)
+    w = _whoosh_weighting(whoosh, model)
+    if model == "dfree":
+        # upstream bug: DFreeScorer calls parent.weight(), which doesn't
+        # exist on Searcher (scoring.py:378); the intended global stat is
+        # the collection frequency (what PL2Scorer fetches) — restore it so
+        # the reference model actually runs as designed
+        from whoosh.searching import Searcher
+
+        if not hasattr(Searcher, "weight"):
+            Searcher.weight = lambda self, fieldname, text: self.frequency(fieldname, text)
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    # NB: the reference's own top-k pruning is UNSOUND for DFree (its
+    # block "bound" _score(max_weight, min_length) is not an upper bound of
+    # dfree, so limit'd searches drop high-scoring docs); its UNPRUNED
+    # ranking matches ours exactly, so compare against limit=None
+    wlimit = None if model == "dfree" else 15
+    for q, wq in [
+        (Term("text", t1), WT("text", t1)),
+        (Or([Term("text", t1), Term("text", t2)]), WOr([WT("text", t1), WT("text", t2)])),
+    ]:
+        res = ours.search(q, limit=15)
+        with whoosh_index.searcher(weighting=w) as ws:
+            theirs = [(h.docnum, h.score) for h in ws.search(wq, limit=wlimit)][:15]
+        assert res["docnum"].to_pylist() == [d for d, _ in theirs], model
+        np.testing.assert_allclose(
+            res["score"].to_pylist(), [s for _, s in theirs], atol=1e-6, rtol=1e-9
+        )
+
+
+def test_function_weighting(idx_dir, whoosh_index, whoosh, terms):
+    """FunctionWeighting hook parity: a custom position-free scoring fn."""
+    t1, _ = terms
+
+    def pos_score_fn(searcher, fieldname, text, matcher):
+        return matcher.weight() * 2.0 + 1.0
+
+    from whoosh import scoring
+
+    w = scoring.FunctionWeighting(pos_score_fn)
+    ours = IndexSearcher(
+        idx_dir, weighting="fn",
+        weighting_fn=lambda field, term, docnum, weight: weight * 2.0 + 1.0,
+    )
+    res = ours.search(Term("text", t1), limit=10)
+    from whoosh.query import Term as WT
+
+    with whoosh_index.searcher(weighting=w) as ws:
+        theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=10)]
+    assert res["docnum"].to_pylist() == [d for d, _ in theirs]
+    np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-9)

@@ -17,6 +17,7 @@ vectorized per segment.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 from functools import lru_cache
@@ -379,14 +380,35 @@ class SegmentReader:
 
 
 class ScoreContext:
-    """Global scoring constants, computed once per query on the driver."""
+    """Global scoring constants, computed once per query on the driver.
 
-    def __init__(self, doc_count: int, avgfl: dict, idf: dict, B=0.75, K1=1.2):
+    ``model``: "bm25f" (default) | "tfidf" | "frequency" | "dfree" | "pl2"
+    | "fn" — mirroring the reference's WeightingModel registry
+    (scoring.py BM25F/TF_IDF/Frequency/DFree/PL2/FunctionWeighting)."""
+
+    def __init__(
+        self,
+        doc_count: int,
+        avgfl: dict,
+        idf: dict,
+        B=0.75,
+        K1=1.2,
+        model: str = "bm25f",
+        cf: dict | None = None,
+        fl: dict | None = None,
+        pl2_c: float = 1.0,
+        user_fn=None,
+    ):
         self.doc_count = doc_count
         self.avgfl = avgfl  # field -> float
         self.idf = idf  # (field, term) -> float
         self.B = B
         self.K1 = K1
+        self.model = model
+        self.cf = cf or {}  # (field, term) -> total collection weight
+        self.fl = fl or {}  # field -> total field length
+        self.pl2_c = pl2_c
+        self.user_fn = user_fn
 
 
 EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
@@ -396,6 +418,65 @@ def bm25_scores(plist: PostingList, idf: float, avgfl: float, B: float, K1: floa
     tf = plist.weights
     fl = BYTE_TO_LENGTH[plist.len_bytes].astype(np.float64)
     return idf * (tf * (K1 + 1.0)) / (tf + K1 * ((1.0 - B) + B * fl / avgfl))
+
+
+def score_postings(
+    docs: np.ndarray,
+    weights: np.ndarray,
+    len_bytes: np.ndarray,
+    field: str,
+    term: str,
+    ctx: ScoreContext,
+) -> np.ndarray:
+    """Vectorized per-posting scores under ctx.model (formulas from the
+    reference scoring.py; lengths are the byte-quantized values, exactly as
+    the reference's WeightLengthScorer supplies them)."""
+    avgfl = ctx.avgfl.get(field)
+    if not avgfl:  # non-scorable field: WeightScorer in every model
+        return weights.astype(np.float64)
+    m = ctx.model
+    tf = weights.astype(np.float64)
+    if m == "bm25f":
+        fl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)
+        idf = ctx.idf.get((field, term), 1.0)
+        return idf * (tf * (ctx.K1 + 1.0)) / (tf + ctx.K1 * ((1.0 - ctx.B) + ctx.B * fl / avgfl))
+    if m == "tfidf":
+        return tf * ctx.idf.get((field, term), 1.0)
+    if m == "frequency":
+        return tf
+    if m == "dfree":
+        dl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)
+        cf = ctx.cf.get((field, term), 1.0) or 1.0
+        fltot = ctx.fl.get(field, 1.0) or 1.0
+        prior = tf / dl
+        post = (tf + 1.0) / (dl + 1.0)
+        invpriorcol = fltot / cf
+        norm = tf * np.log(post / prior)
+        return norm * (
+            tf * np.log(prior * invpriorcol)
+            + (tf + 1.0) * np.log(post * invpriorcol)
+            + 0.5 * np.log(post / prior)
+        )
+    if m == "pl2":
+        fl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)
+        cf = ctx.cf.get((field, term), 1.0) or 1.0
+        c = ctx.pl2_c
+        TF = tf * np.log(1.0 + (c * avgfl) / fl)
+        norm = 1.0 / (TF + 1.0)
+        f = cf / ctx.doc_count
+        rle = 1.0 / math.log(2)
+        return norm * (
+            TF * np.log(1.0 / f)
+            + f * rle
+            + 0.5 * np.log(2 * np.pi * TF)
+            + TF * (np.log(TF) - rle)
+        )
+    if m == "fn":
+        return np.array(
+            [ctx.user_fn(field, term, int(d), float(w)) for d, w in zip(docs, tf)],
+            dtype=np.float64,
+        )
+    raise ValueError(f"unknown scoring model {m!r}")
 
 
 def evaluate(reader: SegmentReader, q: ast.Query, ctx: ScoreContext, scored=True):
@@ -409,12 +490,7 @@ def _eval_term(reader, q: ast.Term, ctx, scored):
         return EMPTY
     if not scored:
         return plist.docs, np.ones(plist.docs.size)
-    idf = ctx.idf.get((q.field, q.text), 1.0)
-    avgfl = ctx.avgfl.get(q.field)
-    if avgfl:  # scorable field
-        scores = bm25_scores(plist, idf, avgfl, ctx.B, ctx.K1)
-    else:  # non-scorable: score = weight (reference WeightScorer)
-        scores = plist.weights.astype(np.float64)
+    scores = score_postings(plist.docs, plist.weights, plist.len_bytes, q.field, q.text, ctx)
     if q.boost != 1.0:
         scores = scores * q.boost
     return plist.docs, scores
@@ -565,16 +641,11 @@ def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
     docs = docs[ok]
     if not scored:
         return docs, np.ones(docs.size)
-    # score = sum of per-term BM25 on surviving docs
+    # score = sum of per-term scores on surviving docs
     scores = np.zeros(docs.size, dtype=np.float64)
     for t, (p, w) in enumerate(zip(plists, q.words)):
         sub = idxs[t][ok]
-        idf = ctx.idf.get((q.field, w), 1.0)
-        avgfl = ctx.avgfl.get(q.field)
-        if avgfl:
-            s = bm25_scores(p, idf, avgfl, ctx.B, ctx.K1)
-        else:
-            s = p.weights.astype(np.float64)
+        s = score_postings(p.docs, p.weights, p.len_bytes, q.field, w, ctx)
         scores += s[sub]
     return _apply_boost((docs, scores), q.boost)
 

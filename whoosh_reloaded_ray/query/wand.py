@@ -50,14 +50,22 @@ def wandable_terms(q: ast.Query):
     return None
 
 
-def _block_ub(meta, idf: float, avgfl, boost: float, B: float, K1: float) -> np.ndarray:
-    """Per-block score upper bound (reference BM25FScorer.block_quality)."""
+WAND_MODELS = ("bm25f", "tfidf", "frequency")
+
+
+def _block_ub(meta, idf: float, avgfl, boost: float, ctx) -> np.ndarray:
+    """Per-block score upper bound (reference block_quality: BM25F uses
+    (block_max_weight, block_min_length); TF_IDF / Frequency use
+    block_max_weight — scoring.py:203-213, 453-484)."""
     maxw = meta["max_weight"].astype(np.float64)
-    if avgfl:
+    if not avgfl or ctx.model == "frequency":
+        ub = maxw
+    elif ctx.model == "tfidf":
+        ub = maxw * idf
+    else:  # bm25f
+        B, K1 = ctx.B, ctx.K1
         minlen = BYTE_TO_LENGTH[meta["min_len_byte"]].astype(np.float64)
         ub = idf * (maxw * (K1 + 1.0)) / (maxw + K1 * ((1.0 - B) + B * minlen / avgfl))
-    else:
-        ub = maxw
     return ub * boost
 
 
@@ -76,7 +84,7 @@ def topk_wand(
             continue
         idf = ctx.idf.get((f, t), 1.0)
         avgfl = ctx.avgfl.get(f)
-        ub = _block_ub(meta, idf, avgfl, b, ctx.B, ctx.K1)
+        ub = _block_ub(meta, idf, avgfl, b, ctx)
         infos.append(
             {
                 "field": f,
@@ -126,15 +134,9 @@ def topk_wand(
         if excluded is not None and docs.size:
             m = ~np.isin(docs, excluded)
             docs, weights, lens = docs[m], weights[m], lens[m]
-        if info["avgfl"]:
-            fl = BYTE_TO_LENGTH[lens].astype(np.float64)
-            s = (
-                info["idf"]
-                * (weights * (ctx.K1 + 1.0))
-                / (weights + ctx.K1 * ((1.0 - ctx.B) + ctx.B * fl / info["avgfl"]))
-            )
-        else:
-            s = weights.astype(np.float64)
+        from .exec import score_postings
+
+        s = score_postings(docs, weights, lens, info["field"], info["term"], ctx)
         if info["boost"] != 1.0:
             s = s * info["boost"]
         # merge into partials (sorted union)

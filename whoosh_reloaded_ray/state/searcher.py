@@ -75,10 +75,12 @@ class _SegmentWorker:
         per-block (max_weight, min_len_byte) bounds prune block decodes,
         mirroring the reference's block_quality skipping
         (collectors.py:376-420) — exact, so results match the full path."""
-        from ..query.wand import topk_wand, wandable_terms
+        from ..query.wand import WAND_MODELS, topk_wand, wandable_terms
 
         wand_terms = (
-            wandable_terms(q) if (scored and limit is not None) else None
+            wandable_terms(q)
+            if (scored and limit is not None and ctx.model in WAND_MODELS)
+            else None
         )
         docs_all, scores_all = [], []
         excluded = self.excluded if self.excluded.size else None
@@ -112,13 +114,22 @@ class IndexSearcher:
         B: float = 0.75,
         K1: float = 1.2,
         field_B: dict | None = None,
+        weighting: str = "bm25f",
+        pl2_c: float = 1.0,
+        weighting_fn=None,
     ):
+        """``weighting``: "bm25f" (default) | "tfidf" | "frequency" |
+        "dfree" | "pl2" | "fn" (with ``weighting_fn(field, term, docnum,
+        weight) -> score``, the reference's FunctionWeighting hook)."""
         self.index_dir = index_dir
         self.manifest = manifest or load_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no committed manifest in {index_dir}")
         self.B, self.K1 = B, K1
         self.field_B = field_B or {}
+        self.weighting = weighting
+        self.pl2_c = pl2_c
+        self.weighting_fn = weighting_fn
         self.executor = executor
         n_seg = len(self.manifest.segments)
         if executor == "ray":
@@ -292,7 +303,18 @@ class IndexSearcher:
             f.name: self.manifest.avg_field_length(f.name) or 1
             for f in self.manifest.schema.scorable_fields
         }
-        return ScoreContext(N, avgfl, idf, B=self.B, K1=self.K1)
+        cf = fl = None
+        if self.weighting in ("dfree", "pl2"):
+            cf = self.frequencies(terms) if terms else {}
+            fl = {
+                f.name: self.manifest.field_length(f.name)
+                for f in self.manifest.schema.scorable_fields
+            }
+        return ScoreContext(
+            N, avgfl, idf, B=self.B, K1=self.K1,
+            model=self.weighting, cf=cf, fl=fl,
+            pl2_c=self.pl2_c, user_fn=self.weighting_fn,
+        )
 
     # ---- search ----------------------------------------------------------
 
