@@ -1,0 +1,79 @@
+"""Highlight parity vs the reference highlight() pipeline (fragmenters,
+scorer selection, formatters) on real corpus texts."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.functions.analysis import standard_analyzer
+from whoosh_reloaded_ray.query import Or, Term
+from whoosh_reloaded_ray.query import highlight as hl
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def texts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hlcorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=60, avg_turn_words=60, seed=83, rows_per_file=60)
+    return pq.read_table(path, columns=["text"])["text"].to_pylist()
+
+
+def _whoosh_highlight(whoosh, text, terms, fragmenter, formatter, top=3, minscore=1):
+    from whoosh import highlight as wh
+    from whoosh.analysis import StandardAnalyzer
+
+    return wh.highlight(
+        text, frozenset(terms), StandardAnalyzer(), fragmenter, formatter,
+        top=top, minscore=minscore,
+    )
+
+
+@pytest.mark.parametrize("fragpair", ["whole", "context"])
+@pytest.mark.parametrize("fmtpair", ["upper", "html"])
+def test_highlight_parity(whoosh, texts, fragpair, fmtpair):
+    from whoosh import highlight as wh
+
+    spec = standard_analyzer()
+    for text in texts[:20]:
+        words = [w.lower() for w in text.split()[:50] if len(w) >= 4]
+        if len(words) < 2:
+            continue
+        terms = {words[0], words[len(words) // 2]}
+        if fragpair == "whole":
+            ours_frag, theirs_frag = hl.WholeFragmenter(), wh.WholeFragmenter()
+        else:
+            ours_frag = hl.ContextFragmenter(maxchars=120, surround=15)
+            theirs_frag = wh.ContextFragmenter(maxchars=120, surround=15)
+        if fmtpair == "upper":
+            ours_fmt, theirs_fmt = hl.UppercaseFormatter(), wh.UppercaseFormatter()
+        else:
+            ours_fmt, theirs_fmt = hl.HtmlFormatter(), wh.HtmlFormatter()
+        ours = hl.highlight(text, terms, spec, ours_frag, ours_fmt)
+        theirs = _whoosh_highlight(whoosh, text, terms, theirs_frag, theirs_fmt)
+        assert ours == theirs, f"{terms}\n{ours!r}\n{theirs!r}"
+
+
+def test_highlight_hit(ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+    d = tmp_path_factory.mktemp("hlidx")
+    path = str(d / "t.parquet")
+    generate_transcripts(path, n_turns=100, avg_turn_words=40, seed=29, rows_per_file=100)
+    idx = str(tmp_path_factory.mktemp("hlidx2"))
+    build_index([path], idx, num_shards=2, partition_rows=100)
+    s = IndexSearcher(idx)
+    import glob
+
+    import pyarrow as pa
+
+    files = glob.glob(f"{idx}/seg-*/terminfo-*.parquet")
+    t = pa.concat_tables(pq.read_table(f, columns=["field", "term"]) for f in files)
+    t = t.filter(pa.compute.equal(t["field"], "text"))
+    term = sorted(t["term"].to_pylist())[5]
+    q = Term("text", term)
+    res = s.search(q, limit=1)
+    frag = hl.highlight_hit(s, int(res["docnum"][0].as_py()), "text", q)
+    assert term.upper() in frag

@@ -1,0 +1,64 @@
+"""The query-side Ray actor-pool executor must return byte-identical
+results to the local executor (segments partition the doc space; per-actor
+evaluation + driver merge is exact)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from whoosh_reloaded_ray.query import And, Not, Or, Phrase, Prefix, Term
+from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def idx_dir(ray_session, tmp_path_factory):
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    d = tmp_path_factory.mktemp("rexcorpus")
+    path = str(d / "transcripts.parquet")
+    generate_transcripts(path, n_turns=900, avg_turn_words=20, seed=71, rows_per_file=150)
+    idx = str(tmp_path_factory.mktemp("rexidx"))
+    # several segments so actors actually split work
+    build_index([path], idx, num_shards=4, partition_rows=150, rows_per_segment=300)
+    return idx
+
+
+def _vocab(idx_dir):
+    import glob
+
+    import pyarrow as pa
+
+    files = glob.glob(f"{idx_dir}/seg-*/terminfo-*.parquet")
+    t = pa.concat_tables(pq.read_table(f, columns=["field", "term", "doc_freq"]) for f in files)
+    t = t.filter(pa.compute.equal(t["field"], "text"))
+    agg = t.group_by("term").aggregate([("doc_freq", "sum")]).sort_by(
+        [("doc_freq_sum", "descending")]
+    )
+    return agg["term"].to_pylist()
+
+
+def test_ray_executor_matches_local(idx_dir):
+    local = IndexSearcher(idx_dir, executor="local")
+    rays = IndexSearcher(idx_dir, executor="ray", num_actors=3)
+    vocab = _vocab(idx_dir)
+    t1, t2 = vocab[2], vocab[40]
+    queries = [
+        Term("text", t1),
+        Or([Term("text", t1), Term("text", t2)]),
+        And([Term("text", t1), Not(Term("text", t2))]),
+        Phrase("text", [t1, t2]),
+        Prefix("text", t1[:2]),
+    ]
+    for q in queries:
+        a = local.search(q, limit=15)
+        b = rays.search(q, limit=15)
+        np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
+        np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+    # stats APIs agree too
+    assert local.doc_frequency("text", t1) == rays.doc_frequency("text", t1)
+    assert local.frequencies([("text", t1)]) == rays.frequencies([("text", t1)])

@@ -1,0 +1,262 @@
+"""Highlighting — behavioral parity with the reference highlight module
+(highlight.py: set_matched_filter -> fragmenter -> top_fragments ->
+formatter pipeline).  Implemented fragmenters: Whole, Context; scorer:
+BasicFragmentScorer (boost sum x 100·distinct-terms); formatters:
+Uppercase, Html, Null.  Char-offset tokens come from a chars-aware run of
+the field's analyzer with stop words RETAINED (the reference calls the
+analyzer with removestops=False so context lengths include stopped
+tokens)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+
+DEFAULT_CHARLIMIT = 2**15
+
+
+@dataclass
+class Token:
+    text: str
+    pos: int
+    startchar: int
+    endchar: int
+    matched: bool = False
+    boost: float = 1.0
+
+
+@dataclass
+class Fragment:
+    text: str
+    matches: list
+    startchar: int = 0
+    endchar: int = 0
+
+    @property
+    def matched_terms(self):
+        return {t.text for t in self.matches}
+
+    def __len__(self):
+        return self.endchar - self.startchar
+
+
+def analyze_with_chars(spec, text: str):
+    """Char-offset token stream for highlighting (standard/simple
+    analyzers): regex tokens with original spans, lowered text, stops
+    kept."""
+    pat = re.compile(spec.pattern, re.UNICODE)
+    toks = []
+    for i, m in enumerate(pat.finditer(text)):
+        t = m.group(0)
+        toks.append(Token(t.lower() if spec.lowercase else t, i, m.start(), m.end()))
+    return toks
+
+
+# ---- fragmenters -----------------------------------------------------------
+
+
+class WholeFragmenter:
+    def __init__(self, charlimit=DEFAULT_CHARLIMIT):
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        matches = []
+        for t in tokens:
+            if self.charlimit and t.endchar > self.charlimit:
+                break
+            if t.matched:
+                matches.append(t)
+        return [Fragment(text, matches, 0, len(text))]
+
+
+class ContextFragmenter:
+    """Aggregates matched terms with surrounding context (reference
+    ContextFragmenter state machine, highlight.py:429-516)."""
+
+    def __init__(self, maxchars=200, surround=20, charlimit=DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        from collections import deque
+
+        maxchars, surround, charlimit = self.maxchars, self.surround, self.charlimit
+        first = None
+        firsts = deque()
+        countdown = -1
+        tks: list = []
+        endchar = None
+        currentlen = 0
+        out = []
+
+        for t in tokens:
+            startchar, endchar = t.startchar, t.endchar
+            tlength = endchar - startchar
+            if charlimit and endchar > charlimit:
+                break
+            if countdown < 0 and not t.matched:
+                firsts.append(startchar)
+                while firsts and endchar - firsts[0] > surround:
+                    firsts.popleft()
+            elif currentlen + tlength > maxchars:
+                countdown = 0
+            elif t.matched:
+                countdown = surround
+                if first is None:
+                    if firsts:
+                        first = firsts[0]
+                    else:
+                        first = startchar
+                        countdown += surround
+                tks.append(t)
+            if countdown >= 0:
+                currentlen += tlength
+                countdown -= tlength
+                if countdown <= 0:
+                    out.append(Fragment(text, tks, first, endchar))
+                    tks = []
+                    firsts = deque()
+                    first = None
+                    currentlen = 0
+        if tks:
+            out.append(Fragment(text, tks, first, endchar))
+        return out
+
+
+# ---- scoring / selection ---------------------------------------------------
+
+
+def basic_fragment_score(f: Fragment) -> float:
+    score = sum(t.boost for t in f.matches)
+    score *= (len(f.matched_terms) * 100) or 1
+    return score
+
+
+def FIRST(f: Fragment):
+    return f.startchar
+
+
+def LONGER(f: Fragment):
+    return -len(f)
+
+
+def SHORTER(f: Fragment):
+    return len(f)
+
+
+def top_fragments(fragments, count, scorer, order, minscore=1):
+    # selection replicates the reference's heapq.nlargest over
+    # (score, fragment) with Fragment.__lt__ comparing startchar: ties on
+    # score prefer the LATER fragment (larger startchar), then input order
+    scored = sorted(
+        ((scorer(f), f.startchar or 0, i, f) for i, f in enumerate(fragments)),
+        key=lambda x: (-x[0], -x[1], x[2]),
+    )[:count]
+    best = [f for s, _, _, f in scored if s >= minscore]
+    best.sort(key=order)
+    return best
+
+
+# ---- formatters ------------------------------------------------------------
+
+
+class Formatter:
+    between = "..."
+
+    def format_token(self, text, token):
+        raise NotImplementedError
+
+    def format_fragment(self, fragment: Fragment) -> str:
+        output = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in sorted(
+            fragment.matches, key=lambda t: (t.startchar, -(t.endchar - t.startchar))
+        ):
+            if t.startchar < index:
+                continue
+            if t.startchar > index:
+                output.append(text[index : t.startchar])
+            output.append(self.format_token(text, t))
+            index = t.endchar
+        output.append(text[index : fragment.endchar])
+        return "".join(output)
+
+    def format(self, fragments) -> str:
+        return self.between.join(self.format_fragment(f) for f in fragments)
+
+
+class NullFormatter(Formatter):
+    def format_token(self, text, token):
+        return text[token.startchar : token.endchar]
+
+
+class UppercaseFormatter(Formatter):
+    def __init__(self, between="..."):
+        self.between = between
+
+    def format_token(self, text, token):
+        return text[token.startchar : token.endchar].upper()
+
+
+class HtmlFormatter(Formatter):
+    """``<strong class="match term0">text</strong>`` markup with a stable
+    per-term class index (reference HtmlFormatter defaults)."""
+
+    def __init__(self, tagname="strong", between="...", classname="match", termclass="term"):
+        self.tagname = tagname
+        self.between = between
+        self.classname = classname
+        self.termclass = termclass
+        self.seen: dict = {}
+
+    def format_token(self, text, token):
+        ttxt = text[token.startchar : token.endchar]
+        if token.text in self.seen:
+            termnum = self.seen[token.text]
+        else:
+            termnum = len(self.seen)
+            self.seen[token.text] = termnum
+        return (
+            f'<{self.tagname} class="{self.classname} {self.termclass}{termnum}">'
+            f"{ttxt}</{self.tagname}>"
+        )
+
+
+# ---- top-level -------------------------------------------------------------
+
+
+def highlight(
+    text: str,
+    terms,
+    spec,
+    fragmenter=None,
+    formatter=None,
+    top=3,
+    scorer=basic_fragment_score,
+    minscore=1,
+    order=FIRST,
+):
+    """Reference highlight() pipeline over a text + query term set."""
+    fragmenter = fragmenter or ContextFragmenter()
+    formatter = formatter or UppercaseFormatter()
+    termset = frozenset(terms)
+    tokens = analyze_with_chars(spec, text)
+    for t in tokens:
+        t.matched = t.text in termset
+    fragments = fragmenter.fragment_tokens(text, tokens)
+    fragments = top_fragments(fragments, top, scorer, order, minscore)
+    return formatter.format(fragments)
+
+
+def highlight_hit(searcher, docnum: int, fieldname: str, q, **kwargs) -> str:
+    """Highlight a hit's field text (fetched via partition lineage) against
+    the query's terms in that field."""
+    from ..sources.corpus import fetch_rows
+
+    rows = fetch_rows(searcher.manifest.partitions, [docnum], columns=[fieldname])
+    text = rows[fieldname][0].as_py() or ""
+    terms = {t for (f, t) in q.terms() if f == fieldname}
+    spec = next(f for f in searcher.manifest.schema.fields if f.name == fieldname).analyzer
+    return highlight(text, terms, spec, **kwargs)
