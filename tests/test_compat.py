@@ -1,0 +1,78 @@
+"""Whoosh-style compat API over the Ray engine, exercised with the
+reference's canonical 5-doc fixture and query set (the make_index() corpus
+from tests/test_searching.py:12-41 and its expected key lists)."""
+
+from __future__ import annotations
+
+import pytest
+
+from whoosh_reloaded_ray import compat as wrr
+from whoosh_reloaded_ray.query import And, AndMaybe, AndNot, Not, Or, Phrase, Prefix, Term, TermRange
+
+
+@pytest.fixture(scope="module")
+def ix(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("compatidx"))
+    schema = wrr.Schema(key=wrr.ID(stored=True), name=wrr.TEXT(), value=wrr.TEXT())
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="A", name="Yellow brown", value="Blue red green render purple?")
+    w.add_document(key="B", name="Alpha beta", value="Gamma delta epsilon omega.")
+    w.add_document(key="C", name="One two", value="Three rendered four five.")
+    w.add_document(key="D", name="Quick went", value="Every red town.")
+    w.add_document(key="E", name="Yellow uptown", value="Interest rendering outer photo!")
+    w.commit()
+    return ix
+
+
+def _keys(ix, q):
+    with ix.searcher() as s:
+        return sorted(h["key"] for h in s.search(q, limit=None))
+
+
+# expectations mirror the reference's test_searching.py cases
+CASES = [
+    (Term("name", "yellow"), ["A", "E"]),
+    (Term("value", "red"), ["A", "D"]),
+    (Term("value", "zeta"), []),
+    (And([Term("value", "red"), Term("name", "yellow")]), ["A"]),
+    (Or([Term("value", "red"), Term("name", "yellow")]), ["A", "D", "E"]),
+    (Or([Term("value", "red"), Term("name", "yellow"), Term("name", "alpha")]), ["A", "B", "D", "E"]),
+    (Not(Term("name", "yellow")), ["B", "C", "D"]),
+    (AndNot(Term("name", "yellow"), Term("value", "purple")), ["E"]),
+    (Prefix("value", "re"), ["A", "C", "D", "E"]),
+    (Phrase("name", ["yellow", "brown"]), ["A"]),
+    (TermRange("value", "be", "d"), ["A"]),  # verified against the reference
+]
+
+
+@pytest.mark.parametrize("q,target", CASES, ids=[repr(c[0])[:40] for c in CASES])
+def test_reference_query_cases(ix, q, target):
+    assert _keys(ix, q) == target
+
+
+def test_parse_and_page(ix):
+    with ix.searcher() as s:
+        r = s.search(s.parse("value:red OR name:yellow"), limit=None)
+        assert sorted(h["key"] for h in r) == ["A", "D", "E"]
+        p1 = s.search_page(s.parse("value:red OR name:yellow"), 1, pagelen=2)
+        p2 = s.search_page(s.parse("value:red OR name:yellow"), 2, pagelen=2)
+        assert len(p1) == 2 and len(p2) == 1
+        assert {h["key"] for h in list(p1) + list(p2)} == {"A", "D", "E"}
+
+
+def test_incremental_write_and_delete(ix):
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="F", name="Yellow extra", value="Another doc entirely.")
+    w.commit()
+    assert _keys(ix, Term("name", "yellow")) == ["A", "E", "F"]
+    w = ix.writer()
+    n = w.delete_by_term("key", "F")
+    assert n == 1
+    assert _keys(ix, Term("name", "yellow")) == ["A", "E"]
+    assert ix.doc_count() == 6  # tombstoned doc still counted (reference doc_count_all)
+
+
+def test_open_dir_roundtrip(ix):
+    again = wrr.open_dir(ix.dirname)
+    assert _keys(again, Term("value", "red")) == ["A", "D"]

@@ -1,0 +1,314 @@
+"""Whoosh-style convenience API over the Ray-Data engine.
+
+Lets a user of the reference keep their ergonomic workflow
+(``create_in -> writer.add_document -> commit -> searcher.search`` with
+``Results``/``Hit`` objects and a query parser) while everything underneath
+runs the Ray Data pipelines:
+
+    from whoosh_reloaded_ray import compat as wrr
+
+    schema = wrr.Schema(title=wrr.ID(stored=True), body=wrr.TEXT())
+    ix = wrr.create_in("/tmp/myindex", schema)
+    w = ix.writer()
+    w.add_document(title="a", body="hello world")
+    w.commit()
+    with ix.searcher() as s:
+        for hit in s.search(s.parse("hello"), limit=10):
+            print(hit["title"], hit.score)
+
+Documents buffer into a Parquet generation on ``commit()`` and index via
+the standard build (or append) pipeline — the compat layer stores nothing
+itself; it is schema translation + result shaping (mirrors the reference
+API surface: index.create_in/open_dir, writing.IndexWriter.add_document,
+searching.Searcher/Results/Hit).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.analysis import keyword_analyzer, standard_analyzer, stemming_analyzer
+from .pipelines.build import build_index
+from .pipelines.merge import maybe_merge
+from .query.parser import QueryParser
+from .schema import FieldSpec, IndexSchema, id_field, numeric_field, text_field
+from .state.manifest import load_manifest
+from .state.searcher import IndexSearcher
+
+
+# ---- field constructors (reference fields.py surface) ----------------------
+
+
+def TEXT(stored=True, analyzer=None, phrase=True):
+    return ("text", {"analyzer": analyzer, "stored": stored, "positions": phrase})
+
+
+def ID(stored=True, unique=False):
+    return ("id", {"stored": stored})
+
+
+def KEYWORD(stored=True, lowercase=False, commas=False):
+    return ("keyword", {"stored": stored, "lowercase": lowercase, "commas": commas})
+
+
+def NUMERIC(numtype=int, stored=True):
+    return ("numeric", {"stored": stored})
+
+
+def DATETIME(stored=True):
+    return ("datetime", {"stored": stored})
+
+
+def STORED():
+    return ("stored", {})
+
+
+class Schema:
+    """Field-name -> field-constructor schema (reference fields.Schema)."""
+
+    def __init__(self, **fields):
+        specs = []
+        for name in sorted(fields):  # reference sorts field names
+            kind, opts = fields[name]
+            if kind == "text":
+                specs.append(
+                    text_field(
+                        name,
+                        analyzer=opts.get("analyzer") or standard_analyzer(),
+                        positions=opts.get("positions", True),
+                    )
+                )
+            elif kind == "id":
+                specs.append(id_field(name))
+            elif kind == "keyword":
+                specs.append(
+                    FieldSpec(
+                        name=name,
+                        kind="keyword",
+                        analyzer=keyword_analyzer(
+                            lowercase=opts.get("lowercase", False),
+                            commas=opts.get("commas", False),
+                        ),
+                        scorable=False,
+                        positions=False,
+                    )
+                )
+            elif kind == "numeric":
+                specs.append(numeric_field(name))
+            elif kind == "datetime":
+                specs.append(numeric_field(name, kind="datetime"))
+            elif kind == "stored":
+                specs.append(
+                    FieldSpec(name=name, kind="stored", analyzer=None, scorable=False, positions=False)
+                )
+            else:
+                raise ValueError(f"unknown field kind {kind!r}")
+        self.index_schema = IndexSchema(fields=specs)
+        self.names = [f.name for f in specs]
+
+
+# ---- index object ----------------------------------------------------------
+
+
+def create_in(dirname: str, schema: Schema) -> "Index":
+    os.makedirs(dirname, exist_ok=True)
+    return Index(dirname, schema)
+
+
+def open_dir(dirname: str) -> "Index":
+    man = load_manifest(dirname)
+    if man is None:
+        raise FileNotFoundError(f"no index in {dirname}")
+    return Index(dirname, None)
+
+
+class Index:
+    def __init__(self, dirname: str, schema: Schema | None):
+        self.dirname = dirname
+        self._schema = schema
+
+    @property
+    def index_schema(self) -> IndexSchema:
+        if self._schema is not None:
+            return self._schema.index_schema
+        return load_manifest(self.dirname).schema
+
+    def writer(self, **kwargs) -> "Writer":
+        return Writer(self, **kwargs)
+
+    def searcher(self, **kwargs) -> "CompatSearcher":
+        return CompatSearcher(self, **kwargs)
+
+    def optimize(self):
+        maybe_merge(self.dirname, optimize=True)
+
+    def doc_count(self) -> int:
+        man = load_manifest(self.dirname)
+        return man.doc_count if man else 0
+
+
+class Writer:
+    """Buffers ``add_document`` rows; ``commit()`` writes a Parquet
+    generation and runs the Ray build/append pipeline."""
+
+    def __init__(self, index: Index, num_shards: int = 8, partition_rows: int = 100_000):
+        self.index = index
+        self.num_shards = num_shards
+        self.partition_rows = partition_rows
+        self.rows: list = []
+
+    def add_document(self, **fields):
+        schema = self.index.index_schema
+        unknown = set(fields) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}")
+        self.rows.append(fields)
+
+    def commit(self, optimize: bool = False):
+        if self.rows:
+            schema = self.index.index_schema
+            cols = {}
+            for f in schema.fields:
+                vals = [r.get(f.name) for r in self.rows]
+                if f.kind == "numeric":
+                    cols[f.name] = pa.array(vals, pa.int64())
+                elif f.kind == "datetime":
+                    cols[f.name] = pa.array(vals, pa.timestamp("us"))
+                else:
+                    cols[f.name] = pa.array(
+                        [None if v is None else str(v) for v in vals], pa.string()
+                    )
+            tbl = pa.table(cols)
+            gen = len(_glob.glob(os.path.join(self.index.dirname, "docs-*.parquet")))
+            path = os.path.join(self.index.dirname, f"docs-{gen:05d}.parquet")
+            pq.write_table(tbl, path, row_group_size=max(1024, len(self.rows)))
+            man = load_manifest(self.index.dirname)
+            if man is None:
+                build_index(
+                    [path], self.index.dirname, schema=schema,
+                    num_shards=self.num_shards, partition_rows=self.partition_rows,
+                )
+            else:
+                from .pipelines.write_ops import append_documents
+
+                append_documents(
+                    self.index.dirname, path,
+                    num_shards=self.num_shards, partition_rows=self.partition_rows,
+                )
+            self.rows = []
+        if optimize:
+            maybe_merge(self.index.dirname, optimize=True)
+
+    def delete_by_term(self, fieldname: str, text: str) -> int:
+        from .pipelines.write_ops import delete_by_term
+
+        return delete_by_term(self.index.dirname, fieldname, text)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.commit()
+
+
+# ---- searcher / results ----------------------------------------------------
+
+
+class Hit:
+    def __init__(self, docnum: int, score: float, fields: dict):
+        self.docnum = docnum
+        self.score = score
+        self.fields = fields
+
+    def __getitem__(self, k):
+        return self.fields[k]
+
+    def get(self, k, default=None):
+        return self.fields.get(k, default)
+
+    def __repr__(self):
+        return f"<Hit {self.docnum} {self.score:.4f} {self.fields}>"
+
+
+class Results:
+    def __init__(self, hits: list, total: int):
+        self.hits = hits
+        self.total = total
+
+    def __iter__(self):
+        return iter(self.hits)
+
+    def __len__(self):
+        return len(self.hits)
+
+    def __getitem__(self, i):
+        return self.hits[i]
+
+    def scored_length(self):
+        return len(self.hits)
+
+
+class CompatSearcher:
+    def __init__(self, index: Index, **searcher_kwargs):
+        self.index = index
+        self._s = IndexSearcher(index.dirname, **searcher_kwargs)
+        self._schema = self._s.manifest.schema
+        self._parser = None
+
+    # context manager like the reference's `with ix.searcher() as s:`
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def parse(self, qstring: str, default_field: str | None = None):
+        if self._parser is None or default_field:
+            df = default_field or next(
+                (f.name for f in self._schema.fields if f.kind == "text"),
+                self._schema.fields[0].name,
+            )
+            self._parser = QueryParser(df, self._schema)
+        return self._parser.parse(qstring)
+
+    def search(self, q, limit: int = 10, **kw) -> Results:
+        if isinstance(q, str):
+            q = self.parse(q)
+        stored = [f.name for f in self._schema.fields if f.stored]
+        res = self._s.search(q, limit=limit, **kw)
+        if res.num_rows == 0:
+            return Results([], 0)
+        from .sources.corpus import fetch_rows
+
+        docnums = res["docnum"].to_pylist()
+        rows = fetch_rows(self._s.manifest.partitions, docnums, columns=stored)
+        by_doc = {r["docnum"]: r for r in rows.to_pylist()}
+        hits = [
+            Hit(d, s, {k: v for k, v in by_doc[d].items() if k != "docnum"})
+            for d, s in zip(docnums, res["score"].to_pylist())
+        ]
+        return Results(hits, len(hits))
+
+    def search_page(self, q, pagenum: int, pagelen: int = 10) -> Results:
+        """Reference search_page (searching.py:617-669): results
+        [(pagenum-1)*pagelen, pagenum*pagelen)."""
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        full = self.search(q, limit=pagenum * pagelen)
+        offset = (pagenum - 1) * pagelen
+        return Results(full.hits[offset : offset + pagelen], full.total)
+
+    def suggest(self, fieldname, text, **kw):
+        return self._s.suggest(fieldname, text, **kw)
+
+    def key_terms(self, docnums, fieldname, **kw):
+        return self._s.key_terms(docnums, fieldname, **kw)
+
+    def doc_count_all(self):
+        return self._s.doc_count_all()
