@@ -1,0 +1,110 @@
+"""Every(field) semantics + search filter/mask parity vs whoosh."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from whoosh_reloaded_ray.query import And, Every, Or, Term
+from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def pair(ray_session, whoosh, tmp_path_factory):
+    """Build the same optional-field corpus in both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+
+    rows = [
+        ("A", "alfa bravo charlie", "red"),
+        ("B", "bravo charlie delta", None),
+        ("C", "charlie delta echo", "green"),
+        ("D", "delta echo foxtrot", ""),
+        ("E", "the of and", "blue"),  # text = only stopwords
+        ("F", "echo foxtrot golf", "red"),
+    ]
+    tbl = pa.table(
+        {
+            "key": pa.array([r[0] for r in rows]),
+            "body": pa.array([r[1] for r in rows]),
+            "tag": pa.array([r[2] for r in rows]),
+        }
+    )
+    d = tmp_path_factory.mktemp("evcorpus")
+    path = str(d / "docs.parquet")
+    pq.write_table(tbl, path)
+    schema = IndexSchema(fields=[id_field("key"), text_field("body"), id_field("tag")])
+    idx = str(tmp_path_factory.mktemp("evidx"))
+    build_index([path], idx, schema=schema, num_shards=2, partition_rows=16)
+    ours = IndexSearcher(idx)
+
+    from whoosh import fields, index
+
+    wdir = str(tmp_path_factory.mktemp("evwhoosh"))
+    wschema = fields.Schema(
+        key=fields.ID(stored=True), body=fields.TEXT, tag=fields.ID
+    )
+    ix = index.create_in(wdir, wschema)
+    w = ix.writer()
+    for key, body, tag in rows:
+        kw = {"key": key, "body": body}
+        if tag:
+            kw["tag"] = tag
+        w.add_document(**kw)
+    w.commit()
+    return ours, ix
+
+
+def _our_keys(ours, q, **kw):
+    res = ours.search(q, limit=None, scored=False, **kw)
+    return sorted(res["docnum"].to_pylist())
+
+
+def _whoosh_keys(ix, wq, **kw):
+    with ix.searcher() as s:
+        return sorted(h.docnum for h in s.search(wq, limit=None, **kw))
+
+
+def test_every_field(pair):
+    ours, ix = pair
+    from whoosh.query import Every as WEvery
+
+    # tag: docs B (null) and D ("") have no terms; E has "blue"
+    assert _our_keys(ours, Every("tag")) == _whoosh_keys(ix, WEvery("tag"))
+    # body: E is all stopwords -> no terms in field
+    assert _our_keys(ours, Every("body")) == _whoosh_keys(ix, WEvery("body"))
+    # unfielded: every document
+    assert _our_keys(ours, Every()) == _whoosh_keys(ix, WEvery())
+
+
+def test_filter_and_mask(pair):
+    ours, ix = pair
+    from whoosh.query import Every as WEvery
+    from whoosh.query import Or as WOr
+    from whoosh.query import Term as WT
+
+    q = Term("body", "charlie")
+    wq = WT("body", "charlie")
+    flt = Term("tag", "red")
+    wflt = WT("tag", "red")
+    assert _our_keys(ours, q, filter=flt) == _whoosh_keys(ix, wq, filter=wflt)
+    assert _our_keys(ours, q, mask=flt) == _whoosh_keys(ix, wq, mask=wflt)
+    # combined
+    q2 = Or([Term("body", "delta"), Term("body", "echo")])
+    wq2 = WOr([WT("body", "delta"), WT("body", "echo")])
+    flt2 = Every("tag")
+    wflt2 = WEvery("tag")
+    assert _our_keys(ours, q2, filter=flt2) == _whoosh_keys(ix, wq2, filter=wflt2)
+
+
+def test_filter_scores_unchanged(pair):
+    ours, _ = pair
+    q = Term("body", "charlie")
+    full = ours.search(q, limit=None)
+    filt = ours.search(q, limit=None, filter=Term("tag", "red"))
+    by_doc = dict(zip(full["docnum"].to_pylist(), full["score"].to_pylist()))
+    for d, s in zip(filt["docnum"].to_pylist(), filt["score"].to_pylist()):
+        assert s == by_doc[d]

@@ -129,3 +129,17 @@ def test_function_weighting(idx_dir, whoosh_index, whoosh, terms):
         theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=10)]
     assert res["docnum"].to_pylist() == [d for d, _ in theirs]
     np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-9)
+
+
+def test_bm25f_per_field_B(idx_dir, whoosh_index, whoosh, terms):
+    """Per-field B override (<field>_B kwarg of the reference BM25F)."""
+    t1, _ = terms
+    from whoosh import scoring
+    from whoosh.query import Term as WT
+
+    ours = IndexSearcher(idx_dir, B=0.75, field_B={"text": 0.4})
+    res = ours.search(Term("text", t1), limit=12)
+    with whoosh_index.searcher(weighting=scoring.BM25F(B=0.75, text_B=0.4)) as ws:
+        theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=12)]
+    assert res["docnum"].to_pylist() == [d for d, _ in theirs]
+    np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-6)

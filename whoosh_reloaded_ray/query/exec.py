@@ -362,6 +362,43 @@ class SegmentReader:
             self._column_cache[field] = arr
         return arr
 
+    def field_docs(self, field: str) -> np.ndarray:
+        """Docnums that contain at least one term in ``field`` (reference
+        Every(field) semantics, qcore.py:650-737).  Scorable fields answer
+        from the doclens sidecar (post-analysis length > 0 — a doc of pure
+        stopwords has no terms); other fields fall back to a non-null /
+        non-empty check on the source column (equivalent for ID/KEYWORD
+        analyzers, whose every non-empty value yields a token)."""
+        key = ("__fdocs__", field)
+        cached = self._column_cache.get(key)
+        if cached is not None:
+            return cached
+        parts = []
+        found_doclens = False
+        for shard in range(self.seg.num_shards):
+            path = os.path.join(self.dir, DOCLENS_FILE.format(shard=shard))
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["docnum", "field", "length"],
+                              filters=[("field", "=", field)])
+            if t.num_rows:
+                found_doclens = True
+                t = t.filter(pc.greater(t["length"], 0))
+                parts.append(t["docnum"].to_numpy().astype(np.uint64))
+        if found_doclens:
+            docs = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        else:
+            vals = self.column(field)
+            if vals.dtype.kind in ("O", "U", "S"):
+                mask = np.array([v is not None and v != "" for v in vals])
+            else:
+                import pandas as pd
+
+                mask = ~pd.isna(vals)
+            docs = self.all_docnums()[mask]
+        self._column_cache[key] = docs
+        return docs
+
     def doclens(self, field: str) -> np.ndarray:
         """Dense per-docnum length bytes (for doc_field_length parity API)."""
         key = ("__lens__", field)
@@ -393,6 +430,7 @@ class ScoreContext:
         idf: dict,
         B=0.75,
         K1=1.2,
+        field_B: dict | None = None,
         model: str = "bm25f",
         cf: dict | None = None,
         fl: dict | None = None,
@@ -404,6 +442,7 @@ class ScoreContext:
         self.idf = idf  # (field, term) -> float
         self.B = B
         self.K1 = K1
+        self.field_B = field_B or {}  # per-field B override (BM25F <f>_B)
         self.model = model
         self.cf = cf or {}  # (field, term) -> total collection weight
         self.fl = fl or {}  # field -> total field length
@@ -439,7 +478,8 @@ def score_postings(
     if m == "bm25f":
         fl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)
         idf = ctx.idf.get((field, term), 1.0)
-        return idf * (tf * (ctx.K1 + 1.0)) / (tf + ctx.K1 * ((1.0 - ctx.B) + ctx.B * fl / avgfl))
+        B = ctx.field_B.get(field, ctx.B)
+        return idf * (tf * (ctx.K1 + 1.0)) / (tf + ctx.K1 * ((1.0 - B) + B * fl / avgfl))
     if m == "tfidf":
         return tf * ctx.idf.get((field, term), 1.0)
     if m == "frequency":
@@ -597,7 +637,10 @@ def _eval_andmaybe(reader, q: ast.AndMaybe, ctx, scored):
 
 
 def _eval_every(reader, q: ast.Every, ctx, scored):
-    docs = reader.all_docnums()
+    if q.field in (None, "", "*"):
+        docs = reader.all_docnums()
+    else:
+        docs = reader.field_docs(q.field)
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 

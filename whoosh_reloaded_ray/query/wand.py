@@ -53,7 +53,7 @@ def wandable_terms(q: ast.Query):
 WAND_MODELS = ("bm25f", "tfidf", "frequency")
 
 
-def _block_ub(meta, idf: float, avgfl, boost: float, ctx) -> np.ndarray:
+def _block_ub(meta, idf: float, avgfl, boost: float, ctx, _field: str = "") -> np.ndarray:
     """Per-block score upper bound (reference block_quality: BM25F uses
     (block_max_weight, block_min_length); TF_IDF / Frequency use
     block_max_weight — scoring.py:203-213, 453-484)."""
@@ -63,19 +63,25 @@ def _block_ub(meta, idf: float, avgfl, boost: float, ctx) -> np.ndarray:
     elif ctx.model == "tfidf":
         ub = maxw * idf
     else:  # bm25f
-        B, K1 = ctx.B, ctx.K1
+        B, K1 = ctx.field_B.get(_field, ctx.B), ctx.K1
         minlen = BYTE_TO_LENGTH[meta["min_len_byte"]].astype(np.float64)
         ub = idf * (maxw * (K1 + 1.0)) / (maxw + K1 * ((1.0 - B) + B * minlen / avgfl))
     return ub * boost
 
 
 def topk_wand(
-    reader, terms: list, ctx, k: int, stats_out: dict | None = None, excluded=None
+    reader,
+    terms: list,
+    ctx,
+    k: int,
+    stats_out: dict | None = None,
+    excluded=None,
+    allowed=None,
 ):
     """Exact top-k (docs, scores) for sum-scored terms on one segment.
 
-    ``excluded``: sorted docnum array of tombstoned docs to drop before
-    ranking.  ``stats_out`` (optional dict) receives
+    ``excluded`` / ``allowed``: sorted docnum arrays (tombstones+mask /
+    filter) applied before ranking.  ``stats_out`` (optional dict) receives
     {blocks_total, blocks_decoded}."""
     metas, infos = [], []
     for f, t, b in terms:
@@ -84,7 +90,7 @@ def topk_wand(
             continue
         idf = ctx.idf.get((f, t), 1.0)
         avgfl = ctx.avgfl.get(f)
-        ub = _block_ub(meta, idf, avgfl, b, ctx)
+        ub = _block_ub(meta, idf, avgfl, b, ctx, f)
         infos.append(
             {
                 "field": f,
@@ -133,6 +139,9 @@ def topk_wand(
         docs, weights, lens = reader.decode_blocks(info["field"], info["term"], keep)
         if excluded is not None and docs.size:
             m = ~np.isin(docs, excluded)
+            docs, weights, lens = docs[m], weights[m], lens[m]
+        if allowed is not None and docs.size:
+            m = np.isin(docs, allowed)
             docs, weights, lens = docs[m], weights[m], lens[m]
         from .exec import score_postings
 

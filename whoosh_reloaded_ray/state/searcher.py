@@ -68,8 +68,20 @@ class _SegmentWorker:
             out[spec] = sorted(acc)
         return out
 
-    def evaluate(self, q: ast.Query, ctx: ScoreContext, limit, scored=True):
+    def evaluate(
+        self,
+        q: ast.Query,
+        ctx: ScoreContext,
+        limit,
+        scored=True,
+        allowed=None,
+        forbidden=None,
+    ):
         """Per-worker matches; top-`limit` per segment when limit is set.
+
+        ``allowed``/``forbidden``: sorted docnum arrays from the search's
+        filter/mask queries (reference collectors.py:659-761 FilterCollector)
+        — applied before ranking, scores unchanged.
 
         Scored Term / Or-of-Terms top-k takes the block-max WAND path:
         per-block (max_weight, min_len_byte) bounds prune block decodes,
@@ -84,13 +96,22 @@ class _SegmentWorker:
         )
         docs_all, scores_all = [], []
         excluded = self.excluded if self.excluded.size else None
+        if forbidden is not None:
+            excluded = (
+                np.union1d(excluded, forbidden) if excluded is not None else forbidden
+            )
         for r in self.readers:
             if wand_terms:
-                docs, scores = topk_wand(r, wand_terms, ctx, limit, excluded=excluded)
+                docs, scores = topk_wand(
+                    r, wand_terms, ctx, limit, excluded=excluded, allowed=allowed
+                )
             else:
                 docs, scores = evaluate(r, q, ctx, scored=scored)
                 if excluded is not None:
                     m = ~np.isin(docs, excluded, assume_unique=False)
+                    docs, scores = docs[m], scores[m]
+                if allowed is not None:
+                    m = np.isin(docs, allowed)
                     docs, scores = docs[m], scores[m]
                 if limit is not None and docs.size > limit:
                     top = np.lexsort((docs, -scores))[:limit]
@@ -311,26 +332,45 @@ class IndexSearcher:
                 for f in self.manifest.schema.scorable_fields
             }
         return ScoreContext(
-            N, avgfl, idf, B=self.B, K1=self.K1,
+            N, avgfl, idf, B=self.B, K1=self.K1, field_B=self.field_B,
             model=self.weighting, cf=cf, fl=fl,
             pl2_c=self.pl2_c, user_fn=self.weighting_fn,
         )
 
     # ---- search ----------------------------------------------------------
 
-    def search(self, q: ast.Query, limit: int | None = 10, scored: bool = True) -> pa.Table:
+    def search(
+        self,
+        q: ast.Query,
+        limit: int | None = 10,
+        scored: bool = True,
+        filter: ast.Query | None = None,
+        mask: ast.Query | None = None,
+    ) -> pa.Table:
         """Top-`limit` (or all, limit=None) matches as an Arrow table
-        (docnum:uint64, score:float64) ordered by (-score, docnum)."""
+        (docnum:uint64, score:float64) ordered by (-score, docnum).
+
+        ``filter`` restricts results to docs matching it; ``mask`` excludes
+        docs matching it (reference search(filter=..., mask=...)); scores
+        are unaffected."""
+        allowed = forbidden = None
+        if filter is not None:
+            allowed = self.search(filter, limit=None, scored=False)["docnum"].to_numpy()
+        if mask is not None:
+            forbidden = self.search(mask, limit=None, scored=False)["docnum"].to_numpy()
         q = self._rewrite(q)
         ctx = self._context(q)
         if self.executor == "ray":
             parts = self._ray.get(
-                [w.evaluate.remote(q, ctx, limit, scored) for w in self.workers]
+                [
+                    w.evaluate.remote(q, ctx, limit, scored, allowed, forbidden)
+                    for w in self.workers
+                ]
             )
             docs = np.concatenate([p[0] for p in parts])
             scores = np.concatenate([p[1] for p in parts])
         else:
-            docs, scores = self.local.evaluate(q, ctx, limit, scored)
+            docs, scores = self.local.evaluate(q, ctx, limit, scored, allowed, forbidden)
         order = np.lexsort((docs, -scores))
         if limit is not None:
             order = order[:limit]
