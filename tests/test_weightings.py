@@ -143,3 +143,30 @@ def test_bm25f_per_field_B(idx_dir, whoosh_index, whoosh, terms):
         theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=12)]
     assert res["docnum"].to_pylist() == [d for d, _ in theirs]
     np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-6)
+
+
+def test_multi_and_reverse_weighting(idx_dir, whoosh_index, whoosh, terms):
+    """MultiWeighting (per-field model) + ReverseWeighting parity."""
+    t1, _ = terms
+    from whoosh import scoring
+    from whoosh.query import Term as WT
+
+    # per-field: text scored by TF_IDF, everything else default BM25F
+    ours = IndexSearcher(idx_dir, field_weighting={"text": "tfidf"})
+    res = ours.search(Term("text", t1), limit=12)
+    w = scoring.MultiWeighting(scoring.BM25F(), text=scoring.TF_IDF())
+    with whoosh_index.searcher(weighting=w) as ws:
+        theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=12)]
+    assert res["docnum"].to_pylist() == [d for d, _ in theirs]
+    np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-6)
+
+    # reverse: lowest-BM25 docs first (whoosh negates the wrapped scores;
+    # NB the reference's bounded top-k collector drops non-positive scores,
+    # so ReverseWeighting only returns results unpruned — compare limit=None)
+    ours = IndexSearcher(idx_dir, reverse_weighting=True)
+    res = ours.search(Term("text", t1), limit=None)
+    w = scoring.ReverseWeighting(scoring.BM25F())
+    with whoosh_index.searcher(weighting=w) as ws:
+        theirs = [(h.docnum, h.score) for h in ws.search(WT("text", t1), limit=None)]
+    assert res["docnum"].to_pylist() == [d for d, _ in theirs]
+    np.testing.assert_allclose(res["score"].to_pylist(), [s for _, s in theirs], atol=1e-6)

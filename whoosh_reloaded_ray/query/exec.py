@@ -436,6 +436,8 @@ class ScoreContext:
         fl: dict | None = None,
         pl2_c: float = 1.0,
         user_fn=None,
+        field_models: dict | None = None,
+        reverse: bool = False,
     ):
         self.doc_count = doc_count
         self.avgfl = avgfl  # field -> float
@@ -448,6 +450,10 @@ class ScoreContext:
         self.fl = fl or {}  # field -> total field length
         self.pl2_c = pl2_c
         self.user_fn = user_fn
+        # per-field model override (reference MultiWeighting) and score
+        # negation (reference ReverseWeighting)
+        self.field_models = field_models or {}
+        self.reverse = reverse
 
 
 EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
@@ -467,13 +473,26 @@ def score_postings(
     term: str,
     ctx: ScoreContext,
 ) -> np.ndarray:
-    """Vectorized per-posting scores under ctx.model (formulas from the
-    reference scoring.py; lengths are the byte-quantized values, exactly as
-    the reference's WeightLengthScorer supplies them)."""
+    """Vectorized per-posting scores under ctx.model / ctx.field_models
+    (formulas from the reference scoring.py; lengths are the byte-quantized
+    values, exactly as the reference's WeightLengthScorer supplies them);
+    ``ctx.reverse`` negates (reference ReverseWeighting)."""
+    s = _score_postings_fwd(docs, weights, len_bytes, field, term, ctx)
+    return -s if ctx.reverse else s
+
+
+def _score_postings_fwd(
+    docs: np.ndarray,
+    weights: np.ndarray,
+    len_bytes: np.ndarray,
+    field: str,
+    term: str,
+    ctx: ScoreContext,
+) -> np.ndarray:
     avgfl = ctx.avgfl.get(field)
     if not avgfl:  # non-scorable field: WeightScorer in every model
         return weights.astype(np.float64)
-    m = ctx.model
+    m = ctx.field_models.get(field, ctx.model)
     tf = weights.astype(np.float64)
     if m == "bm25f":
         fl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)

@@ -121,7 +121,14 @@ class Tokenizer:
         row_idx = np.repeat(np.arange(len(texts)), counts)
         arr = pa.array(list(itertools.chain.from_iterable(toks_per_row)), type=pa.string())
         if analyzer_spec.lowercase:
-            arr = pc.utf8_lower(arr)
+            # arrow's utf8_lower diverges from Python str.lower on a few
+            # codepoints (Turkish dotted I, Greek final sigma) — the
+            # reference lowers with str.lower, so only use the C kernel for
+            # pure-ASCII batches and fall back to Python otherwise
+            if n == 0 or pc.all(pc.string_is_ascii(arr)).as_py():
+                arr = pc.ascii_lower(arr)
+            else:
+                arr = pa.array([v.lower() for v in arr.to_pylist()], pa.string())
 
         # dictionary-encode FIRST: stop/size masks computed once per UNIQUE
         # term (a few thousand) instead of per token (hundreds of thousands)

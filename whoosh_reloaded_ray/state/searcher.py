@@ -91,7 +91,13 @@ class _SegmentWorker:
 
         wand_terms = (
             wandable_terms(q)
-            if (scored and limit is not None and ctx.model in WAND_MODELS)
+            if (
+                scored
+                and limit is not None
+                and ctx.model in WAND_MODELS
+                and not ctx.field_models
+                and not ctx.reverse
+            )
             else None
         )
         docs_all, scores_all = [], []
@@ -138,6 +144,8 @@ class IndexSearcher:
         weighting: str = "bm25f",
         pl2_c: float = 1.0,
         weighting_fn=None,
+        field_weighting: dict | None = None,
+        reverse_weighting: bool = False,
     ):
         """``weighting``: "bm25f" (default) | "tfidf" | "frequency" |
         "dfree" | "pl2" | "fn" (with ``weighting_fn(field, term, docnum,
@@ -151,6 +159,8 @@ class IndexSearcher:
         self.weighting = weighting
         self.pl2_c = pl2_c
         self.weighting_fn = weighting_fn
+        self.field_weighting = field_weighting or {}
+        self.reverse_weighting = reverse_weighting
         self.executor = executor
         n_seg = len(self.manifest.segments)
         if executor == "ray":
@@ -325,7 +335,8 @@ class IndexSearcher:
             for f in self.manifest.schema.scorable_fields
         }
         cf = fl = None
-        if self.weighting in ("dfree", "pl2"):
+        models = {self.weighting, *self.field_weighting.values()}
+        if models & {"dfree", "pl2"}:
             cf = self.frequencies(terms) if terms else {}
             fl = {
                 f.name: self.manifest.field_length(f.name)
@@ -335,6 +346,7 @@ class IndexSearcher:
             N, avgfl, idf, B=self.B, K1=self.K1, field_B=self.field_B,
             model=self.weighting, cf=cf, fl=fl,
             pl2_c=self.pl2_c, user_fn=self.weighting_fn,
+            field_models=self.field_weighting, reverse=self.reverse_weighting,
         )
 
     # ---- search ----------------------------------------------------------
