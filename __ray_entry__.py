@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_and_numrange": ft.match_and_numrange,
         "term_stats_prefix": ft.term_stats_prefix,
         "doclen_quantized": ft.doclen_quantized,
+        "facet_counts_match": ft.facet_counts_match,
+        "sorted_by_turn": ft.sorted_by_turn,
+        "suggest_misspelled": ft.suggest_misspelled,
+        "top_terms_by_df": ft.top_terms_by_df,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -83,6 +87,10 @@ def oracle_sql() -> dict[str, str]:
         "match_and_numrange": ft.oracle_match_and_numrange(),
         "term_stats_prefix": ft.oracle_term_stats_prefix(),
         "doclen_quantized": ft.oracle_doclen_quantized(),
+        "facet_counts_match": ft.oracle_facet_counts_match(),
+        "sorted_by_turn": ft.oracle_sorted_by_turn(),
+        "suggest_misspelled": ft.oracle_suggest_misspelled(),
+        "top_terms_by_df": ft.oracle_top_terms_by_df(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -208,6 +208,76 @@ def doclen_quantized(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def facet_counts_match(sf_dir: str) -> pa.Table:
+    """Facet counts by role of docs containing 'data' (groupedby/Count)."""
+    from ..query import Term
+
+    s = get_searcher(sf_dir)
+    counts = s.facet_counts(Term("text", "data"), "role")
+    keys = sorted(counts)
+    return pa.table(
+        {"role": pa.array(keys), "n": pa.array([counts[k] for k in keys], pa.int64())}
+    )
+
+
+def sorted_by_turn(sf_dir: str) -> pa.Table:
+    """Docs containing 'join' sorted by turn_idx (SortingCollector)."""
+    from ..query import Term
+
+    s = get_searcher(sf_dir)
+    res = s.search_sorted(Term("text", "join"), "turn_idx", limit=20)
+    rows = fetch_rows(
+        s.manifest.partitions, res["docnum"].to_pylist(), columns=["doc_id"]
+    )
+    lookup = dict(zip(rows["docnum"].to_pylist(), rows["doc_id"].to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([lookup[d] for d in res["docnum"].to_pylist()], pa.int64()),
+            "turn_idx": pa.array(res["turn_idx"].to_numpy().astype(np.int32), pa.int32()),
+            "rank": pa.array(np.arange(1, res.num_rows + 1)),
+        }
+    )
+
+
+def suggest_misspelled(sf_dir: str) -> pa.Table:
+    """Spelling suggestions for a misspelled query word."""
+    s = get_searcher(sf_dir)
+    sugs = s.suggest("text", "spak", limit=5, maxdist=2)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(sugs) + 1)),
+            "term": pa.array(sugs, pa.string()),
+        }
+    )
+
+
+def top_terms_by_df(sf_dir: str) -> pa.Table:
+    """Top-20 text terms by document frequency (terminfo aggregation)."""
+    s = get_searcher(sf_dir)
+    import pyarrow.parquet as pq_
+
+    parts = []
+    for seg in s.manifest.segments:
+        for shard in range(seg.num_shards):
+            path = os.path.join(s.index_dir, seg.name, f"terminfo-{shard:04d}.parquet")
+            if os.path.exists(path):
+                parts.append(
+                    pq_.read_table(
+                        path, columns=["term", "doc_freq"],
+                        filters=[("field", "=", "text")],
+                    )
+                )
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(parts)
+    agg = t.group_by("term").aggregate([("doc_freq", "sum")])
+    agg = agg.rename_columns(["term", "df"])
+    agg = agg.set_column(1, "df", pc.cast(agg["df"], pa.int64()))
+    order = pc.sort_indices(agg, sort_keys=[("df", "descending"), ("term", "ascending")])
+    top = agg.take(order).slice(0, 20)
+    return top.append_column("rank", pa.array(np.arange(1, top.num_rows + 1)))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — all over the shared transcripts CTE
 # ---------------------------------------------------------------------------
@@ -333,4 +403,59 @@ SELECT doc_id,
        {quantized_len_sql("len(toks)")}::BIGINT AS qlen
 FROM tokd
 ORDER BY doc_id
+"""
+
+
+def oracle_facet_counts_match() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT role, {toks} AS toks FROM transcripts)
+SELECT role, COUNT(*)::BIGINT AS n FROM tokd
+WHERE list_contains(toks, 'data')
+GROUP BY role ORDER BY role
+"""
+
+
+def oracle_sorted_by_turn() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, conv_id, turn_idx, {toks} AS toks FROM transcripts)
+SELECT doc_id, turn_idx,
+       ROW_NUMBER() OVER (ORDER BY turn_idx, conv_id, turn_idx) AS rank
+FROM tokd WHERE list_contains(toks, 'join')
+ORDER BY rank LIMIT 20
+"""
+
+
+def oracle_suggest_misspelled() -> str:
+    """Reference corrector semantics: candidates within levenshtein<=2 of
+    'spak' ranked by collection frequency desc; the bounded-heap selection
+    keeps lexicographically LATER terms on frequency ties, display order is
+    (freq desc, term asc)."""
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts),
+exploded AS (SELECT unnest(toks) AS term FROM tokd),
+freqs AS (SELECT term, COUNT(*)::DOUBLE AS freq FROM exploded GROUP BY term),
+cand AS (
+  SELECT term, freq FROM freqs
+  WHERE term != 'spak' AND levenshtein(term, 'spak') <= 2),
+sel AS (SELECT term, freq FROM cand ORDER BY freq DESC, term DESC LIMIT 5)
+SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank, term
+FROM sel ORDER BY rank
+"""
+
+
+def oracle_top_terms_by_df() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts),
+exploded AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tokd),
+dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM exploded GROUP BY term)
+SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank
+FROM dfs ORDER BY df DESC, term ASC LIMIT 20
 """
