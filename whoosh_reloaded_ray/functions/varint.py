@@ -85,3 +85,26 @@ def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     d = np.asarray(deltas, dtype=np.uint64)
     return np.cumsum(d, dtype=np.uint64)
+
+
+def binary_array_from_offsets(data, byte_offsets, large: bool = True):
+    """Zero-copy pyarrow binary array over ``data`` (uint8 np array /
+    bytes) cut at ``byte_offsets`` (len n+1, starting at 0).  ``large``
+    selects 64-bit offsets (block blobs) vs 32-bit (per-posting streams —
+    half the offset overhead through the shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        data = np.ascontiguousarray(data).tobytes()
+    if large:
+        off = np.ascontiguousarray(byte_offsets, dtype=np.int64)
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(off) - 1,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)],
+        )
+    off = np.ascontiguousarray(byte_offsets, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(off) - 1,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)],
+    )

@@ -40,7 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.varint import encode_varints_with_offsets
+from ..functions.varint import binary_array_from_offsets, encode_varints_with_offsets
 from .tokenize import LEN_SENTINEL
 
 BLOCK_LIMIT = 128  # postings per block (reference codec constant)
@@ -59,13 +59,7 @@ def _atomic_write(tbl: pa.Table, path: str, row_group_size: int = 8192):
     os.replace(tmp, path)
 
 
-def _binary_from_offsets(data: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
-    """Zero-copy large_binary array over `data` cut at `byte_offsets`."""
-    return pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(),
-        len(byte_offsets) - 1,
-        [None, pa.py_buffer(byte_offsets.astype(np.int64).tobytes()), pa.py_buffer(data.tobytes())],
-    )
+_binary_from_offsets = binary_array_from_offsets
 
 
 @dataclass
@@ -171,31 +165,22 @@ class ShardSegmentWriter:
         # --- lengths: raw uint8 per posting
         len_col = _binary_from_offsets(lens, np.append(block_starts, n).astype(np.int64))
 
-        # --- positions: per posting varint(count) + delta varints
+        # --- positions: already encoded per posting by the tokenizer as a
+        # varint(count)+delta-varints byte stream; a block's blob is the
+        # CONCATENATION of its postings' streams = one buffer slice
         pos_arr = posts["positions"].chunk(0)
         if pos_arr.null_count == n:
             pos_col = pa.nulls(n_blocks, pa.large_binary())
         else:
-            loff = pos_arr.offsets.to_numpy().astype(np.int64)
-            flat = pos_arr.values.to_numpy().astype(np.uint64)
-            counts = np.diff(loff)
-            pd_ = np.empty(flat.size, dtype=np.uint64)
-            if flat.size:
-                pd_[0] = flat[0]
-                np.subtract(flat[1:], flat[:-1], out=pd_[1:])
-                starts_nonempty = loff[:-1][counts > 0]
-                pd_[starts_nonempty] = flat[starts_nonempty]
-            # interleave: comb[cpos[i]] = counts[i]; rest = deltas
-            cpos = loff[:-1] + np.arange(n)
-            comb = np.empty(n + flat.size, dtype=np.uint64)
-            comb[cpos] = counts
-            mask = np.ones(comb.size, dtype=bool)
-            mask[cpos] = False
-            comb[mask] = pd_
-            p_buf, p_off = encode_varints_with_offsets(comb)
-            post_byte_start = p_off[cpos]  # byte offset of posting i's stream
-            block_byte_bounds = np.append(post_byte_start[block_starts], p_off[-1])
-            pos_col = _binary_from_offsets(p_buf, block_byte_bounds)
+            # BinaryArray exposes no .offsets: read the int32 offsets buffer
+            # directly (respecting the array's slice offset)
+            loff = np.frombuffer(pos_arr.buffers()[1], dtype=np.int32)[
+                pos_arr.offset : pos_arr.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(pos_arr.buffers()[2], dtype=np.uint8)
+            lo, hi = int(loff[0]), int(loff[-1])
+            block_byte_bounds = loff[np.append(block_starts, n)] - lo
+            pos_col = _binary_from_offsets(data[lo:hi], block_byte_bounds)
 
         # --- per-block stats
         blk_max_w = np.maximum.reduceat(weights, block_starts)

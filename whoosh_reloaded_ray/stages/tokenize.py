@@ -36,6 +36,7 @@ import re as _re
 
 from ..functions.analysis import make_analyzer
 from ..functions.quant import length_to_byte, lengths_to_bytes
+from ..functions.varint import binary_array_from_offsets, encode_varints, encode_varints_with_offsets
 from ..schema import IndexSchema
 
 LEN_SENTINEL = "\x00"
@@ -46,7 +47,10 @@ POSTING_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("docnum", pa.uint64()),
         ("weight", pa.float32()),
-        ("positions", pa.list_(pa.uint32())),
+        # per-posting varint stream: varint(count) + delta-varints — encoded
+        # ONCE here so the shuffle moves compact bytes and the segment
+        # writer can blockify by pure buffer slicing
+        ("positions", pa.binary()),
         ("len_byte", pa.uint8()),
         ("shard", pa.int32()),
     ]
@@ -204,15 +208,27 @@ class Tokenizer:
         lb_rows = lengths_to_bytes(survivors_per_row) if scorable else np.zeros(len(texts), np.uint8)
         g_lb = lb_rows[g_row]
 
-        # positions list column (only when the field stores positions)
+        # positions column: per-posting varint(count)+delta stream
         if keep_pos and ks.size:
-            offsets = np.r_[0, np.cumsum(gcount)].astype(np.int32)
-            pos_col = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()),
-                pa.array(p_f[order].astype(np.uint32), pa.uint32()),
-            )
+            p_s = p_f[order].astype(np.uint64)
+            deltas = np.empty_like(p_s)
+            if p_s.size:
+                deltas[0] = p_s[0]
+                np.subtract(p_s[1:], p_s[:-1], out=deltas[1:])
+                deltas[gstart] = p_s[gstart]
+            ng = len(gstart)
+            # interleave count + deltas: count of group g sits at gstart[g]+g
+            cpos = gstart + np.arange(ng)
+            comb = np.empty(ng + p_s.size, dtype=np.uint64)
+            comb[cpos] = gcount.astype(np.uint64)
+            mask = np.ones(comb.size, dtype=bool)
+            mask[cpos] = False
+            comb[mask] = deltas
+            buf, off = encode_varints_with_offsets(comb)
+            bounds = off[np.append(cpos, comb.size)]
+            pos_col = binary_array_from_offsets(buf, bounds, large=False)
         else:
-            pos_col = pa.nulls(len(gstart), pa.list_(pa.uint32()))
+            pos_col = pa.nulls(len(gstart), pa.binary())
 
         out["field"].append(pa.array(np.full(len(gstart), fname, dtype=object), pa.string()))
         out["term"].append(
@@ -232,7 +248,7 @@ class Tokenizer:
             out["term"].append(pa.array([LEN_SENTINEL] * v.size, pa.string()))
             out["docnum"].append(pa.array(docnums[v].astype(np.uint64), pa.uint64()))
             out["weight"].append(pa.array(survivors_per_row[v].astype(np.float32), pa.float32()))
-            out["positions"].append(pa.nulls(v.size, pa.list_(pa.uint32())))
+            out["positions"].append(pa.nulls(v.size, pa.binary()))
             out["len_byte"].append(pa.array(lb_rows[v], pa.uint8()))
             out["shard"].append(pa.array((docnums[v] % R).astype(np.int32), pa.int32()))
 
@@ -260,14 +276,12 @@ class Tokenizer:
         out["docnum"].append(pa.array(docnums[idx].astype(np.uint64), pa.uint64()))
         out["weight"].append(pa.array(np.full(idx.size, boost, dtype=np.float32), pa.float32()))
         if keep_pos:
+            # every id posting is one token at position 1: stream = [1, 1]
             out["positions"].append(
-                pa.ListArray.from_arrays(
-                    pa.array(np.arange(idx.size + 1, dtype=np.int32), pa.int32()),
-                    pa.array(np.ones(idx.size, dtype=np.uint32), pa.uint32()),
-                )
+                pa.array([b"\x01\x01"] * idx.size, pa.binary())
             )
         else:
-            out["positions"].append(pa.nulls(idx.size, pa.list_(pa.uint32())))
+            out["positions"].append(pa.nulls(idx.size, pa.binary()))
         out["len_byte"].append(pa.array(np.zeros(idx.size, dtype=np.uint8), pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -327,7 +341,16 @@ class Tokenizer:
                     terms_out.append(term)
                     docs_out.append(docnum)
                     weights_out.append(w)
-                    pos_out.append(poss if keep_pos else None)
+                    if keep_pos:
+                        pp = np.asarray(poss, dtype=np.uint64)
+                        stream = np.empty(pp.size + 1, dtype=np.uint64)
+                        stream[0] = pp.size
+                        if pp.size:
+                            stream[1] = pp[0]
+                            np.subtract(pp[1:], pp[:-1], out=stream[2:])
+                        pos_out.append(encode_varints(stream))
+                    else:
+                        pos_out.append(None)
                     lens_out.append(lb)
                     n_salts = salted.get((fname, term))
                     if n_salts:
@@ -349,6 +372,6 @@ class Tokenizer:
         out["term"].append(pa.array(terms_out, type=pa.string()))
         out["docnum"].append(pa.array(docs_out, type=pa.uint64()))
         out["weight"].append(pa.array(weights_out, type=pa.float32()))
-        out["positions"].append(pa.array(pos_out, type=pa.list_(pa.uint32())))
+        out["positions"].append(pa.array(pos_out, type=pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))
