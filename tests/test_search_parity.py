@@ -250,3 +250,22 @@ def test_nested_boolean(our_index, whoosh_index, wq):
         [wq.And([wq.Term("text", MID), wq.Term("text", COMMON)]), wq.Term("text", RARE, boost=0.5)]
     )
     both(our_index, whoosh_index, q, w, limit=30)
+
+
+def test_fuzzyterm(our_index, whoosh_index, wq):
+    from whoosh_reloaded_ray.query import FuzzyTerm
+
+    for maxdist, plen in [(1, 1), (2, 1), (2, 2)]:
+        q = FuzzyTerm("text", MID, maxdist=maxdist, prefixlength=plen)
+        w = wq.FuzzyTerm("text", MID, maxdist=maxdist, prefixlength=plen)
+        both(our_index, whoosh_index, q, w)
+
+
+def test_fuzzyterm_parser():
+    from whoosh_reloaded_ray.query import FuzzyTerm
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    p = QueryParser("text", transcript_schema())
+    assert p.parse("hello~") == FuzzyTerm("text", "hello", maxdist=1)
+    assert p.parse("hello~2") == FuzzyTerm("text", "hello", maxdist=2)

@@ -4,6 +4,7 @@ from .ast import (  # noqa: F401
     AndNot,
     DisMax,
     Every,
+    FuzzyTerm,
     Not,
     NumericRange,
     Or,

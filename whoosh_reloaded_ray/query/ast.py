@@ -133,6 +133,25 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class FuzzyTerm(Query):
+    """Matches terms within ``maxdist`` edits sharing ``prefixlength``
+    leading chars (reference query/terms.py:436-500; constant-score
+    multiterm expansion)."""
+
+    field: str = "text"
+    text: str = ""
+    maxdist: int = 1
+    prefixlength: int = 1
+
+    def __init__(self, field, text, maxdist=1, prefixlength=1, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "text", text)
+        object.__setattr__(self, "maxdist", maxdist)
+        object.__setattr__(self, "prefixlength", prefixlength)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class Prefix(Query):
     field: str = "text"
     text: str = ""

@@ -750,6 +750,17 @@ def _wildcard_to_regex(pat: str) -> str:
     return "".join(out)
 
 
+def _eval_fuzzyterm(reader, q, ctx, scored):
+    from .suggest import levenshtein_within
+
+    pre = q.text[: q.prefixlength]
+    cands = reader.expand_terms(
+        q.field, start=pre or None, end=(pre + "\uffff") if pre else None
+    )
+    terms = [t for t in cands if levenshtein_within(q.text, t, q.maxdist)]
+    return _expand_to_or(reader, q, ctx, scored, terms)
+
+
 def _eval_termrange(reader, q: ast.TermRange, ctx, scored):
     terms = reader.expand_terms(q.field, q.start, q.end, q.startexcl, q.endexcl)
     return _expand_to_or(reader, q, ctx, scored, terms)
@@ -807,5 +818,6 @@ _EVAL = {
     "Prefix": _eval_prefix,
     "Wildcard": _eval_wildcard,
     "TermRange": _eval_termrange,
+    "FuzzyTerm": _eval_fuzzyterm,
     "NumericRange": _eval_numericrange,
 }

@@ -274,6 +274,14 @@ class QueryParser:
         is_numeric = spec is not None and spec.kind in ("numeric", "datetime")
         if text == "*":
             return ast.Every(field)
+        fm = re.match(r"^(.+?)~(\d*)$", text)
+        if fm and not is_numeric:
+            base = fm.group(1)
+            maxdist = int(fm.group(2)) if fm.group(2) else 1
+            words = self._analyze(field, base)
+            if not words:
+                return None
+            return ast.FuzzyTerm(field, words[0], maxdist=maxdist)
         if "*" in text or "?" in text:
             # Wildcard.normalize: plain text -> Term, trailing-* only -> Prefix
             if not is_numeric:

@@ -293,6 +293,14 @@ class IndexSearcher:
             spec = (q.field, q.start, q.end, q.startexcl, q.endexcl)
             terms = self._expand([spec])[spec]
             return self._multiterm(q.field, terms, q.boost)
+        if isinstance(q, ast.FuzzyTerm):
+            from ..query.suggest import levenshtein_within
+
+            pre = q.text[: q.prefixlength]
+            spec = (q.field, pre or None, (pre + "\uffff") if pre else None, False, False)
+            cands = self._expand([spec])[spec]
+            terms = [t for t in cands if levenshtein_within(q.text, t, q.maxdist)]
+            return self._multiterm(q.field, terms, q.boost)
         # recurse
         if isinstance(q, (ast.And, ast.Or, ast.DisMax)):
             subs = [self._rewrite(s) for s in q.subqueries]
