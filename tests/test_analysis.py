@@ -134,3 +134,72 @@ def test_stemming_analyzer_parity(whoosh, rng):
     theirs = StemmingAnalyzer()
     for text in SAMPLES + random_texts(rng, 100):
         assert ours(text) == whoosh_tokens(whoosh, theirs, text), repr(text)
+
+
+def test_fancy_analyzer_parity(whoosh, rng):
+    """FancyAnalyzer (IntraWordFilter + whitespace tokenizer) token/pos
+    parity across split and merge configurations."""
+    from whoosh.analysis import FancyAnalyzer
+
+    from whoosh_reloaded_ray.functions.analysis import fancy_analyzer, make_analyzer
+
+    samples = [
+        "Should I call getInt or get_real?",
+        "PowerShot SD500 and the Wi-Fi AutoCoder",
+        "Super-Duper-XL500-42-AutoCoder!",
+        "A's+B's&C's O'Neil's laptop",
+        "mixedCASE camelCaseWords under_scored dashed-words",
+        "numbers 123abc abc123 12ab34cd",
+        "'leading 'quoted' trailing' x",
+        "ALLCAPS lowercase MiXeD 42",
+    ]
+    for mergewords, mergenums in [(False, False), (True, False), (True, True)]:
+        wana = FancyAnalyzer(mergewords=mergewords, mergenums=mergenums)
+        ours = make_analyzer(
+            fancy_analyzer(mergewords=mergewords, mergenums=mergenums)
+        )
+        for text in samples:
+            theirs = [(t.text, t.pos) for t in wana(text, positions=True)]
+            assert ours(text) == theirs, (mergewords, mergenums, text)
+
+
+def test_word_combination_filters(whoosh):
+    """CompoundWord / BiWord / Shingle filter parity on token streams."""
+    from whoosh.analysis import (
+        BiWordFilter,
+        CompoundWordFilter,
+        RegexTokenizer,
+        ShingleFilter,
+    )
+
+    from whoosh_reloaded_ray.functions.analysis import (
+        biword_filter,
+        compound_word_filter,
+        shingle_filter,
+    )
+
+    rt = RegexTokenizer(r"\S+")
+
+    def wtoks(chain, text):
+        return [(t.text, t.pos) for t in chain(text, positions=True)]
+
+    base = lambda text: [(t.text, t.pos) for t in rt(text, positions=True)]
+
+    text = "I do not like greeneggs and ham turbosquid"
+    ws = {"green", "eggs", "turbo", "squid", "ham"}
+    for keep in (True, False):
+        theirs = wtoks(rt | CompoundWordFilter(ws, keep_compound=keep), text)
+        ours = compound_word_filter(base(text), ws, keep_compound=keep)
+        assert ours == theirs, keep
+
+    text2 = "the sign of four"
+    assert biword_filter(base(text2)) == wtoks(rt | BiWordFilter(), text2)
+    assert biword_filter(base("single")) == wtoks(rt | BiWordFilter(), "single")
+
+    text3 = "better a witty fool than a foolish wit"
+    for size in (2, 3):
+        theirs = wtoks(rt | ShingleFilter(size, "-"), text3)
+        assert shingle_filter(base(text3), size=size, sep="-") == theirs
+    assert shingle_filter(base("two words"), size=3) == wtoks(
+        rt | ShingleFilter(3, "-"), "two words"
+    )

@@ -60,6 +60,9 @@ class AnalyzerSpec:
     # ngram analyzer
     ngram_min: int = 2
     ngram_max: int = 4
+    # fancy analyzer (IntraWordFilter merge options)
+    mergewords: bool = False
+    mergenums: bool = False
 
 
 def standard_analyzer(
@@ -155,6 +158,9 @@ def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
             return res
 
         return analyze
+
+    if kind == "fancy":
+        return make_fancy(spec)
 
     if kind == "id":
 
@@ -387,3 +393,225 @@ def porter_stem(w: str) -> str:
     if first_is_y:
         w = "y" + w[1:]
     return w
+
+
+# ---------------------------------------------------------------------------
+# IntraWordFilter / FancyAnalyzer (reference analysis/intraword.py:221-509,
+# analyzers.py:238-263) and the compound/biword/shingle word filters.
+# Behavioral reimplementations over (text, pos) token streams.
+# ---------------------------------------------------------------------------
+
+_IW_DELIMS = "-_'\"()!@#$%^&*[]{}<>\\|;:,./?`~=+"
+_IW_BETWEEN = re.compile(f"[^{re.escape(_IW_DELIMS)}]+", re.UNICODE)
+# possessive 's between a letter and end/delimiter; str.isalpha-based letter
+# classes match the reference's unicode tables for practical inputs
+_IW_POSSESSIVE = re.compile(
+    f"(?<=[^\\W\\d_])'[Ss](?=$|[{re.escape(_IW_DELIMS)}])", re.UNICODE
+)
+
+
+def _iw_transitions(s: str, splitwords: bool, splitnums: bool):
+    """Indices of case / letter-digit transition pivots inside s."""
+    out = []
+    for i in range(len(s) - 1):
+        a, b = s[i], s[i + 1]
+        if splitwords and a.islower() and b.isupper():
+            out.append(i + 1)
+        elif splitnums and (
+            (a.isalpha() and b.isdigit()) or (a.isdigit() and b.isalpha())
+        ):
+            out.append(i + 1)
+    return out
+
+
+def _iw_split(text: str, splitwords: bool, splitnums: bool):
+    """(startchar, endchar) subword ranges (reference _split)."""
+    if "'" in text:
+        dispos = []
+        prev = 0
+        for m in _IW_POSSESSIVE.finditer(text):
+            dispos.append((prev, m.start()))
+            prev = m.end()
+        if prev < len(text):
+            dispos.append((prev, len(text)))
+    else:
+        dispos = ((0, len(text)),)
+    splitting = splitwords or splitnums
+    for sc, ec in dispos:
+        for pm in _IW_BETWEEN.finditer(text, sc, ec):
+            ps, pe = pm.start(), pm.end()
+            if splitting:
+                prev = ps
+                for pivot in _iw_transitions(text[ps:pe], splitwords, splitnums):
+                    yield (prev, ps + pivot)
+                    prev = ps + pivot
+                if prev < pe:
+                    yield (prev, pe)
+            else:
+                yield (ps, pe)
+
+
+def _iw_merge(parts, mergewords: bool, mergenums: bool):
+    """In-place merged-run insertion (reference _merge)."""
+    last = 0
+    insertat = 0
+    buf = []
+    pos = 0
+
+    def insert_item(at, newpos):
+        newtext = "".join(item[0] for item in buf)
+        parts.insert(at, (newtext, newpos))
+
+    for item in list(parts):
+        text, pos = item
+        if text.isalpha():
+            this = 1
+        elif text.isdigit():
+            this = 2
+        else:
+            this = None
+        if buf and ((this == last == 1 and mergewords) or (this == last == 2 and mergenums)):
+            buf.append(item)
+        else:
+            if len(buf) > 1:
+                insert_item(insertat, pos - 1)
+                insertat += 1
+            buf = [item]
+            last = this
+        insertat += 1
+    if len(buf) > 1:
+        insert_item(len(parts), pos)
+
+
+def _intraword(tokens, splitwords=True, splitnums=True, mergewords=False, mergenums=False):
+    """[(text, pos)] -> expanded [(text, pos)] (reference __call__)."""
+    out = []
+    newpos = None
+    for text, pos in tokens:
+        if newpos is None:
+            newpos = pos
+        if (text.isalpha() and (text.islower() or text.isupper())) or text.isdigit():
+            out.append((text, newpos))
+            newpos += 1
+        else:
+            ranges = list(_iw_split(text, splitwords, splitnums))
+            parts = [(text[sc:ec], i + newpos) for i, (sc, ec) in enumerate(ranges)]
+            if len(parts) > 1 and (mergewords or mergenums):
+                _iw_merge(parts, mergewords, mergenums)
+            out.extend(parts)
+            if parts:
+                newpos = parts[-1][1] + 1
+    return out
+
+
+def fancy_analyzer(
+    stopwords: Optional[frozenset] = STOP_WORDS,
+    minsize: int = 2,
+    mergewords: bool = False,
+    mergenums: bool = False,
+) -> AnalyzerSpec:
+    """Whitespace tokenize | IntraWordFilter | lowercase | stop filter
+    (reference FancyAnalyzer)."""
+    return AnalyzerSpec(
+        kind="fancy",
+        stopwords=stopwords,
+        minsize=minsize,
+        mergewords=mergewords,
+        mergenums=mergenums,
+    )
+
+
+def make_fancy(spec: AnalyzerSpec) -> AnalyzeFn:
+    ws = re.compile(r"\s+", re.UNICODE)
+    stops = spec.stopwords
+    minsize = spec.minsize
+    maxsize = spec.maxsize
+    mergewords = spec.mergewords
+    mergenums = spec.mergenums
+
+    def analyze(text: str) -> list:
+        if not text:
+            return []
+        raw = [w for w in ws.split(text) if w]
+        toks = _intraword(
+            list(zip(raw, range(len(raw)))),
+            mergewords=mergewords,
+            mergenums=mergenums,
+        )
+        toks = [(t.lower(), p) for t, p in toks]
+        # StopFilter(renumber=True) over the intraword positions: first
+        # survivor keeps ITS position, the rest go consecutive
+        out = []
+        pos = None
+        for t, p in toks:
+            lt = len(t)
+            if lt >= minsize and (maxsize is None or lt <= maxsize) and (
+                stops is None or t not in stops
+            ):
+                pos = p if pos is None else pos + 1
+                out.append((t, pos))
+        return out
+
+    return analyze
+
+
+# ---- word-combination filters over (text, pos) streams --------------------
+
+
+def compound_word_filter(tokens, wordset, keep_compound=True):
+    """Break run-together words present in ``wordset`` (reference
+    CompoundWordFilter; subwords keep the original token's position)."""
+    memo: dict = {}
+
+    def subwords(s):
+        if s in wordset:
+            return [s]
+        if s in memo:
+            return memo[s]
+        for i in range(1, len(s)):
+            if s[:i] in wordset:
+                rest = subwords(s[i:])
+                if rest:
+                    memo[s] = [s[:i]] + rest
+                    return memo[s]
+        return None
+
+    out = []
+    for t, p in tokens:
+        subs = subwords(t)
+        if subs:
+            if len(subs) > 1 and keep_compound:
+                out.append((t, p))
+            out.extend((s, p) for s in subs)
+        else:
+            out.append((t, p))
+    return out
+
+
+def biword_filter(tokens, sep="-"):
+    """Adjacent-pair tokens at the FIRST word's position (reference
+    BiWordFilter; single-token streams pass through)."""
+    out = []
+    prev = None
+    for t, p in tokens:
+        if prev is not None:
+            out.append((prev[0] + sep + t, prev[1]))
+        prev = (t, p)
+    if not out and prev is not None:
+        out.append(prev)
+    return out
+
+
+def shingle_filter(tokens, size=2, sep="-"):
+    """Sliding word n-grams at the window's first position (reference
+    ShingleFilter; short streams emit one joined token)."""
+    out = []
+    buf = []
+    for t, p in tokens:
+        buf.append((t, p))
+        if len(buf) == size:
+            out.append((sep.join(x[0] for x in buf), buf[0][1]))
+            buf.pop(0)
+    if not out and buf:
+        out.append((sep.join(x[0] for x in buf), buf[0][1]))
+    return out

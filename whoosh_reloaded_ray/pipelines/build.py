@@ -175,6 +175,12 @@ def _build_segment(
     salted_serial: dict = {}
     for (f, t), n in (salted_terms or {}).items():
         salted_serial.setdefault(f, {})[t] = int(n)
+    import glob as _glob
+
+    seg_bytes = sum(
+        os.path.getsize(f) for f in _glob.glob(os.path.join(seg_dir, "*.parquet"))
+    )
+    elapsed = time.time() - t0
     meta = SegmentMeta(
         name=name,
         doc_base=doc_base,
@@ -185,6 +191,11 @@ def _build_segment(
         n_terms=int(summary["n_terms"].sum()) if len(summary) else 0,
         n_postings=int(summary["n_postings"].sum()) if len(summary) else 0,
         salted_terms=salted_serial,
+        metrics={
+            "build_secs": round(elapsed, 3),
+            "rows_per_sec": round(doc_count / elapsed, 1) if elapsed else None,
+            "index_bytes": seg_bytes,
+        },
     )
     logger.info(
         "built %s: %d docs, %d postings in %.1fs",

@@ -40,6 +40,9 @@ class SegmentMeta:
     # hot-term salt config used at build time: {field: {term: n_salts}};
     # the reader needs it to find a salted term's sub-shards
     salted_terms: dict = field(default_factory=dict)
+    # build metrics for observability/resume audits: wall seconds, posting
+    # bytes written, rows/s (north-rule: per-partition lineage AND metrics)
+    metrics: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -52,6 +55,7 @@ class SegmentMeta:
             "n_terms": self.n_terms,
             "n_postings": self.n_postings,
             "salted_terms": self.salted_terms,
+            "metrics": self.metrics,
         }
 
     @staticmethod
@@ -59,6 +63,7 @@ class SegmentMeta:
         d = dict(d)
         d["partitions"] = [Partition.from_dict(p) for p in d["partitions"]]
         d.setdefault("salted_terms", {})
+        d.setdefault("metrics", {})
         return SegmentMeta(**d)
 
 
