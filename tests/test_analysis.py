@@ -203,3 +203,45 @@ def test_word_combination_filters(whoosh):
     assert shingle_filter(base("two words"), size=3) == wtoks(
         rt | ShingleFilter(3, "-"), "two words"
     )
+
+
+def test_small_filters_and_path_tokenizer(whoosh):
+    from whoosh.analysis import (
+        DelimitedAttributeFilter,
+        PathTokenizer,
+        RegexTokenizer,
+        ReverseTextFilter,
+        StripFilter,
+        SubstitutionFilter,
+    )
+
+    from whoosh_reloaded_ray.functions.analysis import (
+        delimited_attribute_filter,
+        path_tokenize,
+        reverse_text_filter,
+        strip_filter,
+        substitution_filter,
+    )
+
+    rt = RegexTokenizer(r"\S+")
+    base = lambda text: [(t.text, t.pos) for t in rt(text, positions=True)]
+    text = "ab-cd ef-gh ij"
+
+    theirs = [(t.text, t.pos) for t in (rt | ReverseTextFilter())(text, positions=True)]
+    assert reverse_text_filter(base(text)) == theirs
+
+    theirs = [(t.text, t.pos) for t in (rt | SubstitutionFilter("-", ""))(text, positions=True)]
+    assert substitution_filter(base(text), "-", "") == theirs
+
+    theirs = [(t.text, t.pos) for t in (rt | StripFilter())(text, positions=True)]
+    assert strip_filter(base(text)) == theirs
+
+    btext = "image render^2 file^0.5"
+    theirs = [
+        (t.text, t.pos, t.boost)
+        for t in (rt | DelimitedAttributeFilter())(btext, positions=True)
+    ]
+    assert delimited_attribute_filter(base(btext)) == theirs
+
+    ptheirs = [(t.text, t.pos) for t in PathTokenizer()("/a/b/c", positions=True)]
+    assert path_tokenize("/a/b/c") == ptheirs

@@ -108,3 +108,59 @@ def test_filter_scores_unchanged(pair):
     by_doc = dict(zip(full["docnum"].to_pylist(), full["score"].to_pylist()))
     for d, s in zip(filt["docnum"].to_pylist(), filt["score"].to_pylist()):
         assert s == by_doc[d]
+
+
+def test_vector_parity(pair, whoosh, tmp_path_factory):
+    """vector() parity vs whoosh vector_as('weight') on a vectored field."""
+    ours, _ = pair
+    from whoosh import fields, index
+
+    wdir = str(tmp_path_factory.mktemp("vecwhoosh"))
+    schema = fields.Schema(key=fields.ID(stored=True), body=fields.TEXT(vector=True))
+    ix = index.create_in(wdir, schema)
+    w = ix.writer()
+    rows = [
+        ("A", "alfa bravo charlie alfa"),
+        ("B", "bravo charlie delta bravo bravo"),
+    ]
+    for k, b in rows:
+        w.add_document(key=k, body=b)
+    w.commit()
+    # ours: fresh 2-doc index over the same rows
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+    d = tmp_path_factory.mktemp("veccorpus")
+    path = str(d / "docs.parquet")
+    pq.write_table(
+        pa.table({"key": pa.array([r[0] for r in rows]), "body": pa.array([r[1] for r in rows])}),
+        path,
+    )
+    idx = str(tmp_path_factory.mktemp("vecidx"))
+    build_index([path], idx, schema=IndexSchema(fields=[id_field("key"), text_field("body")]),
+                num_shards=2, partition_rows=8)
+    s = IndexSearcher(idx)
+    with ix.searcher() as ws:
+        for docnum in (0, 1):
+            theirs = sorted(ws.vector_as("weight", docnum, "body"))
+            assert s.vector(docnum, "body") == [(t, float(wt)) for t, wt in theirs]
+
+
+def test_search_timelimit(pair):
+    ours, _ = pair
+    from whoosh_reloaded_ray.query import Term
+    from whoosh_reloaded_ray.state.searcher import TimeLimitExceeded
+
+    # generous limit: completes
+    res = ours.search(Term("body", "charlie"), limit=5, timelimit=30.0)
+    assert res.num_rows > 0
+    # zero budget: raises with (possibly empty) partial results
+    import pytest as _pytest
+
+    with _pytest.raises(TimeLimitExceeded) as ei:
+        ours.search(Term("body", "charlie"), limit=5, timelimit=0.0)
+    assert hasattr(ei.value, "partial")

@@ -615,3 +615,44 @@ def shingle_filter(tokens, size=2, sep="-"):
     if not out and buf:
         out.append((sep.join(x[0] for x in buf), buf[0][1]))
     return out
+
+
+# ---- small stream filters + path tokenizer (reference analysis/filters.py
+# 239-274, 419-528; tokenizers.py:345-362) ----------------------------------
+
+
+def strip_filter(tokens):
+    """str.strip() each token text (reference StripFilter)."""
+    return [(t.strip(), p) for t, p in tokens]
+
+
+def reverse_text_filter(tokens):
+    """Reverse each token text (reference ReverseTextFilter — used for
+    leading-wildcard fields)."""
+    return [(t[::-1], p) for t, p in tokens]
+
+
+def substitution_filter(tokens, pattern, replacement):
+    """re.sub on each token text (reference SubstitutionFilter)."""
+    pat = re.compile(pattern, re.UNICODE)
+    return [(pat.sub(replacement, t), p) for t, p in tokens]
+
+
+def delimited_attribute_filter(tokens, delimiter="^", default=1.0, typ=float):
+    """Split a trailing ``^value`` payload off each token (reference
+    DelimitedAttributeFilter); returns [(text, pos, value)]."""
+    out = []
+    for t, p in tokens:
+        i = t.find(delimiter)
+        if i >= 0:
+            out.append((t[:i], p, typ(t[i + len(delimiter):])))
+        else:
+            out.append((t, p, default))
+    return out
+
+
+def path_tokenize(value: str, expression: str = "[^/]+"):
+    """"/a/b/c" -> [("/a", 0), ("/a/b", 1), ("/a/b/c", 2)] (reference
+    PathTokenizer)."""
+    pat = re.compile(expression, re.UNICODE)
+    return [(value[: m.end()], i) for i, m in enumerate(pat.finditer(value))]

@@ -131,6 +131,16 @@ class _SegmentWorker:
         )
 
 
+class TimeLimitExceeded(Exception):
+    """Raised when a ``timelimit`` search runs over budget (reference
+    TimeLimitCollector, collectors.py:1012-1110); ``partial`` carries the
+    results collected so far."""
+
+    def __init__(self, partial: pa.Table):
+        super().__init__("search time limit exceeded")
+        self.partial = partial
+
+
 class IndexSearcher:
     def __init__(
         self,
@@ -229,6 +239,23 @@ class IndexSearcher:
             self, fieldname, text, numterms=numterms,
             model=model or expand.Bo1Model, normalize=normalize,
         )
+
+    def vector(self, docnum: int, fieldname: str) -> list:
+        """Per-doc (term, weight) pairs sorted by term — the reference's
+        ``vector_as("weight", docnum, field)``.  Derived by re-analyzing the
+        source row (the source parquet IS the forward index; nothing extra
+        is stored)."""
+        from collections import Counter
+
+        from ..functions.analysis import make_analyzer
+        from ..sources.corpus import fetch_rows
+
+        spec = next(f for f in self.manifest.schema.fields if f.name == fieldname)
+        rows = fetch_rows(self.manifest.partitions, [docnum], columns=[fieldname])
+        text = rows[fieldname][0].as_py() or ""
+        toks = make_analyzer(spec.analyzer)(text)
+        ctr = Counter(t for t, _ in toks)
+        return sorted((t, float(c * spec.boost)) for t, c in ctr.items())
 
     def more_like(self, docnum, fieldname, limit=10, numterms=5, model=None):
         from ..query import expand
@@ -366,13 +393,20 @@ class IndexSearcher:
         scored: bool = True,
         filter: ast.Query | None = None,
         mask: ast.Query | None = None,
+        timelimit: float | None = None,
     ) -> pa.Table:
         """Top-`limit` (or all, limit=None) matches as an Arrow table
         (docnum:uint64, score:float64) ordered by (-score, docnum).
 
         ``filter`` restricts results to docs matching it; ``mask`` excludes
         docs matching it (reference search(filter=..., mask=...)); scores
-        are unaffected."""
+        are unaffected.  ``timelimit`` (seconds) raises
+        :class:`TimeLimitExceeded` with partial results if evaluation runs
+        over budget (checked between segments, like the reference's
+        matcher-step checks)."""
+        import time as _time
+
+        t0 = _time.perf_counter() if timelimit is not None else None
         allowed = forbidden = None
         if filter is not None:
             allowed = self.search(filter, limit=None, scored=False)["docnum"].to_numpy()
@@ -389,8 +423,29 @@ class IndexSearcher:
             )
             docs = np.concatenate([p[0] for p in parts])
             scores = np.concatenate([p[1] for p in parts])
+        elif timelimit is not None:
+            docs_l, scores_l = [], []
+            for r in self.local.readers:
+                if _time.perf_counter() - t0 > timelimit:
+                    partial = self._format_results(
+                        np.concatenate(docs_l) if docs_l else np.empty(0, np.uint64),
+                        np.concatenate(scores_l) if scores_l else np.empty(0, np.float64),
+                        limit,
+                    )
+                    raise TimeLimitExceeded(partial)
+                w = _SegmentWorker.__new__(_SegmentWorker)
+                w.readers = [r]
+                w.excluded = self.local.excluded
+                d, sc = w.evaluate(q, ctx, limit, scored, allowed, forbidden)
+                docs_l.append(d)
+                scores_l.append(sc)
+            docs = np.concatenate(docs_l) if docs_l else np.empty(0, np.uint64)
+            scores = np.concatenate(scores_l) if scores_l else np.empty(0, np.float64)
         else:
             docs, scores = self.local.evaluate(q, ctx, limit, scored, allowed, forbidden)
+        return self._format_results(docs, scores, limit)
+
+    def _format_results(self, docs, scores, limit) -> pa.Table:
         order = np.lexsort((docs, -scores))
         if limit is not None:
             order = order[:limit]
