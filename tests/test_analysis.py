@@ -245,3 +245,17 @@ def test_small_filters_and_path_tokenizer(whoosh):
 
     ptheirs = [(t.text, t.pos) for t in PathTokenizer()("/a/b/c", positions=True)]
     assert path_tokenize("/a/b/c") == ptheirs
+
+
+def test_ngramwords_analyzer_parity(whoosh):
+    from whoosh.analysis import NgramWordAnalyzer
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, ngramwords_analyzer
+
+    texts = ["hello there world", "Tokenize THIS properly ok"]
+    for minsize, maxsize, at in [(3, None, None), (2, 4, None), (3, 5, "start"), (3, 5, "end")]:
+        wana = NgramWordAnalyzer(minsize, maxsize, at=at)
+        ours = make_analyzer(ngramwords_analyzer(minsize, maxsize, at=at))
+        for text in texts:
+            theirs = [(t.text, t.pos) for t in wana(text, positions=True)]
+            assert ours(text) == theirs, (minsize, maxsize, at, text)

@@ -63,6 +63,8 @@ class AnalyzerSpec:
     # fancy analyzer (IntraWordFilter merge options)
     mergewords: bool = False
     mergenums: bool = False
+    # ngramwords: take n-grams only from the 'start'/'end' of each word
+    ngram_at: Optional[str] = None
 
 
 def standard_analyzer(
@@ -91,6 +93,22 @@ def keyword_analyzer(lowercase: bool = False, commas: bool = False) -> "Analyzer
 def ngram_analyzer(minsize: int = 2, maxsize: int = 4) -> "AnalyzerSpec":
     """Character n-grams over the raw (lowercased) text, like NgramAnalyzer."""
     return AnalyzerSpec(kind="ngram", ngram_min=minsize, ngram_max=maxsize, stopwords=None, minsize=0)
+
+
+def ngramwords_analyzer(
+    minsize: int = 2, maxsize: Optional[int] = None, at: Optional[str] = None
+) -> AnalyzerSpec:
+    """RegexTokenizer | Lowercase | NgramFilter (reference
+    NgramWordAnalyzer, analysis/ngrams.py:247-250): word-wise n-grams that
+    keep each word's original position."""
+    return AnalyzerSpec(
+        kind="ngramwords",
+        stopwords=None,
+        minsize=0,
+        ngram_min=minsize,
+        ngram_max=maxsize or minsize,
+        ngram_at=at,
+    )
 
 
 def stemming_analyzer(
@@ -161,6 +179,33 @@ def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
 
     if kind == "fancy":
         return make_fancy(spec)
+
+    if kind == "ngramwords":
+        pat = re.compile(spec.pattern, re.UNICODE)
+        gmin, gmax, at = spec.ngram_min, spec.ngram_max, spec.ngram_at
+
+        def analyze_ngramwords(text: str) -> list:
+            if not text:
+                return []
+            out = []
+            for pos, w in enumerate(pat.findall(text)):
+                w = w.lower()
+                if len(w) < gmin:
+                    continue
+                if at == "start":
+                    for size in range(gmin, min(gmax, len(w)) + 1):
+                        out.append((w[:size], pos))
+                elif at == "end":
+                    for i in range(max(0, len(w) - gmax), len(w) - gmin + 1):
+                        out.append((w[i:], pos))
+                else:
+                    for start in range(0, len(w) - gmin + 1):
+                        for size in range(gmin, gmax + 1):
+                            if start + size <= len(w):
+                                out.append((w[start : start + size], pos))
+            return out
+
+        return analyze_ngramwords
 
     if kind == "id":
 
