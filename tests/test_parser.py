@@ -19,6 +19,7 @@ from whoosh_reloaded_ray.schema import transcript_schema
 from whoosh_reloaded_ray.sources.corpus import generate_transcripts
 from whoosh_reloaded_ray.state.searcher import IndexSearcher
 
+
 N_TURNS = 800
 
 
@@ -154,3 +155,70 @@ def test_parser_structure():
     q = p.parse('"x1 y1"~2')
     assert isinstance(q, Phrase) and q.slop == 2
     assert p.parse("the") == Or([])  # stopword removed -> null query
+
+
+def test_multifield_parser(ray_session, whoosh, tmp_path_factory):
+    """MultifieldParser parity: unfielded words fan out over fields."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.query.parser import MultifieldParser
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+
+    rows = [
+        ("A", "yellow brown fox", "blue red green"),
+        ("B", "alpha beta", "yellow delta"),
+        ("C", "one two", "three four"),
+        ("D", "quick brown", "every red town"),
+    ]
+    d = tmp_path_factory.mktemp("mfcorpus")
+    path = str(d / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array([r[0] for r in rows]),
+                "name": pa.array([r[1] for r in rows]),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path_factory.mktemp("mfidx"))
+    build_index(
+        [path], idx,
+        schema=IndexSchema(fields=[id_field("key"), text_field("name"), text_field("value")]),
+        num_shards=2, partition_rows=8,
+    )
+    ours_s = IndexSearcher(idx)
+
+    from whoosh import fields, index
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    wdir = str(tmp_path_factory.mktemp("mfwhoosh"))
+    ix = index.create_in(
+        wdir,
+        fields.Schema(key=fields.ID(stored=True), name=fields.TEXT, value=fields.TEXT),
+    )
+    w = ix.writer()
+    for k, n, v in rows:
+        w.add_document(key=k, name=n, value=v)
+    w.commit()
+
+    mfp = MultifieldParser(["name", "value"], transcript_schema_2())
+    for qs in ["yellow", "yellow red", "brown OR three", "name:alpha yellow", '"every red"']:
+        ours = mfp.parse(qs)
+        wq = WMFP(["name", "value"], ix.schema).parse(qs)
+        a = ours_s.search(ours, limit=None)
+        with ix.searcher() as s:
+            theirs = [(h.docnum, h.score) for h in s.search(wq, limit=None)]
+        assert a["docnum"].to_pylist() == [d_ for d_, _ in theirs], qs
+        np.testing.assert_allclose(
+            a["score"].to_pylist(), [sc for _, sc in theirs], atol=1e-6
+        )
+
+
+def transcript_schema_2():
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+
+    return IndexSchema(fields=[id_field("key"), text_field("name"), text_field("value")])

@@ -396,3 +396,54 @@ class _Boosted:
     def __init__(self, node, boost):
         self.node = node
         self.boost = boost
+
+
+_MULTI = "\x00multi"
+
+
+class MultifieldParser(QueryParser):
+    """Unfielded clauses search an OR over several fields (reference
+    MultifieldParser / MultifieldPlugin, qparser/default.py:393-412:
+    "hello there" -> (f1:hello OR f2:hello) AND (f1:there OR f2:there);
+    optional per-field boosts)."""
+
+    def __init__(self, fieldnames, schema: IndexSchema, fieldboosts=None, group: str = "and"):
+        super().__init__(_MULTI, schema, group=group)
+        self.multifields = list(fieldnames)
+        self.fieldboosts = fieldboosts or {}
+
+    def _fan(self, make):
+        subs = []
+        for f in self.multifields:
+            q = make(f)
+            if q is None:
+                continue
+            boost = self.fieldboosts.get(f, 1.0)
+            if boost != 1.0:
+                q = _apply_boost(q, boost)
+            subs.append(q)
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return ast.Or(subs)
+
+    def _word_query(self, field, text):
+        if field != _MULTI:
+            return super()._word_query(field, text)
+        return self._fan(lambda f: super(MultifieldParser, self)._word_query(f, text))
+
+    def _to_query(self, node):
+        if isinstance(node, _PhraseNode) and node.field == _MULTI:
+            def mk(f):
+                return super(MultifieldParser, self)._to_query(
+                    _PhraseNode(f, node.text, node.slop)
+                )
+
+            return self._fan(mk)
+        if isinstance(node, _RangeNode) and node.field == _MULTI:
+            def mkr(f):
+                return super(MultifieldParser, self)._to_query(_RangeNode(f, node.text))
+
+            return self._fan(mkr)
+        return super()._to_query(node)
