@@ -269,3 +269,33 @@ def test_fuzzyterm_parser():
     p = QueryParser("text", transcript_schema())
     assert p.parse("hello~") == FuzzyTerm("text", "hello", maxdist=1)
     assert p.parse("hello~2") == FuzzyTerm("text", "hello", maxdist=2)
+
+
+def test_sequence(our_index, whoosh_index, wq):
+    """Sequence query (terms and a prefix child) — docnum parity; scores
+    compared for term-only sequences (span scoring matches summed terms)."""
+    import numpy as np
+
+    from whoosh_reloaded_ray.query import Prefix as OPrefix
+    from whoosh_reloaded_ray.query import Sequence, Term
+
+    # find an actually-adjacent pair from the corpus vocabulary: reuse the
+    # phrase pair (MID follows HOT somewhere in the corpus often); search
+    # with slop=3 to get non-empty results robustly
+    q = Sequence([Term("text", MID), Term("text", RARE)], slop=3)
+    w = wq.Sequence([wq.Term("text", MID), wq.Term("text", RARE)], slop=3)
+    t = our_index.search(q, limit=None)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, h.score) for h in s.search(w, limit=None)]
+    assert t["docnum"].to_pylist() == [d for d, _ in wres]
+    np.testing.assert_allclose(
+        t["score"].to_pylist(), [sc for _, sc in wres], atol=1e-6
+    )
+
+    # prefix child: docnum parity
+    q2 = Sequence([Term("text", MID), OPrefix("text", RARE[:2])], slop=2)
+    w2 = wq.Sequence([wq.Term("text", MID), wq.Prefix("text", RARE[:2])], slop=2)
+    t2 = our_index.search(q2, limit=None, scored=False)
+    with whoosh_index.searcher() as s:
+        wres2 = sorted(h.docnum for h in s.search(w2, limit=None))
+    assert sorted(t2["docnum"].to_pylist()) == wres2

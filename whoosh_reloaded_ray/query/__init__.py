@@ -12,6 +12,7 @@ from .ast import (  # noqa: F401
     Prefix,
     Query,
     Require,
+    Sequence,
     Term,
     TermRange,
     Wildcard,

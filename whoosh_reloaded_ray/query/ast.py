@@ -133,6 +133,27 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class Sequence(Query):
+    """Sub-queries matching at consecutive positions (reference
+    query/positional.py:36-121 Sequence -> SpanNear matcher tree); each
+    sub-query must be term-expandable in one field (Term / Prefix /
+    Wildcard / FuzzyTerm / Or-of-Terms)."""
+
+    subqueries: tuple = ()
+    slop: int = 1
+    ordered: bool = True
+
+    def __init__(self, subqueries, slop=1, ordered=True, boost=1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "ordered", ordered)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return tuple(self.subqueries)
+
+
+@dataclass(frozen=True)
 class FuzzyTerm(Query):
     """Matches terms within ``maxdist`` edits sharing ``prefixlength``
     leading chars (reference query/terms.py:436-500; constant-score

@@ -750,6 +750,82 @@ def _wildcard_to_regex(pat: str) -> str:
     return "".join(out)
 
 
+def _seq_child_terms(reader, q) -> tuple:
+    """(field, [terms]) for a term-expandable Sequence child."""
+    if isinstance(q, ast.Term):
+        return q.field, [q.text]
+    if isinstance(q, ast.Prefix):
+        return q.field, reader.expand_terms(q.field, q.text, q.text + "\uffff")
+    if isinstance(q, ast.Wildcard):
+        m = re.match(r"[^*?\[]*", q.pattern)
+        prefix = m.group(0)
+        cands = reader.expand_terms(
+            q.field, start=prefix or None, end=(prefix + "\uffff") if prefix else None
+        )
+        rex = re.compile(_wildcard_to_regex(q.pattern))
+        return q.field, [t for t in cands if rex.fullmatch(t)]
+    if isinstance(q, ast.FuzzyTerm):
+        from .suggest import levenshtein_within
+
+        pre = q.text[: q.prefixlength]
+        cands = reader.expand_terms(
+            q.field, start=pre or None, end=(pre + "\uffff") if pre else None
+        )
+        return q.field, [t for t in cands if levenshtein_within(q.text, t, q.maxdist)]
+    if isinstance(q, ast.ConstantTerms):
+        return q.field, list(q.termlist)
+    if isinstance(q, ast.Or) and all(isinstance(s, ast.Term) for s in q.subqueries):
+        fields = {s.field for s in q.subqueries}
+        if len(fields) == 1:
+            return fields.pop(), [s.text for s in q.subqueries]
+    raise TypeError(f"Sequence child not term-expandable: {q!r}")
+
+
+def _seq_child_keys(reader, q) -> np.ndarray:
+    """Sorted (doc << 32 | pos) keys of every occurrence of the child."""
+    field, terms = _seq_child_terms(reader, q)
+    keys = []
+    for t in terms:
+        pl = reader.postings(field, t, need_positions=True)
+        if pl is None:
+            continue
+        flat, counts = pl.positions_bulk(np.arange(pl.docs.size))
+        keys.append((np.repeat(pl.docs, counts) << np.uint64(32)) + flat)
+    if not keys:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(keys))
+
+
+def _eval_sequence(reader, q, ctx, scored):
+    """SpanNear-style chain: child i+1 must start 1..slop positions after
+    child i (ordered; the reference Sequence default)."""
+    reach = _seq_child_keys(reader, q.subqueries[0])
+    for s in q.subqueries[1:]:
+        if reach.size == 0:
+            return EMPTY
+        nxt = _seq_child_keys(reader, s)
+        hits = []
+        deltas = range(1, q.slop + 1) if q.ordered else [
+            d for d in range(-q.slop, q.slop + 1) if d != 0
+        ]
+        for d in deltas:
+            cand = reach + np.uint64(d) if d > 0 else reach - np.uint64(-d)
+            hits.append(cand[np.isin(cand, nxt)])
+        reach = np.unique(np.concatenate(hits)) if hits else np.empty(0, np.uint64)
+    if reach.size == 0:
+        return EMPTY
+    docs = np.unique(reach >> np.uint64(32))
+    if not scored:
+        return docs, np.ones(docs.size)
+    total = np.zeros(docs.size, dtype=np.float64)
+    for s in q.subqueries:
+        d, sc = evaluate(reader, s, ctx, scored=True)
+        idx = np.searchsorted(d, docs)
+        ok = (idx < d.size) & (d[np.minimum(idx, d.size - 1)] == docs)
+        total[ok] += sc[idx[ok]]
+    return _apply_boost((docs, total), q.boost)
+
+
 def _eval_fuzzyterm(reader, q, ctx, scored):
     from .suggest import levenshtein_within
 
@@ -819,5 +895,6 @@ _EVAL = {
     "Wildcard": _eval_wildcard,
     "TermRange": _eval_termrange,
     "FuzzyTerm": _eval_fuzzyterm,
+    "Sequence": _eval_sequence,
     "NumericRange": _eval_numericrange,
 }
