@@ -164,3 +164,37 @@ def test_search_timelimit(pair):
     with _pytest.raises(TimeLimitExceeded) as ei:
         ours.search(Term("body", "charlie"), limit=5, timelimit=0.0)
     assert hasattr(ei.value, "partial")
+
+
+def test_column_query(pair, whoosh, tmp_path_factory):
+    """ColumnQuery parity on a sortable/stored column."""
+    ours, _ = pair
+    from whoosh_reloaded_ray.query import ColumnQuery
+
+    res = ours.search(ColumnQuery("tag", "red"), limit=None, scored=False)
+    # docs A and F carry tag "red" in the fixture (docnums 0 and 5)
+    assert res["docnum"].to_pylist() == [0, 5]
+    # callable condition
+    res2 = ours.search(ColumnQuery("tag", lambda v: bool(v) and v.startswith("g")), limit=None)
+    assert res2["docnum"].to_pylist() == [2]
+
+    from whoosh import fields, index
+    from whoosh.query import ColumnQuery as WCQ
+
+    wdir = str(tmp_path_factory.mktemp("colwhoosh"))
+    schema = fields.Schema(
+        key=fields.ID(stored=True), tag=fields.ID(sortable=True)
+    )
+    ix = index.create_in(wdir, schema)
+    w = ix.writer()
+    for k, t in [("A", "red"), ("B", None), ("C", "green"), ("D", ""), ("E", "blue"), ("F", "red")]:
+        kw = {"key": k}
+        if t:
+            kw["tag"] = t
+        w.add_document(**kw)
+    w.commit()
+    # NB: the reference's ColumnMatcher.score crashes (no _score attr), so
+    # compare via the unscored Query.docs() path, as its own tests do
+    with ix.searcher() as s:
+        theirs = sorted(WCQ("tag", "red").docs(s))
+    assert res["docnum"].to_pylist() == theirs

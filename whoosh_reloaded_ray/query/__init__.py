@@ -2,6 +2,7 @@ from .ast import (  # noqa: F401
     And,
     AndMaybe,
     AndNot,
+    ColumnQuery,
     DisMax,
     Every,
     FuzzyTerm,

@@ -251,6 +251,21 @@ class ConstantTerms(Query):
 
 
 @dataclass(frozen=True)
+class ColumnQuery(Query):
+    """Docs whose stored column value equals ``condition`` (or satisfies it,
+    when callable) — reference qcolumns.py:32-106 over our native Parquet
+    columns; constant score 1.0."""
+
+    field: str = ""
+    condition: object = None
+
+    def __init__(self, field, condition, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "condition", condition)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class Every(Query):
     field: Optional[str] = None
 

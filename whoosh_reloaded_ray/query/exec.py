@@ -860,6 +860,16 @@ def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 
+def _eval_column(reader, q, ctx, scored):
+    vals = reader.column(q.field)
+    if callable(q.condition):
+        mask = np.array([bool(q.condition(v)) for v in vals])
+    else:
+        mask = np.array([v == q.condition for v in vals])
+    docs = reader.all_docnums()[mask]
+    return docs, np.full(docs.size, 1.0 * q.boost)
+
+
 def _eval_constant_terms(reader, q: ast.ConstantTerms, ctx, scored):
     docs_list = []
     for t in q.termlist:
@@ -896,5 +906,6 @@ _EVAL = {
     "TermRange": _eval_termrange,
     "FuzzyTerm": _eval_fuzzyterm,
     "Sequence": _eval_sequence,
+    "ColumnQuery": _eval_column,
     "NumericRange": _eval_numericrange,
 }
