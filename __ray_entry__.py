@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_turn": ft.sorted_by_turn,
         "suggest_misspelled": ft.suggest_misspelled,
         "top_terms_by_df": ft.top_terms_by_df,
+        "match_parsed_daterange": ft.match_parsed_daterange,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_by_turn": ft.oracle_sorted_by_turn(),
         "suggest_misspelled": ft.oracle_suggest_misspelled(),
         "top_terms_by_df": ft.oracle_top_terms_by_df(),
+        "match_parsed_daterange": ft.oracle_match_parsed_daterange(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -61,11 +61,13 @@ def _query_set():
     from whoosh_reloaded_ray.query import (
         And,
         DisMax,
+        FuzzyTerm,
         Not,
         NumericRange,
         Or,
         Phrase,
         Prefix,
+        Sequence,
         Term,
         TermRange,
         Wildcard,
@@ -82,6 +84,8 @@ def _query_set():
         "q_wildcard": Wildcard("text", "s?ar*"),
         "q_termrange": TermRange("text", "sa", "sc"),
         "q_numrange": And([Term("text", "join"), NumericRange("turn_idx", 1, 3)]),
+        "q_fuzzy": FuzzyTerm("text", "spak", maxdist=1),
+        "q_sequence": Sequence([Term("text", "key"), Term("text", "order")], slop=2),
     }
 
 

@@ -459,3 +459,31 @@ dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM exploded GROUP BY term)
 SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank
 FROM dfs ORDER BY df DESC, term ASC LIMIT 20
 """
+
+
+def match_parsed_daterange(sf_dir: str) -> pa.Table:
+    """Query-STRING search with a datetime range (exercises the parser +
+    columnar DateRange path): docs containing 'data' in the first 3
+    simulated minutes."""
+    from ..query import QueryParser
+    from ..schema import transcript_schema
+
+    s = get_searcher(sf_dir)
+    q = QueryParser("text", transcript_schema()).parse(
+        "ts:[2026-01-01 TO 2026-01-01T00:03:00] AND data"
+    )
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_match_parsed_daterange() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, ts, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE list_contains(toks, 'data')
+  AND ts BETWEEN TIMESTAMP '2026-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:03:00'
+ORDER BY doc_id
+"""
