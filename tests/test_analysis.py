@@ -259,3 +259,26 @@ def test_ngramwords_analyzer_parity(whoosh):
         for text in texts:
             theirs = [(t.text, t.pos) for t in wana(text, positions=True)]
             assert ours(text) == theirs, (minsize, maxsize, at, text)
+
+
+def test_charset_filter_mechanism_parity(whoosh):
+    """CharsetFilter translate mechanism parity using the reference's own
+    accent map as oracle data (our shipped map is NFKD-derived)."""
+    from whoosh.analysis import CharsetFilter, RegexTokenizer
+    from whoosh.support.charset import accent_map
+
+    from whoosh_reloaded_ray.functions.analysis import accent_fold_map, charset_filter
+
+    rt = RegexTokenizer()
+    text = "café naïve Müller straße résumé"
+    theirs = [
+        (t.text, t.pos)
+        for t in (rt | CharsetFilter(accent_map))(text, positions=True)
+    ]
+    base = [(t.text, t.pos) for t in rt(text, positions=True)]
+    assert charset_filter(base, accent_map) == theirs
+
+    # our NFKD map folds the same examples
+    ours = charset_filter(base, accent_fold_map())
+    assert [t for t, _ in ours][:2] == ["cafe", "naive"]
+    assert "resume" in [t for t, _ in ours]

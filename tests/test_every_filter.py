@@ -198,3 +198,19 @@ def test_column_query(pair, whoosh, tmp_path_factory):
     with ix.searcher() as s:
         theirs = sorted(WCQ("tag", "red").docs(s))
     assert res["docnum"].to_pylist() == theirs
+
+
+def test_constant_score_query(pair, whoosh, tmp_path_factory):
+    ours, ix = pair
+    from whoosh_reloaded_ray.query import ConstantScoreQuery, Or
+
+    q = ConstantScoreQuery(Term("body", "charlie"), score=7.5)
+    res = ours.search(q, limit=None)
+    assert set(res["score"].to_pylist()) == {7.5}
+    from whoosh.query import ConstantScoreQuery as WCSQ
+    from whoosh.query import Term as WT
+
+    with ix.searcher() as s:
+        theirs = [(h.docnum, h.score) for h in s.search(WCSQ(WT("body", "charlie"), 7.5), limit=None)]
+    assert res["docnum"].to_pylist() == sorted(d for d, _ in theirs)
+    assert all(sc == 7.5 for _, sc in theirs)

@@ -701,3 +701,27 @@ def path_tokenize(value: str, expression: str = "[^/]+"):
     PathTokenizer)."""
     pat = re.compile(expression, re.UNICODE)
     return [(value[: m.end()], i) for i, m in enumerate(pat.finditer(value))]
+
+
+def charset_filter(tokens, charmap: dict):
+    """str.translate() each token with ``charmap`` (reference CharsetFilter,
+    filters.py:365-416 — used for case/accent folding with a translation
+    table)."""
+    return [(t.translate(charmap), p) for t, p in tokens]
+
+
+def accent_fold_map() -> dict:
+    """A str.translate() map folding accented latin letters to their base
+    letter, built from Unicode NFKD decompositions (equivalent in spirit to
+    the reference's Sphinx-derived accent map; generated from unicodedata
+    rather than shipping a table)."""
+    import unicodedata
+
+    out = {}
+    for cp in range(0x80, 0x300):  # latin supplements + extended A/B
+        ch = chr(cp)
+        decomp = unicodedata.normalize("NFKD", ch)
+        base = "".join(c for c in decomp if not unicodedata.combining(c))
+        if base != ch and base:
+            out[cp] = base
+    return out

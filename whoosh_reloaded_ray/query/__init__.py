@@ -3,6 +3,7 @@ from .ast import (  # noqa: F401
     AndMaybe,
     AndNot,
     ColumnQuery,
+    ConstantScoreQuery,
     DisMax,
     Every,
     FuzzyTerm,

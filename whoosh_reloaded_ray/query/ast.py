@@ -251,6 +251,23 @@ class ConstantTerms(Query):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Wraps a query; every matching doc scores the constant ``score``
+    (reference wrappers.py:147-181 — branch acting as a filter)."""
+
+    child: Optional[Query] = None
+    score: float = 1.0
+
+    def __init__(self, child, score=1.0, boost=1.0):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "score", score)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.child,)
+
+
+@dataclass(frozen=True)
 class ColumnQuery(Query):
     """Docs whose stored column value equals ``condition`` (or satisfies it,
     when callable) — reference qcolumns.py:32-106 over our native Parquet

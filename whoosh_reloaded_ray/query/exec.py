@@ -860,6 +860,11 @@ def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 
+def _eval_constantscore(reader, q, ctx, scored):
+    docs, _ = evaluate(reader, q.child, ctx, scored=False)
+    return docs, np.full(docs.size, float(q.score))
+
+
 def _eval_column(reader, q, ctx, scored):
     vals = reader.column(q.field)
     if callable(q.condition):
@@ -907,5 +912,6 @@ _EVAL = {
     "FuzzyTerm": _eval_fuzzyterm,
     "Sequence": _eval_sequence,
     "ColumnQuery": _eval_column,
+    "ConstantScoreQuery": _eval_constantscore,
     "NumericRange": _eval_numericrange,
 }
