@@ -158,7 +158,10 @@ class Tokenizer:
         np.cumsum(counts[:-1], out=row_tok_start[1:])
         pre_pos = np.arange(n) - np.repeat(row_tok_start, counts)
         csum = np.cumsum(keep)
-        base = np.repeat(csum[row_tok_start] - keep[row_tok_start], counts)
+        # rows with zero tokens at the END have row_tok_start == n; they
+        # contribute nothing via repeat(counts=0) but must not index OOB
+        rts_safe = np.minimum(row_tok_start, max(n - 1, 0))
+        base = np.repeat(csum[rts_safe] - keep[rts_safe], counts) if n else np.zeros(0, np.int64)
         srank = csum - base  # 1-based survivor rank within row (on survivors)
         survivors_per_row = np.zeros(len(texts), dtype=np.int64)
         if n:
