@@ -299,3 +299,30 @@ def test_sequence(our_index, whoosh_index, wq):
     with whoosh_index.searcher() as s:
         wres2 = sorted(h.docnum for h in s.search(w2, limit=None))
     assert sorted(t2["docnum"].to_pylist()) == wres2
+
+
+def test_span_queries(our_index, whoosh_index, wq):
+    """SpanFirst / SpanNot / SpanBefore docnum parity (term children)."""
+    from whoosh_reloaded_ray.query import SpanBefore, SpanFirst, SpanNot, Term
+
+    for limit in (0, 3, 10):
+        q = SpanFirst(Term("text", MID), limit=limit)
+        w = wq.SpanFirst(wq.Term("text", MID), limit=limit)
+        a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+        with whoosh_index.searcher() as s:
+            b = sorted(h.docnum for h in s.search(w, limit=None))
+        assert a == b, f"SpanFirst limit={limit}"
+
+    q = SpanNot(Term("text", MID), Term("text", COMMON))
+    w = wq.SpanNot(wq.Term("text", MID), wq.Term("text", COMMON))
+    a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+    with whoosh_index.searcher() as s:
+        b = sorted(h.docnum for h in s.search(w, limit=None))
+    assert a == b, "SpanNot"
+
+    q = SpanBefore(Term("text", MID), Term("text", COMMON))
+    w = wq.SpanBefore(wq.Term("text", MID), wq.Term("text", COMMON))
+    a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+    with whoosh_index.searcher() as s:
+        b = sorted(h.docnum for h in s.search(w, limit=None))
+    assert a == b, "SpanBefore"

@@ -154,6 +154,58 @@ class Sequence(Query):
 
 
 @dataclass(frozen=True)
+class SpanFirst(Query):
+    """Docs where the child matches within the first ``limit`` positions
+    (span.end <= limit; reference spans.py:309-352)."""
+
+    child: Optional[Query] = None
+    limit: int = 0
+
+    def __init__(self, child, limit=0, boost=1.0):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "limit", limit)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.child,)
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    """Docs where ``a`` has at least one occurrence NOT overlapping any
+    occurrence of ``b`` (reference spans.py:771-819; single-position spans
+    overlap iff equal)."""
+
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+
+    def __init__(self, a, b, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+
+@dataclass(frozen=True)
+class SpanBefore(Query):
+    """Docs where some occurrence of ``a`` precedes some occurrence of
+    ``b`` (reference SpanBefore via Ordered, spans.py)."""
+
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+
+    def __init__(self, a, b, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+
+@dataclass(frozen=True)
 class FuzzyTerm(Query):
     """Matches terms within ``maxdist`` edits sharing ``prefixlength``
     leading chars (reference query/terms.py:436-500; constant-score

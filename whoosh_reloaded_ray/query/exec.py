@@ -826,6 +826,63 @@ def _eval_sequence(reader, q, ctx, scored):
     return _apply_boost((docs, total), q.boost)
 
 
+def _span_score(reader, child, ctx, scored, docs):
+    """Child scores restricted to surviving docs (span matchers score the
+    wrapped matcher on matching docs)."""
+    if not scored:
+        return docs, np.ones(docs.size)
+    d, sc = evaluate(reader, child, ctx, scored=True)
+    idx = np.searchsorted(d, docs)
+    ok = (idx < d.size) & (d[np.minimum(idx, max(d.size - 1, 0))] == docs) if d.size else np.zeros(docs.size, bool)
+    out = np.zeros(docs.size, dtype=np.float64)
+    out[ok] = sc[idx[ok]]
+    return docs, out
+
+
+def _eval_spanfirst(reader, q, ctx, scored):
+    keys = _seq_child_keys(reader, q.child)
+    if keys.size == 0:
+        return EMPTY
+    pos = keys & np.uint64(0xFFFFFFFF)
+    docs = np.unique((keys[pos <= q.limit]) >> np.uint64(32))
+    return _apply_boost(_span_score(reader, q.child, ctx, scored, docs), q.boost)
+
+
+def _eval_spannot(reader, q, ctx, scored):
+    a = _seq_child_keys(reader, q.a)
+    if a.size == 0:
+        return EMPTY
+    b = _seq_child_keys(reader, q.b)
+    survivors = a[~np.isin(a, b)]
+    docs = np.unique(survivors >> np.uint64(32))
+    return _apply_boost(_span_score(reader, q.a, ctx, scored, docs), q.boost)
+
+
+def _eval_spanbefore(reader, q, ctx, scored):
+    a = _seq_child_keys(reader, q.a)
+    b = _seq_child_keys(reader, q.b)
+    if a.size == 0 or b.size == 0:
+        return EMPTY
+    da = a >> np.uint64(32)
+    db = b >> np.uint64(32)
+    # reference semantics (spans.py:899-901): an a-span must end before the
+    # MINIMUM b start, i.e. min(a_pos) < min(b_pos) per doc (keys are
+    # sorted, so the first key of each doc run is its min)
+    ia = np.flatnonzero(np.r_[True, da[1:] != da[:-1]])
+    min_a_docs, min_a_pos = da[ia], a[ia] & np.uint64(0xFFFFFFFF)
+    ib = np.flatnonzero(np.r_[True, db[1:] != db[:-1]])
+    min_b_docs, min_b_pos = db[ib], b[ib] & np.uint64(0xFFFFFFFF)
+    common, i1, i2 = np.intersect1d(min_a_docs, min_b_docs, assume_unique=True, return_indices=True)
+    docs = common[min_a_pos[i1] < min_b_pos[i2]]
+    if docs.size == 0:
+        return EMPTY
+    if not scored:
+        return docs, np.ones(docs.size)
+    _, sa = _span_score(reader, q.a, ctx, True, docs)
+    _, sb = _span_score(reader, q.b, ctx, True, docs)
+    return _apply_boost((docs, sa + sb), q.boost)
+
+
 def _eval_fuzzyterm(reader, q, ctx, scored):
     from .suggest import levenshtein_within
 
@@ -913,5 +970,8 @@ _EVAL = {
     "Sequence": _eval_sequence,
     "ColumnQuery": _eval_column,
     "ConstantScoreQuery": _eval_constantscore,
+    "SpanFirst": _eval_spanfirst,
+    "SpanNot": _eval_spannot,
+    "SpanBefore": _eval_spanbefore,
     "NumericRange": _eval_numericrange,
 }
