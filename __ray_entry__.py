@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_misspelled": ft.suggest_misspelled,
         "top_terms_by_df": ft.top_terms_by_df,
         "match_parsed_daterange": ft.match_parsed_daterange,
+        "conv_match_counts": ft.conv_match_counts,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_misspelled": ft.oracle_suggest_misspelled(),
         "top_terms_by_df": ft.oracle_top_terms_by_df(),
         "match_parsed_daterange": ft.oracle_match_parsed_daterange(),
+        "conv_match_counts": ft.oracle_conv_match_counts(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -487,3 +487,24 @@ WHERE list_contains(toks, 'data')
   AND ts BETWEEN TIMESTAMP '2026-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:03:00'
 ORDER BY doc_id
 """
+
+
+def conv_match_counts(sf_dir: str) -> pa.Table:
+    """Conversation-level block join (NestedParent analog): conversations
+    with any turn containing 'spark', with matching-turn counts."""
+    s = get_searcher(sf_dir)
+    res = s.parent_search(Term("text", "spark"), parent_field="conv_id")
+    return res.select(["conv_id", "n_children"]).rename_columns(
+        ["conv_id", "n_match"]
+    ).sort_by("conv_id")
+
+
+def oracle_conv_match_counts() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT conv_id, {toks} AS toks FROM transcripts)
+SELECT conv_id, COUNT(*)::BIGINT AS n_match
+FROM tokd WHERE list_contains(toks, 'spark')
+GROUP BY conv_id ORDER BY conv_id
+"""

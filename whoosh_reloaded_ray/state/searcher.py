@@ -550,6 +550,41 @@ class IndexSearcher:
             }
         )
 
+    def parent_search(
+        self, q: ast.Query, parent_field: str = "conv_id", limit: int | None = None
+    ) -> pa.Table:
+        """Block-join analog of the reference's NestedParent (nested.py:33-
+        231) for the transcripts layout: the PARENT is the conversation
+        (grouping key column), children are its turns.  Returns one row per
+        parent with a matching child: (parent, score=max child score,
+        n_children=matching turns), ordered by (-score, parent) — the
+        reference's default best-child scoring."""
+        res = self.search(q, limit=None)
+        docs = res["docnum"].to_numpy()
+        scores = res["score"].to_numpy()
+        sorted_docs = np.sort(docs)
+        vals = self._doc_values(parent_field, sorted_docs)
+        by_doc = dict(zip(sorted_docs.tolist(), vals.tolist()))
+        agg: dict = {}
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            k = by_doc[d]
+            cur = agg.get(k)
+            if cur is None:
+                agg[k] = [s, 1]
+            else:
+                cur[0] = max(cur[0], s)
+                cur[1] += 1
+        items = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        if limit is not None:
+            items = items[:limit]
+        return pa.table(
+            {
+                parent_field: pa.array([k for k, _ in items]),
+                "score": pa.array([v[0] for _, v in items], pa.float64()),
+                "n_children": pa.array([v[1] for _, v in items], pa.int64()),
+            }
+        )
+
     def search_with_fields(self, q, limit=10, columns=None) -> pa.Table:
         """search() + stored fields fetched from the source parquet via the
         manifest's partition lineage (the index stores no doc content)."""
