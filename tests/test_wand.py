@@ -79,7 +79,8 @@ def test_wand_skips_blocks_on_skew(index):
     ctx = index._context(q)
     reader = index.local.readers[0]
     stats: dict = {}
-    topk_wand(reader, wandable_terms(q), ctx, 5, stats_out=stats)
+    mode, tlist = wandable_terms(q)
+    topk_wand(reader, tlist, ctx, 5, stats_out=stats, mode=mode)
     assert stats["blocks_total"] > 4, "hot term should have several blocks"
     assert stats["blocks_decoded"] < stats["blocks_total"], (
         f"expected pruning: {stats}"
@@ -93,3 +94,52 @@ def test_wand_single_hot_term(index):
     fdocs, fscores = _full_topk(index, q, 10)
     np.testing.assert_array_equal(res["docnum"].to_numpy(), fdocs)
     np.testing.assert_allclose(res["score"].to_numpy(), fscores, atol=0)
+
+
+def test_dismax_not_wand_routed(index):
+    """DisMax keeps the full evaluator (the reference's cursor-quirk
+    scoring is not block-max prunable); results must match full eval."""
+    from whoosh_reloaded_ray.query import DisMax
+    from whoosh_reloaded_ray.query.wand import wandable_terms
+
+    vocab = _vocab_by_df(index)
+    q = DisMax([Term("text", vocab[0]), Term("text", vocab[100])])
+    assert wandable_terms(q) is None
+    res = index.search(q, limit=10)
+    fdocs, fscores = _full_topk(index, q, 10)
+    np.testing.assert_array_equal(res["docnum"].to_numpy(), fdocs)
+    np.testing.assert_allclose(res["score"].to_numpy(), fscores, atol=0)
+
+
+def test_theta_threading_multisegment(ray_session, tmp_path_factory):
+    """Theta carried across segments must not change top-k results."""
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+
+    d = tmp_path_factory.mktemp("thetacorpus")
+    path = str(d / "t.parquet")
+    generate_transcripts(path, n_turns=2000, avg_turn_words=25, seed=23, rows_per_file=250)
+    idx = str(tmp_path_factory.mktemp("thetaidx"))
+    build_index([path], idx, num_shards=4, partition_rows=250, rows_per_segment=500)
+    s = IndexSearcher(idx)
+    assert len(s.manifest.segments) >= 3
+    vocab = _vocab_by_df(s)
+    for terms in ([vocab[0]], [vocab[0], vocab[50]], [vocab[10], vocab[200], vocab[400]]):
+        q = Term("text", terms[0]) if len(terms) == 1 else Or([Term("text", t) for t in terms])
+        pruned = s.search(q, limit=10)
+        fdocs, fscores = _full_topk_multiseg(s, q, 10)
+        np.testing.assert_array_equal(pruned["docnum"].to_numpy(), fdocs)
+        np.testing.assert_allclose(pruned["score"].to_numpy(), fscores, atol=0)
+
+
+def _full_topk_multiseg(searcher, q, k):
+    ctx = searcher._context(q)
+    docs_all, scores_all = [], []
+    for r in searcher.local.readers:
+        d, sc = evaluate(r, q, ctx, scored=True)
+        docs_all.append(d)
+        scores_all.append(sc)
+    docs = np.concatenate(docs_all)
+    scores = np.concatenate(scores_all)
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]

@@ -36,17 +36,25 @@ EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
 
 
 def wandable_terms(q: ast.Query):
-    """Return [(field, term, boost)] if q is Term / Or-of-Terms (the WAND
-    fast path), else None.  Or's own boost multiplies each child."""
+    """Return (mode, [(field, term, boost)]) if q is Term / Or-of-Terms
+    (mode="sum"), else None.  The compound's own boost multiplies each
+    child.  NB: DisMax is NOT routed here even though a max-mode prune
+    would be sound for clean max semantics — the reference's
+    DisjunctionMaxMatcher scores with a cursor quirk (it maxes the
+    still-active subqueries' CURSOR scores without doc alignment,
+    matching/binary.py:367-374), which our full evaluator replicates and a
+    block-max prune cannot."""
     if isinstance(q, ast.Term):
-        return [(q.field, q.text, q.boost)]
+        return ("sum", [(q.field, q.text, q.boost)])
     if isinstance(q, ast.Or):
         out = []
         for s in q.subqueries:
             if not isinstance(s, ast.Term):
                 return None
             out.append((s.field, s.text, s.boost * q.boost))
-        return out if out else None
+        if not out:
+            return None
+        return ("sum", out)
     return None
 
 
@@ -77,12 +85,24 @@ def topk_wand(
     stats_out: dict | None = None,
     excluded=None,
     allowed=None,
+    mode: str = "sum",
+    initial_theta: float = -np.inf,
 ):
-    """Exact top-k (docs, scores) for sum-scored terms on one segment.
+    """Exact top-k (docs, scores) for sum- or max-scored terms on one
+    segment.
 
-    ``excluded`` / ``allowed``: sorted docnum arrays (tombstones+mask /
-    filter) applied before ranking.  ``stats_out`` (optional dict) receives
-    {blocks_total, blocks_decoded}."""
+    ``mode="max"`` implements DisMax pruning: a block whose bound is below
+    theta cannot set any doc's max into the top-k (a doc ranking via
+    another term is handled at that term's own blocks), so it is skipped
+    outright — exact for the same reason the reference's
+    DisjunctionMaxMatcher supports block quality.
+
+    ``initial_theta``: a GLOBAL lower bound on the final kth-best score
+    (e.g. the running threshold from previously evaluated segments) —
+    pruning starts hot; docs below it may be dropped, which is safe for
+    global top-k merging.  ``excluded`` / ``allowed``: sorted docnum arrays
+    (tombstones+mask / filter) applied before ranking.  ``stats_out``
+    (optional dict) receives {blocks_total, blocks_decoded, theta}."""
     metas, infos = [], []
     for f, t, b in terms:
         meta = reader.block_meta(f, t)
@@ -113,7 +133,7 @@ def topk_wand(
 
     pdocs = np.empty(0, dtype=np.uint64)  # partial docs (sorted)
     pscores = np.empty(0, dtype=np.float64)
-    theta = -np.inf
+    theta = initial_theta
     blocks_decoded = blocks_total = 0
 
     for j, info in enumerate(infos):
@@ -121,7 +141,12 @@ def topk_wand(
         nb = ub.size
         blocks_total += nb
         rest = suffix[j + 1]
-        if np.isfinite(theta):
+        if np.isfinite(theta) and mode == "max":
+            # max semantics: a block below theta cannot push any doc's MAX
+            # into the top-k; other terms' contributions are judged at
+            # their own blocks
+            keep = ub >= theta
+        elif np.isfinite(theta):
             # best partial score of any already-seen doc in each block's doc
             # range (unseen docs contribute best_in = 0)
             lo = np.searchsorted(pdocs, meta["doc_min"], side="left")
@@ -150,16 +175,26 @@ def topk_wand(
             s = s * info["boost"]
         # merge into partials (sorted union)
         merged = np.union1d(pdocs, docs)
-        ns = np.zeros(merged.size)
-        ns[np.searchsorted(merged, pdocs)] = pscores
-        np.add.at(ns, np.searchsorted(merged, docs), s)
+        if mode == "max":
+            ns = np.full(merged.size, -np.inf)
+            ns[np.searchsorted(merged, pdocs)] = pscores
+            di = np.searchsorted(merged, docs)
+            np.maximum.at(ns, di, s)
+        else:
+            ns = np.zeros(merged.size)
+            ns[np.searchsorted(merged, pdocs)] = pscores
+            np.add.at(ns, np.searchsorted(merged, docs), s)
         pdocs, pscores = merged, ns
         if pscores.size >= k:
-            theta = np.partition(pscores, pscores.size - k)[pscores.size - k]
+            theta = max(
+                theta,
+                np.partition(pscores, pscores.size - k)[pscores.size - k],
+            )
 
     if stats_out is not None:
         stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + blocks_total
         stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + blocks_decoded
+        stats_out["theta"] = theta
     if pdocs.size == 0:
         return EMPTY
     order = np.lexsort((pdocs, -pscores))[:k]

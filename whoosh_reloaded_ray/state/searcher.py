@@ -106,11 +106,16 @@ class _SegmentWorker:
             excluded = (
                 np.union1d(excluded, forbidden) if excluded is not None else forbidden
             )
+        theta = -np.inf  # global threshold threads across this worker's segments
         for r in self.readers:
             if wand_terms:
+                mode, tlist = wand_terms
+                st: dict = {}
                 docs, scores = topk_wand(
-                    r, wand_terms, ctx, limit, excluded=excluded, allowed=allowed
+                    r, tlist, ctx, limit, excluded=excluded, allowed=allowed,
+                    mode=mode, initial_theta=theta, stats_out=st,
                 )
+                theta = max(theta, st.get("theta", -np.inf))
             else:
                 docs, scores = evaluate(r, q, ctx, scored=scored)
                 if excluded is not None:
