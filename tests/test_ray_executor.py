@@ -62,3 +62,15 @@ def test_ray_executor_matches_local(idx_dir):
     # stats APIs agree too
     assert local.doc_frequency("text", t1) == rays.doc_frequency("text", t1)
     assert local.frequencies([("text", t1)]) == rays.frequencies([("text", t1)])
+
+
+def test_ray_executor_facets_and_sorting(idx_dir):
+    local = IndexSearcher(idx_dir, executor="local")
+    rays = IndexSearcher(idx_dir, executor="ray", num_actors=3)
+    vocab = _vocab(idx_dir)
+    q = Term("text", vocab[3])
+    assert local.facet_counts(q, "role") == rays.facet_counts(q, "role")
+    a = local.search_sorted(q, "turn_idx", limit=10)
+    b = rays.search_sorted(q, "turn_idx", limit=10)
+    assert a["docnum"].to_pylist() == b["docnum"].to_pylist()
+    assert local.search_grouped(q, "role") == rays.search_grouped(q, "role")

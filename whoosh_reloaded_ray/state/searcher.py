@@ -68,6 +68,21 @@ class _SegmentWorker:
             out[spec] = sorted(acc)
         return out
 
+    def doc_values(self, field: str, docnums) -> list:
+        """(docnum, value) pairs for docnums owned by this worker's
+        segments (sort/facet value fetch for the ray executor)."""
+        docnums = np.asarray(docnums, dtype=np.uint64)
+        out = []
+        for r in self.readers:
+            seg = r.seg
+            lo = np.searchsorted(docnums, np.uint64(seg.doc_base))
+            hi = np.searchsorted(docnums, np.uint64(seg.doc_base + seg.doc_count))
+            sub = docnums[lo:hi]
+            if sub.size:
+                vals = r.column(field)[r.dense_index(sub)]
+                out.extend(zip(sub.tolist(), vals.tolist()))
+        return out
+
     def evaluate(
         self,
         q: ast.Query,
@@ -469,12 +484,18 @@ class IndexSearcher:
     # reference builds per-segment column caches for the same purpose).
 
     def _doc_values(self, field: str, docnums: np.ndarray) -> np.ndarray:
-        """Field values for the given (sorted) docnums via segment columns."""
-        readers = self.local.readers if self.executor != "ray" else None
-        if readers is None:
-            raise NotImplementedError("doc-value fetch uses the local executor")
+        """Field values aligned to the given SORTED docnums (segment columns
+        locally; actor fan-out on the ray executor)."""
+        if self.executor == "ray":
+            pairs: list = []
+            for part in self._ray.get(
+                [w.doc_values.remote(field, docnums) for w in self.workers]
+            ):
+                pairs.extend(part)
+            pairs.sort()
+            return np.array([v for _, v in pairs], dtype=object)
         out = []
-        for r in readers:
+        for r in self.local.readers:
             seg = r.seg
             lo = np.searchsorted(docnums, np.uint64(seg.doc_base))
             hi = np.searchsorted(docnums, np.uint64(seg.doc_base + seg.doc_count))
