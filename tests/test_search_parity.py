@@ -326,3 +326,72 @@ def test_span_queries(our_index, whoosh_index, wq):
     with whoosh_index.searcher() as s:
         b = sorted(h.docnum for h in s.search(w, limit=None))
     assert a == b, "SpanBefore"
+
+
+def test_span_or_contains_condition(our_index, whoosh_index, wq):
+    """SpanOr / SpanContains / SpanCondition docnum parity; scored parity
+    for SpanCondition (wrapped IntersectionMatcher => a+b sums)."""
+    from whoosh_reloaded_ray.query import (
+        Sequence,
+        SpanCondition,
+        SpanContains,
+        SpanOr,
+        Term,
+    )
+
+    def docnums(q):
+        return sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+
+    def wdocnums(w):
+        with whoosh_index.searcher() as s:
+            return sorted(h.docnum for h in s.search(w, limit=None))
+
+    q = SpanOr([Term("text", MID), Term("text", RARE)])
+    w = wq.SpanOr([wq.Term("text", MID), wq.Term("text", RARE)])
+    assert docnums(q) == wdocnums(w), "SpanOr"
+
+    # containment with a SpanNear chain as the containing query
+    q = SpanContains(
+        Sequence([Term("text", COMMON), Term("text", MID)], slop=4),
+        Term("text", RARE),
+    )
+    w = wq.SpanContains(
+        wq.SpanNear2([wq.Term("text", COMMON), wq.Term("text", MID)], slop=4),
+        wq.Term("text", RARE),
+    )
+    assert docnums(q) == wdocnums(w), "SpanContains(near, term)"
+
+    q = SpanContains(Term("text", COMMON), Term("text", COMMON))
+    w = wq.SpanContains(wq.Term("text", COMMON), wq.Term("text", COMMON))
+    assert docnums(q) == wdocnums(w), "SpanContains self"
+
+    q = SpanCondition(Term("text", MID), Term("text", COMMON))
+    w = wq.SpanCondition(wq.Term("text", MID), wq.Term("text", COMMON))
+    both(our_index, whoosh_index, q, w, limit=10)
+
+
+def test_nested_children(our_index, whoosh_index, wq):
+    """NestedChildren parity: parents = turn_idx==0 delimiters, wanted =
+    conversations whose first turn contains a term; result = the child
+    turns (reference nested.py:209-360 interval walk)."""
+    from whoosh_reloaded_ray.query import And, NestedChildren, NumericRange, Term
+
+    parents = NumericRange("turn_idx", 0, 0)
+    wparents = wq.NumericRange("turn_idx", 0, 0)
+    for term in (COMMON, MID):
+        wanted = And([NumericRange("turn_idx", 0, 0), Term("text", term)])
+        wwanted = wq.And([wq.NumericRange("turn_idx", 0, 0), wq.Term("text", term)])
+        q = NestedChildren(parents, wanted)
+        w = wq.NestedChildren(wparents, wwanted)
+        a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+        with whoosh_index.searcher() as s:
+            b = sorted(h.docnum for h in s.search(w, limit=None))
+        assert a == b, f"NestedChildren({term})"
+
+        # composes inside And like the reference's album/track example
+        q2 = And([q, Term("text", RARE)])
+        w2 = wq.And([w, wq.Term("text", RARE)])
+        a2 = sorted(our_index.search(q2, limit=None, scored=False)["docnum"].to_pylist())
+        with whoosh_index.searcher() as s:
+            b2 = sorted(h.docnum for h in s.search(w2, limit=None))
+        assert a2 == b2, f"And(NestedChildren, {RARE})"

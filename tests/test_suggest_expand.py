@@ -102,3 +102,41 @@ def test_more_like_excludes_source(our_index):
     res = our_index.more_like(5, "text", limit=10)
     assert res.num_rows > 0
     assert 5 not in res["docnum"].to_pylist()
+
+
+def test_variations_generator():
+    """The variation toolkit covers the common inflection families (our
+    own algorithm, not the reference's morph_en table — see TODO.md)."""
+    from whoosh_reloaded_ray.query.variations import variations
+
+    v = variations("pull")
+    assert {"pull", "pulls", "pulled", "pulling", "puller"} <= v
+    v = variations("carry")
+    assert {"carry", "carries", "carried", "carrying"} <= v
+    v = variations("making")
+    assert {"making", "make", "makes"} <= v
+    v = variations("renderings")
+    assert {"rendering", "renders", "render", "rendered"} <= v
+    # non-words pass through untouched
+    assert variations("x1") == {"x1"}
+
+
+def test_variations_query(our_index, vocab):
+    """Variations(field, word) == scored Or over the generated variants
+    that exist in the index (ExpandingTerm semantics)."""
+    from whoosh_reloaded_ray.query import Or, Term, Variations
+    from whoosh_reloaded_ray.query.variations import variations
+
+    word = vocab[10]
+    existing = sorted(
+        t for t in variations(word) if our_index.doc_frequency("text", t) > 0
+    )
+    assert word in existing
+    res = our_index.search(Variations("text", word), limit=None)
+    ref = our_index.search(Or([Term("text", t) for t in existing]), limit=None)
+    if len(existing) == 1:
+        ref = our_index.search(Term("text", existing[0]), limit=None)
+    assert res["docnum"].to_pylist() == ref["docnum"].to_pylist()
+    np.testing.assert_allclose(
+        res["score"].to_numpy(), ref["score"].to_numpy(), atol=1e-9
+    )

@@ -5,8 +5,10 @@ from .ast import (  # noqa: F401
     ColumnQuery,
     ConstantScoreQuery,
     DisMax,
+    DocSet,
     Every,
     FuzzyTerm,
+    NestedChildren,
     Not,
     NumericRange,
     Or,
@@ -16,11 +18,19 @@ from .ast import (  # noqa: F401
     Require,
     Sequence,
     SpanBefore,
+    SpanCondition,
+    SpanContains,
     SpanFirst,
     SpanNot,
+    SpanOr,
     Term,
     TermRange,
+    Variations,
     Wildcard,
 )
 from .ast import ConstantTerms  # noqa: F401
-from .parser import QueryParser  # noqa: F401
+from .parser import MultifieldParser, QueryParser  # noqa: F401
+
+# The reference's SpanNear2 (ordered window chain over a list of queries,
+# spans.py:530-700) is exactly our Sequence node.
+SpanNear2 = Sequence

@@ -206,6 +206,113 @@ class SpanBefore(Query):
 
 
 @dataclass(frozen=True)
+class SpanOr(Query):
+    """Union of sub-queries with overlapping/touching spans merged
+    (reference spans.py:702-753 SpanOr; doc-level result equals Or with
+    summed scores — the span merge matters when nested inside another
+    span query)."""
+
+    subqueries: tuple = ()
+
+    def __init__(self, subqueries, boost=1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return tuple(self.subqueries)
+
+
+@dataclass(frozen=True)
+class SpanContains(Query):
+    """Docs where some span of ``a`` CONTAINS some span of ``b``
+    (b.start >= a.start and b.end <= a.end; reference spans.py:821-871);
+    score = a + b on surviving docs (the wrapped IntersectionMatcher)."""
+
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+
+    def __init__(self, a, b, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+
+@dataclass(frozen=True)
+class SpanCondition(Query):
+    """Docs matching BOTH ``a`` and ``b``, keeping only ``a``'s spans
+    (reference spans.py:904-930); doc-level = And with summed scores, the
+    span restriction matters when nested."""
+
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+
+    def __init__(self, a, b, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+
+@dataclass(frozen=True)
+class NestedChildren(Query):
+    """Matches parents but RETURNS the children (reference nested.py:209-281
+    NestedChildren): ``parents`` matches every parent doc (the block
+    delimiters), ``child`` (= the reference's ``subq``) selects the WANTED
+    parents; the result is every doc strictly between a wanted parent and
+    the next parent delimiter.  Evaluated as a whole-index rewrite on the
+    searcher (docnum-interval arithmetic needs the global parent set, like
+    the reference's bit-set comb)."""
+
+    parents: Optional[Query] = None
+    child: Optional[Query] = None
+
+    def __init__(self, parents, child, boost=1.0):
+        object.__setattr__(self, "parents", parents)
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.parents, self.child)
+
+
+@dataclass(frozen=True)
+class Variations(Query):
+    """Searches morphological variations of an English word (reference
+    query/terms.py:522-560 Variations): candidate variant strings are
+    generated algorithmically, filtered to terms that EXIST in the index,
+    and evaluated as a scored Or of Terms (ExpandingTerm semantics:
+    constantscore=False).  Our variation generator
+    (:func:`whoosh_reloaded_ray.query.variations.variations`) is a
+    from-scratch suffix toolkit, not the reference's morph_en rule table —
+    same operator, independent candidate algorithm."""
+
+    field: str = "text"
+    text: str = ""
+
+    def __init__(self, field, text, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "text", text)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class DocSet(Query):
+    """Pre-resolved sorted docnum array with constant score 1.0·boost —
+    produced by searcher-level rewrites (NestedChildren), not by users."""
+
+    docnums: object = None  # np.ndarray[uint64], sorted
+
+    def __init__(self, docnums, boost=1.0):
+        object.__setattr__(self, "docnums", docnums)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class FuzzyTerm(Query):
     """Matches terms within ``maxdist`` edits sharing ``prefixlength``
     leading chars (reference query/terms.py:436-500; constant-score

@@ -796,25 +796,150 @@ def _seq_child_keys(reader, q) -> np.ndarray:
     return np.unique(np.concatenate(keys))
 
 
+# ---------------------------------------------------------------------------
+# Span algebra.  A span occurrence is an inclusive position interval inside
+# one doc, represented as a PAIR of uint64 keys (skey, ekey) with
+# key = doc << 32 | position — so all interval arithmetic stays doc-local
+# (doc boundaries are 2^32 apart, farther than any slop/touch distance).
+# Arrays are kept sorted lexicographically by (skey, ekey).
+# ---------------------------------------------------------------------------
+
+_POSMASK = np.uint64(0xFFFFFFFF)
+_NOSPANS = (np.empty(0, np.uint64), np.empty(0, np.uint64))
+
+
+def _sort_spans(sk, ek):
+    order = np.lexsort((ek, sk))
+    return sk[order], ek[order]
+
+
+def _unique_spans(sk, ek):
+    pairs = np.empty(sk.size, dtype=[("s", np.uint64), ("e", np.uint64)])
+    pairs["s"], pairs["e"] = sk, ek
+    u = np.unique(pairs)
+    return u["s"], u["e"]
+
+
+def _sequence_spans(reader, q) -> tuple:
+    """Chain spans of a Sequence: child i+1 starts 1..slop after child i
+    (reference SpanNear2 _get_spans, spans.py:530-700; combined span =
+    aspan.to(bspan) = min start / max end)."""
+    keys = _seq_child_keys(reader, q.subqueries[0])
+    starts, ends = keys, keys
+    for s in q.subqueries[1:]:
+        if ends.size == 0:
+            return _NOSPANS
+        nxt = _seq_child_keys(reader, s)
+        deltas = (
+            range(1, q.slop + 1)
+            if q.ordered
+            else [d for d in range(-q.slop, q.slop + 1) if d != 0]
+        )
+        cs, ce = [], []
+        for d in deltas:
+            cand = ends + np.uint64(d) if d > 0 else ends - np.uint64(-d)
+            m = np.isin(cand, nxt)
+            cs.append(starts[m])
+            ce.append(cand[m])
+        if not cs:
+            return _NOSPANS
+        starts, ends = np.concatenate(cs), np.concatenate(ce)
+        if not q.ordered:  # unordered steps can move left of the start
+            starts, ends = np.minimum(starts, ends), np.maximum(starts, ends)
+        starts, ends = _unique_spans(starts, ends)
+    return _sort_spans(starts, ends)
+
+
+def _merge_spans(sk, ek) -> tuple:
+    """Union of overlapping/TOUCHING spans (reference Span.merge,
+    spans.py:100-125) — vectorized interval merge; exact on integer
+    position sets."""
+    if sk.size == 0:
+        return _NOSPANS
+    sk, ek = _sort_spans(sk, ek)
+    run_end = np.maximum.accumulate(ek)
+    new_grp = np.r_[True, sk[1:] > run_end[:-1] + np.uint64(1)]
+    out_s = sk[new_grp]
+    out_e = np.maximum.reduceat(ek, np.flatnonzero(new_grp))
+    return out_s, out_e
+
+
+def _collect_spans(reader, q) -> tuple:
+    """(skey, ekey) arrays of every span occurrence of a span-expressible
+    query, sorted by (skey, ekey).  Term-expandable leaves yield
+    single-position spans; Sequence yields chain spans; Span* wrappers
+    filter/merge recursively."""
+    if isinstance(q, ast.Sequence):
+        return _sequence_spans(reader, q)
+    if isinstance(q, ast.SpanOr):
+        parts = [_collect_spans(reader, s) for s in q.subqueries]
+        sk = np.concatenate([p[0] for p in parts]) if parts else _NOSPANS[0]
+        ek = np.concatenate([p[1] for p in parts]) if parts else _NOSPANS[1]
+        return _merge_spans(sk, ek)
+    if isinstance(q, ast.SpanFirst):
+        sk, ek = _collect_spans(reader, q.child)
+        keep = (ek & _POSMASK) <= np.uint64(q.limit)
+        return sk[keep], ek[keep]
+    if isinstance(q, ast.SpanNot):
+        return _spannot_spans(reader, q)
+    if isinstance(q, ast.SpanContains):
+        return _spancontains_spans(reader, q)
+    if isinstance(q, ast.SpanCondition):
+        ask, aek = _collect_spans(reader, q.a)
+        bdocs, _ = evaluate(reader, q.b, None, scored=False)
+        keep = np.isin(ask >> np.uint64(32), bdocs)
+        return ask[keep], aek[keep]
+    keys = _seq_child_keys(reader, q)
+    return keys, keys
+
+
+def _spannot_spans(reader, q) -> tuple:
+    """a-spans that do not OVERLAP any b-span (reference spans.py:771-819;
+    on docs without b, all a-spans survive).  b-spans are pre-merged
+    (union of touching integer intervals is pointwise identical), so the
+    only overlap candidate per a-span is the merged interval with the
+    largest start <= a.end."""
+    ask, aek = _collect_spans(reader, q.a)
+    if ask.size == 0:
+        return _NOSPANS
+    bsk, bek = _merge_spans(*_collect_spans(reader, q.b))
+    if bsk.size == 0:
+        return ask, aek
+    idx = np.searchsorted(bsk, aek, side="right") - 1
+    has = idx >= 0
+    overlapped = np.zeros(ask.size, dtype=bool)
+    overlapped[has] = bek[idx[has]] >= ask[has]
+    return ask[~overlapped], aek[~overlapped]
+
+
+def _spancontains_spans(reader, q) -> tuple:
+    """a-spans that CONTAIN some b-span (b.start >= a.start and
+    b.end <= a.end; reference spans.py:846-871)."""
+    ask, aek = _collect_spans(reader, q.a)
+    if ask.size == 0:
+        return _NOSPANS
+    bsk, bek = _collect_spans(reader, q.b)
+    if bsk.size == 0:
+        return _NOSPANS
+    lo = np.searchsorted(bsk, ask, side="left")
+    hi = np.searchsorted(bsk, aek, side="right")
+    if (bsk == bek).all():
+        # single-position b-spans: containment = any b start in [a.s, a.e]
+        keep = hi > lo
+    else:
+        keep = np.zeros(ask.size, dtype=bool)
+        for i in range(ask.size):  # rare: compound b child
+            keep[i] = bool(lo[i] < hi[i] and (bek[lo[i] : hi[i]] <= aek[i]).any())
+    return ask[keep], aek[keep]
+
+
 def _eval_sequence(reader, q, ctx, scored):
     """SpanNear-style chain: child i+1 must start 1..slop positions after
     child i (ordered; the reference Sequence default)."""
-    reach = _seq_child_keys(reader, q.subqueries[0])
-    for s in q.subqueries[1:]:
-        if reach.size == 0:
-            return EMPTY
-        nxt = _seq_child_keys(reader, s)
-        hits = []
-        deltas = range(1, q.slop + 1) if q.ordered else [
-            d for d in range(-q.slop, q.slop + 1) if d != 0
-        ]
-        for d in deltas:
-            cand = reach + np.uint64(d) if d > 0 else reach - np.uint64(-d)
-            hits.append(cand[np.isin(cand, nxt)])
-        reach = np.unique(np.concatenate(hits)) if hits else np.empty(0, np.uint64)
-    if reach.size == 0:
+    sk, _ = _sequence_spans(reader, q)
+    if sk.size == 0:
         return EMPTY
-    docs = np.unique(reach >> np.uint64(32))
+    docs = np.unique(sk >> np.uint64(32))
     if not scored:
         return docs, np.ones(docs.size)
     total = np.zeros(docs.size, dtype=np.float64)
@@ -840,22 +965,84 @@ def _span_score(reader, child, ctx, scored, docs):
 
 
 def _eval_spanfirst(reader, q, ctx, scored):
-    keys = _seq_child_keys(reader, q.child)
-    if keys.size == 0:
+    sk, _ = _collect_spans(reader, q)
+    if sk.size == 0:
         return EMPTY
-    pos = keys & np.uint64(0xFFFFFFFF)
-    docs = np.unique((keys[pos <= q.limit]) >> np.uint64(32))
+    docs = np.unique(sk >> np.uint64(32))
     return _apply_boost(_span_score(reader, q.child, ctx, scored, docs), q.boost)
 
 
 def _eval_spannot(reader, q, ctx, scored):
-    a = _seq_child_keys(reader, q.a)
-    if a.size == 0:
+    """Docs where at least one a-span survives; score follows the wrapped
+    AndMaybeMatcher (reference spans.py:793-802): a's score, plus b's where
+    b also matches the doc."""
+    sk, _ = _collect_spans(reader, q)
+    if sk.size == 0:
         return EMPTY
-    b = _seq_child_keys(reader, q.b)
-    survivors = a[~np.isin(a, b)]
-    docs = np.unique(survivors >> np.uint64(32))
-    return _apply_boost(_span_score(reader, q.a, ctx, scored, docs), q.boost)
+    docs = np.unique(sk >> np.uint64(32))
+    if not scored:
+        return _apply_boost((docs, np.ones(docs.size)), q.boost)
+    d, s = evaluate(reader, ast.AndMaybe(q.a, q.b), ctx, scored=True)
+    m = np.isin(d, docs, assume_unique=True)
+    return _apply_boost((d[m], s[m]), q.boost)
+
+
+def _eval_spanor(reader, q, ctx, scored):
+    """Doc-level SpanOr: union docs (spans merged for nesting); score is
+    the wrapped UnionMatcher's sum (reference spans.py:726-753)."""
+    sk, _ = _collect_spans(reader, q)
+    if sk.size == 0:
+        return EMPTY
+    docs = np.unique(sk >> np.uint64(32))
+    if not scored:
+        return _apply_boost((docs, np.ones(docs.size)), q.boost)
+    d, s = _union([evaluate(reader, sub, ctx, True) for sub in q.subqueries])
+    m = np.isin(d, docs, assume_unique=True)
+    return _apply_boost((d[m], s[m]), q.boost)
+
+
+def _eval_spancontains(reader, q, ctx, scored):
+    """Docs where some a-span contains some b-span; score = a + b (the
+    wrapped IntersectionMatcher, reference spans.py:846-852)."""
+    sk, _ = _collect_spans(reader, q)
+    if sk.size == 0:
+        return EMPTY
+    docs = np.unique(sk >> np.uint64(32))
+    if not scored:
+        return _apply_boost((docs, np.ones(docs.size)), q.boost)
+    d, s = _intersect(
+        evaluate(reader, q.a, ctx, True), evaluate(reader, q.b, ctx, True)
+    )
+    m = np.isin(d, docs, assume_unique=True)
+    return _apply_boost((d[m], s[m]), q.boost)
+
+
+def _eval_spancondition(reader, q, ctx, scored):
+    """Docs matching both a and b (spans restricted to a's when nested);
+    score = a + b (reference spans.py:923-930)."""
+    d, s = _intersect(
+        evaluate(reader, q.a, ctx, scored), evaluate(reader, q.b, ctx, scored)
+    )
+    if not scored and d.size:
+        s = np.ones(d.size)
+    return _apply_boost((d, s), q.boost)
+
+
+def _eval_docset(reader, q: "ast.DocSet", ctx, scored):
+    """Pre-resolved docnums (searcher-level rewrites, e.g. NestedChildren)
+    restricted to this segment's doc space; constant score."""
+    target = np.asarray(q.docnums, dtype=np.uint64)
+    docs = np.intersect1d(reader.all_docnums(), target, assume_unique=True)
+    return docs, np.full(docs.size, 1.0 * q.boost)
+
+
+def _eval_variations(reader, q: "ast.Variations", ctx, scored):
+    """Segment-local fallback (the searcher rewrites Variations globally
+    before fan-out): expand to variant terms present in this segment."""
+    from .variations import variations as _vars
+
+    terms = sorted(t for t in _vars(q.text) if reader.terminfo(q.field, t))
+    return _expand_to_or(reader, q, ctx, scored, terms)
 
 
 def _eval_spanbefore(reader, q, ctx, scored):
@@ -973,5 +1160,10 @@ _EVAL = {
     "SpanFirst": _eval_spanfirst,
     "SpanNot": _eval_spannot,
     "SpanBefore": _eval_spanbefore,
+    "SpanOr": _eval_spanor,
+    "SpanContains": _eval_spancontains,
+    "SpanCondition": _eval_spancondition,
+    "DocSet": _eval_docset,
+    "Variations": _eval_variations,
     "NumericRange": _eval_numericrange,
 }

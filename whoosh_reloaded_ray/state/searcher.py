@@ -348,6 +348,22 @@ class IndexSearcher:
             cands = self._expand([spec])[spec]
             terms = [t for t in cands if levenshtein_within(q.text, t, q.maxdist)]
             return self._multiterm(q.field, terms, q.boost)
+        if isinstance(q, ast.Variations):
+            from ..query.variations import variations as _vars
+
+            cands = sorted(_vars(q.text))
+            dfs = self._doc_freqs([(q.field, t) for t in cands])
+            terms = [t for t in cands if dfs.get((q.field, t), 0) > 0]
+            # ExpandingTerm = MultiTerm with constantscore=False: scored Or
+            # of the existing variant terms; single expansion drops the
+            # boost like the reference's single-term matcher (terms.py:409)
+            if not terms:
+                return ast.Or([])
+            if len(terms) == 1:
+                return ast.Term(q.field, terms[0])
+            return ast.Or([ast.Term(q.field, t) for t in terms], boost=q.boost)
+        if isinstance(q, ast.NestedChildren):
+            return self._rewrite_nested_children(q)
         # recurse
         if isinstance(q, (ast.And, ast.Or, ast.DisMax)):
             subs = [self._rewrite(s) for s in q.subqueries]
@@ -358,6 +374,36 @@ class IndexSearcher:
         if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require)):
             return type(q)(self._rewrite(q.a), self._rewrite(q.b), boost=q.boost)
         return q
+
+    def _rewrite_nested_children(self, q: ast.NestedChildren) -> ast.Query:
+        """Resolve NestedChildren to a DocSet: for each WANTED parent w
+        (matching ``q.child``), the children are docnums in
+        [w+1, next_parent_after(w+1)) — the reference NestedChildMatcher's
+        interval walk (nested.py:283-360), vectorized over the global
+        parent comb.  Needs whole-index docnum arithmetic (blocks can
+        straddle segment boundaries), hence a searcher-level rewrite; the
+        resulting DocSet intersects each segment's doc space during
+        fan-out.  Scores are constant 1.0·boost (the reference forwards
+        its already-advanced parent matcher's score — a cursor quirk we
+        do not reproduce; see TODO.md)."""
+        parents = self.search(q.parents, limit=None, scored=False)["docnum"].to_numpy()
+        wanted = self.search(q.child, limit=None, scored=False)["docnum"].to_numpy()
+        N = np.uint64(self.manifest.doc_count)
+        if parents.size == 0 or wanted.size == 0:
+            return ast.DocSet(np.empty(0, np.uint64), boost=q.boost)
+        lo = wanted + np.uint64(1)
+        nxt = np.searchsorted(parents, lo, side="right")
+        hi = np.where(nxt < parents.size, parents[np.minimum(nxt, parents.size - 1)], N)
+        lens = (hi - lo).astype(np.int64)
+        keep = lens > 0
+        lo, lens = lo[keep], lens[keep]
+        if lo.size == 0:
+            return ast.DocSet(np.empty(0, np.uint64), boost=q.boost)
+        seg_starts = np.cumsum(lens) - lens
+        flat = np.repeat(lo.astype(np.int64) - seg_starts, lens) + np.arange(
+            int(lens.sum()), dtype=np.int64
+        )
+        return ast.DocSet(np.unique(flat).astype(np.uint64), boost=q.boost)
 
     # matcher-selection thresholds from the reference (compound.py:282,
     # 334-345): < TOO_MANY_CLAUSES terms AND (2 terms or doc_count > 5000)
