@@ -222,3 +222,101 @@ def transcript_schema_2():
     from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
 
     return IndexSchema(fields=[id_field("key"), text_field("name"), text_field("value")])
+
+
+def test_simple_parser_parity(our_index, whoosh_index, whoosh, terms):
+    """SimpleParser (+/- syntax) parity vs the reference SimpleParser."""
+    from whoosh.qparser import SimpleParser as WSP
+
+    from whoosh_reloaded_ray.query.parser import SimpleParser
+
+    for tmpl in (
+        "{mid}",
+        "{mid} {rare}",              # plain OR group
+        "+{mid} {rare}",             # required + optional
+        "{mid} -{rare}",             # banned
+        "+{mid} +{mid2} -{rare}",
+        '+{mid} "{hot} {rare}"',     # phrase node
+        "-{mid}",                    # banned only -> no matches
+    ):
+        qstring = tmpl.format(**terms)
+        wq = WSP("text", whoosh_index.schema).parse(qstring)
+        ours = SimpleParser("text", __import__(
+            "whoosh_reloaded_ray.schema", fromlist=["transcript_schema"]
+        ).transcript_schema()).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wres = [(h.docnum, h.score) for h in s.search(wq, limit=10)]
+        t = our_index.search(ours, limit=10)
+        ores = list(zip(t["docnum"].to_pylist(), t["score"].to_pylist()))
+        assert [d for d, _ in ores] == [d for d, _ in wres], (
+            f"{qstring!r}\nours: {ours}\nwhoosh: {wq!r}\n{ores}\n{wres}"
+        )
+        np.testing.assert_allclose(
+            [s for _, s in ores], [s for _, s in wres], atol=1e-6, rtol=0
+        )
+
+
+def test_dismax_parser_parity(our_index, whoosh_index, whoosh, terms):
+    """DisMaxParser parity vs the reference DisMaxParser."""
+    from whoosh.qparser import DisMaxParser as WDP
+
+    from whoosh_reloaded_ray.query.parser import DisMaxParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    boosts = {"text": 1.0, "role": 0.5}
+    for tmpl in ("{mid}", "{mid} {rare}", "+{mid} user", "user -{rare}"):
+        qstring = tmpl.format(**terms)
+        wq = WDP(boosts, whoosh_index.schema).parse(qstring)
+        ours = DisMaxParser(boosts, transcript_schema()).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wres = [(h.docnum, h.score) for h in s.search(wq, limit=10)]
+        t = our_index.search(ours, limit=10)
+        ores = list(zip(t["docnum"].to_pylist(), t["score"].to_pylist()))
+        assert [d for d, _ in ores] == [d for d, _ in wres], (
+            f"{qstring!r}\nours: {ours}\nwhoosh: {wq!r}\n{ores}\n{wres}"
+        )
+        np.testing.assert_allclose(
+            [s for _, s in ores], [s for _, s in wres], atol=1e-6, rtol=0
+        )
+
+
+def test_gtlt_parity(our_index, whoosh_index, whoosh, terms):
+    """GtLt plugin parity: field:>n etc. against whoosh with GtLtPlugin."""
+    from whoosh.qparser import GtLtPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    for tmpl in (
+        "turn_idx:>2 AND {mid}",
+        "turn_idx:<=1 AND {mid}",
+        "turn_idx:>=3 {rare}",
+        "text:>{mid} AND text:<{mid2}",
+    ):
+        qstring = tmpl.format(**terms)
+        wp = WQP("text", whoosh_index.schema)
+        wp.add_plugin(GtLtPlugin())
+        wq = wp.parse(qstring)
+        ours = QueryParser("text", transcript_schema(), gtlt=True).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wres = [(h.docnum, h.score) for h in s.search(wq, limit=10)]
+        t = our_index.search(ours, limit=10)
+        ores = list(zip(t["docnum"].to_pylist(), t["score"].to_pylist()))
+        assert [d for d, _ in ores] == [d for d, _ in wres], (
+            f"{qstring!r}\nours: {ours}\nwhoosh: {wq!r}\n{ores}\n{wres}"
+        )
+        np.testing.assert_allclose(
+            [s for _, s in ores], [s for _, s in wres], atol=1e-6, rtol=0
+        )
+
+
+def test_parse_normalization_parity(our_index, whoosh_index, whoosh, terms):
+    """Parser-side normalization (CompoundQuery.normalize): duplicate
+    clause dedup and overlapping-range union under OR."""
+    for tmpl in (
+        "{mid} {mid}",                         # duplicate dedup
+        "{mid} OR {mid} OR {rare}",
+        "text:[{mid} TO {mid2}] OR text:[{mid} TO {rare}]",  # range union
+    ):
+        _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))

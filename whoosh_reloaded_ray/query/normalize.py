@@ -1,0 +1,153 @@
+"""Query-tree normalization (reference CompoundQuery.normalize,
+query/compound.py:116-180 + RangeMixin.overlaps/merge, ranges.py:95-149).
+
+Applied by the parsers (the reference's ``QueryParser.parse`` normalizes by
+default; direct AST searches are NOT normalized, matching the reference's
+``Searcher.search``).  Scope: flatten nested same-class And/Or with boost
+multiplication, merge overlapping TermRanges (intersect under And, union
+under Or — NumericRanges intentionally do NOT merge, replicating the
+reference's ``isinstance(other, TermRange)`` guard), drop empty groups,
+de-duplicate subqueries, unwrap singletons.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import ast
+
+
+class _Extreme:
+    """Totally ordered sentinel below (or above) every value (reference
+    qcore.Lowest/Highest)."""
+
+    def __init__(self, is_low: bool):
+        self._low = is_low
+
+    def __eq__(self, o):
+        return isinstance(o, _Extreme) and o._low == self._low
+
+    def __lt__(self, o):
+        return self._low and not self.__eq__(o)
+
+    def __gt__(self, o):
+        return (not self._low) and not self.__eq__(o)
+
+    def __le__(self, o):
+        return self._low or self.__eq__(o)
+
+    def __ge__(self, o):
+        return (not self._low) or self.__eq__(o)
+
+    def __hash__(self):
+        return hash(("_extreme", self._low))
+
+
+_LOWEST, _HIGHEST = _Extreme(True), _Extreme(False)
+
+
+def _comparable_start(r: ast.TermRange):
+    if r.start is None:
+        return (_LOWEST, 0)
+    return (r.start, 1 if r.startexcl else 0)
+
+
+def _comparable_end(r: ast.TermRange):
+    if r.end is None:
+        return (_HIGHEST, 0)
+    return (r.end, -1 if r.endexcl else 0)
+
+
+def _ranges_overlap(a: ast.TermRange, b: ast.TermRange) -> bool:
+    s1, s2 = _comparable_start(a), _comparable_start(b)
+    e1, e2 = _comparable_end(a), _comparable_end(b)
+    return (
+        (s2 <= s1 <= e2)
+        or (s2 <= e1 <= e2)
+        or (s1 <= s2 <= e1)
+        or (s1 <= e2 <= e1)
+    )
+
+
+def _merge_ranges(a: ast.TermRange, b: ast.TermRange, intersect: bool) -> ast.TermRange:
+    s1, s2 = _comparable_start(a), _comparable_start(b)
+    e1, e2 = _comparable_end(a), _comparable_end(b)
+    if s1 >= s2 and e1 <= e2:
+        start, end = s2, e2
+    elif s2 >= s1 and e2 <= e1:
+        start, end = s1, e1
+    elif intersect:
+        start, end = max(s1, s2), min(e1, e2)
+    else:
+        start, end = min(s1, s2), max(e1, e2)
+    startval = None if isinstance(start[0], _Extreme) else start[0]
+    endval = None if isinstance(end[0], _Extreme) else end[0]
+    return ast.TermRange(
+        a.field,
+        startval,
+        endval,
+        startexcl=start[1] == 1,
+        endexcl=end[1] == -1,
+        boost=max(a.boost, b.boost),
+    )
+
+
+def _is_empty(q: ast.Query) -> bool:
+    return isinstance(q, (ast.And, ast.Or, ast.DisMax)) and not q.subqueries
+
+
+def normalize(q: ast.Query) -> ast.Query:
+    if isinstance(q, (ast.And, ast.Or)):
+        flat = []
+        for s in (normalize(s) for s in q.subqueries):
+            if type(s) is type(q):
+                # hoist nested same-class group, multiplying its boost in
+                flat.extend(
+                    dataclasses.replace(ss, boost=ss.boost * s.boost)
+                    for ss in s.subqueries
+                )
+            elif not _is_empty(s):
+                flat.append(s)
+        # merge overlapping TermRanges on the same field
+        i = 0
+        while i < len(flat):
+            r = flat[i]
+            if isinstance(r, ast.TermRange):
+                j = i + 1
+                while j < len(flat):
+                    other = flat[j]
+                    if (
+                        isinstance(other, ast.TermRange)
+                        and other.field == r.field
+                        and _ranges_overlap(r, other)
+                    ):
+                        flat.pop(j)
+                        r = _merge_ranges(r, other, intersect=isinstance(q, ast.And))
+                    else:
+                        j += 1
+                flat[i] = r
+            i += 1
+        # de-duplicate, keeping first occurrence
+        out, seen = [], set()
+        for s in flat:
+            try:
+                if s in seen:
+                    continue
+                seen.add(s)
+            except TypeError:  # unhashable payload (e.g. DocSet)
+                pass
+            out.append(s)
+        if not out:
+            return ast.Or([])
+        if len(out) == 1:
+            s = out[0]
+            return dataclasses.replace(s, boost=s.boost * q.boost)
+        return type(q)(out, boost=q.boost)
+    if isinstance(q, ast.DisMax):
+        subs = [s for s in (normalize(s) for s in q.subqueries) if not _is_empty(s)]
+        return ast.DisMax(subs, boost=q.boost, tiebreak=q.tiebreak)
+    if isinstance(q, ast.Not):
+        return ast.Not(normalize(q.subquery), boost=q.boost)
+    if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require)):
+        return type(q)(normalize(q.a), normalize(q.b), boost=q.boost)
+    return q

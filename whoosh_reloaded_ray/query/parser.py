@@ -63,10 +63,21 @@ class QueryParser:
 
     OPERATORS = ("NOT", "AND", "OR", "ANDNOT", "ANDMAYBE", "REQUIRE")
 
-    def __init__(self, default_field: str, schema: IndexSchema, group: str = "and"):
+    def __init__(
+        self,
+        default_field: str,
+        schema: IndexSchema,
+        group: str = "and",
+        gtlt: bool = False,
+    ):
+        """``gtlt=True`` enables the reference's optional GtLtPlugin
+        (qparser/plugins.py:1081-1160): ``field:>5  field:<=z`` become
+        open-ended ranges.  Off by default, matching the reference's
+        default plugin set."""
         self.default_field = default_field
         self.schema = schema
         self.group_cls = ast.And if group == "and" else ast.Or
+        self.gtlt = gtlt
         self.fields = {f.name: f for f in schema.fields}
 
     # -- tokenize ----------------------------------------------------------
@@ -108,7 +119,13 @@ class QueryParser:
         tokens = self._tokens(text)
         group, _ = self._build_group(tokens, 0)
         q = self._resolve(group)
-        return q if q is not None else ast.Or([])
+        if q is None:
+            return ast.Or([])
+        from .normalize import normalize
+
+        # the reference parser normalizes by default (default.py parse
+        # normalize=True); direct AST searches stay un-normalized
+        return normalize(q)
 
     def _build_group(self, tokens, i) -> tuple:
         nodes = _Group()
@@ -151,7 +168,15 @@ class QueryParser:
                         field_ctx = fm.group(1)  # "field:(...)" / "field:[..]"
                         i += 1
                         continue
-                    nodes.append(_WordNode(fm.group(1), fm.group(2)))
+                    gm = (
+                        re.match(r"^(<=|>=|=<|=>|<|>)(.+)$", fm.group(2))
+                        if self.gtlt
+                        else None
+                    )
+                    if gm:
+                        nodes.append(_GtLtNode(fm.group(1), gm.group(1), gm.group(2)))
+                    else:
+                        nodes.append(_WordNode(fm.group(1), fm.group(2)))
                 else:
                     nodes.append(_WordNode(field_ctx or self.default_field, w))
                 field_ctx = None
@@ -257,6 +282,14 @@ class QueryParser:
             return ast.Phrase(node.field, words, slop=node.slop)
         if isinstance(node, _RangeNode):
             return self._range_query(node)
+        if isinstance(node, _GtLtNode):
+            # reference GtLtPlugin.make_range (plugins.py:1144-1160):
+            #   <  -> [None TO x}   >  -> {x TO None]
+            #   <= -> [None TO x]   >= -> [x TO None]
+            rel, text = node.rel, node.text
+            if rel in ("<", "<=", "=<"):
+                return self._make_range(node.field, None, text, False, rel == "<")
+            return self._make_range(node.field, text, None, rel == ">", False)
         if isinstance(node, _WordNode):
             return self._word_query(node.field, node.text)
         raise TypeError(f"unknown node {node!r}")
@@ -307,23 +340,24 @@ class QueryParser:
         if not m:
             return self._word_query(node.field, node.text)
         lb, lo, hi, rb = m.groups()
-        lo = lo.strip() or None
-        hi = hi.strip() or None
-        startexcl = lb == "{"
-        endexcl = rb == "}"
-        spec = self.fields.get(node.field)
+        return self._make_range(
+            node.field, lo.strip() or None, hi.strip() or None, lb == "{", rb == "}"
+        )
+
+    def _make_range(self, field, lo, hi, startexcl, endexcl):
+        spec = self.fields.get(field)
         if spec is not None and spec.kind in ("numeric", "datetime"):
             conv = int if spec.kind == "numeric" else str
             return ast.NumericRange(
-                node.field,
+                field,
                 conv(lo) if lo is not None else None,
                 conv(hi) if hi is not None else None,
                 startexcl=startexcl,
                 endexcl=endexcl,
             )
-        low = self._analyze(node.field, lo)[0] if lo else None
-        high = self._analyze(node.field, hi)[0] if hi else None
-        return ast.TermRange(node.field, low, high, startexcl=startexcl, endexcl=endexcl)
+        low = self._analyze(field, lo)[0] if lo else None
+        high = self._analyze(field, hi)[0] if hi else None
+        return ast.TermRange(field, low, high, startexcl=startexcl, endexcl=endexcl)
 
 
 def _apply_boost(q: ast.Query, boost: float) -> ast.Query:
@@ -380,6 +414,15 @@ class _RangeNode:
 
     def __init__(self, field, text):
         self.field = field
+        self.text = text
+
+
+class _GtLtNode:
+    __slots__ = ("field", "rel", "text")
+
+    def __init__(self, field, rel, text):
+        self.field = field
+        self.rel = rel
         self.text = text
 
 
@@ -447,3 +490,139 @@ class MultifieldParser(QueryParser):
 
             return self._fan(mkr)
         return super()._to_query(node)
+
+
+# ---------------------------------------------------------------------------
+# SimpleParser / DisMaxParser — the reference's +/- syntax family
+# (qparser/default.py:415-447; PlusMinusPlugin, plugins.py:1016-1078).
+# Grammar: whitespace-separated words and quoted phrases only (no fields,
+# ranges, operators or wildcards); a '+' marker makes the NEXT node
+# required, '-' makes it prohibited.  Resolution per do_plusminus:
+#   result = optional-group            (OrGroup unless group="and")
+#   if required: result = AndMaybe(And(required), result)
+#   if banned:   result = AndNot(result, Or(banned))
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TOKEN_RE = re.compile(
+    r"""
+    (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<phrase>"(?P<phtext>[^"]*)")
+  | (?P<word>[^\s+\-"][^\s"]*)
+""",
+    re.VERBOSE,
+)
+
+
+class SimpleParser(QueryParser):
+    """``SimpleParser("text", schema).parse('render +fast -slow')``."""
+
+    def __init__(self, default_field: str, schema: IndexSchema, group: str = "or"):
+        super().__init__(default_field, schema, group=group)
+
+    # -- single node builders (no fields/wildcards in this grammar) --------
+
+    def _simple_word(self, text: str):
+        words = self._analyze(self.default_field, text)
+        if not words:
+            return None
+        if len(words) == 1:
+            return ast.Term(self.default_field, words[0])
+        return self.group_cls([ast.Term(self.default_field, w) for w in words])
+
+    def _simple_phrase(self, text: str):
+        words = self._analyze(self.default_field, text)
+        if not words:
+            return None
+        if len(words) == 1:
+            return ast.Term(self.default_field, words[0])
+        return ast.Phrase(self.default_field, words)
+
+    # -- parse -------------------------------------------------------------
+
+    def parse(self, text: str) -> ast.Query:
+        required, optional, banned = [], [], []
+        dest = optional
+        for m in _SIMPLE_TOKEN_RE.finditer(text):
+            if m.group("plus"):
+                dest = required
+                continue
+            if m.group("minus"):
+                dest = banned
+                continue
+            q = (
+                self._simple_phrase(m.group("phtext"))
+                if m.group("phrase")
+                else self._simple_word(m.group("word"))
+            )
+            if q is not None:
+                dest.append(q)
+            dest = optional
+        return self._combine_plusminus(required, optional, banned)
+
+    def _combine_plusminus(self, required, optional, banned) -> ast.Query:
+        def grp(qs, cls):
+            if not qs:
+                return None
+            return qs[0] if len(qs) == 1 else cls(qs)
+
+        q = grp(optional, self.group_cls)
+        req = grp(required, ast.And)
+        if req is not None:
+            q = ast.AndMaybe(req, q) if q is not None else req
+        if banned:
+            base = q if q is not None else ast.Or([])
+            q = ast.AndNot(base, grp(banned, ast.Or))
+        if q is None:
+            return ast.Or([])
+        from .normalize import normalize
+
+        return normalize(q)
+
+
+class DisMaxParser(SimpleParser):
+    """+/- syntax where each term searches several fields combined with
+    DisjunctionMax (reference DisMaxParser, qparser/default.py:427-447:
+    MultifieldPlugin with group=DisMaxGroup and per-field boosts)."""
+
+    def __init__(self, fieldboosts: dict, schema: IndexSchema, tiebreak: float = 0.0):
+        super().__init__(next(iter(fieldboosts)), schema, group="or")
+        self.fieldboosts = dict(fieldboosts)
+        self.tiebreak = tiebreak
+
+    def _fan_dismax(self, make):
+        subs = []
+        for f, boost in self.fieldboosts.items():
+            q = make(f)
+            if q is None:
+                continue
+            if boost != 1.0:
+                q = _apply_boost(q, boost)
+            subs.append(q)
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return ast.DisMax(subs, tiebreak=self.tiebreak)
+
+    def _simple_word(self, text: str):
+        def mk(f):
+            words = self._analyze(f, text)
+            if not words:
+                return None
+            if len(words) == 1:
+                return ast.Term(f, words[0])
+            return self.group_cls([ast.Term(f, w) for w in words])
+
+        return self._fan_dismax(mk)
+
+    def _simple_phrase(self, text: str):
+        def mk(f):
+            words = self._analyze(f, text)
+            if not words:
+                return None
+            if len(words) == 1:
+                return ast.Term(f, words[0])
+            return ast.Phrase(f, words)
+
+        return self._fan_dismax(mk)
