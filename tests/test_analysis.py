@@ -282,3 +282,60 @@ def test_charset_filter_mechanism_parity(whoosh):
     ours = charset_filter(base, accent_fold_map())
     assert [t for t, _ in ours][:2] == ["cafe", "naive"]
     assert "resume" in [t for t, _ in ours]
+
+
+def test_query_mode_ngram(whoosh):
+    """Query-mode n-gram analysis: single gram size = min(max, len)
+    (reference ngrams.py tokenizer :87-103 and filter :180-198)."""
+    from whoosh.analysis import NgramAnalyzer, NgramWordAnalyzer
+
+    from whoosh_reloaded_ray.functions.analysis import (
+        make_analyzer,
+        ngram_analyzer,
+        ngramwords_analyzer,
+    )
+
+    for text in ("hello", "hi", "a", "data flow"):
+        ours = [t for t, _ in make_analyzer(ngram_analyzer(2, 4), mode="query")(text)]
+        theirs = [t.text for t in NgramAnalyzer(2, 4)(text, mode="query")]
+        assert ours == theirs, (text, ours, theirs)
+
+    for at in (None, "start", "end"):
+        for text in ("hello world", "hi", "abcdefgh"):
+            ours = [
+                t
+                for t, _ in make_analyzer(
+                    ngramwords_analyzer(2, 4, at=at), mode="query"
+                )(text)
+            ]
+            theirs = [
+                t.text
+                for t in NgramWordAnalyzer(2, maxsize=4, at=at)(text, mode="query")
+            ]
+            assert ours == theirs, (at, text, ours, theirs)
+
+
+def test_query_mode_invariant_standard():
+    """Standard analyzer is mode-invariant."""
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    s = standard_analyzer()
+    text = "The quick brown foxes 123"
+    assert make_analyzer(s)(text) == make_analyzer(s, mode="query")(text)
+
+
+def test_field_query_analyzer_roundtrip():
+    """FieldSpec.query_analyzer serializes through to_dict/from_dict."""
+    from whoosh_reloaded_ray.functions.analysis import (
+        ngram_analyzer,
+        standard_analyzer,
+    )
+    from whoosh_reloaded_ray.schema import FieldSpec
+
+    f = FieldSpec(
+        name="body",
+        kind="text",
+        analyzer=ngram_analyzer(2, 4),
+        query_analyzer=standard_analyzer(),
+    )
+    assert FieldSpec.from_dict(f.to_dict()) == f

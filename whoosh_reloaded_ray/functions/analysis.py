@@ -144,11 +144,17 @@ def _stop_and_renumber(
     return out
 
 
-def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
+def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
     """Compile an AnalyzerSpec into ``text -> [(term, pos), ...]``.
 
     Compile once per worker/actor (regex + frozenset lookups are the hot
     path); call per value.
+
+    ``mode`` replicates the reference's Token.mode branching: n-gram
+    chains emit ALL gram sizes at index time but a SINGLE size
+    (min(maxsize, len)) at query time (reference analysis/ngrams.py:87-103
+    tokenizer, :180-198 filter), so a query string over an NGRAM field
+    expands to the right grams.  Non-ngram analyzers are mode-invariant.
     """
     kind = spec.kind
     lower = spec.lowercase
@@ -192,7 +198,18 @@ def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
                 w = w.lower()
                 if len(w) < gmin:
                     continue
-                if at == "start":
+                if mode == "query":
+                    # one gram size per word (reference NgramFilter query
+                    # branch, ngrams.py:180-198)
+                    size = min(gmax, len(w))
+                    if at == "start":
+                        out.append((w[:size], pos))
+                    elif at == "end":
+                        out.append((w[-size:], pos))
+                    else:
+                        for start in range(0, len(w) - size + 1):
+                            out.append((w[start : start + size], pos))
+                elif at == "start":
                     for size in range(gmin, min(gmax, len(w)) + 1):
                         out.append((w[:size], pos))
                 elif at == "end":
@@ -248,6 +265,15 @@ def make_analyzer(spec: AnalyzerSpec) -> AnalyzeFn:
             out = []
             pos = 0
             n = len(t)
+            if mode == "query":
+                # single gram size = min(max, len) (reference
+                # NgramTokenizer query branch, ngrams.py:87-103; note it
+                # ignores minsize — a 1-char query emits a 1-gram)
+                size = min(nmax, n)
+                for i in range(0, n - size + 1):
+                    out.append((t[i : i + size], pos))
+                    pos += 1
+                return out
             for size in range(nmin, nmax + 1):
                 for i in range(0, n - size + 1):
                     out.append((t[i : i + size], pos))

@@ -300,7 +300,15 @@ class QueryParser:
         spec = self.fields.get(field)
         if spec is None or spec.analyzer is None:
             return [text]
-        return [t for t, _ in make_analyzer(spec.analyzer)(text)]
+        # mode="query" replicates Token.mode branching (single-size ngram
+        # expansion); a field may also carry an explicitly different
+        # query_analyzer (the MultiFilter index/query pattern)
+        return [
+            t
+            for t, _ in make_analyzer(
+                spec.query_analyzer or spec.analyzer, mode="query"
+            )(text)
+        ]
 
     def _word_query(self, field: str, text: str):
         spec = self.fields.get(field)

@@ -31,6 +31,12 @@ class FieldSpec:
     stored: bool = True  # returned with hits (fetched from source parquet)
     positions: bool = True  # index positions (needed for phrase queries)
     boost: float = 1.0
+    # Optional DIFFERENT analyzer for query strings — the config-as-data
+    # equivalent of the reference's MultiFilter(index=..., query=...)
+    # mode branching (analysis/filters.py:150-181).  When None, query text
+    # is analyzed with ``analyzer`` in mode="query" (which only differs
+    # for n-gram chains).
+    query_analyzer: Optional[AnalyzerSpec] = None
 
     @property
     def indexed(self) -> bool:
@@ -38,20 +44,23 @@ class FieldSpec:
 
     def to_dict(self) -> dict:
         d = asdict(self)
-        if self.analyzer is not None:
-            d["analyzer"]["stopwords"] = (
-                sorted(self.analyzer.stopwords) if self.analyzer.stopwords is not None else None
-            )
+        for key in ("analyzer", "query_analyzer"):
+            spec = getattr(self, key)
+            if spec is not None:
+                d[key]["stopwords"] = (
+                    sorted(spec.stopwords) if spec.stopwords is not None else None
+                )
         return d
 
     @staticmethod
     def from_dict(d: dict) -> "FieldSpec":
         d = dict(d)
-        if d.get("analyzer") is not None:
-            a = dict(d["analyzer"])
-            if a.get("stopwords") is not None:
-                a["stopwords"] = frozenset(a["stopwords"])
-            d["analyzer"] = AnalyzerSpec(**a)
+        for key in ("analyzer", "query_analyzer"):
+            if d.get(key) is not None:
+                a = dict(d[key])
+                if a.get("stopwords") is not None:
+                    a["stopwords"] = frozenset(a["stopwords"])
+                d[key] = AnalyzerSpec(**a)
         return FieldSpec(**d)
 
 
