@@ -56,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_df": ft.top_terms_by_df,
         "match_parsed_daterange": ft.match_parsed_daterange,
         "conv_match_counts": ft.conv_match_counts,
+        "search_simple_parser": ft.search_simple_parser,
+        "match_gtlt": ft.match_gtlt,
+        "nested_children_turns": ft.nested_children_turns,
+        "match_span_first": ft.match_span_first,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -95,6 +99,10 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_by_df": ft.oracle_top_terms_by_df(),
         "match_parsed_daterange": ft.oracle_match_parsed_daterange(),
         "conv_match_counts": ft.oracle_conv_match_counts(),
+        "search_simple_parser": ft.oracle_search_simple_parser(),
+        "match_gtlt": ft.oracle_match_gtlt(),
+        "nested_children_turns": ft.oracle_nested_children_turns(),
+        "match_span_first": ft.oracle_match_span_first(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

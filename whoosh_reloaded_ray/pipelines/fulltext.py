@@ -508,3 +508,114 @@ SELECT conv_id, COUNT(*)::BIGINT AS n_match
 FROM tokd WHERE list_contains(toks, 'spark')
 GROUP BY conv_id ORDER BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: parser-family + span + block-join gate queries
+# ---------------------------------------------------------------------------
+
+
+def search_simple_parser(sf_dir: str) -> pa.Table:
+    """SimpleParser '+window hash' => AndMaybe(required, optional): docs
+    must contain 'window', 'hash' adds its score where present."""
+    from ..query.parser import SimpleParser
+    from ..schema import transcript_schema
+
+    s = get_searcher(sf_dir)
+    q = SimpleParser("text", transcript_schema()).parse("+window hash")
+    return _hits_with_keys(s, s.search(q, limit=10))
+
+
+def oracle_search_simple_parser() -> str:
+    return _bm25_oracle(["window", "hash"], "t.tf_0 > 0")
+
+
+def match_gtlt(sf_dir: str) -> pa.Table:
+    """GtLt-parsed 'turn_idx:>0 AND data' (docs past a conversation's
+    opening turn containing 'data')."""
+    from ..query.parser import QueryParser
+    from ..schema import transcript_schema
+
+    s = get_searcher(sf_dir)
+    q = QueryParser("text", transcript_schema(), gtlt=True).parse("turn_idx:>0 AND data")
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_match_gtlt() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, turn_idx, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE turn_idx > 0 AND list_contains(toks, 'data')
+ORDER BY doc_id
+"""
+
+
+def nested_children_turns(sf_dir: str) -> pa.Table:
+    """NestedChildren block join: all parents = turn_idx==0 delimiters,
+    wanted parents = opening turns containing 'spark'; result = the child
+    turns of those conversations."""
+    from ..query import And, NestedChildren, NumericRange, Term
+
+    s = get_searcher(sf_dir)
+    parents = NumericRange("turn_idx", 0, 0)
+    wanted = And([NumericRange("turn_idx", 0, 0), Term("text", "spark")])
+    res = s.search(NestedChildren(parents, wanted), limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_nested_children_turns() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, conv_id, turn_idx, {toks} AS toks FROM transcripts),
+wanted AS (SELECT conv_id FROM tokd WHERE turn_idx = 0 AND list_contains(toks, 'spark'))
+SELECT t.doc_id FROM tokd t JOIN wanted w USING (conv_id)
+WHERE t.turn_idx > 0
+ORDER BY t.doc_id
+"""
+
+
+def match_span_first(sf_dir: str) -> pa.Table:
+    """SpanFirst(Term 'spark', limit=2): docs whose first surviving 'spark'
+    occurrence sits within positions 0-2 (post-stop renumbered: the first
+    surviving token keeps its RAW position, later survivors go
+    consecutive)."""
+    from ..query import SpanFirst, Term
+
+    s = get_searcher(sf_dir)
+    res = s.search(SpanFirst(Term("text", "spark"), limit=2), limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_match_span_first() -> str:
+    toks = tokenize_sql()
+    stops = _stops_sql()
+    # position of the k-th survivor (1-based k) = i0 + k - 1, where i0 is
+    # the 0-based RAW index of the first surviving token
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+raw AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[\\w*]+(?:\\.?[\\w*]+)*'),
+                        t -> lower(t)) AS rawtoks,
+         {toks} AS toks
+  FROM transcripts
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(rawtoks)),
+                     i -> length(rawtoks[i]) >= 2
+                          AND rawtoks[i] NOT IN ({stops}))[1] - 1 AS i0,
+         list_position(toks, 'spark') AS k0
+  FROM raw
+)
+SELECT doc_id FROM pos
+WHERE k0 IS NOT NULL AND k0 > 0 AND (i0 + k0 - 1) <= 2
+ORDER BY doc_id
+"""
