@@ -339,3 +339,44 @@ def test_field_query_analyzer_roundtrip():
         query_analyzer=standard_analyzer(),
     )
     assert FieldSpec.from_dict(f.to_dict()) == f
+
+
+def test_tee_filter(whoosh):
+    """TeeFilter round-robin interleave parity (reference doctest cases)."""
+    from whoosh.analysis import (
+        LowercaseFilter,
+        PassFilter,
+        RegexTokenizer,
+        ReverseTextFilter,
+        TeeFilter,
+    )
+
+    from whoosh_reloaded_ray.functions.analysis import (
+        biword_filter,
+        reverse_text_filter,
+        tee_filter,
+    )
+
+    target = "ALFA BRAVO CHARLIE"
+    ana = RegexTokenizer(r"\S+") | TeeFilter(LowercaseFilter(), ReverseTextFilter())
+    theirs = [t.text for t in ana(target)]
+    toks = [(w, i) for i, w in enumerate(target.split())]
+    ours = [
+        t
+        for t, _ in tee_filter(
+            toks,
+            lambda ts: [(x.lower(), p) for x, p in ts],
+            reverse_text_filter,
+        )
+    ]
+    assert ours == theirs
+
+    from whoosh.analysis import BiWordFilter
+
+    ana2 = RegexTokenizer(r"\S+") | TeeFilter(PassFilter(), BiWordFilter()) | LowercaseFilter()
+    theirs2 = [t.text for t in ana2(target)]
+    ours2 = [
+        t.lower()
+        for t, _ in tee_filter(toks, lambda ts: ts, biword_filter)
+    ]
+    assert ours2 == theirs2

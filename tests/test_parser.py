@@ -320,3 +320,78 @@ def test_parse_normalization_parity(our_index, whoosh_index, whoosh, terms):
         "text:[{mid} TO {mid2}] OR text:[{mid} TO {rare}]",  # range union
     ):
         _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))
+
+
+def test_fieldalias_copyfield(our_index, whoosh_index, whoosh, terms):
+    """FieldAliasPlugin + CopyFieldPlugin parity."""
+    from whoosh.qparser import CopyFieldPlugin, FieldAliasPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    # aliases: 'speaker' -> role
+    wp = WQP("text", whoosh_index.schema)
+    wp.add_plugin(FieldAliasPlugin({"role": ["speaker"]}))
+    for tmpl in ("speaker:user AND {mid}", "speaker:assistant OR {rare}"):
+        qstring = tmpl.format(**terms)
+        wq = wp.parse(qstring)
+        ours = QueryParser(
+            "text", transcript_schema(), fieldaliases={"role": ["speaker"]}
+        ).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wres = [(h.docnum, round(h.score, 6)) for h in s.search(wq, limit=10)]
+        t = our_index.search(ours, limit=10)
+        ores = [
+            (d, round(s, 6))
+            for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+        ]
+        assert ores == wres, f"{qstring!r}\n{ours}\n{wq!r}"
+
+    # copyfield: terms in 'role' also searched in 'tool'
+    wp2 = WQP("text", whoosh_index.schema)
+    wp2.add_plugin(CopyFieldPlugin({"role": "tool"}))
+    qstring = f"role:user {terms['mid']}"
+    wq = wp2.parse(qstring)
+    ours = QueryParser(
+        "text", transcript_schema(), copyfields={"role": "tool"}
+    ).parse(qstring)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, round(h.score, 6)) for h in s.search(wq, limit=10)]
+    t = our_index.search(ours, limit=10)
+    ores = [
+        (d, round(s, 6))
+        for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+    ]
+    assert ores == wres, f"{qstring!r}\n{ours}\n{wq!r}"
+
+
+def test_otherwise_query(our_index, whoosh_index, whoosh, terms):
+    """Otherwise: a's matches, else b's — decided per segment like the
+    reference's per-subsearcher matcher selection."""
+    from whoosh import query as wq
+
+    from whoosh_reloaded_ray.query import Otherwise, Term
+
+    # 'zzznope' matches nothing anywhere -> falls back to b in every segment
+    q = Otherwise(Term("text", "zzznope"), Term("text", terms["mid"]))
+    w = wq.Otherwise(wq.Term("text", "zzznope"), wq.Term("text", terms["mid"]))
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, round(h.score, 6)) for h in s.search(w, limit=10)]
+    t = our_index.search(q, limit=10)
+    ores = [
+        (d, round(s, 6))
+        for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+    ]
+    assert ores == wres
+    # a matches -> b ignored
+    q = Otherwise(Term("text", terms["mid"]), Term("text", terms["hot"]))
+    w = wq.Otherwise(wq.Term("text", terms["mid"]), wq.Term("text", terms["hot"]))
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, round(h.score, 6)) for h in s.search(w, limit=10)]
+    t = our_index.search(q, limit=10)
+    ores = [
+        (d, round(s, 6))
+        for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+    ]
+    assert ores == wres

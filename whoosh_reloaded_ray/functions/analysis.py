@@ -751,3 +751,25 @@ def accent_fold_map() -> dict:
         if base != ch and base:
             out[cp] = base
     return out
+
+
+def tee_filter(tokens, *filters):
+    """Round-robin interleave of two or more filter branches, each run over
+    a copy of the stream (reference TeeFilter, filters.py:184-236: yields
+    one token from each branch in turn until all are exhausted)."""
+    if len(filters) < 2:
+        raise ValueError("tee_filter requires two or more filters")
+    toks = list(tokens)
+    gens = [iter(f(list(toks))) for f in filters]
+    out = []
+    running = len(gens)
+    while running:
+        for i, g in enumerate(gens):
+            if g is None:
+                continue
+            try:
+                out.append(next(g))
+            except StopIteration:
+                gens[i] = None
+                running -= 1
+    return out

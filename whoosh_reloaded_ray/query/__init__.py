@@ -12,6 +12,7 @@ from .ast import (  # noqa: F401
     Not,
     NumericRange,
     Or,
+    Otherwise,
     Phrase,
     Prefix,
     Query,

@@ -119,6 +119,12 @@ class Require(_Binary):
     """Docs matching both; scores from a only."""
 
 
+class Otherwise(_Binary):
+    """Matches ``a``; if ``a`` matches NOTHING in a segment, matches ``b``
+    instead (reference compound.py:578-589 — the choice is made per
+    sub-searcher/segment, which we replicate per SegmentReader)."""
+
+
 @dataclass(frozen=True)
 class Phrase(Query):
     field: str = "text"

@@ -655,6 +655,16 @@ def _eval_andmaybe(reader, q: ast.AndMaybe, ctx, scored):
     return _apply_boost((da, out), q.boost)
 
 
+def _eval_otherwise(reader, q: "ast.Otherwise", ctx, scored):
+    """a's matches, falling back to b when a matches nothing IN THIS
+    SEGMENT (reference compound.py:585-589 picks the matcher per
+    sub-searcher)."""
+    da, sa = evaluate(reader, q.a, ctx, scored)
+    if da.size:
+        return _apply_boost((da, sa), q.boost)
+    return _apply_boost(evaluate(reader, q.b, ctx, scored), q.boost)
+
+
 def _eval_every(reader, q: ast.Every, ctx, scored):
     if q.field in (None, "", "*"):
         docs = reader.all_docnums()
@@ -1148,6 +1158,7 @@ _EVAL = {
     "Require": _eval_require,
     "AndMaybe": _eval_andmaybe,
     "Every": _eval_every,
+    "Otherwise": _eval_otherwise,
     "ConstantTerms": _eval_constant_terms,
     "Phrase": _eval_phrase,
     "Prefix": _eval_prefix,

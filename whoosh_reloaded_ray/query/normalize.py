@@ -148,6 +148,6 @@ def normalize(q: ast.Query) -> ast.Query:
         return ast.DisMax(subs, boost=q.boost, tiebreak=q.tiebreak)
     if isinstance(q, ast.Not):
         return ast.Not(normalize(q.subquery), boost=q.boost)
-    if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require)):
+    if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require, ast.Otherwise)):
         return type(q)(normalize(q.a), normalize(q.b), boost=q.boost)
     return q

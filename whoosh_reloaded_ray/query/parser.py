@@ -69,6 +69,8 @@ class QueryParser:
         schema: IndexSchema,
         group: str = "and",
         gtlt: bool = False,
+        fieldaliases: dict | None = None,
+        copyfields: dict | None = None,
     ):
         """``gtlt=True`` enables the reference's optional GtLtPlugin
         (qparser/plugins.py:1081-1160): ``field:>5  field:<=z`` become
@@ -79,6 +81,15 @@ class QueryParser:
         self.group_cls = ast.And if group == "and" else ast.Or
         self.gtlt = gtlt
         self.fields = {f.name: f for f in schema.fields}
+        # FieldAliasPlugin (plugins.py:1205-1238): alias -> real field name
+        self.aliases: dict = {}
+        if fieldaliases:
+            for real, alist in fieldaliases.items():
+                for alias in alist:
+                    self.aliases[alias] = real
+        # CopyFieldPlugin (plugins.py:1241-1296): fielded term/phrase nodes
+        # are expanded to Or(original, same-text node in the mapped field)
+        self.copyfields = dict(copyfields) if copyfields else {}
 
     # -- tokenize ----------------------------------------------------------
 
@@ -149,6 +160,7 @@ class QueryParser:
                 field_ctx = None
             elif kind == "fphrase":
                 f, text, slop = val
+                f = self.aliases.get(f, f)
                 f = f if f in self.fields else self.default_field
                 nodes.append(_PhraseNode(f, text, slop))
                 field_ctx = None
@@ -157,15 +169,17 @@ class QueryParser:
                 field_ctx = None
             elif kind == "frange":
                 f, body = val
+                f = self.aliases.get(f, f)
                 f = f if f in self.fields else self.default_field
                 nodes.append(_RangeNode(f, body))
                 field_ctx = None
             elif kind == "word":
                 w = val
                 fm = re.match(r"^(\w+):(.*)$", w, re.UNICODE)
-                if fm and fm.group(1) in self.fields:
+                if fm and self.aliases.get(fm.group(1), fm.group(1)) in self.fields:
+                    fname = self.aliases.get(fm.group(1), fm.group(1))
                     if fm.group(2) == "":
-                        field_ctx = fm.group(1)  # "field:(...)" / "field:[..]"
+                        field_ctx = fname  # "field:(...)" / "field:[..]"
                         i += 1
                         continue
                     gm = (
@@ -174,9 +188,9 @@ class QueryParser:
                         else None
                     )
                     if gm:
-                        nodes.append(_GtLtNode(fm.group(1), gm.group(1), gm.group(2)))
+                        nodes.append(_GtLtNode(fname, gm.group(1), gm.group(2)))
                     else:
-                        nodes.append(_WordNode(fm.group(1), fm.group(2)))
+                        nodes.append(_WordNode(fname, fm.group(2)))
                 else:
                     nodes.append(_WordNode(field_ctx or self.default_field, w))
                 field_ctx = None
@@ -274,12 +288,11 @@ class QueryParser:
                 q = _apply_boost(q, node.boost)
             return q
         if isinstance(node, _PhraseNode):
-            words = self._analyze(node.field, node.text)
-            if not words:
-                return None
-            if len(words) == 1:
-                return ast.Term(node.field, words[0])
-            return ast.Phrase(node.field, words, slop=node.slop)
+            q = self._phrase_query(node.field, node.text, node.slop)
+            to = self.copyfields.get(node.field)
+            if to is not None:
+                q = self._copy_or(q, self._phrase_query(to, node.text, node.slop))
+            return q
         if isinstance(node, _RangeNode):
             return self._range_query(node)
         if isinstance(node, _GtLtNode):
@@ -291,8 +304,28 @@ class QueryParser:
                 return self._make_range(node.field, None, text, False, rel == "<")
             return self._make_range(node.field, text, None, rel == ">", False)
         if isinstance(node, _WordNode):
-            return self._word_query(node.field, node.text)
+            q = self._word_query(node.field, node.text)
+            to = self.copyfields.get(node.field)
+            if to is not None:
+                q = self._copy_or(q, self._word_query(to, node.text))
+            return q
         raise TypeError(f"unknown node {node!r}")
+
+    def _phrase_query(self, field, text, slop):
+        words = self._analyze(field, text)
+        if not words:
+            return None
+        if len(words) == 1:
+            return ast.Term(field, words[0])
+        return ast.Phrase(field, words, slop=slop)
+
+    @staticmethod
+    def _copy_or(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return ast.Or([a, b])
 
     def _analyze(self, field: str, text: str) -> list:
         from ..functions.analysis import make_analyzer

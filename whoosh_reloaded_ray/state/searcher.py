@@ -371,7 +371,7 @@ class IndexSearcher:
             return type(q)(subs, boost=q.boost, **kw)
         if isinstance(q, ast.Not):
             return ast.Not(self._rewrite(q.subquery), boost=q.boost)
-        if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require)):
+        if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require, ast.Otherwise)):
             return type(q)(self._rewrite(q.a), self._rewrite(q.b), boost=q.boost)
         return q
 
