@@ -74,3 +74,22 @@ def test_ray_executor_facets_and_sorting(idx_dir):
     b = rays.search_sorted(q, "turn_idx", limit=10)
     assert a["docnum"].to_pylist() == b["docnum"].to_pylist()
     assert local.search_grouped(q, "role") == rays.search_grouped(q, "role")
+
+
+def test_two_phase_wand_matches_local(idx_dir):
+    """Multi-segment workers take the two-phase global-theta WAND path;
+    results must stay byte-identical to the local executor."""
+    local = IndexSearcher(idx_dir, executor="local")
+    rays = IndexSearcher(idx_dir, executor="ray", num_actors=1)  # 1 worker, 3 segments
+    assert any(n > 1 for n in rays._group_sizes)
+    vocab = _vocab(idx_dir)
+    for q in (
+        Term("text", vocab[0]),                      # hot term
+        Or([Term("text", vocab[1]), Term("text", vocab[30])]),
+        Or([Term("text", vocab[5], boost=2.0), Term("text", vocab[50])]),
+    ):
+        for limit in (3, 10):
+            a = local.search(q, limit=limit)
+            b = rays.search(q, limit=limit)
+            np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
+            np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)

@@ -29,11 +29,28 @@ from ..query.exec import ScoreContext, SegmentReader, evaluate
 from ..state.manifest import Manifest, load_manifest
 
 
+# Package parent dir, captured at import time on the driver.  Worker
+# processes receive the class pickled BY VALUE (see _rayutil), but lazy
+# `from ..query.wand import ...` statements inside methods still go through
+# the import system — on a single-node cluster the repo path is visible to
+# every worker, so pinning it onto sys.path makes those resolve.  (A real
+# multi-node deployment would ship the package via runtime_env py_modules.)
+import os as _os
+
+_PKG_PARENT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
 class _SegmentWorker:
     """Holds SegmentReaders for a subset of segments (used in-process or as
     the body of a Ray actor)."""
 
     def __init__(self, index_dir: str, manifest_dict: dict, seg_indices: list):
+        import sys
+
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
         man = Manifest.from_dict(manifest_dict)
         self.readers = [SegmentReader(index_dir, man.segments[i]) for i in seg_indices]
         # tombstone mask (deleted docs stay in collection stats, exactly
@@ -91,6 +108,9 @@ class _SegmentWorker:
         scored=True,
         allowed=None,
         forbidden=None,
+        seg_slice: str | None = None,
+        initial_theta: float = -np.inf,
+        return_theta: bool = False,
     ):
         """Per-worker matches; top-`limit` per segment when limit is set.
 
@@ -101,7 +121,13 @@ class _SegmentWorker:
         Scored Term / Or-of-Terms top-k takes the block-max WAND path:
         per-block (max_weight, min_len_byte) bounds prune block decodes,
         mirroring the reference's block_quality skipping
-        (collectors.py:376-420) — exact, so results match the full path."""
+        (collectors.py:376-420) — exact, so results match the full path.
+
+        ``seg_slice``: "first" = only this worker's first segment, "rest" =
+        all but the first (the driver's two-phase global-theta protocol);
+        ``initial_theta`` seeds the WAND threshold (a global lower bound on
+        the final kth-best score); ``return_theta`` appends the worker's
+        final threshold to the return tuple."""
         from ..query.wand import WAND_MODELS, topk_wand, wandable_terms
 
         wand_terms = (
@@ -121,8 +147,13 @@ class _SegmentWorker:
             excluded = (
                 np.union1d(excluded, forbidden) if excluded is not None else forbidden
             )
-        theta = -np.inf  # global threshold threads across this worker's segments
-        for r in self.readers:
+        readers = self.readers
+        if seg_slice == "first":
+            readers = readers[:1]
+        elif seg_slice == "rest":
+            readers = readers[1:]
+        theta = initial_theta  # threshold threads across this worker's segments
+        for r in readers:
             if wand_terms:
                 mode, tlist = wand_terms
                 st: dict = {}
@@ -145,10 +176,13 @@ class _SegmentWorker:
                     docs, scores = docs[top], scores[top]
             docs_all.append(docs)
             scores_all.append(scores)
-        return (
+        out = (
             np.concatenate(docs_all) if docs_all else np.empty(0, np.uint64),
             np.concatenate(scores_all) if scores_all else np.empty(0, np.float64),
         )
+        if return_theta:
+            return out + (theta,)
+        return out
 
 
 class TimeLimitExceeded(Exception):
@@ -203,9 +237,9 @@ class IndexSearcher:
             Actor = ray.remote(_SegmentWorker)
             mdict = self.manifest.to_dict()
             groups = [list(range(i, n_seg, num_actors)) for i in range(num_actors)]
-            self.workers = [
-                Actor.remote(index_dir, mdict, g) for g in groups if g
-            ]
+            groups = [g for g in groups if g]
+            self.workers = [Actor.remote(index_dir, mdict, g) for g in groups]
+            self._group_sizes = [len(g) for g in groups]
             self._ray = ray
         else:
             self.local = _SegmentWorker(
@@ -481,14 +515,7 @@ class IndexSearcher:
         q = self._rewrite(q)
         ctx = self._context(q)
         if self.executor == "ray":
-            parts = self._ray.get(
-                [
-                    w.evaluate.remote(q, ctx, limit, scored, allowed, forbidden)
-                    for w in self.workers
-                ]
-            )
-            docs = np.concatenate([p[0] for p in parts])
-            scores = np.concatenate([p[1] for p in parts])
+            docs, scores = self._ray_evaluate(q, ctx, limit, scored, allowed, forbidden)
         elif timelimit is not None:
             docs_l, scores_l = [], []
             for r in self.local.readers:
@@ -510,6 +537,69 @@ class IndexSearcher:
         else:
             docs, scores = self.local.evaluate(q, ctx, limit, scored, allowed, forbidden)
         return self._format_results(docs, scores, limit)
+
+    def _ray_evaluate(self, q, ctx, limit, scored, allowed, forbidden):
+        """Actor fan-out.  For WAND-prunable top-k queries over multi-segment
+        workers, runs the TWO-PHASE global-threshold protocol: phase 1
+        evaluates every worker's first segment in parallel; the merged
+        kth-best score is a valid lower bound on the final global kth-best
+        (adding more candidates only raises it), so phase 2 evaluates the
+        remaining segments with that threshold pre-seeded — the distributed
+        analogue of the reference's threshold threading across its
+        sequential per-segment loop (collectors.py:139-146, 376-420).
+        Exact: phase-2 pruning only drops docs provably below the final
+        kth-best."""
+        from ..query.wand import WAND_MODELS, wandable_terms
+
+        two_phase = (
+            scored
+            and limit is not None
+            and ctx.model in WAND_MODELS
+            and not ctx.field_models
+            and not ctx.reverse
+            and wandable_terms(q) is not None
+            and any(n > 1 for n in self._group_sizes)
+        )
+        if not two_phase:
+            parts = self._ray.get(
+                [
+                    w.evaluate.remote(q, ctx, limit, scored, allowed, forbidden)
+                    for w in self.workers
+                ]
+            )
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        p1 = self._ray.get(
+            [
+                w.evaluate.remote(
+                    q, ctx, limit, scored, allowed, forbidden, "first", -np.inf, True
+                )
+                for w in self.workers
+            ]
+        )
+        docs1 = np.concatenate([p[0] for p in p1])
+        scores1 = np.concatenate([p[1] for p in p1])
+        theta = max((p[2] for p in p1), default=-np.inf)
+        if scores1.size >= limit:
+            kth = np.partition(scores1, scores1.size - limit)[scores1.size - limit]
+            theta = max(theta, kth)
+        rest = [
+            (w, n) for w, n in zip(self.workers, self._group_sizes) if n > 1
+        ]
+        p2 = self._ray.get(
+            [
+                w.evaluate.remote(
+                    q, ctx, limit, scored, allowed, forbidden, "rest", theta, False
+                )
+                for w, _ in rest
+            ]
+        )
+        return (
+            np.concatenate([docs1] + [p[0] for p in p2]),
+            np.concatenate([scores1] + [p[1] for p in p2]),
+        )
 
     def _format_results(self, docs, scores, limit) -> pa.Table:
         order = np.lexsort((docs, -scores))
