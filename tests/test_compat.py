@@ -76,3 +76,62 @@ def test_incremental_write_and_delete(ix):
 def test_open_dir_roundtrip(ix):
     again = wrr.open_dir(ix.dirname)
     assert _keys(again, Term("value", "red")) == ["A", "D"]
+
+
+def test_results_combine_ops(ix):
+    """Results.extend/filter/upgrade/upgrade_and_extend (reference
+    searching.py:1327-1396; behaviors mirror tests/test_results.py:76-231)."""
+    def keys(r):
+        return [h["key"] for h in r]
+
+    with ix.searcher() as s:
+        yellow = s.search(Term("name", "yellow"), limit=None)        # A, E
+        red = s.search(Term("value", "red"), limit=None)             # A, D
+        empty = s.search(Term("value", "zeta"), limit=None)
+
+        r = s.search(Term("name", "yellow"), limit=None)
+        r.extend(red)
+        assert set(keys(r)) == {"A", "E", "D"}
+        assert keys(r)[:len(yellow)] == keys(yellow)  # ours first, in order
+
+        r = s.search(Term("name", "yellow"), limit=None)
+        r.filter(red)
+        assert keys(r) == ["A"]
+        r2 = s.search(Term("name", "yellow"), limit=None)
+        r2.filter(empty)  # no-op, like the reference
+        assert keys(r2) == keys(yellow)
+
+        big = s.search(
+            Or([Term("value", "red"), Term("name", "yellow"), Term("name", "alpha")]),
+            limit=None,
+        )
+        base = keys(big)
+        big.upgrade(red)
+        up = keys(big)
+        assert set(up) == set(base)
+        assert set(up[:2]) == {"A", "D"}  # red docs raised
+        big.upgrade(red, reverse=True)
+        down = keys(big)
+        assert set(down[-2:]) == {"A", "D"}
+
+        r = s.search(Term("name", "yellow"), limit=None)
+        r.upgrade_and_extend(red)
+        assert keys(r)[0] == "A" and set(keys(r)) == {"A", "E", "D"}
+
+
+def test_matched_terms(ix):
+    """search(terms=True) + Hit.matched_terms (reference TermsCollector)."""
+    with ix.searcher() as s:
+        r = s.search(
+            Or([Term("value", "red"), Term("name", "yellow")]), limit=None, terms=True
+        )
+        by_key = {h["key"]: h.matched_terms() for h in r}
+        assert by_key["A"] == [("name", "yellow"), ("value", "red")]
+        assert by_key["D"] == [("value", "red")]
+        assert by_key["E"] == [("name", "yellow")]
+        # multiterm expansion reports the CONCRETE terms matched
+        r2 = s.search(Prefix("value", "re"), limit=None, terms=True)
+        allterms = set()
+        for h in r2:
+            allterms.update(h.matched_terms())
+        assert ("value", "red") in allterms and ("value", "rendered") in allterms

@@ -225,12 +225,22 @@ class Hit:
         self.docnum = docnum
         self.score = score
         self.fields = fields
+        self._matched_terms = None  # set by search(terms=True)
 
     def __getitem__(self, k):
         return self.fields[k]
 
     def get(self, k, default=None):
         return self.fields.get(k, default)
+
+    def matched_terms(self):
+        """(field, text) pairs of query terms present in this doc —
+        reference Hit.matched_terms with the TermsCollector wrapper
+        (collectors.py TermsCollector; enable via search(terms=True)).
+        Our terms are str, not the reference's utf-8 bytes."""
+        if self._matched_terms is None:
+            raise ValueError("search() was not run with terms=True")
+        return sorted(self._matched_terms)
 
     def __repr__(self):
         return f"<Hit {self.docnum} {self.score:.4f} {self.fields}>"
@@ -252,6 +262,48 @@ class Results:
 
     def scored_length(self):
         return len(self.hits)
+
+    # ---- combination ops (reference searching.py:1327-1396) --------------
+
+    def docs(self) -> set:
+        return {h.docnum for h in self.hits}
+
+    def extend(self, results: "Results"):
+        """Append the other results' hits not already present, after ours."""
+        docs = self.docs()
+        self.hits.extend(h for h in results.hits if h.docnum not in docs)
+        self.total = len(docs | results.docs())
+
+    def filter(self, results: "Results"):
+        """Keep only hits that also appear in the other results (no-op when
+        the other results are empty, like the reference)."""
+        if not len(results):
+            return
+        other = results.docs()
+        self.hits = [h for h in self.hits if h.docnum in other]
+        self.total = len(self.hits)
+
+    def upgrade(self, results: "Results", reverse: bool = False):
+        """Raise hits that also appear in the other results above the rest,
+        keeping relative order within each group (``reverse`` lowers them)."""
+        if not len(results):
+            return
+        other = results.docs()
+        arein = [h for h in self.hits if h.docnum in other]
+        notin = [h for h in self.hits if h.docnum not in other]
+        self.hits = notin + arein if reverse else arein + notin
+
+    def upgrade_and_extend(self, results: "Results"):
+        """upgrade() then extend() in one pass."""
+        if not len(results):
+            return
+        docs = self.docs()
+        other = results.docs()
+        arein = [h for h in self.hits if h.docnum in other]
+        notin = [h for h in self.hits if h.docnum not in other]
+        extra = [h for h in results.hits if h.docnum not in docs]
+        self.hits = arein + notin + extra
+        self.total = len(docs | other)
 
 
 class CompatSearcher:
@@ -277,7 +329,7 @@ class CompatSearcher:
             self._parser = QueryParser(df, self._schema)
         return self._parser.parse(qstring)
 
-    def search(self, q, limit: int = 10, **kw) -> Results:
+    def search(self, q, limit: int = 10, terms: bool = False, **kw) -> Results:
         if isinstance(q, str):
             q = self.parse(q)
         stored = [f.name for f in self._schema.fields if f.stored]
@@ -293,7 +345,31 @@ class CompatSearcher:
             Hit(d, s, {k: v for k, v in by_doc[d].items() if k != "docnum"})
             for d, s in zip(docnums, res["score"].to_pylist())
         ]
+        if terms:
+            self._attach_matched_terms(q, hits)
         return Results(hits, len(hits))
+
+    def _attach_matched_terms(self, q, hits):
+        """TermsCollector equivalent (reference collectors.py:600-656 via
+        search(terms=True)): for each Term leaf of the expanded query,
+        record which hit docs contain it."""
+        from .query import ast
+
+        rq = self._s._rewrite(q)
+        leaves = set(rq.terms())
+        for leaf in rq.leaves():  # constant-score multiterm expansions
+            if isinstance(leaf, ast.ConstantTerms):
+                leaves.update((leaf.field, t) for t in leaf.termlist)
+        leaves = sorted(leaves)
+        for h in hits:
+            h._matched_terms = set()
+        by_doc = {h.docnum: h for h in hits}
+        for f, t in leaves:
+            res = self._s.search(ast.Term(f, t), limit=None, scored=False)
+            for d in res["docnum"].to_pylist():
+                hit = by_doc.get(d)
+                if hit is not None:
+                    hit._matched_terms.add((f, t))
 
     def search_page(self, q, pagenum: int, pagelen: int = 10) -> Results:
         """Reference search_page (searching.py:617-669): results
