@@ -77,3 +77,79 @@ def test_highlight_hit(ray_session, tmp_path_factory):
     res = s.search(q, limit=1)
     frag = hl.highlight_hit(s, int(res["docnum"][0].as_py()), "text", q)
     assert term.upper() in frag
+
+
+def test_sentence_fragmenter_parity(whoosh, texts):
+    """SentenceFragmenter parity on punctuated texts (stops retained, as
+    the reference docs require for sentence highlighting)."""
+    from whoosh import highlight as wh
+    from whoosh.analysis import StandardAnalyzer
+
+    spec = standard_analyzer()
+    for ti, text in enumerate(texts[:12]):
+        words = text.split()
+        if len(words) < 10:
+            continue
+        # stitch sentences: period after every 7th word, '!' after every 13th
+        parts = []
+        for i, w in enumerate(words):
+            parts.append(w)
+            if i % 7 == 6:
+                parts[-1] += "."
+            elif i % 13 == 12:
+                parts[-1] += "!"
+        stext = " ".join(parts)
+        terms = {words[2].lower(), words[len(words) // 2].lower()}
+        ours = hl.highlight(
+            stext, terms, spec, hl.SentenceFragmenter(maxchars=160), hl.UppercaseFormatter()
+        )
+        theirs = wh.highlight(
+            stext, frozenset(terms), StandardAnalyzer(),
+            wh.SentenceFragmenter(maxchars=160), wh.UppercaseFormatter(),
+        )
+        assert ours == theirs, f"text {ti}: {terms}\n{ours!r}\n{theirs!r}"
+
+
+def test_pinpoint_fragmenter_parity(whoosh, texts):
+    """PinpointFragmenter parity via the supported fragment_matches API
+    (the reference's generic highlight() path hands Pinpoint a stream of
+    the analyzer's single REUSED mutable token, degenerating the matched
+    list — we compare against properly copied tokens instead; our
+    pipeline copies tokens by construction)."""
+    from whoosh import highlight as wh
+
+    spec = standard_analyzer()
+    for autotrim in (False, True):
+        for text in texts[:12]:
+            words = [w.lower() for w in text.split() if len(w) >= 4]
+            if len(words) < 3:
+                continue
+            terms = {words[0], words[1], words[len(words) // 2]}
+            tokens = hl.analyze_with_chars(spec, text)
+            for t in tokens:
+                t.matched = t.text in terms
+            ours_frags = hl.PinpointFragmenter(
+                maxchars=120, surround=15, autotrim=autotrim
+            ).fragment_tokens(text, tokens)
+
+            wtoks = []
+            for t in tokens:
+                if t.matched:
+                    wt = wh.Token(
+                        text=t.text, startchar=t.startchar, endchar=t.endchar
+                    )
+                    wt.matched = True
+                    wtoks.append(wt)
+            theirs_frags = list(
+                wh.PinpointFragmenter(
+                    maxchars=120, surround=15, autotrim=autotrim
+                ).fragment_matches(text, wtoks)
+            )
+            ours_spans = [(f.startchar, f.endchar) for f in ours_frags]
+            theirs_spans = [(f.startchar, f.endchar) for f in theirs_frags]
+            assert ours_spans == theirs_spans, (autotrim, terms)
+            ours_m = [[(m.startchar, m.endchar) for m in f.matches] for f in ours_frags]
+            theirs_m = [
+                [(m.startchar, m.endchar) for m in f.matches] for f in theirs_frags
+            ]
+            assert ours_m == theirs_m

@@ -124,6 +124,103 @@ class ContextFragmenter:
         return out
 
 
+class SentenceFragmenter:
+    """Breaks on sentence-end punctuation right after a token's endchar
+    (reference SentenceFragmenter, highlight.py:355-425; a '..'/'...' run
+    does not end the sentence; only sentences containing matches and
+    within maxchars are yielded)."""
+
+    def __init__(self, maxchars=200, sentencechars=".!?", charlimit=DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.sentencechars = frozenset(sentencechars)
+        self.charlimit = charlimit
+
+    def fragment_tokens(self, text, tokens):
+        textlen = len(text)
+        first = None
+        tks: list = []
+        endchar = None
+        currentlen = 0
+        out = []
+        for t in tokens:
+            startchar, endchar = t.startchar, t.endchar
+            if self.charlimit and endchar > self.charlimit:
+                break
+            if first is None:
+                first = startchar
+                currentlen = 0
+            currentlen += endchar - startchar
+            if t.matched:
+                tks.append(t)
+            if endchar < textlen and text[endchar] in self.sentencechars:
+                if endchar + 1 < textlen and text[endchar + 1] in self.sentencechars:
+                    continue  # "..." is not a sentence end
+                if tks and currentlen <= self.maxchars:
+                    out.append(Fragment(text, tks, first, endchar))
+                tks = []
+                first = None
+                currentlen = 0
+        if tks:
+            out.append(Fragment(text, tks, first, endchar))
+        return out
+
+
+class PinpointFragmenter:
+    """NON-RETOKENIZING fragmenter building fragments around runs of
+    matched tokens with ``surround`` chars of context (reference
+    PinpointFragmenter, highlight.py:517-607, incl. the _autotrim
+    word-boundary trim)."""
+
+    def __init__(self, maxchars=200, surround=20, autotrim=False, charlimit=DEFAULT_CHARLIMIT):
+        self.maxchars = maxchars
+        self.surround = surround
+        self.autotrim = autotrim
+        self.charlimit = charlimit
+
+    @staticmethod
+    def _trim(fragment: Fragment):
+        text, startchar, endchar = fragment.text, fragment.startchar, fragment.endchar
+        firstspace = text.find(" ", startchar, endchar)
+        if firstspace > 0:
+            startchar = firstspace + 1
+        lastspace = text.rfind(" ", startchar, endchar)
+        if lastspace > 0:
+            endchar = lastspace
+        if fragment.matches:
+            startchar = min(startchar, fragment.matches[0].startchar)
+            endchar = max(endchar, fragment.matches[-1].endchar)
+        fragment.startchar, fragment.endchar = startchar, endchar
+
+    def fragment_tokens(self, text, tokens):
+        matched = [t for t in tokens if t.matched]
+        out = []
+        j = -1
+        for i, t in enumerate(matched):
+            if j >= i:
+                continue
+            j = i
+            left, right = t.startchar, t.endchar
+            if self.charlimit and right > self.charlimit:
+                break
+            currentlen = right - left
+            while j < len(matched) - 1 and currentlen < self.maxchars:
+                nxt = matched[j + 1]
+                ec = nxt.endchar
+                if ec - right <= self.surround and ec - left <= self.maxchars:
+                    j += 1
+                    right = ec
+                    currentlen += ec - nxt.startchar
+                else:
+                    break
+            left = max(0, left - self.surround)
+            right = min(len(text), right + self.surround)
+            frag = Fragment(text, matched[i : j + 1], left, right)
+            if self.autotrim:
+                self._trim(frag)
+            out.append(frag)
+        return out
+
+
 # ---- scoring / selection ---------------------------------------------------
 
 
