@@ -148,7 +148,10 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     if BENCH_TURNS > 0:
         spath = _synth_corpus(BENCH_TURNS)
         sdir = tempfile.mkdtemp(prefix="wrr_bench_synth_")
-        synth_s, sman = _build(spath, sdir, num_shards=64, partition_rows=2048)
+        # shards ~= cpus and partitions ~= cpus saturate read/tokenize (the
+        # dominant stage) without groupby-wave overhead; measured 2x faster
+        # than 64-shard/2048-row partitions at 32 cpus (see BASELINE.md)
+        synth_s, sman = _build(spath, sdir, num_shards=32, partition_rows=8192)
         synth = {
             "turns": BENCH_TURNS,
             "build_sec": synth_s,
@@ -190,7 +193,7 @@ def run_child_build(corpus: str, num_cpus: int, out_path: str):
     elapsed = float("inf")
     for _ in range(3):
         sdir = tempfile.mkdtemp(prefix=f"wrr_scale_{num_cpus}_")
-        e, _ = _build(corpus, sdir, num_shards=64, partition_rows=2048)
+        e, _ = _build(corpus, sdir, num_shards=32, partition_rows=8192)
         elapsed = min(elapsed, e)
         shutil.rmtree(sdir, ignore_errors=True)
     with open(out_path, "w") as f:
