@@ -36,6 +36,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
     from whoosh_reloaded_ray.stages import multimodal as mm
@@ -60,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_gtlt": ft.match_gtlt,
         "nested_children_turns": ft.nested_children_turns,
         "match_span_first": ft.match_span_first,
+        # second corpus: custom schema over the events table
+        "events_search_props": ev.events_search_props,
+        "events_value_hist": ev.events_value_hist,
+        "events_recent_by_user": ev.events_recent_by_user,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -80,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
     from whoosh_reloaded_ray.stages import multimodal as mm
@@ -103,6 +109,9 @@ def oracle_sql() -> dict[str, str]:
         "match_gtlt": ft.oracle_match_gtlt(),
         "nested_children_turns": ft.oracle_nested_children_turns(),
         "match_span_first": ft.oracle_match_span_first(),
+        "events_search_props": ev.oracle_events_search_props(),
+        "events_value_hist": ev.oracle_events_value_hist(),
+        "events_recent_by_user": ev.oracle_events_recent_by_user(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -684,6 +684,24 @@ class IndexSearcher:
         uniq, cnt = np.unique(vals, return_counts=True)
         return dict(zip(uniq.tolist(), cnt.astype(int).tolist()))
 
+    def facet_counts_range(
+        self, q: ast.Query, field: str, start, end, gap
+    ) -> dict:
+        """{(bucket_lo, bucket_hi): matching doc count} over numeric
+        buckets [start + i*gap, start + (i+1)*gap) — the reference's
+        RangeFacet + Count map (sorting.py RangeFacet:414-467; values
+        outside [start, end) fall in the missing bucket, omitted here)."""
+        res = self.search(q, limit=None, scored=False)
+        docs = res["docnum"].to_numpy()
+        vals = self._doc_values(field, docs).astype(np.float64)
+        inb = (vals >= start) & (vals < end)
+        b = np.floor((vals[inb] - start) / gap).astype(np.int64)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return {
+            (start + int(i) * gap, start + (int(i) + 1) * gap): int(c)
+            for i, c in zip(uniq, cnt)
+        }
+
     def search_collapsed(
         self, q: ast.Query, collapse: str, limit: int | None = 10, collapse_limit: int = 1
     ) -> pa.Table:
