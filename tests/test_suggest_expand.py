@@ -140,3 +140,56 @@ def test_variations_query(our_index, vocab):
     np.testing.assert_allclose(
         res["score"].to_numpy(), ref["score"].to_numpy(), atol=1e-9
     )
+
+
+def test_list_multi_corrector_parity(whoosh, vocab):
+    """ListCorrector / MultiCorrector vs the reference on a word list."""
+    from whoosh.spelling import ListCorrector as WLC
+    from whoosh.spelling import MultiCorrector as WMC
+
+    from whoosh_reloaded_ray.query.suggest import ListCorrector, MultiCorrector
+
+    words = sorted(vocab[:300])
+    target = vocab[20]
+    ours = ListCorrector(words)
+    theirs = WLC(words)
+    for text in (target, target[:-1] + "x", "zzz"):
+        for maxdist in (1, 2):
+            for prefix in (0, 1):
+                a = ours.suggest(text, limit=5, maxdist=maxdist, prefix=prefix)
+                b = theirs.suggest(text, limit=5, maxdist=maxdist, prefix=prefix)
+                assert a == b, (text, maxdist, prefix, a, b)
+
+    # the reference's MultiCorrector._suggestions yields (sug, score)
+    # REVERSED (spelling.py:163-172), so its suggest() crashes with a
+    # TypeError — verify that, then check ours implements the documented
+    # semantics (merged union, op-combined scores)
+    half1, half2 = sorted(words[:150]), sorted(words[150:])
+    mtheirs = WMC([WLC(half1), WLC(half2)], op=max)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        mtheirs.suggest(target, limit=5, maxdist=2)
+    mours = MultiCorrector([ListCorrector(half1), ListCorrector(half2)], op=max)
+    for text in (target, target[:-1] + "x"):
+        a = mours.suggest(text, limit=5, maxdist=2)
+        b = ListCorrector(words).suggest(text, limit=5, maxdist=2)
+        assert a == b, (text, a, b)  # union of disjoint halves == whole list
+
+
+def test_most_frequent_distinctive_terms(our_index, whoosh_index, whoosh):
+    """most_frequent_terms / most_distinctive_terms parity vs the
+    reference reader APIs."""
+    with whoosh_index.searcher() as s:
+        r = s.reader()
+        wf = [(f, t.decode()) for f, t in r.most_frequent_terms("text", 8)]
+        wd = [(round(sc, 6), t.decode()) for sc, t in r.most_distinctive_terms("text", 8)]
+        wfp = [(f, t.decode()) for f, t in r.most_frequent_terms("text", 5, prefix="a")]
+    of = [(f, t) for f, t in our_index.most_frequent_terms("text", 8)]
+    od = [(round(sc, 6), t) for sc, t in our_index.most_distinctive_terms("text", 8)]
+    ofp = [(f, t) for f, t in our_index.most_frequent_terms("text", 5, prefix="a")]
+    assert of == wf
+    assert od == wd
+    assert ofp == wfp
+    lex = our_index.lexicon("text", prefix="ab")
+    assert lex == sorted(lex) and all(t.startswith("ab") for t in lex)

@@ -249,6 +249,32 @@ class SegmentReader:
         info = self.terminfo(field, term)
         return int(info["doc_freq"]) if info else 0
 
+    def terminfo_prefix(self, field: str, prefix: str = "") -> dict:
+        """{term: (weight_sum, doc_freq)} for every term of ``field``
+        (optionally under ``prefix``) — a columnar slice of the terminfo
+        files (no posting blobs touched), backing the reference's
+        most_frequent_terms / most_distinctive_terms (reading.py:545-566)."""
+        filters = [("field", "=", field)]
+        if prefix:
+            filters += [("term", ">=", prefix), ("term", "<", prefix + "￿")]
+        out: dict = {}
+        for shard in range(self.seg.num_shards):
+            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(
+                path, columns=["term", "weight_sum", "doc_freq"], filters=filters
+            )
+            for term, w, df in zip(
+                t["term"].to_pylist(), t["weight_sum"].to_pylist(), t["doc_freq"].to_pylist()
+            ):
+                if term in out:  # salted terms span shards
+                    ow, odf = out[term]
+                    out[term] = (ow + float(w), odf + int(df))
+                else:
+                    out[term] = (float(w), int(df))
+        return out
+
     def expand_terms(self, field: str, start=None, end=None, startexcl=False, endexcl=False):
         """Terms of `field` in [start, end] across all shards (sorted).
         Parquet row-group stats prune the term column scan."""

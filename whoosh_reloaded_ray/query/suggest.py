@@ -69,3 +69,60 @@ def suggest(searcher, field: str, text: str, limit: int = 5, maxdist: int = 2, p
     items = items[:limit]
     items.sort(key=lambda x: (-x[0], x[1]))
     return [t for _, t in items]
+
+
+def _rank(items, limit: int):
+    """Reference Corrector.suggest selection (spelling.py:46-73): bounded
+    heap of the LARGEST (score, text) tuples, displayed by (-score, text)."""
+    import heapq
+
+    heap: list = []
+    for item in items:
+        if len(heap) < limit:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+    return [s for _, s in sorted(heap, key=lambda x: (-x[0], x[1]))]
+
+
+class ListCorrector:
+    """Suggestions from a plain word list (reference ListCorrector,
+    spelling.py:117-151): score = -(smallest automaton distance >= 1), so
+    ranking is distance ascending, ties alphabetical.  Like the reference,
+    the checked word itself is NOT excluded (a distance-1 automaton accepts
+    its center word)."""
+
+    def __init__(self, wordlist):
+        self.wordlist = list(wordlist)
+
+    def _suggestions(self, text: str, maxdist: int, prefix: int):
+        pre = text[:prefix]
+        for w in self.wordlist:
+            if prefix and not w.startswith(pre):
+                continue
+            for mxd in range(1, maxdist + 1):
+                if levenshtein_within(text, w, mxd):
+                    yield (-mxd, w)
+                    break
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
+        return _rank(self._suggestions(text, maxdist, prefix), limit)
+
+
+class MultiCorrector:
+    """Merges sub-correctors' suggestions, combining duplicate scores with
+    ``op`` (reference MultiCorrector, spelling.py:154-172)."""
+
+    def __init__(self, correctors, op=max):
+        self.correctors = correctors
+        self.op = op
+
+    def _suggestions(self, text: str, maxdist: int, prefix: int):
+        seen: dict = {}
+        for corr in self.correctors:
+            for score, sug in corr._suggestions(text, maxdist, prefix):
+                seen[sug] = self.op(seen[sug], score) if sug in seen else score
+        return ((score, sug) for sug, score in seen.items())
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
+        return _rank(self._suggestions(text, maxdist, prefix), limit)

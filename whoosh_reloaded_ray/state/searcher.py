@@ -85,6 +85,19 @@ class _SegmentWorker:
             out[spec] = sorted(acc)
         return out
 
+    def term_stats(self, field: str, prefix: str = "") -> dict:
+        """{term: (weight_sum, doc_freq)} summed over this worker's
+        segments."""
+        out: dict = {}
+        for r in self.readers:
+            for term, (w, df) in r.terminfo_prefix(field, prefix).items():
+                if term in out:
+                    ow, odf = out[term]
+                    out[term] = (ow + w, odf + df)
+                else:
+                    out[term] = (w, df)
+        return out
+
     def doc_values(self, field: str, docnums) -> list:
         """(docnum, value) pairs for docnums owned by this worker's
         segments (sort/facet value fetch for the ray executor)."""
@@ -270,6 +283,45 @@ class IndexSearcher:
                     out[k] = out.get(k, 0.0) + v
             return out
         return self.local.frequencies(terms)
+
+    def _term_stats(self, field: str, prefix: str = "") -> dict:
+        if self.executor == "ray":
+            parts = self._ray.get(
+                [w.term_stats.remote(field, prefix) for w in self.workers]
+            )
+            out: dict = {}
+            for p in parts:
+                for term, (w, df) in p.items():
+                    if term in out:
+                        ow, odf = out[term]
+                        out[term] = (ow + w, odf + df)
+                    else:
+                        out[term] = (w, df)
+            return out
+        return self.local.term_stats(field, prefix)
+
+    def lexicon(self, field: str, prefix: str = "") -> list:
+        """Sorted terms of a field (reference reader.lexicon /
+        iter_prefix)."""
+        return sorted(self._term_stats(field, prefix))
+
+    def most_frequent_terms(self, field: str, number: int = 5, prefix: str = "") -> list:
+        """Top (total weight, term) pairs (reference reading.py:545-554)."""
+        import heapq
+
+        stats = self._term_stats(field, prefix)
+        return heapq.nlargest(number, ((w, t) for t, (w, _) in stats.items()))
+
+    def most_distinctive_terms(self, field: str, number: int = 5, prefix: str = "") -> list:
+        """Top (tf·idf, term) pairs with idf = log(N/df) (reference
+        reading.py:556-566)."""
+        import heapq
+
+        N = float(self.doc_count_all())
+        stats = self._term_stats(field, prefix)
+        return heapq.nlargest(
+            number, ((w * math.log(N / df), t) for t, (w, df) in stats.items() if df)
+        )
 
     # ---- spelling / key-term expansion -----------------------------------
 
