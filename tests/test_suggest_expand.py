@@ -193,3 +193,32 @@ def test_most_frequent_distinctive_terms(our_index, whoosh_index, whoosh):
     assert ofp == wfp
     lex = our_index.lexicon("text", prefix="ab")
     assert lex == sorted(lex) and all(t.startswith("ab") for t in lex)
+
+
+def test_correct_query_parity(our_index, whoosh_index, whoosh, vocab):
+    """Searcher.correct_query parity: corrected string + corrected-query
+    hits match the reference (including HtmlFormatter emphasis)."""
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_reloaded_ray.query import highlight as hl
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    good, good2 = vocab[5], vocab[9]
+    bad = good2[:-1] + ("x" if good2[-1] != "x" else "q")  # 1 edit away
+    for qstring in (f"{good} {bad}", f'{good} AND "{bad}"', f"{bad}"):
+        wq = WQP("text", whoosh_index.schema).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wcorr = s.correct_query(wq, qstring)
+            wstring = wcorr.string
+            whits = sorted(h.docnum for h in s.search(wcorr.query, limit=None))
+            whtml = wcorr.format_string(__import__("whoosh.highlight", fromlist=["HtmlFormatter"]).HtmlFormatter(classname="change"))
+        oq = QueryParser("text", transcript_schema()).parse(qstring)
+        ocorr = our_index.correct_query(oq, qstring)
+        assert ocorr.string == wstring, (qstring, ocorr.string, wstring)
+        ohits = sorted(
+            our_index.search(ocorr.query, limit=None, scored=False)["docnum"].to_pylist()
+        )
+        assert ohits == whits, qstring
+        ohtml = ocorr.format_string(hl.HtmlFormatter(tagname="strong", classname="change"))
+        assert ohtml == whtml, (ohtml, whtml)

@@ -261,10 +261,17 @@ def top_fragments(fragments, count, scorer, order, minscore=1):
 class Formatter:
     between = "..."
 
-    def format_token(self, text, token):
+    @staticmethod
+    def _token_text(text, token, replace: bool) -> str:
+        """replace=True substitutes the token's (corrected) .text for the
+        original span — the reference's format_fragment(replace=True) used
+        by Correction.format_string (highlight.py Formatter._text)."""
+        return token.text if replace else text[token.startchar : token.endchar]
+
+    def format_token(self, text, token, replace=False):
         raise NotImplementedError
 
-    def format_fragment(self, fragment: Fragment) -> str:
+    def format_fragment(self, fragment: Fragment, replace=False) -> str:
         output = []
         index = fragment.startchar
         text = fragment.text
@@ -275,7 +282,7 @@ class Formatter:
                 continue
             if t.startchar > index:
                 output.append(text[index : t.startchar])
-            output.append(self.format_token(text, t))
+            output.append(self.format_token(text, t, replace))
             index = t.endchar
         output.append(text[index : fragment.endchar])
         return "".join(output)
@@ -285,16 +292,16 @@ class Formatter:
 
 
 class NullFormatter(Formatter):
-    def format_token(self, text, token):
-        return text[token.startchar : token.endchar]
+    def format_token(self, text, token, replace=False):
+        return self._token_text(text, token, replace)
 
 
 class UppercaseFormatter(Formatter):
     def __init__(self, between="..."):
         self.between = between
 
-    def format_token(self, text, token):
-        return text[token.startchar : token.endchar].upper()
+    def format_token(self, text, token, replace=False):
+        return self._token_text(text, token, replace).upper()
 
 
 class HtmlFormatter(Formatter):
@@ -308,8 +315,8 @@ class HtmlFormatter(Formatter):
         self.termclass = termclass
         self.seen: dict = {}
 
-    def format_token(self, text, token):
-        ttxt = text[token.startchar : token.endchar]
+    def format_token(self, text, token, replace=False):
+        ttxt = self._token_text(text, token, replace)
         if token.text in self.seen:
             termnum = self.seen[token.text]
         else:

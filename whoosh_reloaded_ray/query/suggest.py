@@ -126,3 +126,130 @@ class MultiCorrector:
 
     def suggest(self, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
         return _rank(self._suggestions(text, maxdist, prefix), limit)
+
+
+class Correction:
+    """Corrected version of a user query (reference spelling.py:178-237):
+    ``query`` / ``string`` are the corrected forms, ``original_query`` /
+    ``original_string`` the inputs, ``tokens`` the corrected words with
+    char spans into the original string.  ``format_string(formatter)``
+    re-renders the original string with corrected words substituted and
+    formatter-emphasized."""
+
+    def __init__(self, q, qstring, corr_q, tokens):
+        self.original_query = q
+        self.query = corr_q
+        self.original_string = qstring
+        self.tokens = tokens
+        self.string = (
+            self.format_string(_null_formatter()) if qstring else ""
+        )
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({self.query!r}, {self.string!r})"
+
+    def format_string(self, formatter):
+        if not self.original_string:
+            return ""
+        from .highlight import Fragment
+
+        if isinstance(formatter, type):
+            formatter = formatter()
+        frag = Fragment(
+            self.original_string, self.tokens, 0, len(self.original_string)
+        )
+        return formatter.format_fragment(frag, replace=True)
+
+
+def _null_formatter():
+    from .highlight import NullFormatter
+
+    return NullFormatter()
+
+
+def correct_query(
+    searcher,
+    q,
+    qstring: str | None,
+    correctors: dict | None = None,
+    terms=None,
+    maxdist: int = 2,
+    prefix: int = 0,
+    aliases: dict | None = None,
+) -> Correction:
+    """Reference Searcher.correct_query (searching.py:863-978): corrects
+    query words that do not appear in the index (or exactly the given
+    ``terms``), taking each word's FIRST suggestion — per-field suggestion
+    sources come from the index, overridable via ``correctors``
+    (Corrector objects) and ``aliases`` (query field -> suggestion field).
+
+    The reference patches the query string via parser token char offsets;
+    our parser is offset-free, so occurrences are located by
+    case-insensitive whole-word match in ``qstring`` — identical output
+    for ordinary query strings."""
+    import dataclasses
+    import re as _re
+
+    from . import ast
+    from .highlight import Token
+
+    aliases = aliases or {}
+    correctors = dict(correctors or {})
+
+    # candidate terms: Term leaves + Phrase words
+    qterms = list(dict.fromkeys(q.terms()))
+    if terms is None:
+        dfs = searcher._doc_freqs(qterms) if qterms else {}
+        termset = {t for t in qterms if dfs.get(t, 0) == 0}
+    else:
+        termset = set(terms)
+
+    replacements: dict = {}
+    for f, text in qterms:
+        if (f, text) not in termset:
+            continue
+        aname = aliases.get(f, f)
+        corr = correctors.get(aname)
+        sugs = (
+            corr.suggest(text, maxdist=maxdist, prefix=prefix)
+            if corr is not None
+            else searcher.suggest(aname, text, maxdist=maxdist, prefix=prefix)
+        )
+        if sugs:
+            replacements[(f, text)] = sugs[0]
+
+    def fix(node):
+        if isinstance(node, ast.Term):
+            new = replacements.get((node.field, node.text))
+            return dataclasses.replace(node, text=new) if new else node
+        if isinstance(node, ast.Phrase):
+            words = tuple(
+                replacements.get((node.field, w), w) for w in node.words
+            )
+            return dataclasses.replace(node, words=words) if words != node.words else node
+        kids = node.children()
+        if not kids:
+            return node
+        if isinstance(node, (ast.And, ast.Or, ast.DisMax, ast.Sequence, ast.SpanOr)):
+            return dataclasses.replace(node, subqueries=tuple(fix(c) for c in kids))
+        if isinstance(node, (ast.AndNot, ast.AndMaybe, ast.Require, ast.Otherwise,
+                             ast.SpanNot, ast.SpanBefore, ast.SpanContains,
+                             ast.SpanCondition)):
+            return dataclasses.replace(node, a=fix(node.a), b=fix(node.b))
+        if isinstance(node, ast.Not):
+            return dataclasses.replace(node, subquery=fix(node.subquery))
+        if isinstance(node, (ast.SpanFirst, ast.ConstantScoreQuery)):
+            return dataclasses.replace(node, child=fix(node.child))
+        return node
+
+    corr_q = fix(q)
+
+    tokens = []
+    if qstring:
+        for (f, orig), new in replacements.items():
+            for m in _re.finditer(
+                r"(?<!\w)" + _re.escape(orig) + r"(?!\w)", qstring, _re.IGNORECASE
+            ):
+                tokens.append(Token(new, 0, m.start(), m.end(), matched=True))
+        tokens.sort(key=lambda t: t.startchar)
+    return Correction(q, qstring, corr_q, tokens)

@@ -330,6 +330,19 @@ class IndexSearcher:
 
         return _suggest(self, field, text, limit=limit, maxdist=maxdist, prefix=prefix)
 
+    def correct_query(
+        self, q, qstring, correctors=None, terms=None, maxdist=2, prefix=0, aliases=None
+    ):
+        """'Did you mean' (reference Searcher.correct_query): returns a
+        Correction whose .query/.string replace out-of-vocabulary words
+        with their top suggestion."""
+        from ..query.suggest import correct_query as _cq
+
+        return _cq(
+            self, q, qstring, correctors=correctors, terms=terms,
+            maxdist=maxdist, prefix=prefix, aliases=aliases,
+        )
+
     def key_terms(self, docnums, fieldname, numterms=5, model=None, normalize=True):
         from ..query import expand
 
