@@ -141,3 +141,59 @@ def test_collapse(our_index, whoosh_index, mid_term):
     np.testing.assert_allclose(
         ours["score"].to_pylist(), [sc for _, sc in theirs], atol=1e-6
     )
+
+
+def test_groupedby_multifacet(our_index, whoosh_index, mid_term):
+    """MultiFacet grouping: tuple keys, OrderedList order parity."""
+    from whoosh import sorting
+    from whoosh.query import Term as WT
+
+    q = Term("text", mid_term)
+    ours = our_index.search_grouped(q, ["role", "turn_idx"], limit=None)
+    with whoosh_index.searcher() as s:
+        facet = sorting.MultiFacet(["role", "turn_idx"])
+        r = s.search(WT("text", mid_term), groupedby={"rt": facet}, limit=None)
+        theirs = r.groups("rt")
+    theirs = {tuple(k) if isinstance(k, (list, tuple)) else k: v for k, v in theirs.items()}
+    assert ours == theirs
+
+
+def test_groupedby_best_and_count(our_index, whoosh_index, mid_term):
+    """Best / Count facet maps parity."""
+    from whoosh import sorting
+    from whoosh.query import Term as WT
+
+    q = Term("text", mid_term)
+    ours_best = our_index.search_grouped(q, "role", maptype="best")
+    ours_count = our_index.search_grouped(q, "role", maptype="count")
+    with whoosh_index.searcher() as s:
+        r = s.search(
+            WT("text", mid_term),
+            groupedby={"role": sorting.FieldFacet("role", maptype=sorting.Best)},
+            limit=None,
+        )
+        theirs_best = dict(r.groups("role"))
+        r2 = s.search(
+            WT("text", mid_term),
+            groupedby={"role": sorting.FieldFacet("role", maptype=sorting.Count)},
+            limit=None,
+        )
+        theirs_count = dict(r2.groups("role"))
+    assert ours_best == theirs_best
+    assert ours_count == theirs_count
+
+
+def test_facet_counts_range(our_index, whoosh_index, mid_term):
+    """RangeFacet counts parity over numeric buckets."""
+    from whoosh import sorting
+    from whoosh.query import Term as WT
+
+    q = Term("text", mid_term)
+    ours = our_index.facet_counts_range(q, "turn_idx", 0, 8, 2)
+    with whoosh_index.searcher() as s:
+        facet = sorting.RangeFacet("turn_idx", 0, 8, 2, maptype=sorting.Count)
+        r = s.search(WT("text", mid_term), groupedby={"b": facet}, limit=None)
+        theirs = {k: v for k, v in r.groups("b").items() if k is not None}
+    ours_cmp = {(int(lo), int(hi)): n for (lo, hi), n in ours.items()}
+    theirs_cmp = {tuple(k): v for k, v in theirs.items()}
+    assert ours_cmp == theirs_cmp

@@ -728,17 +728,39 @@ class IndexSearcher:
             out[f] = pa.array(cols[f][order])
         return pa.table(out)
 
-    def search_grouped(self, q: ast.Query, groupedby: str, limit: int | None = None):
-        """Scored search + ``results.groups()``: {facet value: [docnum, ...]}
-        with docnums in result (score) order — the reference's OrderedList
-        facet map (sorting.py:950-1076)."""
+    def search_grouped(
+        self,
+        q: ast.Query,
+        groupedby,
+        limit: int | None = None,
+        maptype: str = "ordered",
+    ):
+        """Scored search + ``results.groups()`` (reference FacetCollector +
+        facet maps, sorting.py:950-1076).  ``groupedby`` may be one field
+        or a list (the reference's MultiFacet — keys become tuples).
+        ``maptype``: "ordered" -> {key: [docnum, ...]} in score order
+        (OrderedList); "count" -> {key: n} (Count); "best" -> {key: docnum
+        of the highest-scoring hit} (Best)."""
+        fieldlist = [groupedby] if isinstance(groupedby, str) else list(groupedby)
         res = self.search(q, limit=limit)
         docs = res["docnum"].to_numpy()
-        svals = self._doc_values(groupedby, np.sort(docs))
-        by_doc = dict(zip(np.sort(docs).tolist(), svals.tolist()))
+        sorted_docs = np.sort(docs)
+        cols = [self._doc_values(f, sorted_docs) for f in fieldlist]
+        if len(fieldlist) == 1:
+            keys = dict(zip(sorted_docs.tolist(), cols[0].tolist()))
+        else:
+            keys = dict(
+                zip(sorted_docs.tolist(), zip(*(c.tolist() for c in cols)))
+            )
         groups: dict = {}
-        for d in docs.tolist():
-            groups.setdefault(by_doc[d], []).append(d)
+        for d in docs.tolist():  # docs are already in (-score, doc) order
+            k = keys[d]
+            if maptype == "count":
+                groups[k] = groups.get(k, 0) + 1
+            elif maptype == "best":
+                groups.setdefault(k, d)  # first seen = best score
+            else:
+                groups.setdefault(k, []).append(d)
         return groups
 
     def facet_counts(self, q: ast.Query, field: str) -> dict:
