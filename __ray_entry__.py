@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_gtlt": ft.match_gtlt,
         "nested_children_turns": ft.nested_children_turns,
         "match_span_first": ft.match_span_first,
+        "export_matches_spark": ft.export_matches_spark,
         # second corpus: custom schema over the events table
         "events_search_props": ev.events_search_props,
         "events_value_hist": ev.events_value_hist,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "match_gtlt": ft.oracle_match_gtlt(),
         "nested_children_turns": ft.oracle_nested_children_turns(),
         "match_span_first": ft.oracle_match_span_first(),
+        "export_matches_spark": ft.oracle_export_matches_spark(),
         "events_search_props": ev.oracle_events_search_props(),
         "events_value_hist": ev.oracle_events_value_hist(),
         "events_recent_by_user": ev.oracle_events_recent_by_user(),

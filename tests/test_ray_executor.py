@@ -93,3 +93,26 @@ def test_two_phase_wand_matches_local(idx_dir):
             b = rays.search(q, limit=limit)
             np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
             np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+
+
+def test_export_matches(idx_dir, tmp_path):
+    """Streaming per-segment match export equals a driver-side search with
+    limit=None; write_parquet round-trips."""
+    from whoosh_reloaded_ray.pipelines.export import export_matches, matches_dataset
+
+    local = IndexSearcher(idx_dir)
+    vocab = _vocab(idx_dir)
+    q = Or([Term("text", vocab[1]), Term("text", vocab[25])])
+    want = local.search(q, limit=None)
+    ds = matches_dataset(idx_dir, q, columns=["conv_id", "turn_idx"])
+    import pyarrow as pa
+
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow"))).sort_by("docnum")
+    assert got["docnum"].to_pylist() == sorted(want["docnum"].to_pylist())
+    bydoc = dict(zip(want["docnum"].to_pylist(), want["score"].to_pylist()))
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [bydoc[d] for d in got["docnum"].to_pylist()], atol=0
+    )
+    out = str(tmp_path / "export")
+    n = export_matches(idx_dir, q, out, columns=["conv_id"])
+    assert n == want.num_rows

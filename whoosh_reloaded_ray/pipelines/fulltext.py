@@ -619,3 +619,28 @@ SELECT doc_id FROM pos
 WHERE k0 IS NOT NULL AND k0 > 0 AND (i0 + k0 - 1) <= 2
 ORDER BY doc_id
 """
+
+
+def export_matches_spark(sf_dir: str) -> pa.Table:
+    """Streaming match export (pipelines/export.py): every row containing
+    'spark', evaluated per segment and streamed as a Ray Dataset — the
+    driver only concatenates this small gate's batches."""
+    from .export import matches_dataset
+
+    s = get_searcher(sf_dir)  # ensures the index exists
+    ds = matches_dataset(s.index_dir, Term("text", "spark"), columns=["doc_id"], scored=False)
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("doc_id", pa.int64())]).empty_table()]
+    )
+    return tbl.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_export_matches_spark() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd WHERE list_contains(toks, 'spark')
+ORDER BY doc_id
+"""
