@@ -40,6 +40,7 @@ def whoosh_index(corpus, whoosh, tmp_path_factory):
         turn_idx=fields.NUMERIC(int, stored=True, sortable=True),
         role=fields.ID(stored=True, sortable=True),
         text=fields.TEXT,
+        ts=fields.DATETIME(stored=True, sortable=True),
     )
     d = str(tmp_path_factory.mktemp("swhoosh"))
     ix = index.create_in(d, schema)
@@ -50,6 +51,7 @@ def whoosh_index(corpus, whoosh, tmp_path_factory):
             turn_idx=row["turn_idx"],
             role=row["role"],
             text=row["text"],
+            ts=row["ts"],
         )
     w.commit()
     return ix
@@ -197,3 +199,29 @@ def test_facet_counts_range(our_index, whoosh_index, mid_term):
     ours_cmp = {(int(lo), int(hi)): n for (lo, hi), n in ours.items()}
     theirs_cmp = {tuple(k): v for k, v in theirs.items()}
     assert ours_cmp == theirs_cmp
+
+
+def test_facet_counts_daterange(our_index, whoosh_index, mid_term):
+    """DateRangeFacet counts parity over datetime buckets (ts column)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq_
+
+    from whoosh import sorting
+    from whoosh.query import Term as WT
+
+    q = Term("text", mid_term)
+    start = dt.datetime(2026, 1, 1)
+    end = dt.datetime(2026, 1, 1, 0, 10)
+    gap = dt.timedelta(minutes=2)
+    ours = our_index.facet_counts_range(q, "ts", start, end, gap)
+    ours_cmp = {
+        (np.datetime64(lo, "us").astype("datetime64[s]").item(),
+         np.datetime64(hi, "us").astype("datetime64[s]").item()): n
+        for (lo, hi), n in ours.items()
+    }
+    with whoosh_index.searcher() as s:
+        facet = sorting.DateRangeFacet("ts", start, end, gap, maptype=sorting.Count)
+        r = s.search(WT("text", mid_term), groupedby={"b": facet}, limit=None)
+        theirs = {tuple(k): v for k, v in r.groups("b").items() if k is not None}
+    assert ours_cmp == theirs

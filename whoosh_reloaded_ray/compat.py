@@ -388,3 +388,34 @@ class CompatSearcher:
 
     def doc_count_all(self):
         return self._s.doc_count_all()
+
+
+def _add_searcher_passthroughs():
+    """Expose round-1 searcher APIs on the compat veneer (reference
+    Searcher surface): correct_query, lexicon, most_frequent_terms,
+    most_distinctive_terms, facet/group helpers."""
+    for name in (
+        "correct_query",
+        "lexicon",
+        "most_frequent_terms",
+        "most_distinctive_terms",
+        "facet_counts",
+        "facet_counts_range",
+        "search_grouped",
+        "search_sorted",
+        "search_collapsed",
+        "more_like",
+        "vector",
+    ):
+        def make(n):
+            def fwd(self, *a, **kw):
+                return getattr(self._s, n)(*a, **kw)
+
+            fwd.__name__ = n
+            return fwd
+
+        if not hasattr(CompatSearcher, name):
+            setattr(CompatSearcher, name, make(name))
+
+
+_add_searcher_passthroughs()

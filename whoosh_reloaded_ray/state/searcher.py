@@ -774,18 +774,39 @@ class IndexSearcher:
     def facet_counts_range(
         self, q: ast.Query, field: str, start, end, gap
     ) -> dict:
-        """{(bucket_lo, bucket_hi): matching doc count} over numeric
-        buckets [start + i*gap, start + (i+1)*gap) — the reference's
-        RangeFacet + Count map (sorting.py RangeFacet:414-467; values
-        outside [start, end) fall in the missing bucket, omitted here)."""
+        """{(bucket_lo, bucket_hi): matching doc count} over numeric OR
+        datetime buckets [start + i*gap, start + (i+1)*gap) — the
+        reference's RangeFacet / DateRangeFacet + Count map
+        (sorting.py:414-483; values outside [start, end) fall in the
+        missing bucket, omitted here).  For datetimes pass
+        datetime/np.datetime64 bounds and a timedelta gap."""
         res = self.search(q, limit=None, scored=False)
         docs = res["docnum"].to_numpy()
-        vals = self._doc_values(field, docs).astype(np.float64)
-        inb = (vals >= start) & (vals < end)
-        b = np.floor((vals[inb] - start) / gap).astype(np.int64)
+        vals = self._doc_values(field, docs)
+        is_dt = isinstance(start, np.datetime64) or str(
+            np.asarray(vals).dtype
+        ).startswith("datetime64") or hasattr(start, "toordinal")
+        if is_dt:
+            vals = np.asarray(vals, dtype="datetime64[us]").astype(np.int64)
+            lo = np.datetime64(start, "us").astype(np.int64)
+            hi = np.datetime64(end, "us").astype(np.int64)
+            g = int(np.timedelta64(gap, "us").astype(np.int64))
+        else:
+            vals = np.asarray(vals, dtype=np.float64)
+            lo, hi, g = start, end, gap
+        inb = (vals >= lo) & (vals < hi)
+        b = np.floor((vals[inb] - lo) / g).astype(np.int64)
         uniq, cnt = np.unique(b, return_counts=True)
+        if is_dt:
+            return {
+                (
+                    np.datetime64(int(lo + int(i) * g), "us"),
+                    np.datetime64(int(lo + (int(i) + 1) * g), "us"),
+                ): int(c)
+                for i, c in zip(uniq, cnt)
+            }
         return {
-            (start + int(i) * gap, start + (int(i) + 1) * gap): int(c)
+            (lo + int(i) * g, lo + (int(i) + 1) * g): int(c)
             for i, c in zip(uniq, cnt)
         }
 
