@@ -364,9 +364,8 @@ class QueryParser:
                     return ast.Prefix(field, core.lower())
                 return ast.Wildcard(field, text.lower())
         if is_numeric:
-            try:
-                v = int(text)
-            except ValueError:
+            v = _parse_number(text)
+            if v is None:
                 return None
             return ast.NumericRange(field, v, v)
         words = self._analyze(field, text)
@@ -388,7 +387,7 @@ class QueryParser:
     def _make_range(self, field, lo, hi, startexcl, endexcl):
         spec = self.fields.get(field)
         if spec is not None and spec.kind in ("numeric", "datetime"):
-            conv = int if spec.kind == "numeric" else str
+            conv = _parse_number if spec.kind == "numeric" else str
             return ast.NumericRange(
                 field,
                 conv(lo) if lo is not None else None,
@@ -399,6 +398,18 @@ class QueryParser:
         low = self._analyze(field, lo)[0] if lo else None
         high = self._analyze(field, hi)[0] if hi else None
         return ast.TermRange(field, low, high, startexcl=startexcl, endexcl=endexcl)
+
+
+def _parse_number(text: str):
+    """int if possible, else float (reference NUMERIC fields parse
+    according to numtype; we store both in one numeric column kind)."""
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return None
 
 
 def _apply_boost(q: ast.Query, boost: float) -> ast.Query:
