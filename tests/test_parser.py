@@ -395,3 +395,15 @@ def test_otherwise_query(our_index, whoosh_index, whoosh, terms):
         for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
     ]
     assert ores == wres
+
+
+def test_datetime_word_parity(our_index, whoosh_index, whoosh, terms):
+    """DATETIME word queries: whoosh-style datestrings floor/ceil to
+    inclusive ranges (fields.py:876-918)."""
+    for tmpl in (
+        "ts:2026 AND {mid}",
+        "ts:202601 AND {mid}",
+        "ts:20260101 AND {mid}",
+        "ts:[2026 TO 202601] AND {rare}",
+    ):
+        _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))

@@ -345,6 +345,14 @@ class QueryParser:
 
     def _word_query(self, field: str, text: str):
         spec = self.fields.get(field)
+        if spec is not None and spec.kind == "datetime" and text != "*":
+            bounds = _datetime_bounds(text)
+            if bounds is None:
+                return None
+            lo, hi = bounds
+            # ambiguous datestring -> inclusive [floor, ceil] range
+            # (reference DATETIME.parse_query, fields.py:903-918)
+            return ast.NumericRange(field, lo, hi)
         is_numeric = spec is not None and spec.kind in ("numeric", "datetime")
         if text == "*":
             return ast.Every(field)
@@ -386,18 +394,71 @@ class QueryParser:
 
     def _make_range(self, field, lo, hi, startexcl, endexcl):
         spec = self.fields.get(field)
-        if spec is not None and spec.kind in ("numeric", "datetime"):
-            conv = _parse_number if spec.kind == "numeric" else str
+        if spec is not None and spec.kind == "datetime":
+            # range bounds: start -> floor, end -> ceil (reference
+            # DATETIME.parse_range, fields.py:920-934)
+            lob = _datetime_bounds(lo) if lo is not None else None
+            hib = _datetime_bounds(hi) if hi is not None else None
             return ast.NumericRange(
                 field,
-                conv(lo) if lo is not None else None,
-                conv(hi) if hi is not None else None,
+                lob[0] if lob else None,
+                hib[1] if hib else None,
+                startexcl=startexcl,
+                endexcl=endexcl,
+            )
+        if spec is not None and spec.kind == "numeric":
+            return ast.NumericRange(
+                field,
+                _parse_number(lo) if lo is not None else None,
+                _parse_number(hi) if hi is not None else None,
                 startexcl=startexcl,
                 endexcl=endexcl,
             )
         low = self._analyze(field, lo)[0] if lo else None
         high = self._analyze(field, hi)[0] if hi else None
         return ast.TermRange(field, low, high, startexcl=startexcl, endexcl=endexcl)
+
+
+def _datetime_bounds(text: str):
+    """(floor, ceil) np.datetime64[us] for a whoosh-style datestring
+    ``YYYY[MM[DD[hh[mm[ss[uuuuuu]]]]]]`` (spaces/dashes/dots stripped;
+    reference fields.py:876-901) — missing parts floor to their minimum
+    and ceil to their maximum.  ISO strings with time separators parse as
+    exact points."""
+    import calendar
+
+    import numpy as np
+
+    digits = text.replace(" ", "").replace("-", "").replace(".", "")
+    if not digits.isdigit() or len(digits) < 4:
+        try:  # ISO fallback (e.g. 2026-01-01T00:03:00)
+            v = np.datetime64(text, "us")
+            return v, v
+        except Exception:
+            return None
+    y = int(digits[:4])
+    mo = int(digits[4:6]) if len(digits) >= 6 else None
+    d = int(digits[6:8]) if len(digits) >= 8 else None
+    h = int(digits[8:10]) if len(digits) >= 10 else None
+    mi = int(digits[10:12]) if len(digits) >= 12 else None
+    s = int(digits[12:14]) if len(digits) >= 14 else None
+    us = int(digits[14:]) if len(digits) == 20 else None
+    try:
+        import datetime as _dt
+
+        flo = _dt.datetime(y, mo or 1, d or 1, h or 0, mi or 0, s or 0, us or 0)
+        chi = _dt.datetime(
+            y,
+            mo if mo is not None else 12,
+            d if d is not None else calendar.monthrange(y, mo if mo is not None else 12)[1],
+            h if h is not None else 23,
+            mi if mi is not None else 59,
+            s if s is not None else 59,
+            us if us is not None else 999999,
+        )
+    except ValueError:
+        return None
+    return np.datetime64(flo, "us"), np.datetime64(chi, "us")
 
 
 def _parse_number(text: str):
