@@ -135,3 +135,40 @@ def test_matched_terms(ix):
         for h in r2:
             allterms.update(h.matched_terms())
         assert ("value", "red") in allterms and ("value", "rendered") in allterms
+
+
+def test_boolean_field(ray_session, tmp_path_factory, whoosh):
+    """BOOLEAN field parity: true/yes/1/t and false/no/0 query words."""
+    from whoosh import fields as wf
+    from whoosh import index as windex
+    from whoosh.qparser import QueryParser as WQP
+
+    d = str(tmp_path_factory.mktemp("boolidx"))
+    schema = wrr.Schema(key=wrr.ID(stored=True), done=wrr.BOOLEAN(), body=wrr.TEXT())
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    rows = [("a", True, "red fish"), ("b", False, "blue fish"),
+            ("c", True, "green fish"), ("d", False, "red bird")]
+    for k, done, body in rows:
+        w.add_document(key=k, done=done, body=body)
+    w.commit()
+
+    wd = str(tmp_path_factory.mktemp("boolwhoosh"))
+    wix = windex.create_in(
+        wd, wf.Schema(key=wf.ID(stored=True), done=wf.BOOLEAN(), body=wf.TEXT())
+    )
+    ww = wix.writer()
+    for k, done, body in rows:
+        ww.add_document(key=k, done=done, body=body)
+    ww.commit()
+
+    for qs in ("done:true", "done:yes", "done:1", "done:t",
+               "done:false", "done:no", "done:0",
+               "done:true AND body:red", "body:fish AND done:false"):
+        with ix.searcher() as s:
+            ours = sorted(h["key"] for h in s.search(s.parse(qs, default_field="body"), limit=None))
+        with wix.searcher() as ws:
+            wq = WQP("body", wix.schema).parse(qs)
+            theirs = sorted(h["key"] for h in ws.search(wq, limit=None))
+        assert ours == theirs, (qs, ours, theirs)
+    assert wrr.exists_in(d) and not wrr.exists_in(str(tmp_path_factory.mktemp("empty")))

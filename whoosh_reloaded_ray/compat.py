@@ -64,6 +64,10 @@ def DATETIME(stored=True):
     return ("datetime", {"stored": stored})
 
 
+def BOOLEAN(stored=True):
+    return ("boolean", {"stored": stored})
+
+
 def STORED():
     return ("stored", {})
 
@@ -102,6 +106,10 @@ class Schema:
                 specs.append(numeric_field(name))
             elif kind == "datetime":
                 specs.append(numeric_field(name, kind="datetime"))
+            elif kind == "boolean":
+                from .schema import boolean_field
+
+                specs.append(boolean_field(name))
             elif kind == "stored":
                 specs.append(
                     FieldSpec(name=name, kind="stored", analyzer=None, scorable=False, positions=False)
@@ -118,6 +126,12 @@ class Schema:
 def create_in(dirname: str, schema: Schema) -> "Index":
     os.makedirs(dirname, exist_ok=True)
     return Index(dirname, schema)
+
+
+def exists_in(dirname: str) -> bool:
+    """True if a committed index lives in the directory (reference
+    index.exists_in)."""
+    return load_manifest(dirname) is not None
 
 
 def open_dir(dirname: str) -> "Index":
@@ -177,6 +191,8 @@ class Writer:
                 vals = [r.get(f.name) for r in self.rows]
                 if f.kind == "numeric":
                     cols[f.name] = pa.array(vals, pa.int64())
+                elif f.kind == "boolean":
+                    cols[f.name] = pa.array(vals, pa.bool_())
                 elif f.kind == "datetime":
                     cols[f.name] = pa.array(vals, pa.timestamp("us"))
                 else:

@@ -343,8 +343,19 @@ class QueryParser:
             )(text)
         ]
 
+    # reference BOOLEAN accepted strings (fields.py trues/falses)
+    BOOL_TRUES = frozenset("t true yes 1".split())
+    BOOL_FALSES = frozenset("f false no 0".split())
+
     def _word_query(self, field: str, text: str):
         spec = self.fields.get(field)
+        if spec is not None and spec.kind == "boolean" and text != "*":
+            low = text.lower()
+            if low in self.BOOL_TRUES:
+                return ast.ColumnQuery(field, True)
+            if low in self.BOOL_FALSES:
+                return ast.ColumnQuery(field, False)
+            return None
         if spec is not None and spec.kind == "datetime" and text != "*":
             bounds = _datetime_bounds(text)
             if bounds is None:

@@ -93,6 +93,12 @@ def numeric_field(name: str, kind: str = "numeric", **kw) -> FieldSpec:
     return FieldSpec(name=name, kind=kind, analyzer=None, scorable=False, positions=False, **kw)
 
 
+def boolean_field(name: str, **kw) -> FieldSpec:
+    """BOOLEAN-equivalent (reference fields.py:937-1003): stays a columnar
+    bool; query words true/yes/1/t and false/no/0/f match by equality."""
+    return FieldSpec(name=name, kind="boolean", analyzer=None, scorable=False, positions=False, **kw)
+
+
 @dataclass
 class IndexSchema:
     fields: list  # list[FieldSpec] in declaration order
