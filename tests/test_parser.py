@@ -407,3 +407,15 @@ def test_datetime_word_parity(our_index, whoosh_index, whoosh, terms):
         "ts:[2026 TO 202601] AND {rare}",
     ):
         _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))
+
+
+def test_every_absorption_parity(our_index, whoosh_index, whoosh, terms):
+    """Every absorption in normalize: a same-field Every swallows other
+    leaves on that field (compound.py:133-170)."""
+    for tmpl in (
+        "{mid} *",
+        "{mid} OR *",
+        "role:* AND role:user",
+        "{mid} AND role:*",
+    ):
+        _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))

@@ -45,7 +45,7 @@ def build_index(
     schema: IndexSchema | None = None,
     num_shards: int = 16,
     rows_per_segment: int | None = None,
-    partition_rows: int = 250_000,
+    partition_rows: int | None = None,
     resume: bool = True,
     tokenizer_concurrency=None,
     writer_concurrency: int | None = None,
@@ -69,6 +69,19 @@ def build_index(
     if isinstance(source_paths, str):
         source_paths = [source_paths]
     schema = schema or transcript_schema()
+
+    if partition_rows is None:
+        # adaptive default: ~4 partitions per CPU so the read+tokenize
+        # stage (the dominant cost) runs in small even waves — stragglers
+        # in one big wave were measured to cost 2.5x wall time at 1M rows
+        # (BASELINE.md); capped for the tiny-corpus case
+        import pyarrow.parquet as _pq
+
+        import ray as _ray
+
+        total = sum(_pq.ParquetFile(p).metadata.num_rows for p in source_paths)
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        partition_rows = max(4096, total // max(4 * cpus, 1))
 
     parts = plan_partitions(source_paths, target_rows=partition_rows)
     total_rows = sum(p.rows for p in parts)

@@ -127,6 +127,23 @@ def normalize(q: ast.Query) -> ast.Query:
                         j += 1
                 flat[i] = r
             i += 1
+        # Every absorption (reference compound.py:133-170): an unfielded
+        # Every makes the whole group Every(); a fielded Every drops every
+        # other leaf on the same field (before OR after it)
+        if any(
+            isinstance(s, ast.Every) and s.field in (None, "", "*") for s in flat
+        ):
+            return ast.Every()
+        everyfields = {
+            s.field for s in flat if isinstance(s, ast.Every)
+        }
+        if everyfields:
+            flat = [
+                s
+                for s in flat
+                if isinstance(s, ast.Every)
+                or getattr(s, "field", None) not in everyfields
+            ]
         # de-duplicate, keeping first occurrence
         out, seen = [], set()
         for s in flat:

@@ -269,11 +269,16 @@ class Tokenizer:
         idx = np.flatnonzero(ok)
         terms = arr.take(pa.array(idx, pa.int64()))
         R = self.num_shards
-        shard = np.fromiter(
-            (_shard_of(fname, t, R) for t in terms.to_pylist()),
+        # shard per UNIQUE value (id columns are low-cardinality: conv ids,
+        # roles, tools — one crc per distinct value, not per row)
+        denc = pc.dictionary_encode(terms)
+        u_shard = np.fromiter(
+            (_shard_of(fname, t, R) for t in denc.dictionary.to_pylist()),
             dtype=np.int32,
-            count=len(idx),
+            count=len(denc.dictionary),
         )
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = u_shard[codes] if len(idx) else np.empty(0, np.int32)
         out["field"].append(pa.array(np.full(idx.size, fname, dtype=object), pa.string()))
         out["term"].append(terms)
         out["docnum"].append(pa.array(docnums[idx].astype(np.uint64), pa.uint64()))
