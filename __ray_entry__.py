@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": co.simhash_fingerprints,  # rows-only (bit ops)
         "text_stats": co.text_stats,
         "fingerprint_docs": co.fingerprint_docs,
+        "winnow_fingerprints": co.winnow_fingerprints,
         "lang_id": co.lang_id,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_fingerprints: no oracle (64-bit twiddling isn't sane SQL)
         "text_stats": co.oracle_text_stats(),
         "fingerprint_docs": co.oracle_fingerprint_docs(),
+        "winnow_fingerprints": co.oracle_winnow_fingerprints(),
         "lang_id": co.oracle_lang_id(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),

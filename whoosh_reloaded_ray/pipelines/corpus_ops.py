@@ -512,3 +512,83 @@ s AS (SELECT doc_id, {score_cols} FROM w),
 g AS (SELECT *, {greatest} g FROM s)
 SELECT doc_id, {case} AS pred_lang, g AS marker_hits FROM g ORDER BY doc_id
 """
+
+
+# ---- winnowing fingerprints (rolling hash) --------------------------------
+
+WINNOW_K = 5       # k-gram length (chars)
+WINNOW_W = 4       # winnowing window (hashes)
+WINNOW_B = 31      # polynomial base
+WINNOW_M = 2_147_483_647  # modulus (2^31 - 1)
+
+
+def winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    polynomial rolling hashes of the lowered text's char k-grams, then the
+    minimum hash of each sliding window of ``WINNOW_W`` hashes; the
+    fingerprint is the DISTINCT set of selected hash values (the tie rule
+    picks a position, not a value, so the value set is rule-independent).
+    Texts yielding fewer than W hashes contribute their single overall
+    minimum.  Exploded (doc_id, fp) rows, sorted."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    powers = np.array(
+        [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)], dtype=np.int64
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        doc_ids, fps = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            t = (text or "").lower()
+            if len(t) < WINNOW_K:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, WINNOW_K)
+            hashes = (grams @ powers) % WINNOW_M
+            if hashes.size >= WINNOW_W:
+                wmins = np.lib.stride_tricks.sliding_window_view(
+                    hashes, WINNOW_W
+                ).min(axis=1)
+            else:
+                wmins = hashes.min(keepdims=True)
+            sel = np.unique(wmins)
+            doc_ids.extend([did] * sel.size)
+            fps.extend(sel.tolist())
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
+        )
+
+    t = pa.concat_tables(
+        ds.map_batches(fp, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return t.sort_by([("doc_id", "ascending"), ("fp", "ascending")])
+
+
+def oracle_winnow_fingerprints() -> str:
+    k, w, b, m = WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_M
+    gram = " + ".join(
+        f"ord(substr(t, i + {j}, 1)) * {b ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+WITH lowered AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {k}
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(t) - {k} + 1),
+                        i -> ({gram}) % {m}) AS hs
+  FROM lowered
+),
+winnowed AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_transform(generate_series(1, len(hs) - {w} + 1),
+                                  p -> list_aggregate(hs[p:p + {w} - 1], 'min'))
+              ELSE [list_aggregate(hs, 'min')]
+         END AS wmins
+  FROM hashed
+)
+SELECT DISTINCT doc_id, unnest(wmins) AS fp
+FROM winnowed ORDER BY doc_id, fp
+"""
