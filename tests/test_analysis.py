@@ -380,3 +380,23 @@ def test_tee_filter(whoosh):
         for t, _ in tee_filter(toks, lambda ts: ts, biword_filter)
     ]
     assert ours2 == theirs2
+
+
+def test_charset_tokenizer_parity(whoosh):
+    """CharsetTokenizer parity: None-mapped chars break tokens, others
+    translate (reference tokenizers.py:201-315)."""
+    from whoosh.analysis import CharsetTokenizer
+
+    charmap = {ord(" "): None, ord("\t"): None}
+    for c in range(ord("A"), ord("Z") + 1):
+        charmap[c] = chr(c).lower()
+    for c in range(ord("a"), ord("z") + 1):
+        charmap[c] = chr(c)
+    charmap[ord("ß")] = "ss"
+
+    from whoosh_reloaded_ray.functions.analysis import charset_tokenize
+
+    for text in ("Straße ABC", "Hello  World", "ABCdef", ""):
+        theirs = [t.text for t in CharsetTokenizer(charmap)(text)]
+        ours = [t for t, _ in charset_tokenize(text, charmap)]
+        assert ours == theirs, (text, ours, theirs)

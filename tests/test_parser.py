@@ -419,3 +419,26 @@ def test_every_absorption_parity(our_index, whoosh_index, whoosh, terms):
         "{mid} AND role:*",
     ):
         _compare(our_index, whoosh_index, whoosh, tmpl.format(**terms))
+
+
+def test_fuzzy_prefix_syntax(our_index, whoosh_index, whoosh, terms):
+    """~n/m fuzzy syntax with prefix length (FuzzyTermPlugin)."""
+    from whoosh.qparser import FuzzyTermPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    bad = terms["mid"][:-1] + ("x" if terms["mid"][-1] != "x" else "q")
+    qstring = f"{bad}~2/2"
+    wp = WQP("text", whoosh_index.schema)
+    wp.add_plugin(FuzzyTermPlugin())
+    wq = wp.parse(qstring)
+    ours = QueryParser("text", transcript_schema()).parse(qstring)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, round(h.score, 6)) for h in s.search(wq, limit=10)]
+    t = our_index.search(ours, limit=10)
+    ores = [
+        (d, round(s, 6)) for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+    ]
+    assert ores == wres, (qstring, ours, wq)

@@ -773,3 +773,33 @@ def tee_filter(tokens, *filters):
                 gens[i] = None
                 running -= 1
     return out
+
+
+def charset_tokenize(value: str, charmap: dict) -> list:
+    """CharsetTokenizer (reference analysis/tokenizers.py:239-315):
+    translate each char through ``charmap``; falsy-mapped chars are token
+    breaks; others are translated in place.  Returns [(text, pos)].
+    Replicates the reference loop EXACTLY, including its final-token
+    quirk: the token that reaches end-of-string is emitted as the RAW
+    (untranslated) slice of the input (tokenizers.py:305 uses
+    value[startchar:currentchar]).  Build charmaps from
+    :func:`accent_fold_map` plus case entries, mirroring the Sphinx
+    charset-table workflow."""
+    out = []
+    text = ""
+    pos = 0
+    startchar = currentchar = 0
+    for ch in value:
+        tchar = charmap.get(ord(ch), ch)
+        if tchar:
+            text += tchar
+        else:
+            if currentchar > startchar:
+                out.append((text, pos))
+                pos += 1
+            startchar = currentchar + 1
+            text = ""
+        currentchar += 1
+    if currentchar > startchar:
+        out.append((value[startchar:currentchar], pos))
+    return out

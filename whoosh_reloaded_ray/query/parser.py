@@ -367,14 +367,17 @@ class QueryParser:
         is_numeric = spec is not None and spec.kind in ("numeric", "datetime")
         if text == "*":
             return ast.Every(field)
-        fm = re.match(r"^(.+?)~(\d*)$", text)
+        fm = re.match(r"^(.+?)~(\d*)(?:/(\d+))?$", text)
         if fm and not is_numeric:
             base = fm.group(1)
             maxdist = int(fm.group(2)) if fm.group(2) else 1
+            # ~n/m syntax: m = required prefix length (reference
+            # FuzzyTermPlugin, plugins.py:461-520)
+            prefixlength = int(fm.group(3)) if fm.group(3) else 1
             words = self._analyze(field, base)
             if not words:
                 return None
-            return ast.FuzzyTerm(field, words[0], maxdist=maxdist)
+            return ast.FuzzyTerm(field, words[0], maxdist=maxdist, prefixlength=prefixlength)
         if "*" in text or "?" in text:
             # Wildcard.normalize: plain text -> Term, trailing-* only -> Prefix
             if not is_numeric:
