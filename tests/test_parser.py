@@ -442,3 +442,40 @@ def test_fuzzy_prefix_syntax(our_index, whoosh_index, whoosh, terms):
         (d, round(s, 6)) for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
     ]
     assert ores == wres, (qstring, ours, wq)
+
+
+def test_dateparse_nl_parity(our_index, whoosh_index, whoosh, terms):
+    """Natural-language date parsing subset vs the reference
+    DateParserPlugin (fixed basedate)."""
+    import datetime as dt
+
+    from whoosh.qparser import QueryParser as WQP
+    from whoosh.qparser.dateparse import DateParserPlugin
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    for tmpl in (
+        "ts:today AND {mid}",
+        "ts:yesterday AND {mid}",
+        "ts:'jan 2026' AND {mid}",
+        "ts:'1 jan 2026' AND {rare}",
+        "ts:[today to tomorrow] AND {mid}",
+        "ts:'next friday' OR {rare}",
+    ):
+        qstring = tmpl.format(**terms)
+        wp = WQP("text", whoosh_index.schema)
+        wp.add_plugin(DateParserPlugin(basedate=base))
+        wq = wp.parse(qstring)
+        ours = QueryParser(
+            "text", transcript_schema(), dateparse_basedate=base
+        ).parse(qstring)
+        with whoosh_index.searcher() as s:
+            wres = [(h.docnum, round(h.score, 6)) for h in s.search(wq, limit=10)]
+        t = our_index.search(ours, limit=10)
+        ores = [
+            (d, round(s, 6))
+            for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
+        ]
+        assert ores == wres, f"{qstring!r}\n{ours}\n{wq!r}\n{ores}\n{wres}"

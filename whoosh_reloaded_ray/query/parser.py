@@ -38,6 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<fphrase>(?P<fpf>\w+):"(?P<fptext>[^"]*)"(?:~(?P<fpslop>\d+))?)
   | (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?)
+  | (?P<fsquote>(?P<fsf>\w+):'(?P<fstext>[^']*)')
   | (?P<frange>(?P<frf>\w+):(?P<frbody>[\[{][^\]}]*[\]}]))
   | (?P<range>[\[{](?P<rbody>[^\]}]*)[\]}])
   | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
@@ -47,6 +48,8 @@ _TOKEN_RE = re.compile(
 )
 
 _RANGE_RE = re.compile(r"^([\[{])(.*?)\sTO\s(.*?)([\]}])$", re.DOTALL)
+# DateParserPlugin ranges use lowercase 'to' ([today to tomorrow])
+_RANGE_RE_NL = re.compile(r"^([\[{])(.*?)\s[Tt][Oo]\s(.*?)([\]}])$", re.DOTALL)
 
 
 @dataclass
@@ -71,6 +74,7 @@ class QueryParser:
         gtlt: bool = False,
         fieldaliases: dict | None = None,
         copyfields: dict | None = None,
+        dateparse_basedate=None,
     ):
         """``gtlt=True`` enables the reference's optional GtLtPlugin
         (qparser/plugins.py:1081-1160): ``field:>5  field:<=z`` become
@@ -80,6 +84,10 @@ class QueryParser:
         self.schema = schema
         self.group_cls = ast.And if group == "and" else ast.Or
         self.gtlt = gtlt
+        # DateParserPlugin analog (qparser/dateparse.py): when a basedate
+        # is given, datetime fields accept natural-language datestrings
+        # (today / yesterday / 'next friday' / '25 may 2026' / '-3 weeks')
+        self.dateparse_basedate = dateparse_basedate
         self.fields = {f.name: f for f in schema.fields}
         # FieldAliasPlugin (plugins.py:1205-1238): alias -> real field name
         self.aliases: dict = {}
@@ -109,6 +117,8 @@ class QueryParser:
                 )
             elif m.group("phrase") is not None:
                 out.append(("phrase", (m.group("phtext"), int(m.group("slop") or 1))))
+            elif m.group("fsquote") is not None:
+                out.append(("fsquote", (m.group("fsf"), m.group("fstext"))))
             elif m.group("frange") is not None:
                 out.append(("frange", (m.group("frf"), m.group("frbody"))))
             elif m.group("range") is not None:
@@ -166,6 +176,12 @@ class QueryParser:
                 field_ctx = None
             elif kind == "range":
                 nodes.append(_RangeNode(field_ctx or self.default_field, val))
+                field_ctx = None
+            elif kind == "fsquote":
+                f, text = val
+                f = self.aliases.get(f, f)
+                f = f if f in self.fields else self.default_field
+                nodes.append(_WordNode(f, text))
                 field_ctx = None
             elif kind == "frange":
                 f, body = val
@@ -358,6 +374,8 @@ class QueryParser:
             return None
         if spec is not None and spec.kind == "datetime" and text != "*":
             bounds = _datetime_bounds(text)
+            if bounds is None and self.dateparse_basedate is not None:
+                bounds = _nl_date_bounds(text, self.dateparse_basedate)
             if bounds is None:
                 return None
             lo, hi = bounds
@@ -399,6 +417,10 @@ class QueryParser:
 
     def _range_query(self, node):
         m = _RANGE_RE.match(node.text)
+        if m is None and self.dateparse_basedate is not None:
+            spec = self.fields.get(node.field)
+            if spec is not None and spec.kind == "datetime":
+                m = _RANGE_RE_NL.match(node.text)
         if not m:
             return self._word_query(node.field, node.text)
         lb, lo, hi, rb = m.groups()
@@ -411,8 +433,14 @@ class QueryParser:
         if spec is not None and spec.kind == "datetime":
             # range bounds: start -> floor, end -> ceil (reference
             # DATETIME.parse_range, fields.py:920-934)
-            lob = _datetime_bounds(lo) if lo is not None else None
-            hib = _datetime_bounds(hi) if hi is not None else None
+            def _db(text):
+                b = _datetime_bounds(text)
+                if b is None and self.dateparse_basedate is not None:
+                    b = _nl_date_bounds(text, self.dateparse_basedate)
+                return b
+
+            lob = _db(lo) if lo is not None else None
+            hib = _db(hi) if hi is not None else None
             return ast.NumericRange(
                 field,
                 lob[0] if lob else None,
@@ -445,7 +473,12 @@ def _datetime_bounds(text: str):
 
     digits = text.replace(" ", "").replace("-", "").replace(".", "")
     if not digits.isdigit() or len(digits) < 4:
-        try:  # ISO fallback (e.g. 2026-01-01T00:03:00)
+        # ISO fallback (e.g. 2026-01-01T00:03:00) — digits required so
+        # numpy's own natural-language keywords ('today', 'now') don't
+        # short-circuit the DateParserPlugin path
+        if not any(c.isdigit() for c in text):
+            return None
+        try:
             v = np.datetime64(text, "us")
             return v, v
         except Exception:
@@ -473,6 +506,125 @@ def _datetime_bounds(text: str):
     except ValueError:
         return None
     return np.datetime64(flo, "us"), np.datetime64(chi, "us")
+
+
+_NL_MONTHS = {}
+for _i, _name in enumerate(
+    "january february march april may june july august september october november december".split(),
+    1,
+):
+    _NL_MONTHS[_name] = _i
+    _NL_MONTHS[_name[:3]] = _i
+_NL_WEEKDAYS = {}
+for _i, _name in enumerate(
+    "monday tuesday wednesday thursday friday saturday sunday".split()
+):
+    _NL_WEEKDAYS[_name] = _i
+    _NL_WEEKDAYS[_name[:3]] = _i
+_NL_UNITS = {
+    "minute": "minutes", "minutes": "minutes", "min": "minutes",
+    "hour": "hours", "hours": "hours", "h": "hours",
+    "day": "days", "days": "days", "d": "days",
+    "week": "weeks", "weeks": "weeks", "w": "weeks",
+    "month": "months", "months": "months", "mo": "months",
+    "year": "years", "years": "years", "y": "years",
+}
+
+
+def _nl_date_bounds(text: str, base):
+    """Natural-language datestring subset of the reference
+    DateParserPlugin grammar (qparser/dateparse.py), relative to
+    ``base``: now (exact) / today / yesterday / tomorrow (day ranges);
+    next|last <weekday> (day range); [day] month-name [year] (day or
+    month range, year defaulting to the basedate's); signed offsets like
+    '-3 weeks' (exact point).  Returns (floor, ceil) np.datetime64[us] or
+    None (unparseable -> no matches, like the reference's NullQuery)."""
+    import datetime as _dt
+
+    import numpy as np
+
+    def day_bounds(d: "_dt.date"):
+        lo = _dt.datetime(d.year, d.month, d.day)
+        return (
+            np.datetime64(lo, "us"),
+            np.datetime64(lo + _dt.timedelta(days=1) - _dt.timedelta(microseconds=1), "us"),
+        )
+
+    def month_bounds(y: int, mo: int):
+        import calendar
+
+        lo = _dt.datetime(y, mo, 1)
+        hi = _dt.datetime(y, mo, calendar.monthrange(y, mo)[1], 23, 59, 59, 999999)
+        return np.datetime64(lo, "us"), np.datetime64(hi, "us")
+
+    t = text.strip().lower()
+    if t == "now":
+        v = np.datetime64(base, "us")
+        return v, v
+    if t == "today":
+        return day_bounds(base.date())
+    if t == "yesterday":
+        return day_bounds(base.date() - _dt.timedelta(days=1))
+    if t == "tomorrow":
+        return day_bounds(base.date() + _dt.timedelta(days=1))
+
+    m = re.match(r"^(next|last)\s+([a-z]+)$", t)
+    if m and m.group(2) in _NL_WEEKDAYS:
+        target = _NL_WEEKDAYS[m.group(2)]
+        cur = base.weekday()
+        if m.group(1) == "next":
+            delta = (target - cur - 1) % 7 + 1
+        else:
+            delta = -((cur - target - 1) % 7 + 1)
+        return day_bounds(base.date() + _dt.timedelta(days=delta))
+
+    m = re.match(r"^([+-]\d+)\s*([a-z]+)$", t)
+    if m and m.group(2) in _NL_UNITS:
+        n = int(m.group(1))
+        unit = _NL_UNITS[m.group(2)]
+        if unit in ("months", "years"):
+            months = n * (12 if unit == "years" else 1)
+            y, mo = base.year, base.month + months
+            y += (mo - 1) // 12
+            mo = (mo - 1) % 12 + 1
+            import calendar
+
+            day = min(base.day, calendar.monthrange(y, mo)[1])
+            v = base.replace(year=y, month=mo, day=day)
+        else:
+            v = base + _dt.timedelta(**{unit: n})
+        v64 = np.datetime64(v, "us")
+        return v64, v64
+
+    # [day] month-name [year] — day before the month, year after it
+    parts = t.split()
+    day = year = month = None
+    try:
+        i = 0
+        if i < len(parts) and parts[i].isdigit() and int(parts[i]) <= 31:
+            day = int(parts[i])
+            i += 1
+        if i < len(parts) and parts[i] in _NL_MONTHS:
+            month = _NL_MONTHS[parts[i]]
+            i += 1
+        else:
+            return None
+        if i < len(parts) and parts[i].isdigit() and len(parts[i]) == 4:
+            year = int(parts[i])
+            i += 1
+        if i != len(parts):
+            return None
+    except ValueError:
+        return None
+    year = year if year is not None else base.year
+    if day is not None:
+        import datetime as _dt2
+
+        try:
+            return day_bounds(_dt2.date(year, month, day))
+        except ValueError:
+            return None
+    return month_bounds(year, month)
 
 
 def _parse_number(text: str):
