@@ -81,3 +81,30 @@ def test_killed_build_resumes_without_reprocessing(corpus, ray_session, tmp_path
     a, b = s_res.search(q, limit=None), s_ref.search(q, limit=None)
     np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
     np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+
+
+def test_resume_reuses_committed_partition_plan(corpus, ray_session, tmp_path_factory, monkeypatch):
+    """A resumed build must re-derive the ORIGINAL partition plan even when
+    called with different (or adaptive) plan parameters — otherwise no
+    lineage matches and committed segments rebuild over live files."""
+    idx_dir = str(tmp_path_factory.mktemp("planidx"))
+    build_mod.build_index([corpus], idx_dir, num_shards=4, partition_rows=16, rows_per_segment=32)
+    m1 = load_manifest(idx_dir)
+    assert m1.build_config["partition_rows"] == 16
+    n_segs = len(m1.segments)
+    assert n_segs > 1
+
+    calls = {"n": 0}
+    real = build_mod._build_segment
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(build_mod, "_build_segment", counting)
+    # different requested plan: the committed one must win and everything skip
+    build_mod.build_index([corpus], idx_dir, num_shards=8, partition_rows=64)
+    assert calls["n"] == 0
+    m2 = load_manifest(idx_dir)
+    assert len(m2.segments) == n_segs
+    assert m2.build_config == m1.build_config

@@ -81,6 +81,75 @@ def test_salted_build_matches_unsalted(corpus, ray_session, tmp_path_factory):
     assert s_plain.doc_frequency("text", hot1) == s_salt.doc_frequency("text", hot1)
 
 
+def test_merge_preserves_salted_terms(corpus, ray_session, tmp_path_factory):
+    """Merging salted segments must union the victims' salt configs into
+    the merged SegmentMeta — the postings stay in salted sub-shard files
+    after the block concat, and without the config the reader resolves the
+    term to the unsalted base shard and finds nothing."""
+    from whoosh_reloaded_ray.pipelines.merge import maybe_merge
+
+    idx = str(tmp_path_factory.mktemp("saltmergeidx"))
+    # several small segments so optimize has victims to merge
+    build_index([corpus], idx, num_shards=4, partition_rows=250, rows_per_segment=500)
+    hot1, hot2 = _hottest_terms(idx)
+    # rebuild salted
+    import shutil
+
+    shutil.rmtree(idx)
+    salted = {("text", hot1): 3, ("text", hot2): 2}
+    build_index(
+        [corpus], idx, num_shards=4, partition_rows=250, rows_per_segment=500,
+        salted_terms=salted,
+    )
+    s = IndexSearcher(idx)
+    assert len(s.manifest.segments) > 1
+    before = {
+        hot1: s.search(Term("text", hot1), limit=None).num_rows,
+        hot2: s.search(Term("text", hot2), limit=None).num_rows,
+    }
+    assert before[hot1] > 0
+
+    maybe_merge(idx, optimize=True)
+    s2 = IndexSearcher(idx)
+    assert len(s2.manifest.segments) == 1
+    merged = s2.manifest.segments[0]
+    assert merged.salted_terms.get("text", {}).get(hot1) == 3
+    assert merged.salted_terms.get("text", {}).get(hot2) == 2
+    assert s2.search(Term("text", hot1), limit=None).num_rows == before[hot1]
+    assert s2.search(Term("text", hot2), limit=None).num_rows == before[hot2]
+    assert s2.doc_frequency("text", hot1) == s.doc_frequency("text", hot1)
+
+
+def test_salted_id_field(corpus, ray_session, tmp_path_factory):
+    """Salting an id-field term (the vectorized IDTokenizer path) must
+    route its postings to the salted sub-shards, not the base shard."""
+    plain_dir = str(tmp_path_factory.mktemp("idplain"))
+    build_index([corpus], plain_dir, num_shards=4, partition_rows=500)
+    s_plain = IndexSearcher(plain_dir)
+    expected = s_plain.search(Term("role", "user"), limit=None)
+    assert expected.num_rows > 0
+
+    salt_dir = str(tmp_path_factory.mktemp("idsalt"))
+    build_index(
+        [corpus], salt_dir, num_shards=4, partition_rows=500,
+        salted_terms={("role", "user"): 3},
+    )
+    s_salt = IndexSearcher(salt_dir)
+    got = s_salt.search(Term("role", "user"), limit=None)
+    np.testing.assert_array_equal(
+        expected["docnum"].to_numpy(), got["docnum"].to_numpy()
+    )
+    seg = s_salt.manifest.segments[0]
+    shards_with = [
+        shard
+        for shard in range(seg.num_shards)
+        for f in [os.path.join(salt_dir, seg.name, f"postings-{shard:04d}.parquet")]
+        if os.path.exists(f)
+        and pq.read_table(f, columns=["term"], filters=[("field", "=", "role"), ("term", "=", "user")]).num_rows > 0
+    ]
+    assert len(shards_with) >= 2, "salted id term should spread over sub-shards"
+
+
 def test_estimate_hot_terms(corpus):
     parts = plan_partitions([corpus], target_rows=500)
     hot = estimate_hot_terms(parts, transcript_schema(), df_ratio=0.2, sample_rows=1000)

@@ -70,6 +70,26 @@ def build_index(
         source_paths = [source_paths]
     schema = schema or transcript_schema()
 
+    # Load any committed manifest FIRST: its persisted plan parameters take
+    # precedence on resume, because re-deriving partition_rows from the
+    # cluster size at call time would produce a different plan on a
+    # different cluster — no lineage key would match and every segment
+    # would rebuild under its old name over still-referenced files.
+    manifest = None
+    committed_lineage: dict = {}
+    if resume:
+        manifest = load_manifest(index_dir)
+    if manifest is not None and manifest.build_config:
+        bc = manifest.build_config
+        if partition_rows is not None and partition_rows != bc.get("partition_rows"):
+            logger.warning(
+                "resume: overriding requested partition_rows=%s with the "
+                "committed plan's %s", partition_rows, bc.get("partition_rows"),
+            )
+        partition_rows = bc.get("partition_rows", partition_rows)
+        rows_per_segment = bc.get("rows_per_segment", rows_per_segment)
+        num_shards = bc.get("num_shards", num_shards)
+
     if partition_rows is None:
         # adaptive default: ~4 partitions per CPU so the read+tokenize
         # stage (the dominant cost) runs in small even waves — stragglers
@@ -103,23 +123,41 @@ def build_index(
     if cur:
         seg_specs.append(cur)
 
-    manifest = None
-    committed_lineage = set()
-    if resume:
-        manifest = load_manifest(index_dir)
-        if manifest is not None:
-            committed_lineage = {
-                tuple(sorted((p.path, p.row_groups, p.base) for p in s.partitions))
-                for s in manifest.segments
-            }
+    # committed lineage at PARTITION granularity: a merged segment carries
+    # the union of its victims' partitions, so per-segment tuples would stop
+    # matching after any merge
+    committed_parts: set = set()
+    if manifest is not None:
+        for s in manifest.segments:
+            committed_parts.update((p.path, p.row_groups, p.base) for p in s.partitions)
     if manifest is None:
         manifest = Manifest(schema=schema)
+    manifest.build_config = {
+        "partition_rows": int(partition_rows),
+        "rows_per_segment": int(rows_per_segment),
+        "num_shards": int(num_shards),
+    }
 
+    committed_names = {s.name for s in manifest.segments}
     for i, spec in enumerate(seg_specs):
-        key = tuple(sorted((p.path, p.row_groups, p.base) for p in spec))
-        if key in committed_lineage:
+        part_keys = {(p.path, p.row_groups, p.base) for p in spec}
+        if part_keys <= committed_parts:
             logger.info("segment %d already committed; skipping", i)
             continue
+        if part_keys & committed_parts:
+            raise RuntimeError(
+                f"resume plan mismatch: planned segment {i} overlaps committed "
+                f"lineage only partially (committed plan: {manifest.build_config})"
+            )
+        planned_name = f"seg-{i:05d}"
+        if planned_name in committed_names:
+            # same name, different lineage: writing here would mix shard
+            # files under a directory the committed manifest still references
+            raise RuntimeError(
+                f"resume plan mismatch: segment {planned_name} is committed "
+                f"with different lineage (committed plan: "
+                f"{manifest.build_config}); refusing to overwrite"
+            )
         seg = _build_segment(
             f"seg-{i:05d}", spec, index_dir, schema, num_shards,
             tokenizer_concurrency, writer_concurrency, salted_terms,

@@ -205,12 +205,15 @@ class SegmentReader:
         n_salts = self.seg.salted_terms.get(field, {}).get(term)
         if not n_salts:
             return [_shard_of(field, term, self.seg.num_shards)]
-        return sorted(
-            {
-                _salted_shard_of(field, term, s, self.seg.num_shards)
-                for s in range(n_salts)
-            }
+        # include the unsalted base shard too: a merged segment may combine
+        # victims where the term was salted in some and not in others, so
+        # part of its postings can live in the base shard file
+        shards = {_shard_of(field, term, self.seg.num_shards)}
+        shards.update(
+            _salted_shard_of(field, term, s, self.seg.num_shards)
+            for s in range(n_salts)
         )
+        return sorted(shards)
 
     # ---- terminfo ---------------------------------------------------------
 

@@ -47,14 +47,19 @@ def wandable_terms(q: ast.Query):
     if isinstance(q, ast.Term):
         return ("sum", [(q.field, q.text, q.boost)])
     if isinstance(q, ast.Or):
-        out = []
+        # dedupe (field, term) summing boosts: the full evaluator's Or sums
+        # per-child scores (np.add.at in _union) and a Term's score is
+        # linear in its boost, so 'a^b1 OR a^b2' == 'a^(b1+b2)' exactly —
+        # duplicate children must not double the term's block bounds
+        merged: dict = {}
         for s in q.subqueries:
             if not isinstance(s, ast.Term):
                 return None
-            out.append((s.field, s.text, s.boost * q.boost))
-        if not out:
+            key = (s.field, s.text)
+            merged[key] = merged.get(key, 0.0) + s.boost * q.boost
+        if not merged:
             return None
-        return ("sum", out)
+        return ("sum", [(f, t, b) for (f, t), b in merged.items()])
     return None
 
 

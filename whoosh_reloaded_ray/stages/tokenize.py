@@ -279,6 +279,24 @@ class Tokenizer:
         )
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         shard = u_shard[codes] if len(idx) else np.empty(0, np.int32)
+        if self.salted and len(idx):
+            # id values (roles, tools) are exactly the hottest terms — apply
+            # the same docnum-range salt routing as _vector_field, else the
+            # manifest records the term as salted while its postings sit in
+            # the base shard and _shards_for never finds them
+            doc_lo, doc_n = self.doc_range
+            u_index = {t: i for i, t in enumerate(denc.dictionary.to_pylist())}
+            g_doc = docnums[idx]
+            for (f, t), n_salts in self.salted.items():
+                if f != fname or t not in u_index:
+                    continue
+                m = codes == u_index[t]
+                salt = (g_doc[m].astype(np.int64) - doc_lo) * n_salts // max(doc_n, 1)
+                shard[m] = np.fromiter(
+                    (_salted_shard_of(fname, t, int(s), R) for s in salt),
+                    dtype=np.int32,
+                    count=int(m.sum()),
+                )
         out["field"].append(pa.array(np.full(idx.size, fname, dtype=object), pa.string()))
         out["term"].append(terms)
         out["docnum"].append(pa.array(docnums[idx].astype(np.uint64), pa.uint64()))

@@ -79,6 +79,11 @@ class Manifest:
     # as a parquet sidecar so it scales past JSON (at 10^12 docs it becomes
     # per-segment bitset files keyed the same way).
     tombstones: str | None = None
+    # partition-plan parameters of the ORIGINAL build (partition_rows,
+    # rows_per_segment, num_shards): a resumed build must re-derive the
+    # identical plan or no lineage key matches and every segment rebuilds
+    # under its old name over still-referenced files
+    build_config: dict = field(default_factory=dict)
 
     # ---- global stats (parity: searcher-level doc_count_all / field_length)
     @property
@@ -106,6 +111,7 @@ class Manifest:
             "schema": self.schema.to_dict(),
             "segments": [s.to_dict() for s in self.segments],
             "tombstones": self.tombstones,
+            "build_config": self.build_config,
         }
 
     @staticmethod
@@ -116,6 +122,7 @@ class Manifest:
             segments=[SegmentMeta.from_dict(s) for s in d["segments"]],
             version=d.get("version", 1),
             tombstones=d.get("tombstones"),
+            build_config=d.get("build_config", {}),
         )
 
     def load_tombstones(self, index_dir: str):
