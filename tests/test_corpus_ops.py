@@ -105,3 +105,30 @@ def test_multimodal_stages(ray_session, con):
     _assert_match(mm.frame_sample_meta(SF), con, mm.oracle_frame_sample_meta())
     with pytest.raises(NotImplementedError):
         mm._decode_image_real(b"xx")
+
+
+def test_neardup_hot_bucket_skew(ray_session, tmp_path):
+    """One degenerate LSH bucket (many identical docs) must not break or
+    driver-bottleneck the distributed pipeline: 40 identical docs all land
+    in the same buckets in every band and verify to C(40,2) exact pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    hot = ["alpha beta gamma delta epsilon zeta eta theta"] * 40
+    cold = [f"unique document number {i} with words {i*7} {i*13} {i*29}" for i in range(20)]
+    texts = hot + cold
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    pairs = co.neardup_ngram_jaccard(str(tmp_path))
+    assert pairs.num_rows == 40 * 39 // 2
+    assert set(pairs["jaccard"].to_pylist()) == {1.0}
+    kept = co.dedup_minhash(str(tmp_path))
+    assert kept["doc_id"].to_pylist() == [0] + list(range(40, 60))

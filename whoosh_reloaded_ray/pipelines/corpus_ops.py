@@ -78,15 +78,6 @@ def _hash64(values: list) -> np.ndarray:
     )
 
 
-def _minhash(shingle_hashes: np.ndarray) -> np.ndarray:
-    """64-perm MinHash signature of a shingle-hash set (vectorized uint64)."""
-    if shingle_hashes.size == 0:
-        return np.full(N_PERMS, MERSENNE, dtype=np.uint64)
-    x = (shingle_hashes & HASH_MASK)[:, None]  # (n, 1)
-    vals = (x * PERM_A + PERM_B) % np.uint64(MERSENNE)
-    return vals.min(axis=0)
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -121,97 +112,271 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-class MinHasher:
-    """Actor-pool map_batches stage: text -> (doc_id, band, band_hash) rows.
-
-    Stateful so the permutation table and hashlib setup are built once per
-    actor (``__init__``), not per batch."""
-
-    def __init__(self, n_bands: int = N_BANDS):
-        self.n_bands = n_bands
-        self.rows_per_band = N_PERMS // n_bands
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, bhashes = [], [], []
-        r = self.rows_per_band
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = _minhash(_hash64(_shingles(text)))
-            for b in range(self.n_bands):
-                h = hashlib.blake2b(sig[b * r : (b + 1) * r].tobytes(), digest_size=8)
-                doc_ids.append(doc_id)
-                bands.append(b)
-                bhashes.append(int.from_bytes(h.digest(), "little") >> 1)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-            }
-        )
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_SH_C1 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_C2 = np.uint64(0x165667B19E3779F9)
 
 
-def _lsh_candidate_pairs(sf_dir: str) -> set:
-    """LSH bucket groupby -> candidate (a < b) doc_id pairs."""
-    ds = _read_documents(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, concurrency=2, batch_format="pyarrow")
-
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-    pair_tbl = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-    )
-    out = set()
-    for batch in pair_tbl.iter_batches(batch_format="pyarrow", batch_size=None):
-        out.update(zip(batch["a"].to_pylist(), batch["b"].to_pylist()))
-    return out
+def _split_lower(col) -> tuple:
+    """(flat word pa.Array, per-row counts) for lower().split(' ') — the
+    same tokenization as the SQL oracle's string_split(lower(text), ' ').
+    All-Arrow (no Python string lists: materializing 10^5 word objects per
+    batch measured 10x slower than the C kernels)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(pc.utf8_lower(pc.fill_null(col, "")), " ")
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pc.list_flatten(lists), counts
 
 
-def _exact_jaccard(sf_dir: str, pairs: set) -> pa.Table:
-    """Exact shingle-set Jaccard for candidate pairs (fetch only those docs)."""
-    if not pairs:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    need = sorted({d for p in pairs for d in p})
-    import pyarrow.parquet as pq
+def _word_hashes(flat_words: pa.Array) -> np.ndarray:
+    """Per-token 61-bit hashes, computed once per UNIQUE word (dictionary
+    encode first: vocab << token count)."""
+    if len(flat_words) == 0:
+        return np.empty(0, np.uint64)
+    denc = pc.dictionary_encode(flat_words)
+    uh = _hash64(denc.dictionary.to_pylist())
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[codes]
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
-        filters=[("doc_id", "in", need)],
-    )
-    sh = {
-        d: set(_shingles(t))
-        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-    }
-    rows = []
-    for a, b in sorted(pairs):
-        sa, sb = sh[a], sh[b]
-        union = len(sa | sb)
-        j = len(sa & sb) / union if union else 0.0
-        rows.append((a, b, j))
+
+def _shingle_hashes_flat(texts, k: int = 3) -> tuple:
+    """Vectorized word-k-shingle hashes for a batch: returns
+    (flat shingle hashes, shingles-per-row counts).  Hash = wrapping uint64
+    mix of the k word hashes (min over a multiset equals min over the set,
+    so MinHash needs no per-doc dedup)."""
+    flat, counts = _split_lower(texts)
+    wh = _word_hashes(flat)
+    nsh = np.maximum(counts - (k - 1), 0)
+    total = int(nsh.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), nsh
+    row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sh_off = np.concatenate(([0], np.cumsum(nsh)[:-1]))
+    sh_row = np.repeat(np.arange(len(counts)), nsh)
+    intra = np.arange(total) - np.repeat(sh_off, nsh)
+    p = row_off[sh_row] + intra
+    with np.errstate(over="ignore"):
+        h = wh[p] * _SH_C1
+        for j in range(1, k):
+            h = (h ^ wh[p + j]) * _SH_C2
+    return h, nsh
+
+
+def minhash_band_rows(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
+    """Stateless vectorized map_batches stage: documents batch ->
+    (doc_id, band, band_hash) LSH rows, n_bands per doc.
+
+    All-numpy: shingle hashing via per-unique-word blake2b + uint64 mixing,
+    64 permutations evaluated as one (n_shingles, 64) matrix with
+    ``np.minimum.reduceat`` per row, band hashes as a wrapping fold over
+    each band's signature rows.  No per-doc Python loop, no hashlib in the
+    per-shingle path."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n_docs = len(batch)
+    r = N_PERMS // n_bands
+    sh, nsh = _shingle_hashes_flat(batch["text"])
+
+    sigs = np.full((n_docs, N_PERMS), MERSENNE, dtype=np.uint64)
+    bounds = np.concatenate(([0], np.cumsum(nsh)))
+    masked = sh & HASH_MASK
+    # doc-aligned chunks into ONE reused buffer: a single
+    # (n_shingles, 64) temp costs ~16x more wall time in fresh-page
+    # faults than cache-resident chunk reuse (measured)
+    CH = 1 << 15
+    buf = np.empty((CH, N_PERMS), np.uint64)
+    d = 0
+    while d < n_docs:
+        e = d
+        while e < n_docs and bounds[e + 1] - bounds[d] <= CH:
+            e += 1
+        if e == d:
+            e = d + 1  # one doc bigger than the chunk: take it alone
+        lo, hi = int(bounds[d]), int(bounds[e])
+        cn = hi - lo
+        if cn:
+            v = buf[:cn] if cn <= CH else np.empty((cn, N_PERMS), np.uint64)
+            np.multiply(masked[lo:hi, None], PERM_A, out=v)
+            v += PERM_B
+            v %= np.uint64(MERSENNE)
+            # empty segments occupy no elements, so restricting reduceat
+            # starts to nonzero segments keeps boundaries exact
+            local = np.flatnonzero(nsh[d:e] > 0)
+            starts = bounds[d:e][local] - lo
+            sigs[d + local] = np.minimum.reduceat(v, starts, axis=0)
+        d = e
+
+    # band hash: wrapping multiply-fold of the band's r signature values
+    with np.errstate(over="ignore"):
+        bh = np.zeros((n_docs, n_bands), dtype=np.uint64)
+        bview = sigs.reshape(n_docs, n_bands, r)
+        for j in range(r):
+            bh = (bh ^ bview[:, :, j]) * _BAND_MIX
+    bh >>= np.uint64(1)  # fit int64 for parquet/shuffle friendliness
+
     return pa.table(
         {
-            "a": pa.array([r[0] for r in rows], pa.int64()),
-            "b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n_docs)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
         }
     )
 
 
+def _first_row(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def _lsh_candidate_pairs(sf_dir: str):
+    """LSH bucket groupby -> Dataset of DISTINCT candidate (a < b) pairs.
+
+    Fully distributed: band rows shuffle by (band, band_hash) — uniform by
+    construction — pair emission is a vectorized triu expansion per bucket,
+    and cross-band duplicates collapse in a second (a, b) groupby.  Nothing
+    is collected on the driver."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow", batch_size=512)
+
+    def pairs_of_bucket(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        iu, ju = np.triu_indices(ids.size, 1)
+        return pa.table(
+            {"a": pa.array(ids[iu], pa.int64()), "b": pa.array(ids[ju], pa.int64())}
+        )
+
+    return (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(_first_row, batch_format="pyarrow")
+    )
+
+
+_SH_LIST = pa.list_(pa.int64())
+_JOIN_SCHEMA = pa.schema(
+    [("key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()), ("sh", _SH_LIST)]
+)
+
+
+def _shingle_set_rows(batch: pa.Table) -> pa.Table:
+    """documents batch -> (key=doc_id, a=null, b=null, sh=sorted unique
+    61-bit shingle-STRING hashes).  The verify path hashes the joined
+    3-word shingle string (blake2b, per unique string) so hash-set Jaccard
+    equals the oracle's string-set Jaccard (collisions: ~2^-61, ignored)."""
+    texts = batch["text"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    offs = [0]
+    flat: list = []
+    for t in texts:
+        s = _shingles(t or "")
+        flat.extend(s)
+        offs.append(len(flat))
+    denc = pc.dictionary_encode(pa.array(flat, pa.string()))
+    uh = _hash64(denc.dictionary.to_pylist()).astype(np.int64)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sh_lists = [
+        np.unique(uh[codes[offs[i] : offs[i + 1]]]) for i in range(len(texts))
+    ]
+    return pa.table(
+        {
+            "key": pa.array(doc_ids, pa.int64()),
+            "a": pa.nulls(len(texts), pa.int64()),
+            "b": pa.nulls(len(texts), pa.int64()),
+            "sh": pa.array([x.tolist() for x in sh_lists], _SH_LIST),
+        },
+        schema=_JOIN_SCHEMA,
+    )
+
+
+def _request_rows(batch: pa.Table) -> pa.Table:
+    """candidate-pair batch -> two join-request rows per pair (key=a, key=b)."""
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "sh": pa.nulls(2 * a.size, _SH_LIST),
+        },
+        schema=_JOIN_SCHEMA,
+    )
+
+
+def _attach_shingles(group: pa.Table) -> pa.Table:
+    """groupby(key) reducer: one doc row (sh set) + N request rows ->
+    (a, b, side, sh) rows, side 0 when key is the pair's 'a'."""
+    valid_sh = pc.is_valid(group["sh"]).to_numpy(zero_copy_only=False)
+    doc_rows = np.flatnonzero(valid_sh)  # the doc row carries the set
+    req = np.flatnonzero(~valid_sh)  # request rows carry (a, b)
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("side", pa.int32()), ("sh", _SH_LIST)]
+    )
+    if doc_rows.size == 0 or req.size == 0:
+        return out_schema.empty_table()
+    sh = group["sh"][int(doc_rows[0])]
+    key = group["key"][0].as_py()
+    sub = group.take(pa.array(req, pa.int64()))
+    side = np.where(sub["a"].to_numpy(zero_copy_only=False) == key, 0, 1).astype(np.int32)
+    return pa.table(
+        {
+            "a": sub["a"],
+            "b": sub["b"],
+            "side": pa.array(side),
+            "sh": pa.array([sh.as_py()] * len(sub), _SH_LIST),
+        },
+        schema=out_schema,
+    )
+
+
+def _pair_jaccard(group: pa.Table) -> pa.Table:
+    """groupby(a, b) reducer: two sides' shingle-hash sets -> exact Jaccard."""
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+    if len(group) != 2:
+        return out_schema.empty_table()  # partner doc missing (can't happen for real ids)
+    s0 = np.asarray(group["sh"][0].as_py(), dtype=np.int64)
+    s1 = np.asarray(group["sh"][1].as_py(), dtype=np.int64)
+    inter = np.intersect1d(s0, s1, assume_unique=True).size
+    union = s0.size + s1.size - inter
+    j = inter / union if union else 0.0
+    return pa.table(
+        {
+            "a": group["a"].slice(0, 1),
+            "b": group["b"].slice(0, 1),
+            "jaccard": pa.array([j], pa.float64()),
+        },
+        schema=out_schema,
+    )
+
+
 def neardup_ngram_jaccard(sf_dir: str) -> pa.Table:
-    """Near-duplicate pairs with word-3-shingle Jaccard >= 0.8:
-    MinHash-LSH candidates, exact verification."""
+    """Near-duplicate pairs with word-3-shingle Jaccard >= 0.8: MinHash-LSH
+    candidates, EXACT verification — all stages Ray Data (no driver-side
+    pair sets or text reads).
+
+    Verification is a distributed repartition join: candidate pairs explode
+    into per-doc request rows, union with the per-doc shingle-set table,
+    groupby(doc_id) attaches each side's set, groupby(a, b) computes the
+    exact Jaccard.  Shuffle volume is O(corpus shingle sets) + O(candidate
+    pairs x set size) — bounded by the duplicate rate, never all-pairs."""
     cand = _lsh_candidate_pairs(sf_dir)
-    j = _exact_jaccard(sf_dir, cand)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    sh_ds = docs.map_batches(_shingle_set_rows, batch_format="pyarrow", batch_size=512)
+    req_ds = cand.map_batches(_request_rows, batch_format="pyarrow")
+    sided = (
+        sh_ds.union(req_ds)
+        .groupby("key")
+        .map_groups(_attach_shingles, batch_format="pyarrow")
+    )
+    verified = sided.groupby(["a", "b"]).map_groups(_pair_jaccard, batch_format="pyarrow")
+    parts = list(verified.iter_batches(batch_format="pyarrow", batch_size=None))
+    j = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    )
     j = j.filter(pc.greater_equal(j["jaccard"], JACCARD_TAU))
     j = j.set_column(2, "jaccard", pc.round(j["jaccard"], 6))
     return j.sort_by([("a", "ascending"), ("b", "ascending")])
@@ -236,16 +401,30 @@ ORDER BY a, b
 
 def dedup_minhash(sf_dir: str) -> pa.Table:
     """Kept doc_ids: drop every doc that has a SMALLER verified near-dup
-    (deterministic, SQL-expressible alternative to connected components)."""
-    dup = neardup_ngram_jaccard(sf_dir)
-    dropped = set(dup["b"].to_pylist())
-    import pyarrow.parquet as pq
+    (deterministic, SQL-expressible alternative to connected components).
 
-    all_ids = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )["doc_id"].to_pylist()
-    kept = sorted(d for d in all_ids if d not in dropped)
-    return pa.table({"doc_id": pa.array(kept, pa.int64())})
+    The drop set is bounded by the duplicate rate (small side), so it is
+    broadcast once via ``ray.put`` and anti-joined inside ``map_batches``
+    with a vectorized ``np.isin`` mask — the id column streams, nothing is
+    materialized on the driver except the final (output-bounded) result."""
+    import ray
+
+    dup = neardup_ngram_jaccard(sf_dir)
+    dropped_ref = ray.put(np.unique(dup["b"].to_numpy()))
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(dropped_ref)  # zero-copy plasma read per task
+        mask = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), dropped)
+        return batch.filter(pa.array(mask))
+
+    parts = list(
+        ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    t = pa.concat_tables(parts) if parts else pa.table({"doc_id": pa.array([], pa.int64())})
+    return t.sort_by("doc_id")
 
 
 def oracle_dedup_minhash() -> str:
@@ -270,39 +449,50 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(text: str) -> int:
-    """64-bit SimHash over word features (weight = term frequency)."""
-    from collections import Counter
-
-    acc = np.zeros(64, dtype=np.int64)
-    for word, cnt in Counter(text.lower().split(" ")).items():
-        h = int.from_bytes(hashlib.blake2b(word.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, cnt, -cnt)
-    out = 0
-    for i in np.flatnonzero(acc > 0):
-        out |= 1 << int(i)
-    return out
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
 
 
-class SimHasher:
-    """Actor-pool stage: doc -> 64-bit simhash."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [_simhash64(t) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                # store as int64 via two's complement for parquet friendliness
-                "simhash": pa.array(np.array(hs, dtype=np.uint64).astype(np.int64)),
-            }
-        )
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Stateless vectorized map_batches stage: documents batch ->
+    (doc_id, simhash).  64-bit SimHash over word features (weight = term
+    frequency): blake2b per UNIQUE word, per-token +-1 bit contributions
+    accumulated per doc with one ``np.add.at`` — bit-identical to the
+    per-doc Counter formulation."""
+    n_docs = len(batch)
+    flat, counts = _split_lower(batch["text"])
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uwords = denc.dictionary.to_pylist()
+    uh = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            for w in uwords
+        ],
+        dtype=np.uint64,
+    )
+    # (-1|+1)^bit matrix per unique word
+    bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8)
+    sign = (2 * bits - 1).astype(np.int32)  # (nu, 64)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if codes.size:
+        row_idx = np.repeat(np.arange(n_docs), counts)
+        np.add.at(acc, row_idx, sign[codes])
+    fp = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            # two's complement int64 for parquet/shuffle friendliness
+            "simhash": pa.array(fp.astype(np.int64)),
+        }
+    )
 
 
 def simhash_fingerprints(sf_dir: str) -> pa.Table:
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     t = pa.concat_tables(
-        ds.map_batches(SimHasher, concurrency=2, batch_format="pyarrow").iter_batches(
+        ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=512).iter_batches(
             batch_format="pyarrow", batch_size=None
         )
     )
@@ -310,40 +500,72 @@ def simhash_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    """Pairs within Hamming distance <= k via the 4-table pigeonhole trick:
-    split 64 bits into k+1 bands; equal-band groupby yields candidates
-    (any pair within distance k must agree on >= 1 band), then exact
-    popcount verify."""
-    sigs = simhash_fingerprints(sf_dir)
-    ids = sigs["doc_id"].to_numpy()
-    hs = sigs["simhash"].to_numpy().astype(np.uint64)
+    """Pairs within Hamming distance <= k via the pigeonhole trick: split 64
+    bits into k+1 bands; a pair within distance k must agree on >= 1 band.
+
+    Fully distributed: fingerprints explode into (band, band_val) rows that
+    groupby-shuffle into buckets; each bucket VERIFIES its candidate pairs
+    in place (both signatures are in the group) with a vectorized xor +
+    popcount; cross-band duplicates collapse in an (a, b) groupby.  The
+    driver only sees verified pairs (output-bounded)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=512)
     nb = max_hamming + 1
     width = 64 // nb
-    cands = set()
-    for b in range(nb):
-        band = (hs >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
-        order = np.argsort(band, kind="stable")
-        sb = band[order]
-        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
-        ends = np.r_[starts[1:], sb.size]
-        for s, e in zip(starts, ends):
-            if e - s > 1:
-                grp = np.sort(ids[order[s:e]])
-                for i in range(grp.size):
-                    for j in range(i + 1, grp.size):
-                        cands.add((int(grp[i]), int(grp[j])))
-    id2h = dict(zip(ids.tolist(), hs.tolist()))
-    rows = [
-        (a, b, int(bin(id2h[a] ^ id2h[b]).count("1")))
-        for a, b in sorted(cands)
-    ]
-    rows = [r for r in rows if r[2] <= max_hamming]
-    return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], pa.int64()),
-            "b": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
-        }
+
+    def band_explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands = np.arange(nb, dtype=np.uint64)
+        vals = (hs[:, None] >> (bands * np.uint64(width))) & np.uint64((1 << width) - 1)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(bands.astype(np.int32), ids.size)),
+                "band_val": pa.array(vals.reshape(-1).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "simhash": pa.array(np.repeat(hs, nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_verified_pairs(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+        )
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size < 2:
+            return out_schema.empty_table()
+        hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        iu, ju = np.triu_indices(ids.size, 1)
+        ham = _popcount64(hs[iu] ^ hs[ju])
+        ok = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[iu][ok], pa.int64()),
+                "b": pa.array(ids[ju][ok], pa.int64()),
+                "hamming": pa.array(ham[ok], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    pairs = (
+        sigs.map_batches(band_explode, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_verified_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(_first_row, batch_format="pyarrow")
+    )
+    parts = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+    )
+    return t.select(["a", "b", "hamming"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
     )
 
 
