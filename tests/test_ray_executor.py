@@ -116,3 +116,39 @@ def test_export_matches(idx_dir, tmp_path):
     out = str(tmp_path / "export")
     n = export_matches(idx_dir, q, out, columns=["conv_id"])
     assert n == want.num_rows
+
+
+def test_distributed_aggregates_match_local(idx_dir):
+    """The per-segment partial-aggregate paths (facet/sort/grouped/collapse/
+    parent) must agree between executors and across maptypes/limits."""
+    local = IndexSearcher(idx_dir, executor="local")
+    rays = IndexSearcher(idx_dir, executor="ray", num_actors=3)
+    vocab = _vocab(idx_dir)
+    q = Or([Term("text", vocab[1]), Term("text", vocab[10])])
+
+    for maptype in ("count", "best", "ordered"):
+        assert local.search_grouped(q, "role", maptype=maptype) == rays.search_grouped(
+            q, "role", maptype=maptype
+        ), maptype
+    # multi-field grouping (MultiFacet tuples)
+    assert local.search_grouped(q, ["role", "turn_idx"], maptype="count") == \
+        rays.search_grouped(q, ["role", "turn_idx"], maptype="count")
+    # bounded (limit) path still matches
+    assert local.search_grouped(q, "role", limit=20, maptype="count") == \
+        rays.search_grouped(q, "role", limit=20, maptype="count")
+
+    a = local.search_collapsed(q, "role", limit=5, collapse_limit=2)
+    b = rays.search_collapsed(q, "role", limit=5, collapse_limit=2)
+    assert a["docnum"].to_pylist() == b["docnum"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    a = local.parent_search(q, "conv_id", limit=10)
+    b = rays.parent_search(q, "conv_id", limit=10)
+    assert a.to_pydict() == b.to_pydict()
+
+    a = local.search_sorted(q, ["role", "turn_idx"], limit=15, reverse=True)
+    b = rays.search_sorted(q, ["role", "turn_idx"], limit=15, reverse=True)
+    assert a["docnum"].to_pylist() == b["docnum"].to_pylist()
+
+    assert local.facet_counts_range(q, "turn_idx", 0, 10, 2) == \
+        rays.facet_counts_range(q, "turn_idx", 0, 10, 2)

@@ -113,6 +113,156 @@ class _SegmentWorker:
                 out.extend(zip(sub.tolist(), vals.tolist()))
         return out
 
+    # ---- per-segment partial aggregates (facet/sort/collapse/parent) -----
+    # The scale path for the aggregate searches: each worker evaluates the
+    # query against ITS segments and reduces matches against the segment's
+    # native columns locally; the driver merges bounded partials (per-key
+    # counts / bests / top-n) instead of materializing every matching
+    # docnum (reference collector semantics, distributed — see the
+    # IndexSearcher methods for the merge laws).
+
+    def _matches(self, q, ctx, scored):
+        """(reader, docs, scores) per segment, tombstones applied."""
+        excluded = self.excluded if self.excluded.size else None
+        for r in self.readers:
+            docs, scores = evaluate(r, q, ctx, scored=scored)
+            if excluded is not None:
+                m = ~np.isin(docs, excluded)
+                docs, scores = docs[m], scores[m]
+            yield r, docs, scores
+
+    @staticmethod
+    def _keys_for(r, docs, fieldlist):
+        cols = [r.column(f)[r.dense_index(docs)] for f in fieldlist]
+        if len(fieldlist) == 1:
+            return cols[0]
+        return np.fromiter(
+            (tuple(vs) for vs in zip(*(c.tolist() for c in cols))),
+            dtype=object, count=docs.size,
+        )
+
+    def facet_partial(self, q, ctx, field, mode="count", spec=None) -> dict:
+        """mode "count": {value: n}; mode "range": {bucket_index: n} with
+        spec = (lo, hi, gap, is_datetime)."""
+        out: dict = {}
+        for r, docs, _ in self._matches(q, ctx, scored=False):
+            if not docs.size:
+                continue
+            vals = r.column(field)[r.dense_index(docs)]
+            if mode == "range":
+                lo, hi, g, is_dt = spec
+                v = (
+                    np.asarray(vals, dtype="datetime64[us]").astype(np.int64)
+                    if is_dt
+                    else np.asarray(vals, dtype=np.float64)
+                )
+                inb = (v >= lo) & (v < hi)
+                vals = np.floor((v[inb] - lo) / g).astype(np.int64)
+            uniq, cnt = np.unique(vals, return_counts=True)
+            for u, c in zip(uniq.tolist(), cnt.tolist()):
+                out[u] = out.get(u, 0) + int(c)
+        return out
+
+    def grouped_partial(self, q, ctx, fieldlist, maptype) -> dict:
+        """Partial facet maps over ALL matches of this worker's segments:
+        "count" -> {key: n}; "best" -> {key: (best_score, docnum)};
+        "ordered" -> {key: [(score, docnum), ...]} (unsorted partial)."""
+        out: dict = {}
+        for r, docs, scores in self._matches(q, ctx, scored=True):
+            if not docs.size:
+                continue
+            keys = self._keys_for(r, docs, fieldlist)
+            if maptype == "count":
+                uniq, cnt = np.unique(keys, return_counts=True)
+                for u, c in zip(uniq.tolist(), cnt.tolist()):
+                    out[u] = out.get(u, 0) + int(c)
+            elif maptype == "best":
+                order = np.lexsort((docs, -scores))
+                ok, first = np.unique(keys[order], return_index=True)
+                for u, i in zip(ok.tolist(), first.tolist()):
+                    cand = (-scores[order][i], int(docs[order][i]))
+                    cur = out.get(u)
+                    if cur is None or cand < cur:
+                        out[u] = cand
+            else:  # ordered
+                for k, s, d in zip(keys.tolist(), scores.tolist(), docs.tolist()):
+                    out.setdefault(k, []).append((s, d))
+        return out
+
+    def sorted_partial(self, q, ctx, fieldlist, limit, reverse) -> dict:
+        """Matches ordered by field values, truncated to ``limit`` PER
+        WORKER (a valid superset of the worker's contribution to the global
+        top-``limit``).  Returns {"docnum": arr, f: values, ...}."""
+        docs_l, col_l = [], {f: [] for f in fieldlist}
+        for r, docs, _ in self._matches(q, ctx, scored=False):
+            if not docs.size:
+                continue
+            docs_l.append(docs)
+            for f in fieldlist:
+                col_l[f].append(r.column(f)[r.dense_index(docs)])
+        docs = np.concatenate(docs_l) if docs_l else np.empty(0, np.uint64)
+        cols = {
+            f: (np.concatenate(col_l[f]) if col_l[f] else np.empty(0, object))
+            for f in fieldlist
+        }
+        order = np.lexsort([docs] + [cols[f] for f in reversed(fieldlist)])
+        if reverse:
+            order = order[::-1]
+        if limit is not None:
+            order = order[:limit]
+        return {"docnum": docs[order], **{f: cols[f][order] for f in fieldlist}}
+
+    @staticmethod
+    def _collapse_rank_keep(keys, docs, scores, collapse_limit):
+        """Vectorized per-key rank filter: keep a doc iff its rank within
+        its key (ordered by (-score, docnum)) < collapse_limit."""
+        order = np.lexsort((docs, -scores, keys))
+        ks = keys[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        rank = np.arange(ks.size) - np.repeat(starts, np.diff(np.r_[starts, ks.size]))
+        kept = order[rank < collapse_limit]
+        return kept
+
+    def collapse_partial(self, q, ctx, field, collapse_limit) -> dict:
+        """Per-key top-``collapse_limit`` candidates of this worker's
+        matches (associative: re-ranking merged partials gives the global
+        per-key top)."""
+        docs_l, scores_l, keys_l = [], [], []
+        for r, docs, scores in self._matches(q, ctx, scored=True):
+            if not docs.size:
+                continue
+            keys = r.column(field)[r.dense_index(docs)]
+            kept = self._collapse_rank_keep(keys, docs, scores, collapse_limit)
+            docs_l.append(docs[kept])
+            scores_l.append(scores[kept])
+            keys_l.append(keys[kept])
+        return {
+            "docnum": np.concatenate(docs_l) if docs_l else np.empty(0, np.uint64),
+            "score": np.concatenate(scores_l) if scores_l else np.empty(0, np.float64),
+            "key": np.concatenate(keys_l) if keys_l else np.empty(0, object),
+        }
+
+    def parent_partial(self, q, ctx, parent_field) -> dict:
+        """{parent_key: (max_child_score, n_children)} over this worker's
+        matches — both components merge associatively (max, sum)."""
+        out: dict = {}
+        for r, docs, scores in self._matches(q, ctx, scored=True):
+            if not docs.size:
+                continue
+            keys = r.column(parent_field)[r.dense_index(docs)]
+            order = np.argsort(keys, kind="stable")
+            ks = keys[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            counts = np.diff(np.r_[starts, ks.size])
+            smax = np.maximum.reduceat(scores[order], starts)
+            for k, s, c in zip(ks[starts].tolist(), smax.tolist(), counts.tolist()):
+                cur = out.get(k)
+                if cur is None:
+                    out[k] = (float(s), int(c))
+                else:
+                    out[k] = (max(cur[0], float(s)), cur[1] + int(c))
+        return out
+
     def evaluate(
         self,
         q: ast.Query,
@@ -246,7 +396,11 @@ class IndexSearcher:
             from .._rayutil import ensure_serializable
 
             ensure_serializable()
-            num_actors = min(num_actors or 4, max(n_seg, 1))
+            if num_actors is None:
+                # size the pool to the cluster like the build path does —
+                # a fixed default starves large clusters
+                num_actors = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+            num_actors = min(num_actors, max(n_seg, 1))
             Actor = ray.remote(_SegmentWorker)
             mdict = self.manifest.to_dict()
             groups = [list(range(i, n_seg, num_actors)) for i in range(num_actors)]
@@ -705,20 +859,32 @@ class IndexSearcher:
                 out.append(r.column(field)[r.dense_index(sub)])
         return np.concatenate(out) if out else np.empty(0, dtype=object)
 
+    def _partials(self, method: str, *args) -> list:
+        """Fan a partial-aggregate method out to every worker (ray actors or
+        the in-process worker) and return the list of partials."""
+        if self.executor == "ray":
+            return self._ray.get(
+                [getattr(w, method).remote(*args) for w in self.workers]
+            )
+        return [getattr(self.local, method)(*args)]
+
     def search_sorted(
         self, q: ast.Query, sortedby, limit: int | None = None, reverse: bool = False
     ) -> pa.Table:
         """Matches ordered by field value(s) (reference ``sortedby``):
         ascending, ties by ascending docnum; ``reverse`` flips the whole
         ordering (including the docnum tiebreak, matching the reference's
-        key-reversal)."""
+        key-reversal).  Distributed: each worker sorts + truncates its own
+        matches against its segment columns; the driver merges at most
+        n_workers x limit rows."""
         if isinstance(sortedby, str):
             sortedby = [sortedby]
-        res = self.search(q, limit=None, scored=False)
-        docs = res["docnum"].to_numpy()
-        cols = {f: self._doc_values(f, docs) for f in sortedby}
-        keys = [docs] + [cols[f] for f in reversed(sortedby)]
-        order = np.lexsort(keys)
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        parts = self._partials("sorted_partial", q, ctx, sortedby, limit, reverse)
+        docs = np.concatenate([p["docnum"] for p in parts])
+        cols = {f: np.concatenate([p[f] for p in parts]) for f in sortedby}
+        order = np.lexsort([docs] + [cols[f] for f in reversed(sortedby)])
         if reverse:
             order = order[::-1]
         if limit is not None:
@@ -740,36 +906,70 @@ class IndexSearcher:
         or a list (the reference's MultiFacet — keys become tuples).
         ``maptype``: "ordered" -> {key: [docnum, ...]} in score order
         (OrderedList); "count" -> {key: n} (Count); "best" -> {key: docnum
-        of the highest-scoring hit} (Best)."""
+        of the highest-scoring hit} (Best).
+
+        With ``limit`` the groups cover only the global top-``limit`` docs
+        (the reference's collector sees only collected docs).  Without it,
+        workers reduce ALL their matches locally (count/best partials are
+        key-bounded; "ordered" output is inherently match-sized)."""
         fieldlist = [groupedby] if isinstance(groupedby, str) else list(groupedby)
-        res = self.search(q, limit=limit)
-        docs = res["docnum"].to_numpy()
-        sorted_docs = np.sort(docs)
-        cols = [self._doc_values(f, sorted_docs) for f in fieldlist]
-        if len(fieldlist) == 1:
-            keys = dict(zip(sorted_docs.tolist(), cols[0].tolist()))
-        else:
-            keys = dict(
-                zip(sorted_docs.tolist(), zip(*(c.tolist() for c in cols)))
-            )
-        groups: dict = {}
-        for d in docs.tolist():  # docs are already in (-score, doc) order
-            k = keys[d]
-            if maptype == "count":
-                groups[k] = groups.get(k, 0) + 1
-            elif maptype == "best":
-                groups.setdefault(k, d)  # first seen = best score
+        if limit is not None:
+            # bounded: group the global top-limit docs
+            res = self.search(q, limit=limit)
+            docs = res["docnum"].to_numpy()
+            sorted_docs = np.sort(docs)
+            cols = [self._doc_values(f, sorted_docs) for f in fieldlist]
+            if len(fieldlist) == 1:
+                keys = dict(zip(sorted_docs.tolist(), cols[0].tolist()))
             else:
-                groups.setdefault(k, []).append(d)
+                keys = dict(zip(sorted_docs.tolist(), zip(*(c.tolist() for c in cols))))
+            groups: dict = {}
+            for d in docs.tolist():  # docs are in (-score, doc) order
+                k = keys[d]
+                if maptype == "count":
+                    groups[k] = groups.get(k, 0) + 1
+                elif maptype == "best":
+                    groups.setdefault(k, d)
+                else:
+                    groups.setdefault(k, []).append(d)
+            return groups
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        parts = self._partials("grouped_partial", q, ctx, fieldlist, maptype)
+        groups = {}
+        if maptype == "count":
+            for p in parts:
+                for k, n in p.items():
+                    groups[k] = groups.get(k, 0) + n
+        elif maptype == "best":
+            merged: dict = {}
+            for p in parts:
+                for k, cand in p.items():
+                    cur = merged.get(k)
+                    if cur is None or tuple(cand) < tuple(cur):
+                        merged[k] = tuple(cand)
+            groups = {k: int(doc) for k, (_, doc) in merged.items()}
+        else:  # ordered: global (-score, docnum) order per key
+            acc: dict = {}
+            for p in parts:
+                for k, pairs in p.items():
+                    acc.setdefault(k, []).extend(pairs)
+            groups = {
+                k: [int(d) for _, d in sorted(pairs, key=lambda sd: (-sd[0], sd[1]))]
+                for k, pairs in acc.items()
+            }
         return groups
 
     def facet_counts(self, q: ast.Query, field: str) -> dict:
-        """{facet value: matching doc count} (reference Count facet map)."""
-        res = self.search(q, limit=None, scored=False)
-        docs = res["docnum"].to_numpy()
-        vals = self._doc_values(field, docs)
-        uniq, cnt = np.unique(vals, return_counts=True)
-        return dict(zip(uniq.tolist(), cnt.astype(int).tolist()))
+        """{facet value: matching doc count} (reference Count facet map) —
+        per-segment np.unique partials, key-bounded driver merge."""
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        out: dict = {}
+        for p in self._partials("facet_partial", q, ctx, field, "count", None):
+            for k, n in p.items():
+                out[k] = out.get(k, 0) + n
+        return out
 
     def facet_counts_range(
         self, q: ast.Query, field: str, start, end, gap
@@ -779,35 +979,41 @@ class IndexSearcher:
         reference's RangeFacet / DateRangeFacet + Count map
         (sorting.py:414-483; values outside [start, end) fall in the
         missing bucket, omitted here).  For datetimes pass
-        datetime/np.datetime64 bounds and a timedelta gap."""
-        res = self.search(q, limit=None, scored=False)
-        docs = res["docnum"].to_numpy()
-        vals = self._doc_values(field, docs)
-        is_dt = isinstance(start, np.datetime64) or str(
-            np.asarray(vals).dtype
-        ).startswith("datetime64") or hasattr(start, "toordinal")
+        datetime/np.datetime64 bounds and a timedelta gap.  Bucketing
+        happens segment-side; the driver merges bucket counts."""
+        is_dt = (
+            isinstance(start, np.datetime64)
+            or hasattr(start, "toordinal")
+            or any(
+                f.name == field and getattr(f, "kind", None) == "datetime"
+                for f in self.manifest.schema.fields
+            )
+        )
         if is_dt:
-            vals = np.asarray(vals, dtype="datetime64[us]").astype(np.int64)
-            lo = np.datetime64(start, "us").astype(np.int64)
-            hi = np.datetime64(end, "us").astype(np.int64)
+            lo = int(np.datetime64(start, "us").astype(np.int64))
+            hi = int(np.datetime64(end, "us").astype(np.int64))
             g = int(np.timedelta64(gap, "us").astype(np.int64))
         else:
-            vals = np.asarray(vals, dtype=np.float64)
             lo, hi, g = start, end, gap
-        inb = (vals >= lo) & (vals < hi)
-        b = np.floor((vals[inb] - lo) / g).astype(np.int64)
-        uniq, cnt = np.unique(b, return_counts=True)
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        counts: dict = {}
+        for p in self._partials(
+            "facet_partial", q, ctx, field, "range", (lo, hi, g, is_dt)
+        ):
+            for b, n in p.items():
+                counts[b] = counts.get(b, 0) + n
         if is_dt:
             return {
                 (
                     np.datetime64(int(lo + int(i) * g), "us"),
                     np.datetime64(int(lo + (int(i) + 1) * g), "us"),
                 ): int(c)
-                for i, c in zip(uniq, cnt)
+                for i, c in sorted(counts.items())
             }
         return {
             (lo + int(i) * g, lo + (int(i) + 1) * g): int(c)
-            for i, c in zip(uniq, cnt)
+            for i, c in sorted(counts.items())
         }
 
     def search_collapsed(
@@ -815,26 +1021,26 @@ class IndexSearcher:
     ) -> pa.Table:
         """Top-`limit` after keeping at most ``collapse_limit`` best-scoring
         docs per collapse-key (reference CollapseCollector semantics: lower
-        ranked duplicates beyond the per-key budget are removed)."""
-        res = self.search(q, limit=None)
-        docs = res["docnum"].to_numpy()
-        scores = res["score"].to_numpy()
-        sorted_docs = np.sort(docs)
-        vals = self._doc_values(collapse, sorted_docs)
-        by_doc = dict(zip(sorted_docs.tolist(), vals.tolist()))
-        seen: dict = {}
-        keep = []
-        for i, d in enumerate(docs.tolist()):  # docs already in (-score, doc) order
-            k = by_doc[d]
-            c = seen.get(k, 0)
-            if c < collapse_limit:
-                keep.append(i)
-                seen[k] = c + 1
-        keep = keep[:limit] if limit is not None else keep
+        ranked duplicates beyond the per-key budget are removed).
+
+        Distributed: workers pre-filter to their per-key top
+        ``collapse_limit`` (associative), the driver re-ranks the merged
+        candidates — at most n_keys x collapse_limit x n_workers rows."""
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        parts = self._partials("collapse_partial", q, ctx, collapse, collapse_limit)
+        docs = np.concatenate([p["docnum"] for p in parts])
+        scores = np.concatenate([p["score"] for p in parts])
+        keys = np.concatenate([p["key"] for p in parts])
+        kept = _SegmentWorker._collapse_rank_keep(keys, docs, scores, collapse_limit)
+        sub_docs, sub_scores = docs[kept], scores[kept]
+        order = np.lexsort((sub_docs, -sub_scores))
+        if limit is not None:
+            order = order[:limit]
         return pa.table(
             {
-                "docnum": pa.array(docs[np.asarray(keep, dtype=np.int64)], pa.uint64()),
-                "score": pa.array(scores[np.asarray(keep, dtype=np.int64)], pa.float64()),
+                "docnum": pa.array(sub_docs[order], pa.uint64()),
+                "score": pa.array(sub_scores[order], pa.float64()),
             }
         )
 
@@ -846,22 +1052,19 @@ class IndexSearcher:
         (grouping key column), children are its turns.  Returns one row per
         parent with a matching child: (parent, score=max child score,
         n_children=matching turns), ordered by (-score, parent) — the
-        reference's default best-child scoring."""
-        res = self.search(q, limit=None)
-        docs = res["docnum"].to_numpy()
-        scores = res["score"].to_numpy()
-        sorted_docs = np.sort(docs)
-        vals = self._doc_values(parent_field, sorted_docs)
-        by_doc = dict(zip(sorted_docs.tolist(), vals.tolist()))
+        reference's default best-child scoring.  Workers aggregate
+        (max score, count) per parent locally; the driver merge is
+        key-bounded."""
+        q = self._rewrite(q)
+        ctx = self._context(q)
         agg: dict = {}
-        for d, s in zip(docs.tolist(), scores.tolist()):
-            k = by_doc[d]
-            cur = agg.get(k)
-            if cur is None:
-                agg[k] = [s, 1]
-            else:
-                cur[0] = max(cur[0], s)
-                cur[1] += 1
+        for p in self._partials("parent_partial", q, ctx, parent_field):
+            for k, (s, n) in p.items():
+                cur = agg.get(k)
+                if cur is None:
+                    agg[k] = (s, n)
+                else:
+                    agg[k] = (max(cur[0], s), cur[1] + n)
         items = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))
         if limit is not None:
             items = items[:limit]
