@@ -78,7 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
+        "neardup_embedding_lsh": ann.neardup_embedding_pairs_lsh,  # rows-only (approx scale mode)
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
+        "simhash_neardup_pairs": lambda sf: co.simhash_neardup_pairs(sf, max_hamming=8),  # rows-only
         # multimodal plumbing (stubbed decode, real actor-pool stages)
         "decode_image_meta": mm.decode_image_meta,
         "frame_sample_meta": mm.frame_sample_meta,

@@ -132,3 +132,21 @@ def test_neardup_hot_bucket_skew(ray_session, tmp_path):
     assert set(pairs["jaccard"].to_pylist()) == {1.0}
     kept = co.dedup_minhash(str(tmp_path))
     assert kept["doc_id"].to_pylist() == [0] + list(range(40, 60))
+
+
+def test_embedding_lsh_recall(ray_session):
+    """The LSH-bucketed scale mode finds most exact pairs and every
+    reported pair is a true pair (in-bucket verification is exact)."""
+    from whoosh_reloaded_ray.pipelines import ann
+
+    exact = ann.neardup_embedding_pairs(SF).to_pandas()
+    approx = ann.neardup_embedding_pairs_lsh(SF).to_pandas()
+    e = set(map(tuple, exact[["a", "b"]].values))
+    a = set(map(tuple, approx[["a", "b"]].values))
+    assert a <= e, "LSH pairs must be exact-verified (no false positives)"
+    assert len(e) > 0
+    assert len(a & e) / len(e) >= 0.7, f"recall {len(a & e)/len(e):.2f}"
+    # sims agree with the exact path on the common pairs
+    em = {tuple(r[:2]): r[2] for r in exact[["a", "b", "sim_r"]].values}
+    for (x, y), s in zip(approx[["a", "b"]].values, approx["sim_r"].values):
+        assert abs(em[(x, y)] - s) < 1e-9

@@ -33,12 +33,21 @@ def _read_embeddings(sf_dir: str, columns=None):
 
 
 def _query_matrix(sf_dir: str, n_queries: int):
-    """The benchmark query set = the ``n_queries`` smallest vec_ids."""
+    """The benchmark query set = the ``n_queries`` smallest vec_ids.
+
+    Pruned reads only: the id column scan finds the smallest ids (parquet
+    row-group min stats prune it at scale), then a filtered read fetches
+    just those embeddings — never the full table.  (In a real deployment
+    the query set is an input, not derived from the corpus.)"""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
-    qids = t["vec_id"].to_pylist()[:n_queries]
-    Q = np.array(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    qids = np.sort(ids)[:n_queries].tolist()
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "in", qids)]
+    ).sort_by("vec_id")
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     return qids, Q
 
 
@@ -138,7 +147,9 @@ def neardup_embedding_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
 
     import pyarrow.parquet as pq
 
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
+    full = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
     all_ids = np.array(full["vec_id"].to_pylist())
     X = np.array(full["embedding"].to_pylist(), dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -190,6 +201,106 @@ ORDER BY a, b
 """
 
 
+def neardup_embedding_pairs_lsh(
+    sf_dir: str,
+    tau: float = 0.4,
+    n_planes: int = 64,
+    n_bands: int = 16,
+    seed: int = 29,
+) -> pa.Table:
+    """Approximate near-dup pairs — the DECLARED SCALE MODE for
+    ``neardup_embedding_pairs``: random-hyperplane LSH bucketing instead of
+    the exact all-pairs matmul.
+
+    sign(x @ H) gives ``n_planes`` bits per vector; split into ``n_bands``
+    bands, a pair must agree on >= 1 whole band to become a candidate.
+    For cosine = tau = 0.4 (theta ~ 66deg, p = 1 - theta/pi ~ 0.63) the
+    default 16 bands x 4 bits give recall ~ 1-(1-p^4)^16 ~ 0.94, higher
+    for closer pairs.  Band WIDTH trades recall for bucket size: at larger
+    corpora (or tighter tau) raise width so buckets stay small — candidate
+    work scales with sum of squared bucket sizes.
+    Candidates verify EXACTLY inside their bucket: the embeddings ride the
+    shuffle, so verification is a small in-group matmul; no broadcast of
+    the full matrix, no O(N^2) work.  Cross-band duplicates collapse in an
+    (a, b) groupby; the driver sees only verified pairs."""
+    import pyarrow.compute as pc
+
+    width = n_planes // n_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        # identical plane matrix in every task: seeded by (seed, dim) only
+        H = np.random.default_rng(seed).standard_normal((X.shape[1], n_planes))
+        bits = (Xn @ H) > 0  # (n, n_planes)
+        weights = (1 << np.arange(width, dtype=np.int64))
+        vals = np.stack(
+            [bits[:, b * width : (b + 1) * width] @ weights for b in range(n_bands)],
+            axis=1,
+        )  # (n, n_bands)
+        n = ids.size
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_val": pa.array(vals.reshape(-1).astype(np.int64), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "embedding": pa.array(
+                    [e for e in batch["embedding"].to_pylist() for _ in range(n_bands)]
+                ),
+            }
+        )
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("sim_r", pa.float64())]
+        )
+        ids = group["vec_id"].to_numpy()
+        if ids.size < 2:
+            return out_schema.empty_table()
+        X = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(ids.size, 1)
+        sims = S[iu, ju]
+        ok = sims >= tau
+        return pa.table(
+            {
+                "a": pa.array(ids[iu][ok], pa.int64()),
+                "b": pa.array(ids[ju][ok], pa.int64()),
+                "sim_r": pa.array(np.round(sims[ok], 4), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_verify, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(first_row, batch_format="pyarrow")
+    )
+    parts = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("sim_r", pa.float64())]
+        ).empty_table()
+    )
+    return t.select(["a", "b", "sim_r"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF: the approximate scale path (no SQL oracle; recall tested vs brute)
 # ---------------------------------------------------------------------------
@@ -223,10 +334,13 @@ def ann_ivf_topk(
     cluster assignment is the partitioning key for the vector parquet, so a
     probe reads ~nprobe/n_clusters of the data."""
     import ray
-    import pyarrow.parquet as pq
 
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
-    X = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    # train on a bounded SAMPLE (first train_sample rows of the stream) —
+    # never a full-table driver read; at 10^12 vectors the sample is the
+    # only thing that crosses to the driver
+    train_sample = max(4096, 64 * n_clusters)
+    sample = _read_embeddings(sf_dir, ["embedding"]).limit(train_sample).take_all()
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _train_centroids(X, n_clusters)
     qids, Q = _query_matrix(sf_dir, n_queries)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
