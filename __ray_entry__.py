@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_match_counts": ft.conv_match_counts,
         "search_simple_parser": ft.search_simple_parser,
         "match_gtlt": ft.match_gtlt,
+        "match_regex": ft.match_regex,
         "nested_children_turns": ft.nested_children_turns,
         "match_span_first": ft.match_span_first,
         "export_matches_spark": ft.export_matches_spark,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_match_counts": ft.oracle_conv_match_counts(),
         "search_simple_parser": ft.oracle_search_simple_parser(),
         "match_gtlt": ft.oracle_match_gtlt(),
+        "match_regex": ft.oracle_match_regex(),
         "nested_children_turns": ft.oracle_nested_children_turns(),
         "match_span_first": ft.oracle_match_span_first(),
         "export_matches_spark": ft.oracle_export_matches_spark(),

@@ -395,3 +395,38 @@ def test_nested_children(our_index, whoosh_index, wq):
         with whoosh_index.searcher() as s:
             b2 = sorted(h.docnum for h in s.search(w2, limit=None))
         assert a2 == b2, f"And(NestedChildren, {RARE})"
+
+
+def test_regex(our_index, whoosh_index, wq):
+    from whoosh_reloaded_ray.query import Regex
+
+    pats = [
+        COMMON[:2] + ".*",          # prefix + wildcard
+        MID[:1] + ".?" + MID[2] + ".*" if len(MID) > 2 else MID + ".*",
+        "^" + COMMON + "$",         # anchored exact
+        COMMON[:3],                 # bare literal (match = prefix semantics)
+        "x{2}.*",                   # counted repeat (prefix back-off path)
+    ]
+    for p in pats:
+        both(our_index, whoosh_index, Regex("text", p), wq.Regex("text", p))
+        both(our_index, whoosh_index, Regex("text", p), wq.Regex("text", p), limit=None)
+
+
+def test_regex_every(our_index, whoosh_index, wq):
+    from whoosh_reloaded_ray.query import Regex
+
+    both(our_index, whoosh_index, Regex("text", ".*"), wq.Regex("text", ".*"), limit=None)
+
+
+def test_regex_parser(our_index, whoosh_index, wq, whoosh):
+    """RegexPlugin syntax parity: r"pat" and field:r"pat"."""
+    from whoosh import qparser
+
+    from whoosh_reloaded_ray.query import QueryParser
+    from whoosh_reloaded_ray.schema import transcript_schema
+
+    wp = qparser.QueryParser("text", whoosh_index.schema)
+    wp.add_plugin(qparser.RegexPlugin())
+    p = QueryParser("text", transcript_schema(), regex=True)
+    for qs in (f'r"{COMMON[:2]}.*"', f'role:r"us.*" AND r"{MID[:2]}.*"'):
+        both(our_index, whoosh_index, p.parse(qs), wp.parse(qs), limit=None)

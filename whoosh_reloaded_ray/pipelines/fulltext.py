@@ -554,6 +554,31 @@ ORDER BY doc_id
 """
 
 
+def match_regex(sf_dir: str) -> pa.Table:
+    """Regex term query (RegexPlugin syntax): docs containing any text
+    token the pattern MATCHES at the start (reference query/terms.py:378
+    Regex, re.match semantics)."""
+    from ..query.parser import QueryParser
+    from ..schema import transcript_schema
+
+    s = get_searcher(sf_dir)
+    q = QueryParser("text", transcript_schema(), regex=True).parse('r"sc.n"')
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_match_regex() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE len(list_filter(toks, x -> regexp_matches(x, '^(?:sc.n)'))) > 0
+ORDER BY doc_id
+"""
+
+
 def nested_children_turns(sf_dir: str) -> pa.Table:
     """NestedChildren block join: all parents = turn_idx==0 delimiters,
     wanted parents = opening turns containing 'spark'; result = the child

@@ -16,6 +16,7 @@ from .ast import (  # noqa: F401
     Phrase,
     Prefix,
     Query,
+    Regex,
     Require,
     Sequence,
     SpanBefore,

@@ -360,6 +360,24 @@ class Wildcard(Query):
 
 
 @dataclass(frozen=True)
+class Regex(Query):
+    """Matches docs containing any term the regex MATCHES (anchored at the
+    start, ``re.match`` — reference query/terms.py:378-418 Regex).  The
+    searcher rewrite prunes candidates with the literal prefix of the
+    pattern (reference ``_find_prefix`` incl. the ``*``/``?`` back-off and
+    the ``|`` bail-out) and routes through the constant-score multiterm
+    auto-selection like Wildcard; ``r".*"`` collapses to Every."""
+
+    field: str = "text"
+    text: str = ""
+
+    def __init__(self, field, text, boost=1.0):
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "text", text)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class TermRange(Query):
     field: str = "text"
     start: Optional[str] = None

@@ -32,18 +32,30 @@ from dataclasses import dataclass
 from ..schema import IndexSchema
 from . import ast
 
-_TOKEN_RE = re.compile(
-    r"""
+_TOKEN_BODY = r"""
     (?P<lparen>\()
   | (?P<rparen>\))
+{regex_alts}
   | (?P<fphrase>(?P<fpf>\w+):"(?P<fptext>[^"]*)"(?:~(?P<fpslop>\d+))?)
   | (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<fsquote>(?P<fsf>\w+):'(?P<fstext>[^']*)')
-  | (?P<frange>(?P<frf>\w+):(?P<frbody>[\[{][^\]}]*[\]}]))
-  | (?P<range>[\[{](?P<rbody>[^\]}]*)[\]}])
+  | (?P<frange>(?P<frf>\w+):(?P<frbody>[\[{{][^\]}}]*[\]}}]))
+  | (?P<range>[\[{{](?P<rbody>[^\]}}]*)[\]}}])
   | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
   | (?P<word>[^\s()^]+)
-""",
+"""
+
+_TOKEN_RE = re.compile(_TOKEN_BODY.format(regex_alts=""), re.VERBOSE)
+# RegexPlugin syntax (reference qparser/plugins.py:197-214): r"expr" /
+# field:r"expr" — only active when the parser opts in (the reference
+# requires add_plugin(RegexPlugin()) too)
+_TOKEN_RE_REGEX = re.compile(
+    _TOKEN_BODY.format(
+        regex_alts=(
+            '  | (?P<fregex>(?P<frxf>\\w+):r"(?P<frxtext>[^"]*)")\n'
+            '  | (?P<regex>r"(?P<rxtext>[^"]*)")\n'
+        )
+    ),
     re.VERBOSE,
 )
 
@@ -72,6 +84,7 @@ class QueryParser:
         schema: IndexSchema,
         group: str = "and",
         gtlt: bool = False,
+        regex: bool = False,
         fieldaliases: dict | None = None,
         copyfields: dict | None = None,
         dateparse_basedate=None,
@@ -84,6 +97,8 @@ class QueryParser:
         self.schema = schema
         self.group_cls = ast.And if group == "and" else ast.Or
         self.gtlt = gtlt
+        # RegexPlugin analog: opt-in r"pattern" term syntax
+        self.regex = regex
         # DateParserPlugin analog (qparser/dateparse.py): when a basedate
         # is given, datetime fields accept natural-language datestrings
         # (today / yesterday / 'next friday' / '25 may 2026' / '-3 weeks')
@@ -104,13 +119,18 @@ class QueryParser:
     def _tokens(self, text: str):
         out = []
         pos = 0
-        for m in _TOKEN_RE.finditer(text):
+        token_re = _TOKEN_RE_REGEX if self.regex else _TOKEN_RE
+        for m in token_re.finditer(text):
             if m.lastgroup is None:
                 continue
             if m.group("lparen"):
                 out.append(("(", None))
             elif m.group("rparen"):
                 out.append((")", None))
+            elif self.regex and m.group("fregex") is not None:
+                out.append(("fregex", (m.group("frxf"), m.group("frxtext"))))
+            elif self.regex and m.group("regex") is not None:
+                out.append(("regex", m.group("rxtext")))
             elif m.group("fphrase") is not None:
                 out.append(
                     ("fphrase", (m.group("fpf"), m.group("fptext"), int(m.group("fpslop") or 1)))
@@ -167,6 +187,15 @@ class QueryParser:
                     nodes[-1] = _Boosted(nodes[-1], val)
             elif kind == "phrase":
                 nodes.append(_PhraseNode(field_ctx or self.default_field, *val))
+                field_ctx = None
+            elif kind == "regex":
+                nodes.append(_RegexNode(field_ctx or self.default_field, val))
+                field_ctx = None
+            elif kind == "fregex":
+                f, text = val
+                f = self.aliases.get(f, f)
+                f = f if f in self.fields else self.default_field
+                nodes.append(_RegexNode(f, text))
                 field_ctx = None
             elif kind == "fphrase":
                 f, text, slop = val
@@ -309,6 +338,10 @@ class QueryParser:
             if to is not None:
                 q = self._copy_or(q, self._phrase_query(to, node.text, node.slop))
             return q
+        if isinstance(node, _RegexNode):
+            # pattern used verbatim (the reference RegexNode does not
+            # analyze/lowercase the text)
+            return ast.Regex(node.field, node.text)
         if isinstance(node, _RangeNode):
             return self._range_query(node)
         if isinstance(node, _GtLtNode):
@@ -689,6 +722,14 @@ class _PhraseNode:
 
 
 class _RangeNode:
+    __slots__ = ("field", "text")
+
+    def __init__(self, field, text):
+        self.field = field
+        self.text = text
+
+
+class _RegexNode:
     __slots__ = ("field", "text")
 
     def __init__(self, field, text):

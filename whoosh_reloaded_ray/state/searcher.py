@@ -348,6 +348,31 @@ class _SegmentWorker:
         return out
 
 
+_REGEX_SPECIAL = frozenset("{}()[].?*+^$\\")
+
+
+def _regex_prefix(text: str) -> str:
+    """Literal prefix of a regex for candidate pruning — replicates the
+    reference Regex._find_prefix (query/terms.py:392-408) exactly,
+    including its conservative last-char drop when no special char is
+    found and the ``*``/``?`` zero-repeat back-off.  A shorter prefix is
+    always safe (it only widens the candidate scan)."""
+    if "|" in text:
+        return ""
+    if text.startswith("^"):
+        text = text[1:]
+    elif text.startswith("\\A"):
+        text = text[2:]
+    i = 0
+    for i, ch in enumerate(text):
+        if ch in _REGEX_SPECIAL:
+            break
+    prefix = text[:i]
+    if len(prefix) < len(text) and text[len(prefix)] in "*?":
+        prefix = prefix[:-1]
+    return prefix
+
+
 class TimeLimitExceeded(Exception):
     """Raised when a ``timelimit`` search runs over budget (reference
     TimeLimitCollector, collectors.py:1012-1110); ``partial`` carries the
@@ -593,6 +618,21 @@ class IndexSearcher:
             spec = (q.field, q.start, q.end, q.startexcl, q.endexcl)
             terms = self._expand([spec])[spec]
             return self._multiterm(q.field, terms, q.boost)
+        if isinstance(q, ast.Regex):
+            # reference Regex.matcher (query/terms.py:410-418): '.*' is
+            # Every; otherwise prefix-pruned vocab scan + re.match filter
+            if q.text == ".*":
+                return ast.Every(q.field)
+            prefix = _regex_prefix(q.text)
+            spec = (
+                q.field, prefix or None,
+                (prefix + "￿") if prefix else None, False, False,
+            )
+            cands = self._expand([spec])[spec]
+            rex = _re.compile(q.text)
+            return self._multiterm(
+                q.field, [t for t in cands if rex.match(t)], q.boost
+            )
         if isinstance(q, ast.FuzzyTerm):
             from ..query.suggest import levenshtein_within
 
