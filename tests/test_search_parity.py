@@ -430,3 +430,59 @@ def test_regex_parser(our_index, whoosh_index, wq, whoosh):
     p = QueryParser("text", transcript_schema(), regex=True)
     for qs in (f'r"{COMMON[:2]}.*"', f'role:r"us.*" AND r"{MID[:2]}.*"'):
         both(our_index, whoosh_index, p.parse(qs), wp.parse(qs), limit=None)
+
+
+def test_nested_parent(our_index, whoosh_index, wq):
+    """Composable NestedParent block join: child matches roll up to the
+    turn-0 parent of their conversation, scored by sum of child scores."""
+    from whoosh import query as wquery
+
+    from whoosh_reloaded_ray.query import NestedParent
+
+    parents = NumericRange("turn_idx", 0, 0)
+    wparents = wq.NumericRange("turn_idx", 0, 0)
+    for t in (COMMON, MID, RARE):
+        both(
+            our_index, whoosh_index,
+            NestedParent(parents, Term("text", t)),
+            wquery.NestedParent(wparents, wq.Term("text", t)),
+            limit=None,
+        )
+        # per-parent limit path
+        both(
+            our_index, whoosh_index,
+            NestedParent(parents, Term("text", t), per_parent_limit=1),
+            wquery.NestedParent(wparents, wq.Term("text", t), per_parent_limit=1),
+            limit=10,
+        )
+
+
+def test_nested_parent_composes(our_index, whoosh_index, wq):
+    """NestedParent inside And/Or — the thing parent_search() couldn't do."""
+    from whoosh import query as wquery
+
+    from whoosh_reloaded_ray.query import NestedParent
+
+    parents = NumericRange("turn_idx", 0, 0)
+    wparents = wq.NumericRange("turn_idx", 0, 0)
+    np_q = NestedParent(parents, Term("text", MID))
+    wnp_q = wquery.NestedParent(wparents, wq.Term("text", MID))
+    both(
+        our_index, whoosh_index,
+        Or([np_q, Term("text", RARE)]),
+        wq.Or([wnp_q, wq.Term("text", RARE)]),
+        limit=None,
+    )
+    # And composition: the REFERENCE's own NestedParentMatcher raises
+    # ReadTooFar inside IntersectionMatcher (reproduced on this corpus), so
+    # no whoosh oracle exists; check our And against the manual
+    # intersection of the two independently-evaluated sides instead.
+    and_res = our_index.search(And([np_q, Term("role", "user")]), limit=None)
+    a = our_index.search(np_q, limit=None)
+    b = our_index.search(Term("role", "user"), limit=None)
+    a_map = dict(zip(a["docnum"].to_pylist(), a["score"].to_pylist()))
+    b_map = dict(zip(b["docnum"].to_pylist(), b["score"].to_pylist()))
+    expected = {d: a_map[d] + b_map[d] for d in a_map.keys() & b_map.keys()}
+    got = dict(zip(and_res["docnum"].to_pylist(), and_res["score"].to_pylist()))
+    assert got == pytest.approx(expected)
+    assert len(got) > 0

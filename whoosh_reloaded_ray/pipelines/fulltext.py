@@ -605,6 +605,32 @@ ORDER BY t.doc_id
 """
 
 
+def nested_parent_convs(sf_dir: str) -> pa.Table:
+    """Composable NestedParent block join (reference nested.py:33-206): any
+    turn containing 'merge' rolls up to its conversation's turn-0 parent
+    doc; result = the parent doc_ids (unscored set semantics for the SQL
+    oracle; score parity is covered by tests/test_search_parity.py)."""
+    from ..query import NestedParent, NumericRange, Term
+
+    s = get_searcher(sf_dir)
+    q = NestedParent(NumericRange("turn_idx", 0, 0), Term("text", "merge"))
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_nested_parent_convs() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, conv_id, turn_idx, {toks} AS toks FROM transcripts),
+hit_convs AS (SELECT DISTINCT conv_id FROM tokd WHERE list_contains(toks, 'merge'))
+SELECT t.doc_id FROM tokd t JOIN hit_convs h USING (conv_id)
+WHERE t.turn_idx = 0
+ORDER BY t.doc_id
+"""
+
+
 def match_span_first(sf_dir: str) -> pa.Table:
     """SpanFirst(Term 'spark', limit=2): docs whose first surviving 'spark'
     occurrence sits within positions 0-2 (post-stop renumbered: the first

@@ -9,6 +9,7 @@ from .ast import (  # noqa: F401
     Every,
     FuzzyTerm,
     NestedChildren,
+    NestedParent,
     Not,
     NumericRange,
     Or,

@@ -319,6 +319,49 @@ class DocSet(Query):
 
 
 @dataclass(frozen=True)
+class ScoredDocSet(Query):
+    """Pre-resolved sorted (docnum, score) arrays — produced by
+    searcher-level rewrites (NestedParent), not by users."""
+
+    docnums: object = None  # np.ndarray[uint64], sorted
+    scores: object = None  # np.ndarray[float64], aligned
+
+    def __init__(self, docnums, scores, boost=1.0):
+        object.__setattr__(self, "docnums", docnums)
+        object.__setattr__(self, "scores", scores)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class NestedParent(Query):
+    """COMPOSABLE block-join: ``child`` matches nested docs, the query acts
+    as if it matched the owning PARENT doc (greatest ``parents`` match <=
+    child docnum; reference nested.py:33-206 NestedParent).  Parent score =
+    ``score_fn`` over its matching children's scores ("sum" default, "max"
+    or "mean"); ``per_parent_limit`` counts only the first N children per
+    parent.  Children before the first parent are dropped (the reference
+    matcher deactivates entirely in that case — a cursor quirk we soften;
+    declared in TODO.md).  Resolved by a searcher-level rewrite to a
+    ScoredDocSet (block intervals straddle segments), so it composes
+    inside And/Or/Not like any other node."""
+
+    parents: Optional[Query] = None
+    child: Optional[Query] = None
+    per_parent_limit: Optional[int] = None
+    score_fn: str = "sum"
+
+    def __init__(self, parents, child, per_parent_limit=None, score_fn="sum", boost=1.0):
+        object.__setattr__(self, "parents", parents)
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "per_parent_limit", per_parent_limit)
+        object.__setattr__(self, "score_fn", score_fn)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.parents, self.child)
+
+
+@dataclass(frozen=True)
 class FuzzyTerm(Query):
     """Matches terms within ``maxdist`` edits sharing ``prefixlength``
     leading chars (reference query/terms.py:436-500; constant-score

@@ -1075,6 +1075,21 @@ def _eval_docset(reader, q: "ast.DocSet", ctx, scored):
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 
+def _eval_scored_docset(reader, q: "ast.ScoredDocSet", ctx, scored):
+    """Pre-resolved scored docnums (searcher-level rewrites, e.g.
+    NestedParent) restricted to this segment's doc space."""
+    target = np.asarray(q.docnums, dtype=np.uint64)
+    docs, _, i2 = np.intersect1d(
+        reader.all_docnums(), target, assume_unique=True, return_indices=True
+    )
+    if not scored:
+        return docs, np.ones(docs.size)
+    scores = np.asarray(q.scores, dtype=np.float64)[i2]
+    if q.boost != 1.0:
+        scores = scores * q.boost
+    return docs, scores
+
+
 def _eval_variations(reader, q: "ast.Variations", ctx, scored):
     """Segment-local fallback (the searcher rewrites Variations globally
     before fan-out): expand to variant terms present in this segment."""
@@ -1204,6 +1219,7 @@ _EVAL = {
     "SpanContains": _eval_spancontains,
     "SpanCondition": _eval_spancondition,
     "DocSet": _eval_docset,
+    "ScoredDocSet": _eval_scored_docset,
     "Variations": _eval_variations,
     "NumericRange": _eval_numericrange,
 }

@@ -657,6 +657,8 @@ class IndexSearcher:
             return ast.Or([ast.Term(q.field, t) for t in terms], boost=q.boost)
         if isinstance(q, ast.NestedChildren):
             return self._rewrite_nested_children(q)
+        if isinstance(q, ast.NestedParent):
+            return self._rewrite_nested_parent(q)
         # recurse
         if isinstance(q, (ast.And, ast.Or, ast.DisMax)):
             subs = [self._rewrite(s) for s in q.subqueries]
@@ -697,6 +699,49 @@ class IndexSearcher:
             int(lens.sum()), dtype=np.int64
         )
         return ast.DocSet(np.unique(flat).astype(np.uint64), boost=q.boost)
+
+    def _rewrite_nested_parent(self, q: ast.NestedParent) -> ast.Query:
+        """Resolve NestedParent to a ScoredDocSet: for each matching child
+        doc, the result doc is the greatest ``parents`` match <= child
+        docnum, scored by ``score_fn`` over its (first ``per_parent_limit``,
+        in docnum order) children's scores — the reference
+        NestedParentMatcher's _gather loop (nested.py:139-176), vectorized
+        over the global parent comb.  Whole-index docnum arithmetic (blocks
+        straddle segments) => searcher-level rewrite; the node then
+        composes inside And/Or/collectors like any other."""
+        parents = self.search(q.parents, limit=None, scored=False)["docnum"].to_numpy()
+        child_res = self.search(q.child, limit=None, scored=True)
+        docs = child_res["docnum"].to_numpy()
+        scores = child_res["score"].to_numpy()
+        empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+        if parents.size == 0 or docs.size == 0:
+            return ast.ScoredDocSet(*empty, boost=q.boost)
+        # children in docnum order (search returns (-score, doc) order; the
+        # per-parent limit counts children in DOC order, nested.py:159-171)
+        order = np.argsort(docs)
+        docs, scores = docs[order], scores[order]
+        pidx = np.searchsorted(parents, docs, side="right") - 1
+        keep = pidx >= 0  # children before the first parent are dropped
+        docs, scores, pidx = docs[keep], scores[keep], pidx[keep]
+        if docs.size == 0:
+            return ast.ScoredDocSet(*empty, boost=q.boost)
+        starts = np.flatnonzero(np.r_[True, pidx[1:] != pidx[:-1]])
+        if q.per_parent_limit:
+            rank = np.arange(pidx.size) - np.repeat(
+                starts, np.diff(np.r_[starts, pidx.size])
+            )
+            m = rank < q.per_parent_limit
+            docs, scores, pidx = docs[m], scores[m], pidx[m]
+            starts = np.flatnonzero(np.r_[True, pidx[1:] != pidx[:-1]])
+        if q.score_fn == "max":
+            pscores = np.maximum.reduceat(scores, starts)
+        elif q.score_fn == "mean":
+            counts = np.diff(np.r_[starts, pidx.size])
+            pscores = np.add.reduceat(scores, starts) / counts
+        else:  # sum (reference default)
+            pscores = np.add.reduceat(scores, starts)
+        pdocs = parents[pidx[starts]].astype(np.uint64)
+        return ast.ScoredDocSet(pdocs, pscores.astype(np.float64), boost=q.boost)
 
     # matcher-selection thresholds from the reference (compound.py:282,
     # 334-345): < TOO_MANY_CLAUSES terms AND (2 terms or doc_count > 5000)
