@@ -129,3 +129,43 @@ def test_delete_then_append_and_update(corpus, idx, ray_session, tmp_path):
     assert s2.search(Term("text", "qqreplacedqq"), limit=None).num_rows == 50
     # the replaced rows no longer match the old marker
     assert s2.search(Term("text", "zzmarkerzz"), limit=None).num_rows == 50
+
+
+def test_bulk_update_single_pass(corpus, ray_session, tmp_path):
+    """A bulk update deletes all matched keys in ONE key-column pass (no
+    per-row queries) and the updated rows win subsequent searches."""
+    import time
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+
+    idx_dir = str(tmp_path / "bulkidx")
+    build_index([corpus], idx_dir, num_shards=4, partition_rows=125)
+
+    src = pq.read_table(corpus)
+    n_upd = 200
+    upd = src.slice(0, n_upd)
+    texts = ["freshly updated bulk row"] * n_upd
+    upd = upd.set_column(
+        upd.schema.get_field_index("text"), "text", pa.array(texts)
+    )
+    upd_path = str(tmp_path / "upd.parquet")
+    pq.write_table(upd, upd_path)
+
+    t0 = time.perf_counter()
+    write_ops.update_documents(idx_dir, upd_path)
+    elapsed = time.perf_counter() - t0
+
+    s = IndexSearcher(idx_dir)
+    res = s.search(And([Term("text", "freshly"), Term("text", "bulk")]), limit=None)
+    assert res.num_rows == n_upd
+    # old versions of the updated keys are tombstoned
+    keys = set(zip(upd["conv_id"].to_pylist(), upd["turn_idx"].to_pylist()))
+    from whoosh_reloaded_ray.sources.corpus import fetch_rows
+
+    rows = fetch_rows(
+        s.manifest.partitions, res["docnum"].to_pylist(), columns=["conv_id", "turn_idx"]
+    )
+    assert set(zip(rows["conv_id"].to_pylist(), rows["turn_idx"].to_pylist())) == keys
+    # single-pass: 200 updates must not cost 200 searches (~sub-minute even
+    # on a loaded machine; the old per-row loop took O(rows) searches)
+    assert elapsed < 60

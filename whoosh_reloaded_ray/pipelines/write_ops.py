@@ -101,19 +101,29 @@ def update_documents(
     delete-by-unique-terms then add, writing.py:439-502)."""
     s = IndexSearcher(index_dir)
     incoming = pq.read_table(source_path, columns=list(unique_fields))
-    # delete matches per incoming unique-key tuple
+    # ONE pass over the index's key columns per segment (broadcast hash
+    # join: incoming keys -> set, segment key columns -> vectorized /
+    # hashed membership) instead of one full query per incoming row
     to_delete = []
-    for row in incoming.to_pylist():
-        subs = []
-        for f in unique_fields:
-            v = row[f]
-            spec = next(fs for fs in s.manifest.schema.fields if fs.name == f)
-            if spec.kind in ("numeric", "datetime"):
-                subs.append(ast.NumericRange(f, v, v))
-            else:
-                subs.append(ast.Term(f, v))
-        res = s.search(ast.And(subs), limit=None, scored=False)
-        to_delete.append(res["docnum"].to_numpy())
+    if incoming.num_rows:
+        if len(unique_fields) == 1:
+            f = unique_fields[0]
+            inc_vals = np.asarray(incoming[f].to_numpy(zero_copy_only=False))
+            for r in s.local.readers:
+                mask = np.isin(r.column(f), inc_vals)
+                to_delete.append(r.all_docnums()[mask])
+        else:
+            inc_keys = set(
+                zip(*[incoming[f].to_numpy(zero_copy_only=False).tolist()
+                      for f in unique_fields])
+            )
+            for r in s.local.readers:
+                cols = [r.column(f).tolist() for f in unique_fields]
+                docs = r.all_docnums()
+                mask = np.fromiter(
+                    (k in inc_keys for k in zip(*cols)), dtype=bool, count=docs.size
+                )
+                to_delete.append(docs[mask])
     dels = np.concatenate(to_delete) if to_delete else np.empty(0, np.uint64)
     manifest = s.manifest
     if dels.size:
