@@ -400,3 +400,82 @@ def test_charset_tokenizer_parity(whoosh):
         theirs = [t.text for t in CharsetTokenizer(charmap)(text)]
         ours = [t for t, _ in charset_tokenize(text, charmap)]
         assert ours == theirs, (text, ours, theirs)
+
+
+def test_regex_tokenizer_gaps(whoosh):
+    """RegexTokenizer(gaps=True) split mode parity (tokenizers.py:160-197)."""
+    from whoosh.analysis import LowercaseFilter, RegexTokenizer
+
+    from whoosh_reloaded_ray.functions.analysis import AnalyzerSpec, make_analyzer
+
+    cases = [
+        ("a,b,,c,", r","),
+        ("hello, big,world", r",\s*"),
+        (",leading,and,trailing,", r","),
+        ("no-matches-here", r","),
+        ("", r","),
+        ("::a::bb::ccc", r"::"),
+    ]
+    for text, pattern in cases:
+        ref = [
+            t.text
+            for t in (RegexTokenizer(pattern, gaps=True) | LowercaseFilter())(text)
+        ]
+        spec = AnalyzerSpec(kind="simple", pattern=pattern, gaps=True,
+                            stopwords=None, minsize=0)
+        ours = [w for w, _ in make_analyzer(spec)(text)]
+        assert ours == ref, (text, pattern, ours, ref)
+    # positions survive stop filtering in gap mode too
+    ref_an = RegexTokenizer(r",", gaps=True) | LowercaseFilter()
+    ref = [(t.text, t.pos) for t in ref_an("x,y,z", positions=True)]
+    spec = AnalyzerSpec(kind="simple", pattern=r",", gaps=True, stopwords=None, minsize=0)
+    assert make_analyzer(spec)("x,y,z") == ref
+
+
+def test_porter2_parity(whoosh):
+    """Porter2 black-box parity vs the reference snowball transcription."""
+    import random
+
+    from whoosh.lang.snowball.english import EnglishStemmer
+
+    from whoosh_reloaded_ray.functions.porter2 import porter2_stem
+
+    ref = EnglishStemmer().stem
+    rng = random.Random(11)
+    words = {"".join(rng.choice("abcdefghijklmnopqrstuvwxyz'") for _ in range(rng.randint(1, 14)))
+             for _ in range(3000)}
+    words |= {
+        "realization", "realize", "organization", "generously", "communication",
+        "arsenal", "dying", "skis", "inning", "proceeded", "controlled",
+        "hopping", "hoping", "happily", "conditionally", "electriciti",
+        "sensibiliti", "archaeology", "catalogi", "'twas", "enjoyed", "surveys",
+    }
+    for stem_suf in ("", "s", "ed", "ing", "ational", "iveness", "ization", "alli", "li"):
+        words |= {w + stem_suf for w in ("rat", "hop", "form", "real", "critic")}
+    for w in sorted(words):
+        assert porter2_stem(w) == ref(w), w
+
+
+def test_language_analyzer(whoosh):
+    """LanguageAnalyzer parity: full chain for English; tokenize+stop for a
+    language whose snowball stemmer we don't ship (declared gap)."""
+    from whoosh.analysis import LanguageAnalyzer, LowercaseFilter, RegexTokenizer, StopFilter
+
+    from whoosh_reloaded_ray.functions.analysis import language_analyzer, make_analyzer
+
+    texts = [
+        "The quick brown foxes were generously jumping over lazy dogs",
+        "Nationalization of the railways was hotly debated",
+        "",
+    ]
+    ours = make_analyzer(language_analyzer("en"))
+    ref = LanguageAnalyzer("en")
+    for t in texts:
+        assert [w for w, _ in ours(t)] == [tok.text for tok in ref(t)], t
+    # eng alias resolves like the reference's two_letter_code
+    assert make_analyzer(language_analyzer("eng"))(texts[0]) == ours(texts[0])
+    # Spanish: stoplist filtering parity (chain minus the stemmer we lack)
+    es = make_analyzer(language_analyzer("es"))
+    ref_es = RegexTokenizer() | LowercaseFilter() | StopFilter(lang="es")
+    t = "Por el mar corren las liebres y los conejos"
+    assert [w for w, _ in es(t)] == [tok.text for tok in ref_es(t)]

@@ -44,17 +44,41 @@ Token = tuple  # (term: str, pos: int)
 AnalyzeFn = Callable[[str], list]
 
 
+def _gap_split(pat, text: str) -> list:
+    """Texts BETWEEN pattern matches (reference RegexTokenizer gaps=True,
+    analysis/tokenizers.py:160-197): empty gaps are skipped, the tail after
+    the last match is a final token."""
+    toks = []
+    prevend = 0
+    for m in pat.finditer(text):
+        if m.start() > prevend:
+            toks.append(text[prevend : m.start()])
+        prevend = m.end()
+    if prevend < len(text):
+        toks.append(text[prevend:])
+    return toks
+
+
 @dataclass(frozen=True)
 class AnalyzerSpec:
     """Serializable analyzer configuration (shipped to Ray workers)."""
 
     kind: str = "standard"  # standard | simple | id | keyword | ngram | stemming
     pattern: str = DEFAULT_TOKEN_PATTERN
+    # gaps=True SPLITS on the pattern instead of matching it (reference
+    # RegexTokenizer(gaps=True), analysis/tokenizers.py:88,160-197): tokens
+    # are the non-empty texts between matches, plus the tail after the
+    # last match
+    gaps: bool = False
     lowercase: bool = True
     stopwords: Optional[frozenset] = STOP_WORDS  # None => no stop filtering
     minsize: int = 2
     maxsize: Optional[int] = None
     renumber: bool = True
+    # stemming analyzer: which stemmer ("porter" = reference StemFilter
+    # default; "porter2" = snowball english, what StemFilter(lang="en")
+    # resolves to — LanguageAnalyzer's choice)
+    stemmer: Optional[str] = None
     # keyword analyzer
     commas: bool = False
     # ngram analyzer
@@ -120,6 +144,40 @@ def stemming_analyzer(
     return AnalyzerSpec(kind="stemming", stopwords=stopwords, minsize=minsize, maxsize=maxsize)
 
 
+_LANG_ALIASES = {
+    "ara": "ar", "dan": "da", "nld": "nl", "eng": "en", "fin": "fi",
+    "fra": "fr", "deu": "de", "hun": "hu", "ita": "it", "nor": "no",
+    "por": "pt", "ron": "ro", "rus": "ru", "spa": "es", "swe": "sv",
+    "tur": "tr",
+}
+
+
+def language_analyzer(lang: str, gaps: bool = False) -> "AnalyzerSpec":
+    """Per-language analyzer (reference LanguageAnalyzer,
+    analysis/analyzers.py:280-315): RegexTokenizer | Lowercase, plus a
+    StopFilter when the language has a stop list (lang/stopwords data,
+    minsize=2), plus a StemFilter when a stemmer is available.
+
+    Stemmers available here: English ("en" -> porter2, parity-tested
+    against the reference's snowball transcription; "en_porter" -> the
+    original porter).  Other languages get the stop-only chain — the
+    reference's 14 other snowball stemmers are a declared gap (TODO.md)."""
+    from .lang_stopwords import STOPLISTS
+
+    tlc = _LANG_ALIASES.get(lang, lang)
+    stemmer = {"en": "porter2", "en_porter": "porter"}.get(
+        "en_porter" if lang == "en_porter" else tlc
+    )
+    stops = STOPLISTS.get("en" if lang == "en_porter" else tlc)
+    return AnalyzerSpec(
+        kind="stemming" if stemmer else "standard",
+        gaps=gaps,
+        stopwords=stops,
+        minsize=2 if stops is not None else 0,
+        stemmer=stemmer,
+    )
+
+
 def _stop_and_renumber(
     toks: list,
     stops,
@@ -165,12 +223,20 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
 
     if kind in ("standard", "simple", "stemming"):
         pat = re.compile(spec.pattern, re.UNICODE)
-        stem = _porter_stem_cached() if kind == "stemming" else None
+        stem = None
+        if kind == "stemming":
+            if spec.stemmer == "porter2":
+                from .porter2 import porter2_stem_cached
+
+                stem = porter2_stem_cached
+            else:
+                stem = _porter_stem_cached()
+        gaps = spec.gaps
 
         def analyze(text: str) -> list:
             if not text:
                 return []
-            toks = pat.findall(text)
+            toks = _gap_split(pat, text) if gaps else pat.findall(text)
             if lower:
                 toks = [t.lower() for t in toks]
             if stops is None and minsize <= 0 and maxsize is None:

@@ -318,7 +318,12 @@ class Tokenizer:
             fname, aspec, scorable, keep_pos, boost = spec_tuple
             if fname not in batch.column_names:
                 continue
-            if aspec is not None and aspec.kind in ("standard", "simple") and aspec.renumber:
+            if (
+                aspec is not None
+                and aspec.kind in ("standard", "simple")
+                and aspec.renumber
+                and not aspec.gaps  # gap-split mode takes the loop path
+            ):
                 self._vector_field(fname, spec_tuple, batch, docnums, out)
             elif aspec is not None and aspec.kind == "id" and not scorable:
                 self._vector_id_field(fname, aspec, keep_pos, boost, batch, docnums, out)
