@@ -479,3 +479,43 @@ def test_language_analyzer(whoosh):
     ref_es = RegexTokenizer() | LowercaseFilter() | StopFilter(lang="es")
     t = "Por el mar corren las liebres y los conejos"
     assert [w for w, _ in es(t)] == [tok.text for tok in ref_es(t)]
+
+
+def test_double_metaphone_parity(whoosh):
+    """Black-box parity vs the reference's public-domain transcription,
+    including the G/GH stale-action fallthrough quirk."""
+    import random
+
+    from whoosh.lang.dmetaphone import double_metaphone as ref
+
+    from whoosh_reloaded_ray.functions.dmetaphone import double_metaphone as mine
+
+    rng = random.Random(5)
+    words = {"".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(1, 12))) for _ in range(4000)}
+    words |= set(
+        "jose sugar island carlisle smith schmidt school schermerhorn resnais "
+        "thomas wasserman arnoff filipowicz breaux caesar chianti michael "
+        "mcclellan bellocchio bacchus accident succeed edge ghislane hugh "
+        "laugh mclaughlin cagney tagliaro biaggi cabrillo dumb campbell "
+        "rogier zhao czerny focaccia aghast baghdad".split()
+    )
+    for w in sorted(words):
+        assert mine(w) == ref(w), w
+
+
+def test_dmetaphone_filter(whoosh):
+    from whoosh.analysis import DoubleMetaphoneFilter, RegexTokenizer
+
+    from whoosh_reloaded_ray.functions.analysis import dmetaphone_filter
+
+    ref_an = RegexTokenizer() | DoubleMetaphoneFilter()
+    text = "smith schmidt jose wright"
+    toks = [(t.lower(), i) for i, t in enumerate(text.split())]
+    ours = [t for t, _ in dmetaphone_filter(toks)]
+    theirs = [t.text for t in ref_an(text)]
+    assert ours == theirs
+    # combine mode keeps originals in front of the codes
+    ours_c = [t for t, _ in dmetaphone_filter(toks, combine=True)]
+    theirs_c = [t.text for t in (RegexTokenizer() | DoubleMetaphoneFilter(combine=True))(text)]
+    assert ours_c == theirs_c

@@ -479,3 +479,31 @@ def test_dateparse_nl_parity(our_index, whoosh_index, whoosh, terms):
             for d, s in zip(t["docnum"].to_pylist(), t["score"].to_pylist())
         ]
         assert ores == wres, f"{qstring!r}\n{ours}\n{wq!r}\n{ores}\n{wres}"
+
+
+def test_binary_null_rewrites():
+    """AndNot/AndMaybe/Require/Otherwise null-side rewrites
+    (reference compound.py:530-658) and Not(Null) -> Null."""
+    from whoosh_reloaded_ray.query import (
+        AndMaybe, AndNot, Not, Or, Otherwise, Require, Term,
+    )
+    from whoosh_reloaded_ray.query.normalize import normalize
+
+    t = Term("text", "hello")
+    null = Or([])
+
+    def is_null(q):
+        return isinstance(q, Or) and not q.subqueries
+
+    assert is_null(normalize(AndNot(null, t)))
+    assert normalize(AndNot(t, null)) == t
+    assert is_null(normalize(AndMaybe(null, t)))
+    assert normalize(AndMaybe(t, null)) == t
+    assert is_null(normalize(Require(null, t)))
+    assert is_null(normalize(Require(t, null)))
+    assert normalize(Otherwise(null, t)) == t
+    assert normalize(Otherwise(t, null)) == t
+    assert is_null(normalize(Otherwise(null, null)))
+    assert is_null(normalize(Not(null)))
+    # nested: the null side comes from a collapsed group
+    assert normalize(AndNot(t, Or([Or([])]))) == t

@@ -763,6 +763,28 @@ def strip_filter(tokens):
     return [(t.strip(), p) for t, p in tokens]
 
 
+def dmetaphone_filter(tokens, combine=False):
+    """Double-metaphone phonetic encoding of each token (reference
+    DoubleMetaphoneFilter, analysis/morph.py:218-268): each input token
+    becomes its primary code, plus its secondary code when they differ;
+    ``combine=True`` keeps the original token before the codes.  (Boost
+    attributes ride the posting weight in our model: primary 1.0 /
+    secondary 0.5 is applied by the tokenizer when weighting payloads are
+    enabled; the token stream itself carries (text, pos).)"""
+    from .dmetaphone import double_metaphone
+
+    out = []
+    for t, p in tokens:
+        if combine:
+            out.append((t, p))
+        primary, secondary = double_metaphone(t)
+        if primary:
+            out.append((primary, p))
+        if secondary:  # reference yields even a " " secondary (J-final quirk)
+            out.append((secondary, p))
+    return out
+
+
 def reverse_text_filter(tokens):
     """Reverse each token text (reference ReverseTextFilter — used for
     leading-wildcard fields)."""

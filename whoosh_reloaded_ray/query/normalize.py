@@ -164,7 +164,32 @@ def normalize(q: ast.Query) -> ast.Query:
         subs = [s for s in (normalize(s) for s in q.subqueries) if not _is_empty(s)]
         return ast.DisMax(subs, boost=q.boost, tiebreak=q.tiebreak)
     if isinstance(q, ast.Not):
-        return ast.Not(normalize(q.subquery), boost=q.boost)
+        # Not(NullQuery) -> NullQuery (reference wrappers.py:121-126)
+        sub = normalize(q.subquery)
+        if _is_empty(sub):
+            return ast.Or([])
+        return ast.Not(sub, boost=q.boost)
     if isinstance(q, (ast.AndNot, ast.AndMaybe, ast.Require, ast.Otherwise)):
-        return type(q)(normalize(q.a), normalize(q.b), boost=q.boost)
+        # binary-query null rewrites (reference compound.py:530-658):
+        #   AndNot/AndMaybe: a null -> null; b null -> a
+        #   Require:         either null -> null
+        #   Otherwise (BinaryQuery base): null side drops away
+        a, b = normalize(q.a), normalize(q.b)
+        ea, eb = _is_empty(a), _is_empty(b)
+        if isinstance(q, (ast.AndNot, ast.AndMaybe)):
+            if ea:
+                return ast.Or([])
+            if eb:
+                return a
+        elif isinstance(q, ast.Require):
+            if ea or eb:
+                return ast.Or([])
+        else:  # Otherwise
+            if ea and eb:
+                return ast.Or([])
+            if ea:
+                return b
+            if eb:
+                return a
+        return type(q)(a, b, boost=q.boost)
     return q
