@@ -153,3 +153,73 @@ def test_pinpoint_fragmenter_parity(whoosh, texts):
                 [(m.startchar, m.endchar) for m in f.matches] for f in theirs_frags
             ]
             assert ours_m == theirs_m
+
+
+def test_characters_payload(ray_session, whoosh, tmp_path):
+    """Characters posting payloads (reference formats.py:344-409): stored
+    char spans match whoosh TEXT(chars=True) postings, and payload-based
+    highlighting marks the exact occurrences without re-analysis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from whoosh import fields as wf, index as windex
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.query import Term
+    from whoosh_reloaded_ray.query.highlight import highlight_hit, payload_spans
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+    from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+    corpus = str(tmp_path / "t.parquet")
+    generate_transcripts(corpus, n_turns=300, avg_turn_words=25, seed=9, rows_per_file=100)
+    schema = IndexSchema(fields=[id_field("conv_id"), text_field("text", chars=True)])
+    idx = str(tmp_path / "idx")
+    build_index([corpus], idx, schema=schema, num_shards=4, partition_rows=100)
+    s = IndexSearcher(idx)
+
+    wdir = str(tmp_path / "widx")
+    import os
+
+    os.makedirs(wdir)
+    wschema = wf.Schema(conv_id=wf.ID, text=wf.TEXT(chars=True))
+    wix = windex.create_in(wdir, wschema)
+    w = wix.writer()
+    rows = pq.read_table(corpus, columns=["conv_id", "text"]).to_pylist()
+    for row in rows:
+        w.add_document(conv_id=row["conv_id"], text=row["text"])
+    w.commit()
+
+    # pick a mid-frequency term
+    from collections import Counter
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer, standard_analyzer
+
+    an = make_analyzer(standard_analyzer())
+    c = Counter()
+    for row in rows:
+        c.update({t for t, _ in an(row["text"])})
+    term = c.most_common()[len(c) // 4][0]
+
+    # whoosh oracle: per-doc char spans from the Characters payload
+    want = {}
+    with wix.searcher() as ws:
+        m = ws.postings("text", term)
+        while m.is_active():
+            want[m.id()] = [(sc, ec) for _, sc, ec in m.value_as("characters")]
+            m.next()
+
+    got = {}
+    hits = s.search(Term("text", term), limit=None)
+    for d in hits["docnum"].to_pylist():
+        for r in s.local.readers:
+            if r.seg.doc_base <= d < r.seg.doc_base + r.seg.doc_count:
+                got[d] = [tuple(map(int, p)) for p in r.char_spans("text", term, d).tolist()]
+    assert got == want
+
+    # payload highlighting marks exactly those spans
+    d0 = hits["docnum"][0].as_py()
+    text0 = next(r["text"] for i, r in enumerate(rows) if i == d0)
+    spans = payload_spans(s, d0, "text", {term})
+    assert set(spans) == set(want[d0])
+    frag = highlight_hit(s, d0, "text", Term("text", term))
+    assert term.upper() in frag

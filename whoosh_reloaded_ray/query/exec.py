@@ -47,17 +47,22 @@ class PostingList:
 
     __slots__ = (
         "docs", "weights", "len_bytes", "block_starts", "pos_blobs",
-        "block_counts", "_pos_cache",
+        "block_counts", "_pos_cache", "chars_blobs", "_chars_cache",
     )
 
-    def __init__(self, docs, weights, len_bytes, block_starts, block_counts, pos_blobs=None):
+    def __init__(
+        self, docs, weights, len_bytes, block_starts, block_counts,
+        pos_blobs=None, chars_blobs=None,
+    ):
         self.docs = docs  # uint64 sorted
         self.weights = weights  # float64
         self.len_bytes = len_bytes  # uint8
         self.block_starts = block_starts  # int64, posting index of each block
         self.block_counts = block_counts
         self.pos_blobs = pos_blobs  # list[bytes] per block (when requested)
+        self.chars_blobs = chars_blobs  # list[bytes] per block (when requested)
         self._pos_cache: dict = {}
+        self._chars_cache: dict = {}
 
     def _block_positions(self, b: int):
         """Decode one block's interleaved (count, deltas...) stream ONCE,
@@ -84,6 +89,30 @@ class PostingList:
         i = int(starts[k])
         cnt = int(vals[i])
         return np.cumsum(vals[i + 1 : i + 1 + cnt], dtype=np.uint64)
+
+    def char_spans_for(self, posting_idx: int) -> np.ndarray:
+        """(count, 2) array of [startchar, endchar) spans of one posting's
+        occurrences (reference Characters payload, formats.py:344-409).
+        Stream layout: [count, s1, e1-s1, s2-e1, e2-s2, ...] — a plain
+        cumsum of the deltas yields [s1, e1, s2, e2, ...]."""
+        b = int(np.searchsorted(self.block_starts, posting_idx, side="right") - 1)
+        cached = self._chars_cache.get(b)
+        if cached is None:
+            vals = decode_varints(self.chars_blobs[b])
+            nb = int(self.block_counts[b])
+            starts = np.empty(nb + 1, dtype=np.int64)
+            i = 0
+            for k in range(nb):
+                starts[k] = i
+                i += 1 + 2 * int(vals[i])
+            starts[nb] = i
+            cached = (vals, starts)
+            self._chars_cache[b] = cached
+        vals, starts = cached
+        k = posting_idx - int(self.block_starts[b])
+        i = int(starts[k])
+        cnt = int(vals[i])
+        return np.cumsum(vals[i + 1 : i + 1 + 2 * cnt], dtype=np.uint64).reshape(cnt, 2)
 
     def positions_bulk(self, posting_idxs: np.ndarray):
         """Positions for MANY postings at once -> (flat uint64 positions,
@@ -302,18 +331,22 @@ class SegmentReader:
 
     # ---- postings ---------------------------------------------------------
 
-    def _read_blocks(self, field: str, term: str, need_positions=False):
+    def _read_blocks(self, field: str, term: str, need_positions=False, need_chars=False):
         """Raw block rows of a term, doc-ordered across (possibly salted)
         shards; cached."""
-        rkey = (field, term, need_positions)
+        rkey = (field, term, need_positions, need_chars)
         if rkey in self._raw_cache:
             return self._raw_cache[rkey]
-        if not need_positions and (t := self._raw_cache.get((field, term, True))) is not None:
+        if not need_positions and not need_chars and (
+            t := self._raw_cache.get((field, term, True, False))
+        ) is not None:
             return t
         cols = ["doc_min", "doc_max", "max_weight", "min_len_byte",
                 "count", "wflag", "docs", "weights", "lens"]
         if need_positions:
             cols += ["positions"]
+        if need_chars:
+            cols += ["chars"]
         parts = []
         for shard in self._shards_for(field, term):
             path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
@@ -359,22 +392,43 @@ class SegmentReader:
         docs, weights, lens, _, _ = _decode_posting_columns(t)
         return docs, weights, lens
 
-    def postings(self, field: str, term: str, need_positions=False):
-        key = (field, term, need_positions)
+    def postings(self, field: str, term: str, need_positions=False, need_chars=False):
+        key = (field, term, need_positions, need_chars)
         cached = self._postings_cache.get(key)
         if cached is not None:
             return cached
-        if not need_positions and (plist := self._postings_cache.get((field, term, True))):
+        if not need_positions and not need_chars and (
+            plist := self._postings_cache.get((field, term, True, False))
+        ):
             return plist
-        t = self._read_blocks(field, term, need_positions)
+        t = self._read_blocks(field, term, need_positions, need_chars)
         if t is None:
             self._postings_cache[key] = None
             return None
         docs, weights, lens, block_starts, counts = _decode_posting_columns(t)
         pos_blobs = t["positions"].to_pylist() if need_positions else None
-        plist = PostingList(docs, weights, lens, block_starts, counts, pos_blobs)
+        chars_blobs = t["chars"].to_pylist() if need_chars and "chars" in t.column_names else None
+        plist = PostingList(
+            docs, weights, lens, block_starts, counts, pos_blobs, chars_blobs
+        )
         self._postings_cache[key] = plist
         return plist
+
+    def char_spans(self, field: str, term: str, docnum: int) -> np.ndarray:
+        """[startchar, endchar) spans of ``term``'s occurrences in one doc,
+        straight from the Characters posting payload (no re-analysis).
+        Empty (0, 2) array when the doc has no posting or no payload."""
+        plist = self.postings(field, term, need_chars=True)
+        empty = np.empty((0, 2), dtype=np.uint64)
+        if plist is None or plist.chars_blobs is None:
+            return empty
+        i = int(np.searchsorted(plist.docs, np.uint64(docnum)))
+        if i >= plist.docs.size or plist.docs[i] != docnum:
+            return empty
+        b = int(np.searchsorted(plist.block_starts, i, side="right") - 1)
+        if plist.chars_blobs[b] is None:
+            return empty
+        return plist.char_spans_for(i)
 
     # ---- columnar fields --------------------------------------------------
 

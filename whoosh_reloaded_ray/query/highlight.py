@@ -356,11 +356,60 @@ def highlight(
 
 def highlight_hit(searcher, docnum: int, fieldname: str, q, **kwargs) -> str:
     """Highlight a hit's field text (fetched via partition lineage) against
-    the query's terms in that field."""
+    the query's terms in that field.
+
+    When the field stores Characters payloads (FieldSpec.chars=True),
+    matched spans come straight from the INDEX postings — char-accurate
+    even when the index-time analyzer isn't reconstructible from the text
+    (stemming, synonyms); otherwise tokens are re-analyzed and matched by
+    text (the reference's default pipeline)."""
     from ..sources.corpus import fetch_rows
 
     rows = fetch_rows(searcher.manifest.partitions, [docnum], columns=[fieldname])
     text = rows[fieldname][0].as_py() or ""
     terms = {t for (f, t) in q.terms() if f == fieldname}
-    spec = next(f for f in searcher.manifest.schema.fields if f.name == fieldname).analyzer
-    return highlight(text, terms, spec, **kwargs)
+    fspec = next(f for f in searcher.manifest.schema.fields if f.name == fieldname)
+    if getattr(fspec, "chars", False) and getattr(searcher, "executor", "local") == "local":
+        spans = payload_spans(searcher, docnum, fieldname, terms)
+        if spans is not None:
+            return highlight_with_spans(text, spans, fspec.analyzer, **kwargs)
+    return highlight(text, terms, fspec.analyzer, **kwargs)
+
+
+def payload_spans(searcher, docnum: int, fieldname: str, terms) -> set | None:
+    """Union of (startchar, endchar) spans of ``terms`` in one doc, read
+    from the Characters posting payloads of the owning segment."""
+    spans: set = set()
+    found_reader = False
+    for r in searcher.local.readers:
+        seg = r.seg
+        if not (seg.doc_base <= docnum < seg.doc_base + seg.doc_count):
+            continue
+        found_reader = True
+        for t in terms:
+            for s, e in r.char_spans(fieldname, t, docnum).tolist():
+                spans.add((int(s), int(e)))
+    return spans if found_reader else None
+
+
+def highlight_with_spans(
+    text: str,
+    spans: set,
+    spec,
+    fragmenter=None,
+    formatter=None,
+    top=3,
+    scorer=basic_fragment_score,
+    minscore=1,
+    order=FIRST,
+):
+    """highlight() with match decisions taken from index char spans instead
+    of re-analyzed token text."""
+    fragmenter = fragmenter or ContextFragmenter()
+    formatter = formatter or UppercaseFormatter()
+    tokens = analyze_with_chars(spec, text)
+    for t in tokens:
+        t.matched = (t.startchar, t.endchar) in spans
+    fragments = fragmenter.fragment_tokens(text, tokens)
+    fragments = top_fragments(fragments, top, scorer, order, minscore)
+    return formatter.format(fragments)

@@ -30,6 +30,10 @@ class FieldSpec:
     scorable: bool = False  # record lengths + BM25 length normalization
     stored: bool = True  # returned with hits (fetched from source parquet)
     positions: bool = True  # index positions (needed for phrase queries)
+    # store char offsets per occurrence in the posting payload (reference
+    # Characters format, formats.py:344-409; whoosh TEXT(chars=True)) —
+    # enables char-accurate highlighting without re-analysis
+    chars: bool = False
     boost: float = 1.0
     # Optional DIFFERENT analyzer for query strings — the config-as-data
     # equivalent of the reference's MultiFilter(index=..., query=...)

@@ -165,22 +165,27 @@ class ShardSegmentWriter:
         # --- lengths: raw uint8 per posting
         len_col = _binary_from_offsets(lens, np.append(block_starts, n).astype(np.int64))
 
-        # --- positions: already encoded per posting by the tokenizer as a
-        # varint(count)+delta-varints byte stream; a block's blob is the
-        # CONCATENATION of its postings' streams = one buffer slice
-        pos_arr = posts["positions"].chunk(0)
-        if pos_arr.null_count == n:
-            pos_col = pa.nulls(n_blocks, pa.large_binary())
-        else:
+        # --- positions/chars: already encoded per posting by the tokenizer
+        # as varint byte streams; a block's blob is the CONCATENATION of its
+        # postings' streams = one buffer slice
+        def blockify_blobs(arr):
+            if arr.null_count == n:
+                return pa.nulls(n_blocks, pa.large_binary())
             # BinaryArray exposes no .offsets: read the int32 offsets buffer
             # directly (respecting the array's slice offset)
-            loff = np.frombuffer(pos_arr.buffers()[1], dtype=np.int32)[
-                pos_arr.offset : pos_arr.offset + n + 1
+            loff = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1
             ].astype(np.int64)
-            data = np.frombuffer(pos_arr.buffers()[2], dtype=np.uint8)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
             lo, hi = int(loff[0]), int(loff[-1])
             block_byte_bounds = loff[np.append(block_starts, n)] - lo
-            pos_col = _binary_from_offsets(data[lo:hi], block_byte_bounds)
+            return _binary_from_offsets(data[lo:hi], block_byte_bounds)
+
+        pos_col = blockify_blobs(posts["positions"].chunk(0))
+        if "chars" in posts.column_names:
+            chars_col = blockify_blobs(posts["chars"].chunk(0))
+        else:  # postings produced by a pre-chars tokenizer
+            chars_col = pa.nulls(n_blocks, pa.large_binary())
 
         # --- per-block stats
         blk_max_w = np.maximum.reduceat(weights, block_starts)
@@ -199,6 +204,7 @@ class ShardSegmentWriter:
                 "weights": w_col,
                 "lens": len_col,
                 "positions": pos_col,
+                "chars": chars_col,
             }
         )
         _atomic_write(blk, os.path.join(self.seg_dir, POSTINGS_FILE.format(shard=shard)))

@@ -51,6 +51,10 @@ POSTING_SCHEMA = pa.schema(
         # ONCE here so the shuffle moves compact bytes and the segment
         # writer can blockify by pure buffer slicing
         ("positions", pa.binary()),
+        # optional char-offset payload (reference Characters format,
+        # formats.py:344-409): varint stream [count, s1, e1-s1, s2-e1,
+        # e2-s2, ...] per posting; null unless the field spec sets chars
+        ("chars", pa.binary()),
         ("len_byte", pa.uint8()),
         ("shard", pa.int32()),
     ]
@@ -95,6 +99,10 @@ class Tokenizer:
             (f.name, f.analyzer, f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
         ]
+        # fields storing char-offset payloads (reference Characters format)
+        self.chars_fields = {
+            f.name for f in schema.indexed_fields if getattr(f, "chars", False)
+        }
         self.analyzers = [
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
@@ -240,6 +248,7 @@ class Tokenizer:
         out["docnum"].append(pa.array(g_doc.astype(np.uint64), pa.uint64()))
         out["weight"].append(pa.array((gcount * boost).astype(np.float32), pa.float32()))
         out["positions"].append(pos_col)
+        out["chars"].append(pa.nulls(len(gstart), pa.binary()))
         out["len_byte"].append(pa.array(g_lb, pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -252,6 +261,7 @@ class Tokenizer:
             out["docnum"].append(pa.array(docnums[v].astype(np.uint64), pa.uint64()))
             out["weight"].append(pa.array(survivors_per_row[v].astype(np.float32), pa.float32()))
             out["positions"].append(pa.nulls(v.size, pa.binary()))
+            out["chars"].append(pa.nulls(v.size, pa.binary()))
             out["len_byte"].append(pa.array(lb_rows[v], pa.uint8()))
             out["shard"].append(pa.array((docnums[v] % R).astype(np.int32), pa.int32()))
 
@@ -308,17 +318,28 @@ class Tokenizer:
             )
         else:
             out["positions"].append(pa.nulls(idx.size, pa.binary()))
+        out["chars"].append(pa.nulls(idx.size, pa.binary()))
         out["len_byte"].append(pa.array(np.zeros(idx.size, dtype=np.uint8), pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docnums = batch["docnum"].to_numpy(zero_copy_only=False)
-        out = {k: [] for k in ("field", "term", "docnum", "weight", "positions", "len_byte", "shard")}
+        out = {
+            k: []
+            for k in (
+                "field", "term", "docnum", "weight", "positions", "chars",
+                "len_byte", "shard",
+            )
+        }
         for i, spec_tuple in enumerate(self.specs):
             fname, aspec, scorable, keep_pos, boost = spec_tuple
             if fname not in batch.column_names:
                 continue
-            if (
+            if fname in self.chars_fields and aspec is not None and aspec.kind in (
+                "standard", "simple",
+            ):
+                self._chars_field(fname, spec_tuple, batch, docnums, out)
+            elif (
                 aspec is not None
                 and aspec.kind in ("standard", "simple")
                 and aspec.renumber
@@ -337,6 +358,109 @@ class Tokenizer:
             else:
                 cols.append(pa.array([], type=POSTING_SCHEMA.field(name).type))
         return pa.Table.from_arrays(cols, schema=POSTING_SCHEMA)
+
+    def _chars_field(self, fname, spec_tuple, batch, docnums, out):
+        """Loop path for chars-enabled fields (reference Characters format,
+        formats.py:344-409): finditer keeps each surviving token's raw
+        (startchar, endchar) span alongside the renumbered position; the
+        per-posting chars payload is the varint stream
+        [count, s1, e1-s1, s2-e1, e2-s2, ...]."""
+        _, aspec, scorable, keep_pos, boost = spec_tuple
+        pat = self._vec_pats.setdefault(
+            fname, _re.compile(aspec.pattern, _re.UNICODE)
+        )
+        stops, minsize, maxsize = aspec.stopwords, aspec.minsize, aspec.maxsize
+        renumber = aspec.renumber
+        lower = aspec.lowercase
+        R = self.num_shards
+        salted = self.salted
+        doc_lo, doc_n = self.doc_range
+
+        fields_out, terms_out, docs_out = [], [], []
+        weights_out, pos_out, chars_out, lens_out, shard_out = [], [], [], [], []
+        for i, text in enumerate(batch[fname].to_pylist()):
+            if text is None:
+                continue
+            docnum = int(docnums[i])
+            # tokenize with spans, lower, stop+renumber (whoosh rule: first
+            # survivor keeps its raw index, later survivors go consecutive)
+            surv = []
+            pos = None
+            for idx, m in enumerate(pat.finditer(text)):
+                t = m.group(0)
+                if lower:
+                    t = t.lower()
+                lt = len(t)
+                if (
+                    lt >= minsize
+                    and (maxsize is None or lt <= maxsize)
+                    and (stops is None or t not in stops)
+                ):
+                    if renumber:
+                        pos = idx if pos is None else pos + 1
+                        surv.append((t, pos, m.start(), m.end()))
+                    else:
+                        surv.append((t, idx, m.start(), m.end()))
+            if not surv and not scorable:
+                continue
+            agg: dict = {}
+            for t, p, s, e in surv:
+                entry = agg.get(t)
+                if entry is None:
+                    agg[t] = entry = [0.0, [], []]
+                entry[0] += boost
+                entry[1].append(p)
+                entry[2].append((s, e))
+            length = len(surv)
+            lb = length_to_byte(length) if scorable else 0
+            for term, (w, poss, spans) in agg.items():
+                fields_out.append(fname)
+                terms_out.append(term)
+                docs_out.append(docnum)
+                weights_out.append(w)
+                if keep_pos:
+                    pp = np.asarray(poss, dtype=np.uint64)
+                    stream = np.empty(pp.size + 1, dtype=np.uint64)
+                    stream[0] = pp.size
+                    if pp.size:
+                        stream[1] = pp[0]
+                        np.subtract(pp[1:], pp[:-1], out=stream[2:])
+                    pos_out.append(encode_varints(stream))
+                else:
+                    pos_out.append(None)
+                cstream = np.empty(2 * len(spans) + 1, dtype=np.uint64)
+                cstream[0] = len(spans)
+                prev = 0
+                for k, (s, e) in enumerate(spans):
+                    cstream[1 + 2 * k] = s - prev
+                    cstream[2 + 2 * k] = e - s
+                    prev = e
+                chars_out.append(encode_varints(cstream))
+                lens_out.append(lb)
+                n_salts = salted.get((fname, term))
+                if n_salts:
+                    salt = (docnum - doc_lo) * n_salts // max(doc_n, 1)
+                    shard_out.append(_salted_shard_of(fname, term, salt, R))
+                else:
+                    shard_out.append(_shard_of(fname, term, R))
+            if scorable:
+                fields_out.append(fname)
+                terms_out.append(LEN_SENTINEL)
+                docs_out.append(docnum)
+                weights_out.append(float(length))
+                pos_out.append(None)
+                chars_out.append(None)
+                lens_out.append(lb)
+                shard_out.append(docnum % R)
+
+        out["field"].append(pa.array(fields_out, type=pa.string()))
+        out["term"].append(pa.array(terms_out, type=pa.string()))
+        out["docnum"].append(pa.array(docs_out, type=pa.uint64()))
+        out["weight"].append(pa.array(weights_out, type=pa.float32()))
+        out["positions"].append(pa.array(pos_out, type=pa.binary()))
+        out["chars"].append(pa.array(chars_out, type=pa.binary()))
+        out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
+        out["shard"].append(pa.array(shard_out, type=pa.int32()))
 
     def _loop_field(self, analyzer_tuple, batch, docnums, out):
         """Row-at-a-time fallback for stateful/exotic analyzers (stemming,
@@ -404,5 +528,6 @@ class Tokenizer:
         out["docnum"].append(pa.array(docs_out, type=pa.uint64()))
         out["weight"].append(pa.array(weights_out, type=pa.float32()))
         out["positions"].append(pa.array(pos_out, type=pa.binary()))
+        out["chars"].append(pa.nulls(len(fields_out), pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))
