@@ -223,3 +223,50 @@ def test_characters_payload(ray_session, whoosh, tmp_path):
     assert set(spans) == set(want[d0])
     frag = highlight_hit(s, d0, "text", Term("text", term))
     assert term.upper() in frag
+
+
+def test_characters_payload_stemming(ray_session, whoosh, tmp_path):
+    """Payload highlighting on a STEMMING field: the query term is a stem
+    ('run' matches 'running'), so text-match re-analysis can't find the
+    spans — only the Characters payload can."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.functions.analysis import stemming_analyzer
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.query import Term
+    from whoosh_reloaded_ray.query.highlight import highlight_hit, payload_spans
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher
+
+    texts = [
+        "the runner was running while others ran the race",
+        "jumping jumps jumped over running water",
+        "nothing matching here at all",
+    ]
+    corpus = str(tmp_path / "st.parquet")
+    pq.write_table(
+        pa.table({"conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+                  "text": pa.array(texts)}),
+        corpus,
+    )
+    schema = IndexSchema(
+        fields=[id_field("conv_id"), text_field("text", analyzer=stemming_analyzer(), chars=True)]
+    )
+    idx = str(tmp_path / "stidx")
+    build_index([corpus], idx, schema=schema, num_shards=2, partition_rows=10)
+    s = IndexSearcher(idx)
+    # porter: running -> "runn" (parity with the reference's porter.py);
+    # re-analysis of the raw text can never produce "runn" spans — only
+    # the payload can place them
+    hits = s.search(Term("text", "runn"), limit=None)
+    assert hits.num_rows == 2
+    d0 = 0
+    spans = payload_spans(s, d0, "text", {"runn"})
+    got = sorted(texts[0][a:b] for a, b in spans)
+    assert got == ["running"]
+    frag = highlight_hit(s, d0, "text", Term("text", "runn"))
+    assert "RUNNING" in frag
+    # jump family collapses to one stem covering three raw surface forms
+    spans1 = payload_spans(s, 1, "text", {"jump"})
+    assert sorted(texts[1][a:b] for a, b in spans1) == ["jumped", "jumping", "jumps"]

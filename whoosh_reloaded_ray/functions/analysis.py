@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Callable, Optional, Sequence
 
 # Default English stop words — same *data* as the reference's
@@ -368,9 +369,9 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
 
 
 def _porter_stem_cached(cachesize: int = 50000):
-    from functools import lru_cache
-
-    return lru_cache(maxsize=cachesize)(porter_stem)
+    # module-level wrapper (defined after porter_stem below) so closures
+    # holding it stay picklable by reference across Ray workers
+    return porter_stem_cached
 
 
 # Character classes exactly as the reference uses them: the "vowel run"
@@ -530,6 +531,14 @@ def porter_stem(w: str) -> str:
     if first_is_y:
         w = "y" + w[1:]
     return w
+
+
+# picklable-by-reference LRU wrapper (reference StemFilter cachesize=50000);
+# the qualname must match the module attribute or pickle's by-reference
+# lookup lands on the raw function and refuses
+porter_stem_cached = lru_cache(maxsize=50000)(porter_stem)
+porter_stem_cached.__qualname__ = "porter_stem_cached"
+porter_stem_cached.__name__ = "porter_stem_cached"
 
 
 # ---------------------------------------------------------------------------

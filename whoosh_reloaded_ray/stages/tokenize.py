@@ -336,7 +336,7 @@ class Tokenizer:
             if fname not in batch.column_names:
                 continue
             if fname in self.chars_fields and aspec is not None and aspec.kind in (
-                "standard", "simple",
+                "standard", "simple", "stemming",
             ):
                 self._chars_field(fname, spec_tuple, batch, docnums, out)
             elif (
@@ -372,6 +372,17 @@ class Tokenizer:
         stops, minsize, maxsize = aspec.stopwords, aspec.minsize, aspec.maxsize
         renumber = aspec.renumber
         lower = aspec.lowercase
+        stem = None
+        if aspec.kind == "stemming":
+            # indexed term is the stem; the span still covers the RAW token
+            # (whoosh records t.startchar/endchar before StemFilter mutates
+            # t.text) — exactly what payload highlighting needs
+            if aspec.stemmer == "porter2":
+                from ..functions.porter2 import porter2_stem_cached as stem
+            else:
+                from ..functions.analysis import _porter_stem_cached
+
+                stem = _porter_stem_cached()
         R = self.num_shards
         salted = self.salted
         doc_lo, doc_n = self.doc_range
@@ -396,6 +407,8 @@ class Tokenizer:
                     and (maxsize is None or lt <= maxsize)
                     and (stops is None or t not in stops)
                 ):
+                    if stem is not None:
+                        t = stem(t)
                     if renumber:
                         pos = idx if pos is None else pos + 1
                         surv.append((t, pos, m.start(), m.end()))
