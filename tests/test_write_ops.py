@@ -169,3 +169,76 @@ def test_bulk_update_single_pass(corpus, ray_session, tmp_path):
     # single-pass: 200 updates must not cost 200 searches (~sub-minute even
     # on a loaded machine; the old per-row loop took O(rows) searches)
     assert elapsed < 60
+
+
+def test_add_remove_field_between_commits(corpus, ray_session, tmp_path):
+    """Schema mutation between commits (reference writing.py:279-296):
+    add_field indexes in segments appended AFTER the change; remove_field
+    hides the field from schema/stats."""
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.schema import text_field
+    from whoosh_reloaded_ray.state.manifest import load_manifest
+
+    idx = str(tmp_path / "schemamut")
+    build_index([corpus], idx, num_shards=4, partition_rows=250)
+
+    # add a field; append docs that carry it
+    write_ops.add_field(idx, text_field("notes"))
+    m = load_manifest(idx)
+    assert "notes" in m.schema.by_name
+
+    extra = pa.table(
+        {
+            "conv_id": pa.array(["x0", "x1"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "text": pa.array(["alpha beta", "gamma delta"]),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+            "notes": pa.array(["zzyzx remark", "plain remark"]),
+        }
+    )
+    extra_path = str(tmp_path / "extra.parquet")
+    pq.write_table(extra, extra_path)
+    write_ops.append_documents(idx, extra_path, partition_rows=10)
+
+    s = IndexSearcher(idx)
+    res = s.search(Term("notes", "zzyzx"), limit=None)
+    assert res.num_rows == 1
+    assert s.manifest.field_length("notes") == 4  # two 2-token notes
+
+    # remove it again: schema + stats stop exposing it
+    write_ops.remove_field(idx, "notes")
+    s2 = IndexSearcher(idx)
+    assert "notes" not in s2.manifest.schema.by_name
+    assert s2.manifest.field_length("notes") == 0
+
+
+def test_dynamic_glob_fields(ray_session, tmp_path):
+    """Glob templates (reference fields.py:1550-1556): source columns
+    matching 'meta_*' get indexed with the template spec."""
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a", "b"]),
+            "text": pa.array(["hello world", "more text"]),
+            "meta_tags": pa.array(["urgent customer", "internal"]),
+            "meta_notes": pa.array(["follow up quickly", "done already"]),
+            "other_col": pa.array(["skip me", "not indexed"]),
+        }
+    )
+    src = str(tmp_path / "glob.parquet")
+    pq.write_table(tbl, src)
+    schema = IndexSchema(
+        fields=[id_field("conv_id"), text_field("text")],
+        dynamic=[("meta_*", text_field("__template__"))],
+    )
+    idx = str(tmp_path / "globidx")
+    build_index([src], idx, schema=schema, num_shards=2, partition_rows=10)
+    s = IndexSearcher(idx)
+    assert {"meta_tags", "meta_notes"} <= set(s.manifest.schema.by_name)
+    assert "other_col" not in s.manifest.schema.by_name
+    assert s.search(Term("meta_tags", "urgent"), limit=None).num_rows == 1
+    assert s.search(Term("meta_notes", "quickly"), limit=None).num_rows == 1

@@ -69,6 +69,10 @@ def build_index(
     if isinstance(source_paths, str):
         source_paths = [source_paths]
     schema = schema or transcript_schema()
+    if schema.dynamic:
+        import pyarrow.parquet as _pqd
+
+        schema.resolve_dynamic(_pqd.ParquetFile(source_paths[0]).schema_arrow.names)
 
     # Load any committed manifest FIRST: its persisted plan parameters take
     # precedence on resume, because re-deriving partition_rows from the

@@ -56,6 +56,32 @@ def delete_by_term(index_dir: str, field: str, text: str) -> int:
     return delete_by_query(index_dir, ast.Term(field, text))
 
 
+def add_field(index_dir: str, spec) -> Manifest:
+    """Add a schema field between commits (reference writing.py:279-287):
+    committed as a new manifest generation; existing segments hold no
+    postings for it, segments appended afterwards index it."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
+    manifest.schema.add_field(spec)
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def remove_field(index_dir: str, name: str) -> Manifest:
+    """Remove a schema field between commits (reference writing.py:289-296):
+    its postings stay on disk until the segments merge away, but the
+    schema (analyzers, stats, parser fields) no longer exposes it."""
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
+    manifest.schema.remove_field(name)
+    for s in manifest.segments:
+        s.field_lengths.pop(name, None)
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
 def append_documents(index_dir: str, source_paths, **build_kwargs) -> Manifest:
     """Index additional parquet files as new segment(s) appended after the
     existing docnum space."""

@@ -106,6 +106,11 @@ def boolean_field(name: str, **kw) -> FieldSpec:
 @dataclass
 class IndexSchema:
     fields: list  # list[FieldSpec] in declaration order
+    # dynamic GLOB fields (reference Schema glob support,
+    # fields.py:1550-1556): (fnmatch pattern, template FieldSpec) pairs;
+    # at build time any SOURCE column matching a pattern and not already
+    # declared is indexed with a copy of the template
+    dynamic: list = dc_field(default_factory=list)
 
     def __post_init__(self):
         self.by_name = {f.name: f for f in self.fields}
@@ -121,12 +126,53 @@ class IndexSchema:
     def field(self, name: str) -> FieldSpec:
         return self.by_name[name]
 
+    def add_field(self, spec: FieldSpec):
+        """Add a field between commits (reference IndexWriter.add_field,
+        writing.py:279-287).  Existing segments simply hold no postings
+        for it; new segments index it."""
+        if spec.name in self.by_name:
+            raise ValueError(f"field {spec.name!r} already in schema")
+        self.fields.append(spec)
+        self.by_name[spec.name] = spec
+
+    def remove_field(self, name: str):
+        """Remove a field between commits (reference remove_field,
+        writing.py:289-296).  Its postings stay on disk until the owning
+        segments merge away, but the schema no longer exposes it."""
+        if name not in self.by_name:
+            raise KeyError(name)
+        self.fields = [f for f in self.fields if f.name != name]
+        del self.by_name[name]
+
+    def resolve_dynamic(self, source_columns) -> "IndexSchema":
+        """Expand glob templates against a source's column names; returns
+        self (mutated) for chaining."""
+        import dataclasses as _dc
+        import fnmatch
+
+        for col in source_columns:
+            if col in self.by_name or col == "docnum":
+                continue
+            for pattern, template in self.dynamic:
+                if fnmatch.fnmatchcase(col, pattern):
+                    self.add_field(_dc.replace(template, name=col))
+                    break
+        return self
+
     def to_dict(self) -> dict:
-        return {"fields": [f.to_dict() for f in self.fields]}
+        return {
+            "fields": [f.to_dict() for f in self.fields],
+            "dynamic": [[p, t.to_dict()] for p, t in self.dynamic],
+        }
 
     @staticmethod
     def from_dict(d: dict) -> "IndexSchema":
-        return IndexSchema(fields=[FieldSpec.from_dict(f) for f in d["fields"]])
+        return IndexSchema(
+            fields=[FieldSpec.from_dict(f) for f in d["fields"]],
+            dynamic=[
+                (p, FieldSpec.from_dict(t)) for p, t in d.get("dynamic", [])
+            ],
+        )
 
 
 def transcript_schema() -> IndexSchema:
