@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_regex": ft.match_regex,
         "nested_children_turns": ft.nested_children_turns,
         "nested_parent_convs": ft.nested_parent_convs,
+        "collapsed_top_by_role": ft.collapsed_top_by_role,
         "match_span_first": ft.match_span_first,
         "export_matches_spark": ft.export_matches_spark,
         # second corpus: custom schema over the events table
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "match_regex": ft.oracle_match_regex(),
         "nested_children_turns": ft.oracle_nested_children_turns(),
         "nested_parent_convs": ft.oracle_nested_parent_convs(),
+        "collapsed_top_by_role": ft.oracle_collapsed_top_by_role(),
         "match_span_first": ft.oracle_match_span_first(),
         "export_matches_spark": ft.oracle_export_matches_spark(),
         "events_search_props": ev.oracle_events_search_props(),

@@ -605,6 +605,54 @@ ORDER BY t.doc_id
 """
 
 
+def collapsed_top_by_role(sf_dir: str) -> pa.Table:
+    """CollapseCollector semantics over the distributed partial path: top
+    10 'data' hits after keeping at most 2 best-scoring docs per role."""
+    from ..query import Term
+
+    s = get_searcher(sf_dir)
+    res = s.search_collapsed(Term("text", "data"), "role", limit=10, collapse_limit=2)
+    return _hits_with_keys(s, res)
+
+
+def oracle_collapsed_top_by_role() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (
+  SELECT doc_id, conv_id, turn_idx, role, {toks} AS toks FROM transcripts
+),
+docterms AS (
+  SELECT doc_id, conv_id, turn_idx, role,
+         len(list_filter(toks, t -> t = 'data')) AS tf_0,
+         {quantized_len_sql("len(toks)")}::DOUBLE AS qlen,
+         len(toks) AS doclen
+  FROM tokd
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS N, SUM(doclen)::DOUBLE / COUNT(*) AS avgfl FROM docterms
+),
+scored AS (
+  SELECT d.*,
+         (LN((SELECT N FROM stats) / ((SELECT COUNT(*) FROM docterms WHERE tf_0 > 0) + 1)) + 1)
+         * (d.tf_0 * 2.2)
+         / (d.tf_0 + 1.2 * (0.25 + 0.75 * d.qlen / (SELECT avgfl FROM stats))) AS score
+  FROM docterms d WHERE d.tf_0 > 0
+),
+kept AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY score DESC, conv_id, turn_idx) AS key_rank
+  FROM scored
+)
+SELECT doc_id, conv_id, turn_idx,
+       ROUND(score, 6) AS score_r,
+       ROW_NUMBER() OVER (ORDER BY score DESC, conv_id, turn_idx) AS rank
+FROM kept WHERE key_rank <= 2
+ORDER BY rank
+LIMIT 10
+"""
+
+
 def nested_parent_convs(sf_dir: str) -> pa.Table:
     """Composable NestedParent block join (reference nested.py:33-206): any
     turn containing 'merge' rolls up to its conversation's turn-0 parent
