@@ -176,6 +176,41 @@ def test_not(our_index, whoosh_index, wq):
     both(our_index, whoosh_index, Not(Term("text", COMMON)), wq.Not(wq.Term("text", COMMON)), limit=None)
 
 
+def test_and_with_not(our_index, whoosh_index, wq):
+    # exercises the NOT-extraction fast path in _eval_and (positive
+    # intersection minus Not subquery docs, no full-complement materialize)
+    q = And([Term("text", COMMON), Not(Term("text", MID))])
+    w = wq.And([wq.Term("text", COMMON), wq.Not(wq.Term("text", MID))])
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_and_with_multiple_boosted_nots(our_index, whoosh_index, wq):
+    q = And(
+        [
+            Term("text", COMMON),
+            Term("text", MID, boost=1.5),
+            Not(Term("text", RARE), boost=2.0),
+            Not(Term("text", "alpha")),
+        ]
+    )
+    w = wq.And(
+        [
+            wq.Term("text", COMMON),
+            wq.Term("text", MID, boost=1.5),
+            wq.Not(wq.Term("text", RARE), boost=2.0),
+            wq.Not(wq.Term("text", "alpha")),
+        ]
+    )
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
+def test_and_of_only_nots(our_index, whoosh_index, wq):
+    # all-Not And still takes the complement path
+    q = And([Not(Term("text", COMMON)), Not(Term("text", MID))])
+    w = wq.And([wq.Not(wq.Term("text", COMMON)), wq.Not(wq.Term("text", MID))])
+    both(our_index, whoosh_index, q, w, limit=None)
+
+
 def test_andnot(our_index, whoosh_index, wq):
     q = AndNot(Term("text", MID), Term("text", COMMON))
     w = wq.AndNot(wq.Term("text", MID), wq.Term("text", COMMON))

@@ -645,7 +645,16 @@ def _intersect(a, b):
 
 
 def _eval_and(reader, q: ast.And, ctx, scored):
-    subs = [evaluate(reader, s, ctx, scored) for s in q.subqueries]
+    # NOT-extraction fast path: when the And has at least one positive
+    # child, a Not child need never materialize the segment's full docnum
+    # complement (reference-equivalent: IntersectionMatcher over an
+    # InverseMatcher gives a ∖ b with the Not contributing 1.0·boost on
+    # every surviving doc, since survivors match every Not by definition).
+    pos = [s for s in q.subqueries if not isinstance(s, ast.Not)]
+    negs = [s for s in q.subqueries if isinstance(s, ast.Not)]
+    if not pos:
+        negs = []  # all-Not And: fall back to complement evaluation
+    subs = [evaluate(reader, s, ctx, scored) for s in (pos or q.subqueries)]
     if not subs:
         return EMPTY
     subs.sort(key=lambda r: r[0].size)
@@ -654,6 +663,18 @@ def _eval_and(reader, q: ast.And, ctx, scored):
         if acc[0].size == 0:
             return EMPTY
         acc = _intersect(acc, s)
+    if negs and acc[0].size:
+        docs, scores = acc
+        keep = np.ones(docs.size, dtype=bool)
+        for n in negs:
+            nd, _ = evaluate(reader, n.subquery, ctx, scored=False)
+            if nd.size:
+                keep &= ~np.isin(docs, nd, assume_unique=True)
+        docs, scores = docs[keep], scores[keep]
+        # each Not contributes a constant 1.0 — the reference's Not.matcher
+        # builds InverseMatcher WITHOUT passing self.boost (wrappers.py:137-144,
+        # "boost is meaningless for excluded documents"), so weight stays 1.0
+        acc = (docs, scores + float(len(negs)))
     return _apply_boost(acc, q.boost)
 
 
@@ -703,7 +724,9 @@ def _eval_not(reader, q: ast.Not, ctx, scored):
     mask = np.ones(all_docs.size, dtype=bool)
     mask[reader.dense_index(sub_docs)] = False
     docs = all_docs[mask]
-    return docs, np.full(docs.size, 1.0 * q.boost)
+    # constant 1.0 regardless of q.boost: the reference's Not.matcher builds
+    # InverseMatcher without passing self.boost (wrappers.py:137-144)
+    return docs, np.full(docs.size, 1.0)
 
 
 def _eval_andnot(reader, q: ast.AndNot, ctx, scored):
