@@ -166,6 +166,48 @@ def test_or_many(our_index, whoosh_index, wq):
     both(our_index, whoosh_index, q, w, limit=25)
 
 
+def _both_coord(our_index, whoosh_index, q, w):
+    """Parity modulo the reference CoordMatcher's termcount-decay quirk:
+    as union branches exhaust, whoosh's replace() shrinks its termcount and
+    late docs' coord scores decay (to exactly 0.0 once one term matcher
+    remains).  We score with the fixed full termcount (declared deviation,
+    ast.Or docstring).  Compare exactly on the non-decayed prefix and check
+    the decayed docs differ only in score, not membership."""
+    ours = dict(_our_hits(our_index, q, None))
+    theirs = dict(_whoosh_hits(whoosh_index, w, None))
+    assert set(ours) == set(theirs)
+    decayed = {d for d in theirs if abs(theirs[d] - ours[d]) > 1e-9}
+    same = sorted(set(ours) - decayed)
+    assert len(same) >= 0.99 * len(ours), f"too many decayed docs: {len(decayed)}"
+    np.testing.assert_allclose(
+        [ours[d] for d in same], [theirs[d] for d in same], atol=1e-6, rtol=0
+    )
+    # the quirk only ever LOWERS whoosh's score
+    assert all(theirs[d] < ours[d] for d in decayed)
+
+
+def test_or_scale_coord_bonus(our_index, whoosh_index, wq):
+    # Or(scale=...) applies the reference CoordMatcher's SQR adjustment
+    q = Or([Term("text", COMMON), Term("text", MID), Term("text", RARE)], scale=0.5)
+    w = wq.Or(
+        [wq.Term("text", COMMON), wq.Term("text", MID), wq.Term("text", RARE)],
+        scale=0.5,
+    )
+    _both_coord(our_index, whoosh_index, q, w)
+
+
+def test_or_scale_nested(our_index, whoosh_index, wq):
+    q = Or(
+        [Term("text", MID), And([Term("text", COMMON), Term("text", RARE)])],
+        scale=0.9,
+    )
+    w = wq.Or(
+        [wq.Term("text", MID), wq.And([wq.Term("text", COMMON), wq.Term("text", RARE)])],
+        scale=0.9,
+    )
+    _both_coord(our_index, whoosh_index, q, w)
+
+
 def test_dismax(our_index, whoosh_index, wq):
     q = DisMax([Term("text", MID), Term("text", RARE)])
     w = wq.DisjunctionMax([wq.Term("text", MID), wq.Term("text", RARE)])

@@ -64,10 +64,27 @@ class And(_Compound):
 @dataclass(frozen=True)
 class Or(_Compound):
     subqueries: tuple = ()
+    # "coordination bonus" scaling factor (reference Or(scale=...),
+    # compound.py:291-306): when set, scores are adjusted by the V-Twin SQR
+    # function to reward documents matching more of the query's terms.
+    # Declared deviation: the reference's CoordMatcher RECOMPUTES its
+    # termcount whenever the collector's replace() prunes an exhausted or
+    # low-quality union branch (wrappers.py:545-546), so late documents'
+    # coord scores silently decay — down to exactly 0.0 once one term
+    # matcher remains ((termcount-1)/termcount == 0).  Its own docstring
+    # warns it "may give unexpected results".  We always score with the
+    # query's full, fixed termcount; everything before the decay region is
+    # rank+score-identical.
+    scale: float | None = None
+    # stored for API parity; the reference marks minmatch "not yet
+    # implemented" (compound.py:293) and neither engine applies it
+    minmatch: int = 0
 
-    def __init__(self, subqueries, boost=1.0):
+    def __init__(self, subqueries, boost=1.0, scale=None, minmatch=0):
         object.__setattr__(self, "subqueries", tuple(subqueries))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "scale", scale)
+        object.__setattr__(self, "minmatch", minmatch)
 
 
 @dataclass(frozen=True)

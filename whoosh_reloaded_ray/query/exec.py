@@ -693,8 +693,89 @@ def _union(results):
     return union, scores
 
 
+def _term_leaves(q: ast.Query):
+    """Yield the Term leaves of a query tree (reference
+    Matcher.term_matchers(), matchers.py — walks the whole matcher tree)."""
+    if isinstance(q, ast.Term):
+        yield q
+        return
+    for attr in ("subqueries",):
+        subs = getattr(q, attr, None)
+        if subs:
+            for s in subs:
+                yield from _term_leaves(s)
+            return
+    for attr in ("subquery", "a", "b", "child"):
+        sub = getattr(q, attr, None)
+        if isinstance(sub, ast.Query):
+            yield from _term_leaves(sub)
+
+
+def _coord_leaf_docsets(reader, q: ast.Query, ctx, constraint) -> list:
+    """Per-Term-leaf doc arrays for the coordination count, replicating the
+    reference matching_terms() walk (mcore.py:112-130): a leaf counts at doc
+    d only if EVERY enclosing matcher node is positioned at d, i.e. every
+    enclosing And/phrase/binary node matches d.  Or/DisMax impose no
+    alignment; leaves under Not count never (the InverseMatcher's child
+    cursor sits on the NEXT excluded doc, not the current one)."""
+    if isinstance(q, ast.Term):
+        d = evaluate(reader, q, ctx, scored=False)[0]
+        if constraint is not None:
+            d = np.intersect1d(d, constraint, assume_unique=True)
+        return [d]
+    if isinstance(q, ast.Not):
+        return []
+    if isinstance(q, (ast.Or, ast.DisMax)):
+        out: list = []
+        for s in q.subqueries:
+            out.extend(_coord_leaf_docsets(reader, s, ctx, constraint))
+        return out
+    leaves = list(_term_leaves(q))
+    if not leaves:
+        return []
+    nd = evaluate(reader, q, ctx, scored=False)[0]
+    c = nd if constraint is None else np.intersect1d(nd, constraint, assume_unique=True)
+    if isinstance(q, ast.And):
+        out = []
+        for s in q.subqueries:
+            out.extend(_coord_leaf_docsets(reader, s, ctx, c))
+        return out
+    # leaf-bearing opaque node (Phrase, spans, binary queries): each leaf
+    # counts where the node itself matches and the leaf's postings contain
+    # the doc (the node keeps its children skipped to >= its own cursor)
+    return [
+        np.intersect1d(evaluate(reader, leaf, ctx, scored=False)[0], c, assume_unique=True)
+        for leaf in leaves
+    ]
+
+
 def _eval_or(reader, q: ast.Or, ctx, scored):
-    return _apply_boost(_union([evaluate(reader, s, ctx, scored) for s in q.subqueries]), q.boost)
+    res = _apply_boost(
+        _union([evaluate(reader, s, ctx, scored) for s in q.subqueries]), q.boost
+    )
+    if not (q.scale and scored and res[0].size):
+        return res
+    # coordination bonus (reference CoordMatcher, matching/wrappers.py:532-583):
+    # SQR = (score + (matching-1)/(termcount-scale)^2) * ((termcount-1)/termcount)
+    # where matching = number of the tree's term matchers aligned at the doc
+    # and termcount = total term matchers in the tree (Not subtrees included
+    # in the count, per term_matchers(), though they never align).
+    termcount = len(list(_term_leaves(q)))
+    if termcount == 0:
+        return res  # no term matchers: reference skips the CoordMatcher wrap
+    union, scores = res
+    if termcount == q.scale:
+        return union, np.zeros(union.size)  # _sqr's degenerate guard
+    matching = np.zeros(union.size, dtype=np.int64)
+    for ld in _coord_leaf_docsets(reader, q, ctx, None):
+        if ld.size:
+            idx = np.searchsorted(ld, union)
+            idx_c = np.minimum(idx, ld.size - 1)
+            matching += (idx < ld.size) & (ld[idx_c] == union)
+    scores = (scores + (matching - 1) / (termcount - q.scale) ** 2) * (
+        (termcount - 1) / termcount
+    )
+    return union, scores
 
 
 def _eval_dismax(reader, q: ast.DisMax, ctx, scored):

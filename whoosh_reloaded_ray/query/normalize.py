@@ -159,6 +159,10 @@ def normalize(q: ast.Query) -> ast.Query:
         if len(out) == 1:
             s = out[0]
             return dataclasses.replace(s, boost=s.boost * q.boost)
+        if isinstance(q, ast.Or):
+            # reference Or.normalize carries minmatch/scale onto the
+            # normalized copy (compound.py:316-321)
+            return ast.Or(out, boost=q.boost, scale=q.scale, minmatch=q.minmatch)
         return type(q)(out, boost=q.boost)
     if isinstance(q, ast.DisMax):
         subs = [s for s in (normalize(s) for s in q.subqueries) if not _is_empty(s)]

@@ -47,6 +47,8 @@ def wandable_terms(q: ast.Query):
     if isinstance(q, ast.Term):
         return ("sum", [(q.field, q.text, q.boost)])
     if isinstance(q, ast.Or):
+        if q.scale:
+            return None  # coordination bonus modifies scores; no block-max prune
         # dedupe (field, term) summing boosts: the full evaluator's Or sums
         # per-child scores (np.add.at in _union) and a Term's score is
         # linear in its boost, so 'a^b1 OR a^b2' == 'a^(b1+b2)' exactly —

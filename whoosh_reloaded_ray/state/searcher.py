@@ -663,6 +663,8 @@ class IndexSearcher:
         if isinstance(q, (ast.And, ast.Or, ast.DisMax)):
             subs = [self._rewrite(s) for s in q.subqueries]
             kw = {"tiebreak": q.tiebreak} if isinstance(q, ast.DisMax) else {}
+            if isinstance(q, ast.Or):
+                kw = {"scale": q.scale, "minmatch": q.minmatch}
             return type(q)(subs, boost=q.boost, **kw)
         if isinstance(q, ast.Not):
             return ast.Not(self._rewrite(q.subquery), boost=q.boost)
