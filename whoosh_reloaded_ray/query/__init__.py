@@ -32,6 +32,13 @@ from .ast import (  # noqa: F401
     Wildcard,
 )
 from .ast import ConstantTerms  # noqa: F401
+from .collectors import (  # noqa: F401
+    CountCollector,
+    FieldValuesCollector,
+    StatsCollector,
+    TopFieldCollector,
+    VectorCollector,
+)
 from .parser import MultifieldParser, QueryParser  # noqa: F401
 
 # The reference's SpanNear2 (ordered window chain over a list of queries,

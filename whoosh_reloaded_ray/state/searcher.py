@@ -263,6 +263,15 @@ class _SegmentWorker:
                     out[k] = (max(cur[0], float(s)), cur[1] + int(c))
         return out
 
+    def collector_partials(self, collector, q, ctx) -> list:
+        """Run a user VectorCollector's ``collect`` against each of this
+        worker's segments (query/collectors.py plug-point); returns the
+        list of bounded partials."""
+        return [
+            collector.collect(r, docs, scores)
+            for r, docs, scores in self._matches(q, ctx, scored=collector.scored)
+        ]
+
     def evaluate(
         self,
         q: ast.Query,
@@ -1046,6 +1055,18 @@ class IndexSearcher:
                 for k, pairs in acc.items()
             }
         return groups
+
+    def search_with_collector(self, q: ast.Query, collector):
+        """Run a custom :class:`~whoosh_reloaded_ray.query.collectors.
+        VectorCollector` (reference ``Searcher.search_with_collector``,
+        searching.py:718-740, re-expressed as distributed segment
+        partials): ``collector.collect`` runs inside each segment worker,
+        ``collector.combine`` merges the bounded partials on the driver.
+        Returns ``combine``'s result."""
+        q = self._rewrite(q)
+        ctx = self._context(q)
+        parts = self._partials("collector_partials", collector, q, ctx)
+        return collector.combine([p for worker in parts for p in worker])
 
     def facet_counts(self, q: ast.Query, field: str) -> dict:
         """{facet value: matching doc count} (reference Count facet map) —
