@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
         "dedup_minhash": co.dedup_minhash,
+        "neardup_clusters": co.neardup_clusters,
         "simhash_fingerprints": co.simhash_fingerprints,  # rows-only (bit ops)
         "text_stats": co.text_stats,
         "fingerprint_docs": co.fingerprint_docs,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),
+        "neardup_clusters": co.oracle_neardup_clusters(),
         # simhash_fingerprints: no oracle (64-bit twiddling isn't sane SQL)
         "text_stats": co.oracle_text_stats(),
         "fingerprint_docs": co.oracle_fingerprint_docs(),

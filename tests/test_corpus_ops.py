@@ -44,6 +44,32 @@ def test_neardup_ngram_jaccard(ray_session, con):
     assert res.num_rows > 0, "sf corpus plants near-duplicates"
 
 
+def test_neardup_clusters(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    res = co.neardup_clusters(SF)
+    _assert_match(res, con, co.oracle_neardup_clusters())
+    assert res.num_rows > 0
+
+
+def test_cc_min_label_chain(ray_session):
+    """Label propagation collapses chains: a~b, b~c clusters a with c even
+    without a direct a~c edge; disjoint components stay separate."""
+    import pyarrow as pa
+    import ray
+
+    from whoosh_reloaded_ray.pipelines.corpus_ops import _cc_min_label
+
+    pairs = [(10, 20), (20, 30), (100, 200), (5, 30), (7, 7)]
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = {r["node"]: r["label"] for r in _cc_min_label(edges).take_all()}
+    assert got == {5: 5, 10: 5, 20: 5, 30: 5, 100: 100, 200: 100, 7: 7}
+
+
 def test_dedup_minhash(ray_session, con):
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 

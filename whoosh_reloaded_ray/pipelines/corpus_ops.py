@@ -349,6 +349,23 @@ def _pair_jaccard(group: pa.Table) -> pa.Table:
     )
 
 
+def _verified_pairs_ds(sf_dir: str):
+    """Lazy Dataset of exact-Jaccard-verified candidate pairs
+    (a:int64, b:int64, jaccard:float64) — the shared candidate+verify
+    pipeline behind neardup_ngram_jaccard / dedup_minhash /
+    neardup_clusters."""
+    cand = _lsh_candidate_pairs(sf_dir)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    sh_ds = docs.map_batches(_shingle_set_rows, batch_format="pyarrow", batch_size=512)
+    req_ds = cand.map_batches(_request_rows, batch_format="pyarrow")
+    sided = (
+        sh_ds.union(req_ds)
+        .groupby("key")
+        .map_groups(_attach_shingles, batch_format="pyarrow")
+    )
+    return sided.groupby(["a", "b"]).map_groups(_pair_jaccard, batch_format="pyarrow")
+
+
 def neardup_ngram_jaccard(sf_dir: str) -> pa.Table:
     """Near-duplicate pairs with word-3-shingle Jaccard >= 0.8: MinHash-LSH
     candidates, EXACT verification — all stages Ray Data (no driver-side
@@ -359,16 +376,7 @@ def neardup_ngram_jaccard(sf_dir: str) -> pa.Table:
     groupby(doc_id) attaches each side's set, groupby(a, b) computes the
     exact Jaccard.  Shuffle volume is O(corpus shingle sets) + O(candidate
     pairs x set size) — bounded by the duplicate rate, never all-pairs."""
-    cand = _lsh_candidate_pairs(sf_dir)
-    docs = _read_documents(sf_dir, ["doc_id", "text"])
-    sh_ds = docs.map_batches(_shingle_set_rows, batch_format="pyarrow", batch_size=512)
-    req_ds = cand.map_batches(_request_rows, batch_format="pyarrow")
-    sided = (
-        sh_ds.union(req_ds)
-        .groupby("key")
-        .map_groups(_attach_shingles, batch_format="pyarrow")
-    )
-    verified = sided.groupby(["a", "b"]).map_groups(_pair_jaccard, batch_format="pyarrow")
+    verified = _verified_pairs_ds(sf_dir)
     parts = list(verified.iter_batches(batch_format="pyarrow", batch_size=None))
     j = (
         pa.concat_tables(parts)
@@ -440,6 +448,174 @@ dropped AS (
   WHERE len(list_intersect(a.s, b.s))::DOUBLE
           / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_TAU})
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components by iterative min-label
+# propagation — all-Dataset, no driver-side graph)
+# ---------------------------------------------------------------------------
+
+_MSG_SCHEMA = pa.schema([("key", pa.int64()), ("dst", pa.int64()), ("label", pa.int64())])
+
+
+def _cc_emit_messages(group: pa.Table) -> pa.Table:
+    """groupby(key) reducer: one label row (dst == -1, carries the key's
+    current label) + N edge rows (dst = neighbor) -> (node, candidate
+    label) messages for every neighbor plus the key itself."""
+    dst = group["dst"].to_numpy(zero_copy_only=False)
+    lab_rows = np.flatnonzero(dst < 0)
+    out_schema = pa.schema([("dst", pa.int64()), ("label", pa.int64())])
+    if lab_rows.size == 0:
+        return out_schema.empty_table()
+    lab = int(group["label"][int(lab_rows[0])].as_py())
+    targets = dst[dst >= 0]
+    key = int(group["key"][0].as_py())
+    out_dst = np.concatenate([targets, [key]])
+    return pa.table(
+        {
+            "dst": pa.array(out_dst, pa.int64()),
+            "label": pa.array(np.full(out_dst.size, lab), pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def _cc_min_label(edges, max_iters: int = 50):
+    """Connected components over a symmetric edge Dataset (src:int64,
+    dst:int64) by iterative min-label propagation: every node's label
+    starts as min(self, neighbors) and each round takes the min of its
+    neighbors' labels, until the (monotonically decreasing) label sum is
+    stable.  Rounds needed = component diameter — small for near-dup
+    clusters.  Two shuffles per round, both keyed by node id; the labels
+    table is bounded by the number of nodes that appear in any pair
+    (duplicate-rate bounded), never the corpus."""
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["src"],
+                "label": pc.min_element_wise(batch["src"], batch["dst"]),
+            }
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        edge_rows = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["src"],
+                    "dst": b["dst"],
+                    "label": pa.array(np.full(len(b), -1), pa.int64()),
+                },
+                schema=_MSG_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        label_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["node"],
+                    "dst": pa.array(np.full(len(b), -1), pa.int64()),
+                    "label": b["label"],
+                },
+                schema=_MSG_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            edge_rows.union(label_rows)
+            .groupby("key")
+            .map_groups(_cc_emit_messages, batch_format="pyarrow")
+            .groupby("dst")
+            .min("label")
+            .map_batches(
+                lambda b: pa.table({"node": b["dst"], "label": b["min(label)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:  # labels only decrease; a stable sum is convergence
+            break
+        prev_sum = s
+    return labels
+
+
+def neardup_clusters(sf_dir: str) -> pa.Table:
+    """(doc_id, cluster_id) for every doc in at least one verified near-dup
+    pair; cluster_id = min doc_id of its connected component in the
+    near-dup graph.  The canonical dedup-at-scale output: keep one doc per
+    cluster, drop the rest — unlike pairwise dedup this collapses chains
+    (a~b, b~c puts a,c in one cluster even when a!~c directly).
+
+    Fully distributed: verified pairs stay a Dataset, components come from
+    iterative min-label propagation (two node-keyed shuffles per round,
+    rounds = component diameter); the driver sees only the final
+    (duplicate-rate-bounded) labels."""
+
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["jaccard"], JACCARD_TAU))
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    # materialized once: the edge table is duplicate-rate bounded and is
+    # re-read every propagation round (otherwise each round would re-run
+    # the whole LSH + verify pipeline upstream)
+    edges = (
+        _verified_pairs_ds(sf_dir)
+        .map_batches(pair_edges, batch_format="pyarrow")
+        .materialize()
+    )
+    if edges.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    labels = _cc_min_label(edges)
+    parts = list(labels.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(parts)
+    t = pa.table({"doc_id": t["node"], "cluster_id": t["label"]})
+    return t.sort_by("doc_id")
+
+
+def oracle_neardup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+                             for i in generate_series(1, len(w)-2)]) s
+       FROM toks),
+pairs AS (
+  SELECT a.doc_id a, b.doc_id b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_TAU}),
+edges AS (
+  SELECT a x, b y FROM pairs UNION SELECT b, a FROM pairs
+  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+reach(n, m) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
 ORDER BY doc_id
 """
 
