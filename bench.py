@@ -215,7 +215,11 @@ def _corpus_ops_probe(n_docs: int = 100_000) -> dict:
             row_group_size=4096,
         )
     out = {"docs": n_docs}
-    for name, fn in (("minhash", co.minhash_band_rows), ("simhash", co.simhash_batch)):
+    for name, fn in (
+        ("minhash", co.minhash_band_rows),
+        ("simhash", co.simhash_batch),
+        ("text_stats", co.text_stats_batch),
+    ):
         ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
         t0 = time.perf_counter()
         ds.map_batches(fn, batch_format="pyarrow", batch_size=1024).count()

@@ -754,44 +754,52 @@ STOPSET = (
 ).split()
 
 
+_STOPLIST_ARR = None
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Stateless vectorized text-stats kernel (see text_stats)."""
+    global _STOPLIST_ARR
+    if _STOPLIST_ARR is None:
+        _STOPLIST_ARR = pa.array(list(STOPSET), pa.string())
+    texts = batch.column("text").combine_chunks()
+    words = pc.split_pattern(pc.utf8_lower(texts), " ")
+    n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=_STOPLIST_ARR).to_numpy(zero_copy_only=False)
+    starts = np.zeros(n_tok.size, dtype=np.int64)
+    np.cumsum(n_tok[:-1], out=starts[1:])
+    # split of any string (even "") yields >= 1 token, so every segment is
+    # non-empty and reduceat is well-defined
+    sum_len = np.add.reduceat(wlens, starts)
+    n_stop = np.add.reduceat(is_stop.astype(np.int64), starts)
+    ml = np.round(sum_len / n_tok, 6)
+    sr_raw = n_stop / n_tok
+    sr = np.round(sr_raw, 6)
+    # quality: long-enough docs with moderate stopword rate score high
+    qual = np.round(np.minimum(n_tok / 50.0, 1.0) * (1.0 - np.abs(sr_raw - 0.4)), 6)
+    n_bpe = pc.count_substring_regex(texts, pattern=r"\w+|[^\w\s]")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_tokens": n_bpe.cast(pa.int64()),
+            "mean_word_len": pa.array(ml, pa.float64()),
+            "stopword_ratio": pa.array(sr, pa.float64()),
+            "quality": pa.array(qual, pa.float64()),
+        }
+    )
+
+
 def text_stats(sf_dir: str) -> pa.Table:
     """Per-doc: whitespace token count, regex (BPE-ish) token count, mean
-    word length, stopword ratio, quality score — all vectorized per batch,
-    SQL-parity formulas."""
-    import re
-
+    word length, stopword ratio, quality score — all vectorized per batch
+    (Arrow split/length/is_in kernels + np.add.reduceat over the flattened
+    word list), SQL-parity formulas."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    bpe_pat = re.compile(r"\w+|[^\w\s]")
-    stopset = set(STOPSET)
-
-    def stats(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_tok, n_bpe, mean_len, stop_r, qual = [], [], [], [], []
-        for t in texts:
-            words = t.lower().split(" ")
-            nw = len(words)
-            n_tok.append(nw)
-            n_bpe.append(len(bpe_pat.findall(t)))
-            ml = sum(len(w) for w in words) / nw if nw else 0.0
-            mean_len.append(round(ml, 6))
-            sr = sum(1 for w in words if w in stopset) / nw if nw else 0.0
-            stop_r.append(round(sr, 6))
-            # quality: long-enough docs with moderate stopword rate score high
-            q = min(nw / 50.0, 1.0) * (1.0 - abs(sr - 0.4))
-            qual.append(round(q, 6))
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
-                "mean_word_len": pa.array(mean_len, pa.float64()),
-                "stopword_ratio": pa.array(stop_r, pa.float64()),
-                "quality": pa.array(qual, pa.float64()),
-            }
-        )
-
     t = pa.concat_tables(
-        ds.map_batches(stats, batch_format="pyarrow").iter_batches(
+        ds.map_batches(text_stats_batch, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
         )
     )
