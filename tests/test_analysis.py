@@ -402,6 +402,44 @@ def test_charset_tokenizer_parity(whoosh):
         assert ours == theirs, (text, ours, theirs)
 
 
+def test_charset_table_parser_parity(whoosh):
+    """charset_table_to_dict parses the Sphinx charset-table format
+    identically to the reference (support/charset.py:1299) on the
+    reference's own 87k-entry default_charset and on each item form.
+    The /2 checkerboard form is validated against the documented spec
+    only: the reference's assert has a precedence bug (charset.py:1368,
+    ``toord - fromord % 2 == 0``) that crashes on any real /2 item."""
+    from whoosh.support.charset import charset_table_to_dict as ref_parse
+    from whoosh.support.charset import default_charset
+
+    from whoosh_reloaded_ray.functions.analysis import (
+        charset_table_to_dict,
+        charset_tokenize,
+    )
+
+    assert charset_table_to_dict(default_charset) == dict(ref_parse(default_charset))
+
+    tbl = "a..z, A..Z->a..z, 0..9, _, U+00C0->U+00E0"
+    got = charset_table_to_dict(tbl)
+    assert dict(ref_parse(tbl)) == got
+    assert got[ord("Z")] == "z" and got[0xC0] == chr(0xE0)
+
+    chk = charset_table_to_dict("U+0100..U+0106/2")
+    assert chk[0x100] == chk[0x101] == chr(0x101)
+    assert chk[0x106] == chk[0x107] == chr(0x107)
+
+    # strict tokenize: undeclared chars (é, comma, space) are breaks;
+    # declared uppercase translates (final token stays raw per the
+    # reference's end-of-string quirk)
+    toks = [t for t, _ in charset_tokenize("Héllo WORLD_x9 f,oo", got, strict=True)]
+    assert toks == ["h", "llo", "world_x9", "f", "oo"]
+
+    with pytest.raises(ValueError):
+        charset_table_to_dict("a..z->A..Y")  # length mismatch
+    with pytest.raises(ValueError):
+        charset_table_to_dict("??bogus??")
+
+
 def test_regex_tokenizer_gaps(whoosh):
     """RegexTokenizer(gaps=True) split mode parity (tokenizers.py:160-197)."""
     from whoosh.analysis import LowercaseFilter, RegexTokenizer

@@ -872,7 +872,76 @@ def tee_filter(tokens, *filters):
     return out
 
 
-def charset_tokenize(value: str, charmap: dict) -> list:
+def _charspec(s: str) -> int:
+    """'A' or 'U+1E00' -> code point (Sphinx charset-table char spec)."""
+    if s.startswith("U+"):
+        return int(s[2:], 16)
+    if len(s) == 1:
+        return ord(s)
+    raise ValueError(f"bad charspec {s!r}")
+
+
+_CHARSPEC = r"(U\+[0-9A-Fa-f]{4,6}|.)"
+_ITEM_RE = None  # compiled lazily (module import stays cheap)
+
+
+def charset_table_to_dict(tablestring: str) -> dict:
+    """Parse a Sphinx charset-table string (the format of the reference's
+    ``support/charset.py:1299`` ``charset_table_to_dict`` and sphinxsearch's
+    ``charset_table`` config) into a {codepoint: str} translation map
+    containing ONLY the declared word characters.
+
+    Item forms (comma-separated, ``#`` comments, whitespace ignored):
+    ``A->a`` single map, ``A..Z->a..z`` range map (equal lengths),
+    ``a`` stray char, ``a..z`` stray range, ``A..Z/2`` checkerboard
+    (odd->next even, even->itself).  Char specs are literals or ``U+hex``.
+
+    Undeclared characters are word BREAKS in Sphinx semantics: pass the
+    result to :func:`charset_tokenize` with ``strict=True``.  (The
+    reference converts its working defaultdict to a plain dict on return,
+    so its own CharsetTokenizer raises KeyError on undeclared input
+    characters — charset.py:1378 / tokenizers.py:284; we keep the plain
+    dict but make break-on-missing an explicit tokenizer mode instead.)"""
+    import re as _re
+
+    global _ITEM_RE
+    if _ITEM_RE is None:
+        _ITEM_RE = _re.compile(
+            # one pattern, alternation ordered most- to least-specific
+            f"^(?:{_CHARSPEC}\\.\\.{_CHARSPEC}(?:->{_CHARSPEC}\\.\\.{_CHARSPEC}|(/2))?"
+            f"|{_CHARSPEC}(?:->{_CHARSPEC})?)$"
+        )
+    out: dict = {}
+    for line in tablestring.splitlines():
+        line = line.split("#", 1)[0] if line.lstrip().startswith("#") else line
+        for item in "".join(line.split()).split(","):
+            if not item:
+                continue
+            m = _ITEM_RE.match(item)
+            if not m:
+                raise ValueError(f"unparseable charset item {item!r}")
+            r1, r2, d1, d2, checker, s1, s2 = m.groups()
+            if r1 is not None:  # range forms
+                lo, hi = _charspec(r1), _charspec(r2)
+                if checker:  # A..Z/2: pairs both map to the pair's second
+                    for cp in range(lo, hi + 1, 2):
+                        out[cp] = out[cp + 1] = chr(cp + 1)
+                elif d1 is not None:  # A..Z->a..z
+                    dlo, dhi = _charspec(d1), _charspec(d2)
+                    if hi - lo != dhi - dlo:
+                        raise ValueError(f"range length mismatch in {item!r}")
+                    for cp, dcp in zip(range(lo, hi + 1), range(dlo, dhi + 1)):
+                        out[cp] = chr(dcp)
+                else:  # stray range a..z
+                    for cp in range(lo, hi + 1):
+                        out[cp] = chr(cp)
+            else:  # single forms
+                cp = _charspec(s1)
+                out[cp] = chr(_charspec(s2)) if s2 is not None else chr(cp)
+    return out
+
+
+def charset_tokenize(value: str, charmap: dict, strict: bool = False) -> list:
     """CharsetTokenizer (reference analysis/tokenizers.py:239-315):
     translate each char through ``charmap``; falsy-mapped chars are token
     breaks; others are translated in place.  Returns [(text, pos)].
@@ -880,14 +949,16 @@ def charset_tokenize(value: str, charmap: dict) -> list:
     quirk: the token that reaches end-of-string is emitted as the RAW
     (untranslated) slice of the input (tokenizers.py:305 uses
     value[startchar:currentchar]).  Build charmaps from
-    :func:`accent_fold_map` plus case entries, mirroring the Sphinx
-    charset-table workflow."""
+    :func:`accent_fold_map` plus case entries, or parse a Sphinx table with
+    :func:`charset_table_to_dict`.  ``strict=True`` treats characters
+    MISSING from the map as breaks (Sphinx semantics: only declared chars
+    are word characters); the default keeps them (accent-map workflow)."""
     out = []
     text = ""
     pos = 0
     startchar = currentchar = 0
     for ch in value:
-        tchar = charmap.get(ord(ch), ch)
+        tchar = charmap.get(ord(ch), None if strict else ch)
         if tchar:
             text += tchar
         else:
