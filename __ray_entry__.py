@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": co.text_stats,
         "fingerprint_docs": co.fingerprint_docs,
         "winnow_fingerprints": co.winnow_fingerprints,
+        "winnow_shared_pairs": co.winnow_shared_pairs,
         "lang_id": co.lang_id,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": co.oracle_text_stats(),
         "fingerprint_docs": co.oracle_fingerprint_docs(),
         "winnow_fingerprints": co.oracle_winnow_fingerprints(),
+        "winnow_shared_pairs": co.oracle_winnow_shared_pairs(),
         "lang_id": co.oracle_lang_id(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),

@@ -70,6 +70,15 @@ def test_cc_min_label_chain(ray_session):
     assert got == {5: 5, 10: 5, 20: 5, 30: 5, 100: 100, 200: 100, 7: 7}
 
 
+def test_winnow_shared_pairs(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    res = co.winnow_shared_pairs(SF)
+    _assert_match(res, con, co.oracle_winnow_shared_pairs())
+    assert res.num_rows > 0, "sf corpus plants near-duplicates with copied passages"
+    assert (np.asarray(res["n_shared"]) >= co.WINNOW_MIN_SHARED).all()
+
+
 def test_dedup_minhash(ray_session, con):
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 

@@ -936,24 +936,34 @@ def winnow_fingerprints(sf_dir: str) -> pa.Table:
     picks a position, not a value, so the value set is rule-independent).
     Texts yielding fewer than W hashes contribute their single overall
     minimum.  Exploded (doc_id, fp) rows, sorted."""
+    t = pa.concat_tables(
+        _winnow_ds(sf_dir).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return t.sort_by([("doc_id", "ascending"), ("fp", "ascending")])
+
+
+def _winnow_ds(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Lazy Dataset of exploded (doc_id:int64, fp:int64) winnow rows.
+
+    Coefficients are b^(k-1-j) mod m so large k never overflows int64
+    (each term < 2^52, the k-term sum < 2^57; identical values to the
+    full-power formula for the default k=5)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     powers = np.array(
-        [WINNOW_B ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)], dtype=np.int64
+        [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)], dtype=np.int64
     )
 
     def fp(batch: pa.Table) -> pa.Table:
         doc_ids, fps = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             t = (text or "").lower()
-            if len(t) < WINNOW_K:
+            if len(t) < k:
                 continue
             codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            grams = np.lib.stride_tricks.sliding_window_view(codes, WINNOW_K)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
             hashes = (grams @ powers) % WINNOW_M
-            if hashes.size >= WINNOW_W:
-                wmins = np.lib.stride_tricks.sliding_window_view(
-                    hashes, WINNOW_W
-                ).min(axis=1)
+            if hashes.size >= w:
+                wmins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
             else:
                 wmins = hashes.min(keepdims=True)
             sel = np.unique(wmins)
@@ -963,12 +973,104 @@ def winnow_fingerprints(sf_dir: str) -> pa.Table:
             {"doc_id": pa.array(doc_ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
         )
 
-    t = pa.concat_tables(
-        ds.map_batches(fp, batch_format="pyarrow").iter_batches(
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+WINNOW_MIN_SHARED = 2
+WINNOW_PAIR_K = 20  # long k-grams: a shared fp implies a >= K+W-1 = 27-char
+WINNOW_PAIR_W = 8   # common substring, i.e. a genuinely copied passage
+
+
+def _winnow_pair_emit(group: pa.Table) -> pa.Table:
+    """groupby(fp) reducer: all docs sharing this fingerprint -> doc pairs
+    (a < b)."""
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    if ids.size < 2:
+        return schema.empty_table()
+    ii, jj = np.triu_indices(ids.size, k=1)
+    return pa.table({"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}, schema=schema)
+
+
+def winnow_shared_pairs(sf_dir: str, min_shared: int = WINNOW_MIN_SHARED) -> pa.Table:
+    """MOSS-style overlap detection: doc pairs sharing >= ``min_shared``
+    winnow fingerprints, with the shared count (Schleimer/Wilkerson/Aiken
+    2003 §4 — matching fingerprints locate copied/near-copied passages,
+    catching partial overlap that whole-doc Jaccard dilutes away).
+
+    Uses LONG k-grams (k=20, window 8): a shared fingerprint implies a
+    >= 27-char common substring, so counts reflect copied passages rather
+    than the char-5-gram collisions the whole-doc fingerprint op tolerates.
+
+    Distributed: fingerprint rows group by fp value (pair emission is
+    per-bucket, like LSH banding), then a (a, b) groupby counts shared
+    fingerprints.  Exact — every pair sharing a fingerprint is counted.
+    At open-web scale, drop ultra-hot fingerprint buckets (boilerplate
+    shared by thousands of docs) before pair emission, exactly like the
+    LSH hot-bucket guard; long-k buckets in the sf corpora are dup-sized,
+    so the gate path is uncapped."""
+    pairs = _winnow_ds(sf_dir, k=WINNOW_PAIR_K, w=WINNOW_PAIR_W).groupby("fp").map_groups(
+        _winnow_pair_emit, batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["a", "b"]).count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "n_shared": batch["count()"].cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    parts = list(
+        counted.map_batches(finish, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
         )
     )
-    return t.sort_by([("doc_id", "ascending"), ("fp", "ascending")])
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
+        ).empty_table()
+    )
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def oracle_winnow_shared_pairs() -> str:
+    k, w, b, m = WINNOW_PAIR_K, WINNOW_PAIR_W, WINNOW_B, WINNOW_M
+    # modular coefficients keep every term < 2^52 (no BIGINT overflow);
+    # ord() is INT32 in DuckDB, so cast before the multiply
+    gram = " + ".join(
+        f"ord(substr(t, i + {j}, 1))::BIGINT * {pow(b, k - 1 - j, m)}" for j in range(k)
+    )
+    return f"""
+WITH lowered AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {k}
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(t) - {k} + 1),
+                        i -> ({gram}) % {m}) AS hs
+  FROM lowered
+),
+winnowed AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {w}
+              THEN list_transform(generate_series(1, len(hs) - {w} + 1),
+                                  p -> list_aggregate(hs[p:p + {w} - 1], 'min'))
+              ELSE [list_aggregate(hs, 'min')]
+         END AS wmins
+  FROM hashed
+),
+fps AS (SELECT DISTINCT doc_id, unnest(wmins) AS fp FROM winnowed)
+SELECT f1.doc_id AS a, f2.doc_id AS b, COUNT(*)::BIGINT AS n_shared
+FROM fps f1 JOIN fps f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY a, b
+"""
 
 
 def oracle_winnow_fingerprints() -> str:
