@@ -70,6 +70,24 @@ def test_cc_min_label_chain(ray_session):
     assert got == {5: 5, 10: 5, 20: 5, 30: 5, 100: 100, 200: 100, 7: 7}
 
 
+def test_cc_min_label_long_chain(ray_session):
+    """Pointer jumping: a 64-node path converges well within a round cap
+    an O(diameter) walk would blow (O(log diameter) rounds)."""
+    import pyarrow as pa
+    import ray
+
+    from whoosh_reloaded_ray.pipelines.corpus_ops import _cc_min_label
+
+    n = 64
+    src = list(range(n - 1)) + list(range(1, n))
+    dst = list(range(1, n)) + list(range(n - 1))
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = {r["node"]: r["label"] for r in _cc_min_label(edges, max_iters=10).take_all()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_winnow_shared_pairs(ray_session, con):
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 

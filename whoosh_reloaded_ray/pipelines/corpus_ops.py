@@ -482,15 +482,48 @@ def _cc_emit_messages(group: pa.Table) -> pa.Table:
     )
 
 
+def _cc_shortcut(labels):
+    """One pointer-jumping hop: new_label(n) = label(label(n)).  The same
+    union+groupby repartition-join trick as message passing — request rows
+    keyed by the CURRENT label, label rows keyed by node."""
+
+    def request_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["label"], "dst": b["node"], "label": pa.array(np.full(len(b), -1), pa.int64())},
+            schema=_MSG_SCHEMA,
+        )
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b["node"], "dst": pa.array(np.full(len(b), -1), pa.int64()), "label": b["label"]},
+            schema=_MSG_SCHEMA,
+        )
+
+    return (
+        labels.map_batches(request_rows, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(_cc_emit_messages, batch_format="pyarrow")
+        .groupby("dst")
+        .min("label")
+        .map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["min(label)"]}),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _cc_min_label(edges, max_iters: int = 50):
     """Connected components over a symmetric edge Dataset (src:int64,
-    dst:int64) by iterative min-label propagation: every node's label
-    starts as min(self, neighbors) and each round takes the min of its
-    neighbors' labels, until the (monotonically decreasing) label sum is
-    stable.  Rounds needed = component diameter — small for near-dup
-    clusters.  Two shuffles per round, both keyed by node id; the labels
-    table is bounded by the number of nodes that appear in any pair
-    (duplicate-rate bounded), never the corpus."""
+    dst:int64) by iterative min-label propagation WITH pointer jumping:
+    every node's label starts as min(self, neighbors); each round takes
+    the min over neighbors' labels and then shortcuts through
+    label(label(n)), so convergence needs O(log diameter) rounds (a
+    1000-hop dup chain converges in ~10 rounds, not 1000).  Terminates
+    when the monotonically decreasing label sum is stable; raises if
+    ``max_iters`` rounds aren't enough rather than returning wrong
+    labels.  The labels table is bounded by the number of nodes that
+    appear in any pair (duplicate-rate bounded), never the corpus."""
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -534,7 +567,7 @@ def _cc_min_label(edges, max_iters: int = 50):
             ),
             batch_format="pyarrow",
         )
-        labels = (
+        neighbor_min = (
             edge_rows.union(label_rows)
             .groupby("key")
             .map_groups(_cc_emit_messages, batch_format="pyarrow")
@@ -544,13 +577,17 @@ def _cc_min_label(edges, max_iters: int = 50):
                 lambda b: pa.table({"node": b["dst"], "label": b["min(label)"]}),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
+        labels = _cc_shortcut(neighbor_min).materialize()
         s = labels.sum("label")
         if s == prev_sum:  # labels only decrease; a stable sum is convergence
-            break
+            return labels
         prev_sum = s
-    return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} rounds "
+        "(pointer jumping makes this 2^rounds-diameter coverage; "
+        "check the edge table for corruption)"
+    )
 
 
 def neardup_clusters(sf_dir: str) -> pa.Table:
