@@ -61,6 +61,21 @@ def test_parse_and_page(ix):
         assert {h["key"] for h in list(p1) + list(p2)} == {"A", "D", "E"}
 
 
+def test_document_lookup(ix):
+    """document()/documents()/document_number(s) convenience lookups
+    (reference searching.py:352-426)."""
+    with ix.searcher() as s:
+        d = s.document(key="C")
+        assert d is not None and d["key"] == "C"
+        assert s.document(key="ZZZ") is None
+        assert sorted(r["key"] for r in s.documents(name="yellow")) == ["A", "E"]
+        # no kwargs -> every document
+        assert len(list(s.documents())) == s.doc_count_all()
+        n = s.document_number(key="B")
+        assert n is not None and s.stored_fields(n)["key"] == "B"
+        assert len(s.document_numbers(name="yellow")) == 2
+
+
 def test_incremental_write_and_delete(ix):
     w = ix.writer(num_shards=2, partition_rows=16)
     w.add_document(key="F", name="Yellow extra", value="Another doc entirely.")

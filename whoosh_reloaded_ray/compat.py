@@ -396,6 +396,55 @@ class CompatSearcher:
         offset = (pagenum - 1) * pagelen
         return Results(full.hits[offset : offset + pagelen], full.total)
 
+    def document_numbers(self, **kw):
+        """Docnums of documents whose fields contain the given terms
+        (reference Searcher.document_numbers, searching.py:410-426: one
+        Term per keyword, And-ed; no kwargs -> every document).  Values
+        are matched as TERMS, exactly like the reference — pass analyzed
+        text for analyzed fields."""
+        from .query import ast
+
+        q = ast.And([ast.Term(k, v) for k, v in kw.items()]) if kw else ast.Every()
+        res = self._s.search(q, limit=None, scored=False)
+        return res["docnum"].to_pylist()
+
+    def document_number(self, **kw):
+        nums = self.document_numbers(**kw)
+        return nums[0] if nums else None
+
+    def documents(self, **kw):
+        """Generator of stored-field dicts for matching documents
+        (reference Searcher.documents, searching.py:376-393)."""
+        docnums = self.document_numbers(**kw)
+        if not docnums:
+            return iter([])
+        return iter(self.stored_fields_many(docnums))
+
+    def document(self, **kw):
+        """First matching stored-field dict or None (reference
+        Searcher.document, searching.py:352-374)."""
+        for d in self.documents(**kw):
+            return d
+        return None
+
+    def stored_fields(self, docnum: int) -> dict:
+        """Stored fields of one document (reference reader.stored_fields)."""
+        rows = self.stored_fields_many([docnum])
+        if not rows:
+            raise KeyError(docnum)
+        return rows[0]
+
+    def stored_fields_many(self, docnums: list) -> list:
+        stored = [f.name for f in self._schema.fields if f.stored]
+        from .sources.corpus import fetch_rows
+
+        rows = fetch_rows(self._s.manifest.partitions, docnums, columns=stored)
+        by_doc = {
+            r["docnum"]: {k: v for k, v in r.items() if k != "docnum"}
+            for r in rows.to_pylist()
+        }
+        return [by_doc[d] for d in docnums if d in by_doc]
+
     def suggest(self, fieldname, text, **kw):
         return self._s.suggest(fieldname, text, **kw)
 
