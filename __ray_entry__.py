@@ -86,8 +86,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embedding_lsh": ann.neardup_embedding_pairs_lsh,  # rows-only (approx scale mode)
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
         "simhash_neardup_pairs": lambda sf: co.simhash_neardup_pairs(sf, max_hamming=8),  # rows-only
-        # multimodal plumbing (stubbed decode, real actor-pool stages)
+        # multimodal: REAL PPM/WAV decode (pure numpy/stdlib) + stubbed
+        # compressed-format decode with real actor-pool plumbing
         "decode_image_meta": mm.decode_image_meta,
+        "decode_ppm_meta": mm.decode_ppm_meta,
+        "decode_wav_meta": mm.decode_wav_meta,
         "frame_sample_meta": mm.frame_sample_meta,
     }
 
@@ -139,5 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         # ann_ivf_topk: no oracle (approximate by design)
         "decode_image_meta": mm.oracle_decode_image_meta(),
+        "decode_ppm_meta": mm.oracle_decode_ppm_meta(),
+        "decode_wav_meta": mm.oracle_decode_wav_meta(),
         "frame_sample_meta": mm.oracle_frame_sample_meta(),
     }

@@ -160,6 +160,21 @@ def test_multimodal_stages(ray_session, con):
         mm._decode_image_real(b"xx")
 
 
+def test_real_decoders(ray_session, con):
+    """REAL byte-level decode: PPM via numpy, PCM WAV via stdlib wave —
+    generated payloads round-trip through the actor-pool decoders and the
+    oracle recomputes expected metadata from the generation rule."""
+    from whoosh_reloaded_ray.stages import multimodal as mm
+
+    # kernel units: header comments, rasters, amplitudes
+    blob = b"P6\n# comment\n3 2\n255\n" + bytes([9]) * 18
+    assert mm.decode_ppm(blob) == (3, 2, 3, 9.0)
+    assert mm.decode_wav(mm.make_wav(123))[:3] == (8000, 1, 123 % 100 + 10)
+
+    _assert_match(mm.decode_ppm_meta(SF), con, mm.oracle_decode_ppm_meta())
+    _assert_match(mm.decode_wav_meta(SF), con, mm.oracle_decode_wav_meta())
+
+
 def test_neardup_hot_bucket_skew(ray_session, tmp_path):
     """One degenerate LSH bucket (many identical docs) must not break or
     driver-bottleneck the distributed pipeline: 40 identical docs all land

@@ -156,3 +156,183 @@ SELECT doc_id,
             / {FRAME_SAMPLE_EVERY}.0)::BIGINT AS n_sampled
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — pure numpy / stdlib, no imaging libs needed.
+# PPM (P6) and PCM WAV are fully parsed from bytes; JPEG/PNG stay behind
+# the PIL gate in _decode_image_real.
+# ---------------------------------------------------------------------------
+
+
+def make_ppm(doc_id: int) -> bytes:
+    """Deterministic real PPM(P6) image for a doc: width = doc_id%16+1,
+    height = doc_id%8+1, every pixel = doc_id%256 in all three channels."""
+    w, h, v = doc_id % 16 + 1, doc_id % 8 + 1, doc_id % 256
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + bytes([v]) * (3 * w * h)
+
+
+def decode_ppm(blob: bytes) -> tuple:
+    """Parse a binary PPM (P6): returns (width, height, channels,
+    mean_pixel).  Real byte-level decode — ASCII header with
+    whitespace/comment handling, then a numpy view over the raster."""
+    if not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated ASCII
+    # tokens; '#' starts a comment running to end-of-line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(blob, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return w, h, 3, float(raster.mean())
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic real PCM16 mono WAV: doc_id%100+10 samples at 8 kHz,
+    constant amplitude doc_id%1000."""
+    import io
+    import wave
+
+    n, amp = doc_id % 100 + 10, doc_id % 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.full(n, amp, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple:
+    """Parse a PCM WAV (stdlib wave + numpy): returns (sample_rate,
+    n_channels, n_samples, peak_amplitude)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as f:
+        rate, nch, n = f.getframerate(), f.getnchannels(), f.getnframes()
+        data = np.frombuffer(f.readframes(n), dtype=np.int16)
+    peak = int(np.abs(data.astype(np.int32)).max()) if data.size else 0
+    return rate, nch, n, peak
+
+
+class ImageDecoder:
+    """Actor-pool image decode: sniffs the magic bytes — PPM(P6) decodes
+    for real (pure numpy); anything else falls to the PIL-gated stub.
+    Same actor shape as FakeImageDecoder (init-once, small batches)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"width": [], "height": [], "channels": [], "mean_pixel": []}
+        for blob in batch["payload"].to_pylist():
+            if blob and blob.startswith(b"P6"):
+                w, h, c, mean = decode_ppm(blob)
+            else:
+                _decode_image_real(blob)  # raises NotImplementedError
+                raise AssertionError("unreachable")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["channels"].append(c)
+            rows["mean_pixel"].append(round(mean, 6))
+        out = {n: batch[n] for n in batch.column_names if n != "payload"}
+        out.update(
+            {
+                "width": pa.array(rows["width"], pa.int64()),
+                "height": pa.array(rows["height"], pa.int64()),
+                "channels": pa.array(rows["channels"], pa.int64()),
+                "mean_pixel": pa.array(rows["mean_pixel"], pa.float64()),
+            }
+        )
+        return pa.table(out)
+
+
+class AudioDecoder:
+    """Actor-pool audio decode: PCM WAV via stdlib wave — a real decode,
+    no external libs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"sample_rate": [], "n_channels": [], "n_samples": [], "peak": []}
+        for blob in batch["payload"].to_pylist():
+            rate, nch, n, peak = decode_wav(blob)
+            rows["sample_rate"].append(rate)
+            rows["n_channels"].append(nch)
+            rows["n_samples"].append(n)
+            rows["peak"].append(peak)
+        out = {n: batch[n] for n in batch.column_names if n != "payload"}
+        out.update({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        return pa.table(out)
+
+
+def _attach_real_payload(make_fn):
+    def attach(batch: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [make_fn(d) for d in batch["doc_id"].to_pylist()], type=pa.large_binary()
+        )
+        return batch.append_column("payload", payload)
+
+    return attach
+
+
+def _decode_meta_pipeline(sf_dir: str, make_fn, decoder_cls) -> pa.Table:
+    import ray.data
+
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ds = ds.map_batches(_attach_real_payload(make_fn), batch_format="pyarrow")
+    ds = ds.map_batches(
+        decoder_cls, concurrency=2, batch_size=128, batch_format="pyarrow"
+    )
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return t.sort_by("doc_id")
+
+
+def decode_ppm_meta(sf_dir: str) -> pa.Table:
+    """Gate query: REAL image decode — generate a PPM per doc, parse its
+    bytes in the actor pool, emit decoded metadata.  The oracle recomputes
+    the expected values from the generation rule; the pipeline only ever
+    sees bytes."""
+    return _decode_meta_pipeline(sf_dir, make_ppm, ImageDecoder)
+
+
+def oracle_decode_ppm_meta() -> str:
+    return """
+SELECT doc_id,
+       (doc_id % 16 + 1)::BIGINT AS width,
+       (doc_id % 8 + 1)::BIGINT AS height,
+       3::BIGINT AS channels,
+       ROUND((doc_id % 256) * 1.0, 6) AS mean_pixel
+FROM documents ORDER BY doc_id
+"""
+
+
+def decode_wav_meta(sf_dir: str) -> pa.Table:
+    """Gate query: REAL audio decode — PCM WAV per doc via stdlib wave."""
+    return _decode_meta_pipeline(sf_dir, make_wav, AudioDecoder)
+
+
+def oracle_decode_wav_meta() -> str:
+    return """
+SELECT doc_id,
+       8000::BIGINT AS sample_rate,
+       1::BIGINT AS n_channels,
+       (doc_id % 100 + 10)::BIGINT AS n_samples,
+       (doc_id % 1000)::BIGINT AS peak
+FROM documents ORDER BY doc_id
+"""
