@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": co.winnow_fingerprints,
         "winnow_shared_pairs": co.winnow_shared_pairs,
         "lang_id": co.lang_id,
+        "stratified_sample": co.stratified_sample,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": co.oracle_winnow_fingerprints(),
         "winnow_shared_pairs": co.oracle_winnow_shared_pairs(),
         "lang_id": co.oracle_lang_id(),
+        "stratified_sample": co.oracle_stratified_sample(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         # ann_ivf_topk: no oracle (approximate by design)

@@ -97,6 +97,18 @@ def test_winnow_shared_pairs(ray_session, con):
     assert (np.asarray(res["n_shared"]) >= co.WINNOW_MIN_SHARED).all()
 
 
+def test_stratified_sample(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    res = co.stratified_sample(SF)
+    _assert_match(res, con, co.oracle_stratified_sample())
+    import collections
+
+    per = collections.Counter(res["source"].to_pylist())
+    assert all(v <= co.SAMPLE_PER_SOURCE for v in per.values())
+    assert len(per) > 1
+
+
 def test_dedup_minhash(ray_session, con):
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 

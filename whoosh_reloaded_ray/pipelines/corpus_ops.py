@@ -658,6 +658,72 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_SOURCE = 5
+
+
+def _md5_rank_key(doc_ids: np.ndarray) -> list:
+    return [hashlib.md5(str(d).encode()).hexdigest() for d in doc_ids.tolist()]
+
+
+def stratified_sample(sf_dir: str, n: int = SAMPLE_PER_SOURCE) -> pa.Table:
+    """Deterministic stratified sample: the ``n`` docs per ``source`` whose
+    md5(doc_id) sorts lowest — an unbiased, reproducible pick (hash order
+    is independent of ingestion order, unlike a head-n) used to draw
+    balanced eval/inspection sets from a skewed corpus.
+
+    Distributed top-n-per-key: each batch keeps its local n best per
+    source (map-side combine), the per-source groupby merges partials —
+    shuffle volume is batches x n per source, never the corpus."""
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        keys = np.array(_md5_rank_key(ids))
+        keep = np.zeros(ids.size, dtype=bool)
+        for s in np.unique(src):
+            m = np.flatnonzero(src == s)
+            keep[m[np.argsort(keys[m], kind="stable")[:n]]] = True
+        return batch.filter(pa.array(keep))
+
+    def final_top(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.array(_md5_rank_key(ids))
+        order = np.argsort(keys, kind="stable")[:n]
+        return group.take(pa.array(np.sort(order), pa.int64()))
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+    out = (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_top, batch_format="pyarrow")
+    )
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table({"doc_id": pa.array([], pa.int64()), "source": pa.array([], pa.string())})
+    )
+    return t.select(["source", "doc_id"]).sort_by(
+        [("source", "ascending"), ("doc_id", "ascending")]
+    )
+
+
+def oracle_stratified_sample() -> str:
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+  FROM documents)
+WHERE rn <= {SAMPLE_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash (rows-only check: bit-twiddling isn't reasonable ANSI SQL)
 # ---------------------------------------------------------------------------
 
