@@ -36,6 +36,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import bpe
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_shared_pairs": co.winnow_shared_pairs,
         "lang_id": co.lang_id,
         "stratified_sample": co.stratified_sample,
+        "bpe_token_counts": bpe.bpe_token_counts,  # rows-only (BPE not SQL-expressible)
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
