@@ -61,6 +61,29 @@ def test_parse_and_page(ix):
         assert {h["key"] for h in list(p1) + list(p2)} == {"A", "D", "E"}
 
 
+def test_search_kwargs_sortedby_groupedby_collapse(ix):
+    """Reference search() kwargs: sortedby/reverse, groupedby ->
+    Results.groups(), collapse/collapse_limit."""
+    with ix.searcher() as s:
+        q = s.parse("value:red OR name:yellow")  # A, D, E
+        r = s.search(q, sortedby="key", limit=None)
+        assert [h["key"] for h in r] == ["A", "D", "E"]
+        assert all(h.score is None for h in r)
+        r = s.search(q, sortedby="key", reverse=True, limit=None)
+        assert [h["key"] for h in r] == ["E", "D", "A"]
+
+        r = s.search(q, groupedby="key", maptype="count", limit=None)
+        assert r.groups() == {"A": 1, "D": 1, "E": 1}
+        with pytest.raises(KeyError):
+            s.search(q, limit=None).groups()
+
+        # collapse on key with limit 1 per key is a no-op here (unique keys);
+        # semantics: same docs as plain search
+        plain = {h.docnum for h in s.search(q, limit=None)}
+        coll = {h.docnum for h in s.search(q, collapse="key", limit=None)}
+        assert coll == plain
+
+
 def test_document_lookup(ix):
     """document()/documents()/document_number(s) convenience lookups
     (reference searching.py:352-426)."""

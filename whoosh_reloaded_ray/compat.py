@@ -266,6 +266,15 @@ class Results:
     def __init__(self, hits: list, total: int):
         self.hits = hits
         self.total = total
+        self._groups = None
+
+    def groups(self, name=None):
+        """Facet groups from a search(groupedby=...) (reference
+        Results.groups, searching.py:1043-1076).  ``name`` is accepted for
+        API parity; a single groupedby spec means there is one group map."""
+        if self._groups is None:
+            raise KeyError("search was not run with groupedby")
+        return self._groups
 
     def __iter__(self):
         return iter(self.hits)
@@ -345,11 +354,49 @@ class CompatSearcher:
             self._parser = QueryParser(df, self._schema)
         return self._parser.parse(qstring)
 
-    def search(self, q, limit: int = 10, terms: bool = False, **kw) -> Results:
+    def search(
+        self,
+        q,
+        limit: int = 10,
+        terms: bool = False,
+        sortedby=None,
+        reverse: bool = False,
+        groupedby=None,
+        maptype: str = "ordered",
+        collapse: str | None = None,
+        collapse_limit: int = 1,
+        **kw,
+    ) -> Results:
+        """Reference Searcher.search kwargs (searching.py:671-765):
+        ``sortedby``/``reverse`` order by field values (scores are None,
+        like the reference's sorted search), ``groupedby`` attaches facet
+        groups readable via ``Results.groups()``, ``collapse``/
+        ``collapse_limit`` keep the best N per collapse key.  All three
+        route to the distributed segment-partial implementations."""
         if isinstance(q, str):
             q = self.parse(q)
         stored = [f.name for f in self._schema.fields if f.stored]
-        res = self._s.search(q, limit=limit, **kw)
+        if sortedby is not None:
+            t = self._s.search_sorted(q, sortedby, limit=limit, reverse=reverse)
+            docnums = t["docnum"].to_pylist()
+            rows = self.stored_fields_many(docnums)
+            hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
+            out = Results(hits, len(hits))
+            if groupedby is not None:
+                out._groups = self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+            return out
+        if collapse is not None:
+            res = self._s.search_collapsed(q, collapse, limit=limit, collapse_limit=collapse_limit)
+        else:
+            res = self._s.search(q, limit=limit, **kw)
+        if groupedby is not None:
+            groups = self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+            out = self._hits_to_results(res, stored, q, terms)
+            out._groups = groups
+            return out
+        return self._hits_to_results(res, stored, q, terms)
+
+    def _hits_to_results(self, res, stored, q, terms: bool) -> Results:
         if res.num_rows == 0:
             return Results([], 0)
         from .sources.corpus import fetch_rows
