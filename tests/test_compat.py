@@ -84,6 +84,46 @@ def test_search_kwargs_sortedby_groupedby_collapse(ix):
         assert coll == plain
 
 
+def test_text_field_boost_parity(ray_session, tmp_path_factory, whoosh):
+    """TEXT(field_boost=) multiplies posting weights at write time —
+    scores must match whoosh exactly (reference fields.py field_boost /
+    formats word_values)."""
+    from whoosh import fields as wf
+    from whoosh import index as windex
+    from whoosh import query as wq
+
+    import numpy as np
+
+    rows = [("a", "red fish swims"), ("b", "blue fish"), ("c", "red red bird")]
+    d = str(tmp_path_factory.mktemp("fbidx"))
+    schema = wrr.Schema(key=wrr.ID(stored=True), body=wrr.TEXT(field_boost=2.5))
+    ix2 = wrr.create_in(d, schema)
+    w = ix2.writer()
+    for k, b in rows:
+        w.add_document(key=k, body=b)
+    w.commit()
+
+    wd = str(tmp_path_factory.mktemp("fbwhoosh"))
+    wix = windex.create_in(
+        wd, wf.Schema(key=wf.ID(stored=True), body=wf.TEXT(field_boost=2.5))
+    )
+    ww = wix.writer()
+    for k, b in rows:
+        ww.add_document(key=k, body=b)
+    ww.commit()
+
+    with ix2.searcher() as s, wix.searcher() as ws:
+        ours = [(h["key"], h.score) for h in s.search(Term("body", "red"), limit=None)]
+        theirs = [
+            (ws.stored_fields(h.docnum)["key"], h.score)
+            for h in ws.search(wq.Term("body", "red"), limit=None)
+        ]
+        assert [k for k, _ in ours] == [k for k, _ in theirs]
+        np.testing.assert_allclose(
+            [x for _, x in ours], [x for _, x in theirs], atol=1e-6
+        )
+
+
 def test_document_lookup(ix):
     """document()/documents()/document_number(s) convenience lookups
     (reference searching.py:352-426)."""

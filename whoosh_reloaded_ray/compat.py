@@ -44,8 +44,11 @@ from .state.searcher import IndexSearcher
 # ---- field constructors (reference fields.py surface) ----------------------
 
 
-def TEXT(stored=True, analyzer=None, phrase=True):
-    return ("text", {"analyzer": analyzer, "stored": stored, "positions": phrase})
+def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0):
+    return (
+        "text",
+        {"analyzer": analyzer, "stored": stored, "positions": phrase, "field_boost": field_boost},
+    )
 
 
 def ID(stored=True, unique=False):
@@ -85,6 +88,7 @@ class Schema:
                         name,
                         analyzer=opts.get("analyzer") or standard_analyzer(),
                         positions=opts.get("positions", True),
+                        boost=opts.get("field_boost", 1.0),
                     )
                 )
             elif kind == "id":
