@@ -124,6 +124,57 @@ def test_text_field_boost_parity(ray_session, tmp_path_factory, whoosh):
         )
 
 
+def test_doc_and_field_boost_parity(ray_session, tmp_path_factory, whoosh):
+    """add_document(_boost=..., _<field>_boost=...) write-time boosts —
+    rank+score parity vs whoosh (reference writing.py:392-426; the
+    field-specific kwarg REPLACES the doc boost)."""
+    from whoosh import fields as wf
+    from whoosh import index as windex
+    from whoosh import query as wq
+
+    import numpy as np
+
+    docs = [
+        dict(key="a", name="apple pear", body="apple apple plum"),
+        dict(key="b", name="apple plum", body="pear apple", _boost=3.0),
+        dict(key="c", name="apple", body="apple pear", _boost=2.0, _name_boost=0.5),
+    ]
+    d = str(tmp_path_factory.mktemp("dbidx"))
+    ix2 = wrr.create_in(
+        d,
+        wrr.Schema(key=wrr.ID(stored=True), name=wrr.TEXT(), body=wrr.TEXT()),
+    )
+    w = ix2.writer()
+    for doc in docs:
+        w.add_document(**doc)
+    w.commit()
+
+    wd = str(tmp_path_factory.mktemp("dbwhoosh"))
+    wix = windex.create_in(
+        wd, wf.Schema(key=wf.ID(stored=True), name=wf.TEXT(), body=wf.TEXT())
+    )
+    ww = wix.writer()
+    for doc in docs:
+        ww.add_document(**doc)
+    ww.commit()
+
+    for q, wqq in [
+        (Term("body", "apple"), wq.Term("body", "apple")),
+        (Term("name", "apple"), wq.Term("name", "apple")),
+        (Or([Term("body", "pear"), Term("name", "plum")]), wq.Or([wq.Term("body", "pear"), wq.Term("name", "plum")])),
+    ]:
+        with ix2.searcher() as s, wix.searcher() as ws:
+            ours = [(h["key"], h.score) for h in s.search(q, limit=None)]
+            theirs = [
+                (ws.stored_fields(h.docnum)["key"], h.score)
+                for h in ws.search(wqq, limit=None)
+            ]
+        assert [k for k, _ in ours] == [k for k, _ in theirs], (q, ours, theirs)
+        np.testing.assert_allclose(
+            [x for _, x in ours], [x for _, x in theirs], atol=1e-6
+        )
+
+
 def test_document_lookup(ix):
     """document()/documents()/document_number(s) convenience lookups
     (reference searching.py:352-426)."""

@@ -181,8 +181,18 @@ class Writer:
         self.rows: list = []
 
     def add_document(self, **fields):
+        """Reference IndexWriter.add_document (writing.py:388-402),
+        including the ``_boost`` (whole-doc) and ``_<fieldname>_boost``
+        write-time weight multipliers."""
         schema = self.index.index_schema
-        unknown = set(fields) - {f.name for f in schema.fields}
+        names = {f.name for f in schema.fields}
+        unknown = {
+            k
+            for k in fields
+            if k not in names
+            and k != "_boost"
+            and not (k.startswith("_") and k.endswith("_boost") and k[1:-6] in names)
+        }
         if unknown:
             raise ValueError(f"unknown fields {sorted(unknown)}")
         self.rows.append(fields)
@@ -203,6 +213,13 @@ class Writer:
                     cols[f.name] = pa.array(
                         [None if v is None else str(v) for v in vals], pa.string()
                     )
+            boost_keys = sorted({k for r in self.rows for k in r if k.startswith("_")})
+            for k in boost_keys:
+                # rows that didn't pass the kwarg stay NULL — the tokenizer
+                # falls back per row (_<field>_boost -> _boost -> 1.0)
+                cols[k] = pa.array(
+                    [float(r[k]) if k in r else None for r in self.rows], pa.float64()
+                )
             tbl = pa.table(cols)
             gen = len(_glob.glob(os.path.join(self.index.dirname, "docs-*.parquet")))
             path = os.path.join(self.index.dirname, f"docs-{gen:05d}.parquet")

@@ -189,6 +189,14 @@ def _build_segment(
     doc_base = min(p.base for p in spec)
     doc_count = sum(p.rows for p in spec)
     indexed_cols = [f.name for f in schema.indexed_fields]
+    # write-time boost columns (_boost / _<field>_boost, reference
+    # writing.py:392-402) ride along when the source carries them
+    import pyarrow.parquet as _pq
+
+    src_cols = set(_pq.ParquetFile(spec[0].path).schema_arrow.names)
+    indexed_cols += [c for c in src_cols if c == "_boost" or (
+        c.startswith("_") and c.endswith("_boost") and c[1:-6] in set(indexed_cols)
+    )]
     ds = read_corpus(spec, columns=indexed_cols)
     tok = Tokenizer(
         schema,

@@ -109,6 +109,28 @@ class Tokenizer:
         ]
         self._vec_pats: dict = {}
 
+    @staticmethod
+    def _row_boosts(fname, batch):
+        """Per-row write-time boost (reference writing.py:417-426 via
+        add_document's ``_boost`` / ``_<field>_boost`` kwargs): the
+        field-specific column REPLACES the doc-level one when present.
+        None when neither column exists (the common case — zero cost)."""
+        key = f"_{fname}_boost"
+        have_f = key in batch.column_names
+        have_d = "_boost" in batch.column_names
+        if not (have_f or have_d):
+            return None
+        doc = (
+            batch["_boost"].to_numpy(zero_copy_only=False).astype(np.float64)
+            if have_d
+            else np.ones(len(batch), dtype=np.float64)
+        )
+        doc = np.where(np.isnan(doc), 1.0, doc)
+        if not have_f:
+            return doc
+        fld = batch[key].to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.where(np.isnan(fld), doc, fld)
+
     # ---- vectorized standard/simple path ---------------------------------
 
     def _vector_field(self, fname, spec_tuple, batch, docnums, out):
@@ -246,7 +268,11 @@ class Tokenizer:
             uniques.take(pa.array(g_code, pa.int64())) if ks.size else pa.array([], pa.string())
         )
         out["docnum"].append(pa.array(g_doc.astype(np.uint64), pa.uint64()))
-        out["weight"].append(pa.array((gcount * boost).astype(np.float32), pa.float32()))
+        w = gcount * boost
+        rb = self._row_boosts(fname, batch)
+        if rb is not None and ks.size:
+            w = w * rb[g_row]
+        out["weight"].append(pa.array(w.astype(np.float32), pa.float32()))
         out["positions"].append(pos_col)
         out["chars"].append(pa.nulls(len(gstart), pa.binary()))
         out["len_byte"].append(pa.array(g_lb, pa.uint8()))
@@ -310,7 +336,11 @@ class Tokenizer:
         out["field"].append(pa.array(np.full(idx.size, fname, dtype=object), pa.string()))
         out["term"].append(terms)
         out["docnum"].append(pa.array(docnums[idx].astype(np.uint64), pa.uint64()))
-        out["weight"].append(pa.array(np.full(idx.size, boost, dtype=np.float32), pa.float32()))
+        w_id = np.full(idx.size, boost, dtype=np.float64)
+        rb = self._row_boosts(fname, batch)
+        if rb is not None and idx.size:
+            w_id *= rb[idx]
+        out["weight"].append(pa.array(w_id.astype(np.float32), pa.float32()))
         if keep_pos:
             # every id posting is one token at position 1: stream = [1, 1]
             out["positions"].append(
@@ -389,6 +419,7 @@ class Tokenizer:
 
         fields_out, terms_out, docs_out = [], [], []
         weights_out, pos_out, chars_out, lens_out, shard_out = [], [], [], [], []
+        rb = self._row_boosts(fname, batch)
         for i, text in enumerate(batch[fname].to_pylist()):
             if text is None:
                 continue
@@ -417,11 +448,12 @@ class Tokenizer:
             if not surv and not scorable:
                 continue
             agg: dict = {}
+            eff_boost = boost if rb is None else boost * rb[i]
             for t, p, s, e in surv:
                 entry = agg.get(t)
                 if entry is None:
                     agg[t] = entry = [0.0, [], []]
-                entry[0] += boost
+                entry[0] += eff_boost
                 entry[1].append(p)
                 entry[2].append((s, e))
             length = len(surv)
@@ -486,6 +518,7 @@ class Tokenizer:
 
         for fname, analyze, scorable, keep_pos, boost in [analyzer_tuple]:
             col = batch[fname].to_pylist()
+            rb = self._row_boosts(fname, batch)
             for i, text in enumerate(col):
                 if text is None:
                     continue
@@ -493,6 +526,7 @@ class Tokenizer:
                 if not toks and not scorable:
                     continue
                 docnum = int(docnums[i])
+                eff_boost = boost if rb is None else boost * rb[i]
                 # aggregate per (doc, term): weight = sum of boosts,
                 # positions = renumbered post-filter positions
                 agg: dict = {}
@@ -500,7 +534,7 @@ class Tokenizer:
                     e = agg.get(term)
                     if e is None:
                         agg[term] = e = [0.0, []]
-                    e[0] += boost
+                    e[0] += eff_boost
                     e[1].append(pos)
                 length = len(toks)
                 lb = length_to_byte(length) if scorable else 0
