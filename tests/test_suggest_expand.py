@@ -222,3 +222,50 @@ def test_correct_query_parity(our_index, whoosh_index, whoosh, vocab):
         assert ohits == whits, qstring
         ohtml = ocorr.format_string(hl.HtmlFormatter(tagname="strong", classname="change"))
         assert ohtml == whtml, (ohtml, whtml)
+
+
+def test_spelling_field_unstemmed_suggestions(ray_session, whoosh, tmp_path_factory):
+    """TEXT(spelling=True) with a stemming analyzer: suggestions come from
+    the parallel unstemmed spell_ vocabulary, matching whoosh's separate
+    spelling field (reference fields.py:296-330, 1123-1127)."""
+    from whoosh import fields as wf
+    from whoosh import index as windex
+    from whoosh.analysis import StemmingAnalyzer
+
+    from whoosh_reloaded_ray import compat as wrr
+    from whoosh_reloaded_ray.functions.analysis import stemming_analyzer
+
+    docs = [
+        "rendering codes beautifully",
+        "rendered code yesterday",
+        "renders the coding pipeline",
+        "printing pages",
+    ]
+    d = str(tmp_path_factory.mktemp("spellidx"))
+    ix = wrr.create_in(
+        d,
+        wrr.Schema(body=wrr.TEXT(analyzer=stemming_analyzer(), spelling=True)),
+    )
+    w = ix.writer()
+    for t in docs:
+        w.add_document(body=t)
+    w.commit()
+
+    wd = str(tmp_path_factory.mktemp("spellwhoosh"))
+    wix = windex.create_in(
+        wd, wf.Schema(body=wf.TEXT(analyzer=StemmingAnalyzer(), spelling=True))
+    )
+    ww = wix.writer()
+    for t in docs:
+        ww.add_document(body=t)
+    ww.commit()
+
+    with wix.searcher() as ws:
+        corr = ws.corrector("body")
+        for word in ("renderin", "codez", "printin"):
+            theirs = corr.suggest(word, limit=5)
+            ours = ix.searcher()._s.suggest("body", word, limit=5)
+            assert ours == theirs, (word, ours, theirs)
+            # and they are unstemmed full words, not stems
+            for t in ours:
+                assert t in " ".join(docs).lower().split() or t.endswith(("ing", "ed", "s")), t

@@ -44,10 +44,16 @@ from .state.searcher import IndexSearcher
 # ---- field constructors (reference fields.py surface) ----------------------
 
 
-def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0):
+def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False):
     return (
         "text",
-        {"analyzer": analyzer, "stored": stored, "positions": phrase, "field_boost": field_boost},
+        {
+            "analyzer": analyzer,
+            "stored": stored,
+            "positions": phrase,
+            "field_boost": field_boost,
+            "spelling": spelling,
+        },
     )
 
 
@@ -89,6 +95,7 @@ class Schema:
                         analyzer=opts.get("analyzer") or standard_analyzer(),
                         positions=opts.get("positions", True),
                         boost=opts.get("field_boost", 1.0),
+                        spelling=opts.get("spelling", False),
                     )
                 )
             elif kind == "id":

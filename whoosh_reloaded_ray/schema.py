@@ -35,6 +35,11 @@ class FieldSpec:
     # enables char-accurate highlighting without re-analysis
     chars: bool = False
     boost: float = 1.0
+    # index the UNSTEMMED word forms into a parallel "spell_<name>" field
+    # for spelling suggestions (reference TEXT(spelling=True) +
+    # separate_spelling, fields.py:296-330, 1123-1127); only meaningful
+    # when the analyzer morphs terms (stemming)
+    spelling: bool = False
     # Optional DIFFERENT analyzer for query strings — the config-as-data
     # equivalent of the reference's MultiFilter(index=..., query=...)
     # mode branching (analysis/filters.py:150-181).  When None, query text

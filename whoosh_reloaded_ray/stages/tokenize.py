@@ -107,6 +107,23 @@ class Tokenizer:
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
         ]
+        # separate spelling fields (reference TEXT(spelling=True),
+        # fields.py:296-330): unstemmed word forms -> "spell_<name>",
+        # weight 1 per unique word per doc (frequency == doc frequency,
+        # matching the reference's one-post-per-spellable-word)
+        import dataclasses as _dc
+
+        self.spell_specs = [
+            (
+                f"spell_{f.name}",
+                f.name,
+                _dc.replace(f.analyzer, kind="standard", stemmer=None),
+            )
+            for f in schema.indexed_fields
+            if getattr(f, "spelling", False)
+            and f.analyzer is not None
+            and (f.analyzer.stemmer or f.analyzer.kind == "stemming")
+        ]
         self._vec_pats: dict = {}
 
     @staticmethod
@@ -133,7 +150,7 @@ class Tokenizer:
 
     # ---- vectorized standard/simple path ---------------------------------
 
-    def _vector_field(self, fname, spec_tuple, batch, docnums, out):
+    def _vector_field(self, fname, spec_tuple, batch, docnums, out, unit_weight=False):
         """Vectorized analysis for standard/simple analyzers: one regex C
         call per row; pyarrow kernels for lowercase + dictionary encode;
         stop/size masks computed per UNIQUE term; whoosh position
@@ -268,9 +285,9 @@ class Tokenizer:
             uniques.take(pa.array(g_code, pa.int64())) if ks.size else pa.array([], pa.string())
         )
         out["docnum"].append(pa.array(g_doc.astype(np.uint64), pa.uint64()))
-        w = gcount * boost
+        w = np.ones_like(gcount, dtype=np.float64) if unit_weight else gcount * boost
         rb = self._row_boosts(fname, batch)
-        if rb is not None and ks.size:
+        if not unit_weight and rb is not None and ks.size:
             w = w * rb[g_row]
         out["weight"].append(pa.array(w.astype(np.float32), pa.float32()))
         out["positions"].append(pos_col)
@@ -380,6 +397,18 @@ class Tokenizer:
                 self._vector_id_field(fname, aspec, keep_pos, boost, batch, docnums, out)
             else:
                 self._loop_field(self.analyzers[i], batch, docnums, out)
+        for spell_name, src, aspec in self.spell_specs:
+            if src not in batch.column_names:
+                continue
+            shim = pa.table({spell_name: batch[src]})
+            self._vector_field(
+                spell_name,
+                (spell_name, aspec, False, False, 1.0),
+                shim,
+                docnums,
+                out,
+                unit_weight=True,
+            )
         cols = []
         for name in POSTING_SCHEMA.names:
             chunks = out[name]

@@ -513,10 +513,28 @@ class IndexSearcher:
 
     # ---- spelling / key-term expansion -----------------------------------
 
+    def spelling_fieldname(self, field: str) -> str:
+        """Field to draw suggestions from (reference
+        FieldType.spelling_fieldname, fields.py:306-314): the parallel
+        unstemmed "spell_<field>" vocabulary when the schema declared
+        ``spelling=True`` on a morphing analyzer."""
+        spec = self.manifest.schema.by_name.get(field)
+        if (
+            spec is not None
+            and getattr(spec, "spelling", False)
+            and spec.analyzer is not None
+            and (spec.analyzer.stemmer or spec.analyzer.kind == "stemming")
+        ):
+            return f"spell_{field}"
+        return field
+
     def suggest(self, field: str, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
         from ..query.suggest import suggest as _suggest
 
-        return _suggest(self, field, text, limit=limit, maxdist=maxdist, prefix=prefix)
+        return _suggest(
+            self, self.spelling_fieldname(field), text,
+            limit=limit, maxdist=maxdist, prefix=prefix,
+        )
 
     def correct_query(
         self, q, qstring, correctors=None, terms=None, maxdist=2, prefix=0, aliases=None
