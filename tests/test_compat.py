@@ -175,6 +175,21 @@ def test_doc_and_field_boost_parity(ray_session, tmp_path_factory, whoosh):
         )
 
 
+def test_facet_objects(ix):
+    """Reference sorting.py facet objects accepted by search():
+    FieldFacet (incl. reverse), MultiFacet, RangeFacet -> bucket counts."""
+    with ix.searcher() as s:
+        q = s.parse("value:red OR name:yellow")  # A, D, E
+        r = s.search(q, sortedby=wrr.FieldFacet("key"), limit=None)
+        assert [h["key"] for h in r] == ["A", "D", "E"]
+        r = s.search(q, sortedby=wrr.FieldFacet("key", reverse=True), limit=None)
+        assert [h["key"] for h in r] == ["E", "D", "A"]
+        r = s.search(q, sortedby=wrr.MultiFacet(["key"]), limit=None)
+        assert [h["key"] for h in r] == ["A", "D", "E"]
+        r = s.search(q, groupedby=wrr.FieldFacet("key"), maptype="count", limit=None)
+        assert r.groups() == {"A": 1, "D": 1, "E": 1}
+
+
 def test_document_lookup(ix):
     """document()/documents()/document_number(s) convenience lookups
     (reference searching.py:352-426)."""

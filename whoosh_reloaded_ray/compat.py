@@ -131,6 +131,74 @@ class Schema:
         self.names = [f.name for f in specs]
 
 
+# ---- facet objects (reference sorting.py surface) --------------------------
+
+
+class FieldFacet:
+    """Sort/group by a field's native column value (reference
+    sorting.FieldFacet, sorting.py:190)."""
+
+    def __init__(self, fieldname: str, reverse: bool = False):
+        self.fieldname = fieldname
+        self.reverse = reverse
+
+
+class ScoreFacet:
+    """Sort by score (reference sorting.ScoreFacet) — the default search
+    order; as a sortedby spec it simply means 'scored order'."""
+
+
+class MultiFacet:
+    """Compound facet: sort/group by multiple fields in sequence
+    (reference sorting.MultiFacet, sorting.py:520)."""
+
+    def __init__(self, items=None):
+        self.facets = []
+        for it in items or []:
+            self.add_field(it) if isinstance(it, str) else self.facets.append(it)
+
+    def add_field(self, fieldname: str, reverse: bool = False):
+        self.facets.append(FieldFacet(fieldname, reverse=reverse))
+        return self
+
+    def fieldnames(self):
+        return [f.fieldname for f in self.facets]
+
+
+class RangeFacet:
+    """Numeric bucket facet [start + i*gap, start + (i+1)*gap) (reference
+    sorting.RangeFacet, sorting.py:414).  Used with groupedby; groups()
+    returns {(lo, hi): count}."""
+
+    def __init__(self, fieldname: str, start, end, gap):
+        self.fieldname = fieldname
+        self.start, self.end, self.gap = start, end, gap
+
+
+class DateRangeFacet(RangeFacet):
+    """RangeFacet over datetime bounds with a timedelta gap (reference
+    sorting.DateRangeFacet, sorting.py:477)."""
+
+
+def _sortedby_fields(spec):
+    """Normalize a sortedby spec (str | FieldFacet | MultiFacet | list) to
+    (fieldnames, reverse)."""
+    if isinstance(spec, str):
+        return [spec], False
+    if isinstance(spec, FieldFacet):
+        return [spec.fieldname], spec.reverse
+    if isinstance(spec, MultiFacet):
+        return spec.fieldnames(), any(f.reverse for f in spec.facets)
+    if isinstance(spec, (list, tuple)):
+        out, rev = [], False
+        for s in spec:
+            fs, r = _sortedby_fields(s)
+            out.extend(fs)
+            rev = rev or r
+        return out, rev
+    raise TypeError(f"unsupported sortedby spec {spec!r}")
+
+
 # ---- index object ----------------------------------------------------------
 
 
@@ -404,25 +472,41 @@ class CompatSearcher:
         if isinstance(q, str):
             q = self.parse(q)
         stored = [f.name for f in self._schema.fields if f.stored]
-        if sortedby is not None:
-            t = self._s.search_sorted(q, sortedby, limit=limit, reverse=reverse)
+        if sortedby is not None and not isinstance(sortedby, ScoreFacet):
+            fields, facet_rev = _sortedby_fields(sortedby)
+            t = self._s.search_sorted(q, fields, limit=limit, reverse=reverse or facet_rev)
             docnums = t["docnum"].to_pylist()
             rows = self.stored_fields_many(docnums)
             hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
             out = Results(hits, len(hits))
             if groupedby is not None:
-                out._groups = self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+                out._groups = self._groups_for(q, groupedby, limit, maptype)
             return out
         if collapse is not None:
+            if isinstance(collapse, FieldFacet):
+                collapse = collapse.fieldname
             res = self._s.search_collapsed(q, collapse, limit=limit, collapse_limit=collapse_limit)
         else:
             res = self._s.search(q, limit=limit, **kw)
         if groupedby is not None:
-            groups = self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
             out = self._hits_to_results(res, stored, q, terms)
-            out._groups = groups
+            out._groups = self._groups_for(q, groupedby, limit, maptype)
             return out
         return self._hits_to_results(res, stored, q, terms)
+
+    def _groups_for(self, q, groupedby, limit, maptype):
+        """groupedby spec -> group map: field name(s) via the distributed
+        grouped search; Range/DateRange facets via segment-side bucket
+        counts ({(lo, hi): n}, the Count map)."""
+        if isinstance(groupedby, RangeFacet):
+            return self._s.facet_counts_range(
+                q, groupedby.fieldname, groupedby.start, groupedby.end, groupedby.gap
+            )
+        if isinstance(groupedby, FieldFacet):
+            groupedby = groupedby.fieldname
+        elif isinstance(groupedby, MultiFacet):
+            groupedby = groupedby.fieldnames()
+        return self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
 
     def _hits_to_results(self, res, stored, q, terms: bool) -> Results:
         if res.num_rows == 0:
