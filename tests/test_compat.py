@@ -190,6 +190,21 @@ def test_facet_objects(ix):
         assert r.groups() == {"A": 1, "D": 1, "E": 1}
 
 
+def test_stored_value_override(ray_session, tmp_path_factory):
+    """add_document(_stored_<field>=...) stores a different value than the
+    indexed one (reference writing.py:404-415)."""
+    d = str(tmp_path_factory.mktemp("stovidx"))
+    ix2 = wrr.create_in(d, wrr.Schema(key=wrr.ID(stored=True), body=wrr.TEXT(stored=True)))
+    w = ix2.writer()
+    w.add_document(key="a", body="searchable words here", _stored_body="DISPLAY TEXT")
+    w.add_document(key="b", body="other words")
+    w.commit()
+    with ix2.searcher() as s:
+        hits = {h["key"]: h["body"] for h in s.search(Term("body", "words"), limit=None)}
+        assert hits == {"a": "DISPLAY TEXT", "b": "other words"}
+        assert s.document(key="a")["body"] == "DISPLAY TEXT"
+
+
 def test_document_lookup(ix):
     """document()/documents()/document_number(s) convenience lookups
     (reference searching.py:352-426)."""

@@ -267,6 +267,7 @@ class Writer:
             if k not in names
             and k != "_boost"
             and not (k.startswith("_") and k.endswith("_boost") and k[1:-6] in names)
+            and not (k.startswith("_stored_") and k[len("_stored_"):] in names)
         }
         if unknown:
             raise ValueError(f"unknown fields {sorted(unknown)}")
@@ -288,13 +289,22 @@ class Writer:
                     cols[f.name] = pa.array(
                         [None if v is None else str(v) for v in vals], pa.string()
                     )
-            boost_keys = sorted({k for r in self.rows for k in r if k.startswith("_")})
-            for k in boost_keys:
-                # rows that didn't pass the kwarg stay NULL — the tokenizer
-                # falls back per row (_<field>_boost -> _boost -> 1.0)
-                cols[k] = pa.array(
-                    [float(r[k]) if k in r else None for r in self.rows], pa.float64()
-                )
+            extra_keys = sorted({k for r in self.rows for k in r if k.startswith("_")})
+            for k in extra_keys:
+                if k.startswith("_stored_"):
+                    # alternate stored value (reference add_document
+                    # ``_stored_<fieldname>``, writing.py:404-415); NULL =
+                    # no override for that row
+                    cols[k] = pa.array(
+                        [str(r[k]) if k in r else None for r in self.rows], pa.string()
+                    )
+                else:
+                    # rows that didn't pass the boost kwarg stay NULL — the
+                    # tokenizer falls back per row (_<field>_boost ->
+                    # _boost -> 1.0)
+                    cols[k] = pa.array(
+                        [float(r[k]) if k in r else None for r in self.rows], pa.float64()
+                    )
             tbl = pa.table(cols)
             gen = len(_glob.glob(os.path.join(self.index.dirname, "docs-*.parquet")))
             path = os.path.join(self.index.dirname, f"docs-{gen:05d}.parquet")
@@ -511,14 +521,11 @@ class CompatSearcher:
     def _hits_to_results(self, res, stored, q, terms: bool) -> Results:
         if res.num_rows == 0:
             return Results([], 0)
-        from .sources.corpus import fetch_rows
-
         docnums = res["docnum"].to_pylist()
-        rows = fetch_rows(self._s.manifest.partitions, docnums, columns=stored)
-        by_doc = {r["docnum"]: r for r in rows.to_pylist()}
+        rows = self.stored_fields_many(docnums)
         hits = [
-            Hit(d, s, {k: v for k, v in by_doc[d].items() if k != "docnum"})
-            for d, s in zip(docnums, res["score"].to_pylist())
+            Hit(d, s, r)
+            for d, s, r in zip(docnums, res["score"].to_pylist(), rows)
         ]
         if terms:
             self._attach_matched_terms(q, hits)
@@ -597,11 +604,21 @@ class CompatSearcher:
         stored = [f.name for f in self._schema.fields if f.stored]
         from .sources.corpus import fetch_rows
 
-        rows = fetch_rows(self._s.manifest.partitions, docnums, columns=stored)
-        by_doc = {
-            r["docnum"]: {k: v for k, v in r.items() if k != "docnum"}
-            for r in rows.to_pylist()
-        }
+        # _stored_<field> columns override the indexed value for display
+        # (reference add_document ``_stored_<fieldname>``, writing.py:404)
+        src_cols = set()
+        parts = self._s.manifest.partitions
+        if parts:
+            src_cols = set(pq.ParquetFile(parts[0].path).schema_arrow.names)
+        overrides = [f"_stored_{n}" for n in stored if f"_stored_{n}" in src_cols]
+        rows = fetch_rows(parts, docnums, columns=stored + overrides)
+        by_doc = {}
+        for r in rows.to_pylist():
+            d = {k: v for k, v in r.items() if k != "docnum" and not k.startswith("_stored_")}
+            for ov in overrides:
+                if r.get(ov) is not None:
+                    d[ov[len("_stored_"):]] = r[ov]
+            by_doc[r["docnum"]] = d
         return [by_doc[d] for d in docnums if d in by_doc]
 
     def suggest(self, fieldname, text, **kw):

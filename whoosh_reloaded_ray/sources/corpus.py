@@ -110,7 +110,18 @@ def fetch_rows(partitions, docnums, columns=None) -> pa.Table:
     for pi in np.unique(idx):
         part = partitions[int(pi)]
         local = docnums[idx == pi] - part.base
-        tbl = read_partition(part, columns=columns)
+        cols_p = columns
+        if columns is not None:
+            # generations may differ in optional columns (_stored_/_boost
+            # overrides added later); fill requested-but-absent with nulls
+            avail = set(pq.ParquetFile(part.path).schema_arrow.names)
+            cols_p = [c for c in columns if c in avail]
+        tbl = read_partition(part, columns=cols_p)
+        if columns is not None:
+            for c in columns:
+                if c not in tbl.column_names:
+                    tbl = tbl.append_column(c, pa.nulls(tbl.num_rows, pa.string()))
+            tbl = tbl.select([*columns, "docnum"])
         out.append(tbl.take(pa.array(local)))
     return pa.concat_tables(out) if out else None
 
