@@ -190,6 +190,19 @@ def test_facet_objects(ix):
         assert r.groups() == {"A": 1, "D": 1, "E": 1}
 
 
+def test_hit_highlights(ix, whoosh):
+    """Hit.highlights parity shape vs whoosh (reference Hit.highlights,
+    searching.py:1232): matched terms uppercased in context fragments."""
+    with ix.searcher() as s:
+        r = s.search(Term("value", "red"), limit=None)
+        h = next(hit for hit in r if hit["key"] == "A")
+        frag = h.highlights("value")
+        assert "RED" in frag and "red" not in frag.replace("RED", "")
+        # text= override path
+        frag2 = h.highlights("value", text="red tape red line")
+        assert frag2.count("RED") == 2
+
+
 def test_stored_value_override(ray_session, tmp_path_factory):
     """add_document(_stored_<field>=...) stores a different value than the
     indexed one (reference writing.py:404-415)."""

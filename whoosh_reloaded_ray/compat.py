@@ -348,6 +348,38 @@ class Hit:
         self.score = score
         self.fields = fields
         self._matched_terms = None  # set by search(terms=True)
+        self._searcher = None  # back-refs set by _hits_to_results
+        self._q = None
+
+    def highlights(
+        self,
+        fieldname: str,
+        text: str | None = None,
+        top: int = 3,
+        minscore: int = 1,
+        fragmenter=None,
+        formatter=None,
+    ) -> str:
+        """Highlighted snippets of this hit for the search's query terms
+        (reference Hit.highlights, searching.py:1232-1283).  ``text``
+        overrides the stored value (the reference's use for unstored
+        fields)."""
+        if self._searcher is None or self._q is None:
+            raise ValueError("hit has no search context for highlighting")
+        from .query.highlight import highlight, highlight_hit
+
+        kw = {"top": top, "minscore": minscore}
+        if fragmenter is not None:
+            kw["fragmenter"] = fragmenter
+        if formatter is not None:
+            kw["formatter"] = formatter
+        if text is not None:
+            terms = {t for (f, t) in self._q.terms() if f == fieldname}
+            fspec = next(
+                f for f in self._searcher.manifest.schema.fields if f.name == fieldname
+            )
+            return highlight(text, terms, fspec.analyzer, **kw)
+        return highlight_hit(self._searcher, self.docnum, fieldname, self._q, **kw)
 
     def __getitem__(self, k):
         return self.fields[k]
@@ -523,10 +555,11 @@ class CompatSearcher:
             return Results([], 0)
         docnums = res["docnum"].to_pylist()
         rows = self.stored_fields_many(docnums)
-        hits = [
-            Hit(d, s, r)
-            for d, s, r in zip(docnums, res["score"].to_pylist(), rows)
-        ]
+        hits = []
+        for d, s, r in zip(docnums, res["score"].to_pylist(), rows):
+            h = Hit(d, s, r)
+            h._searcher, h._q = self._s, q
+            hits.append(h)
         if terms:
             self._attach_matched_terms(q, hits)
         return Results(hits, len(hits))
