@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_shared_pairs": co.winnow_shared_pairs,
         "lang_id": co.lang_id,
         "stratified_sample": co.stratified_sample,
+        "filter_quality": co.filter_quality,
         "bpe_token_counts": bpe.bpe_token_counts,  # rows-only (BPE not SQL-expressible)
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_shared_pairs": co.oracle_winnow_shared_pairs(),
         "lang_id": co.oracle_lang_id(),
         "stratified_sample": co.oracle_stratified_sample(),
+        "filter_quality": co.oracle_filter_quality(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         # ann_ivf_topk: no oracle (approximate by design)

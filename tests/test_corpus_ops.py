@@ -230,3 +230,12 @@ def test_embedding_lsh_recall(ray_session):
     em = {tuple(r[:2]): r[2] for r in exact[["a", "b", "sim_r"]].values}
     for (x, y), s in zip(approx[["a", "b"]].values, approx["sim_r"].values):
         assert abs(em[(x, y)] - s) < 1e-9
+
+
+def test_filter_quality(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    res = co.filter_quality(SF)
+    _assert_match(res, con, co.oracle_filter_quality())
+    kept = sum(res["keep"].to_pylist())
+    assert 0 < kept < res.num_rows

@@ -658,6 +658,91 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Quality filtering (the Gopher-rules pattern: drop documents failing
+# cheap length/ratio heuristics before expensive pipeline stages)
+# ---------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_WLEN = 2.0
+QF_MAX_MEAN_WLEN = 12.0
+QF_MAX_SYMBOL_RATIO = 0.3
+
+
+def filter_quality(sf_dir: str) -> pa.Table:
+    """Documents passing the quality rules, with per-rule flags —
+    Gopher-style heuristic filtering (Rae et al. 2021 §A1.1: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio), vectorized
+    Arrow kernels per batch, SQL-parity formulas.
+
+    Output: (doc_id, n_tokens, mean_word_len, symbol_ratio, keep) for
+    every doc — a downstream pipeline filters ``keep`` and joins nothing.
+    Map-only: no shuffle, streams at any scale."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(texts), " ")
+        n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words)
+        wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(n_tok.size, dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        ml = np.round(np.add.reduceat(wlens, starts) / n_tok, 6)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sym = (
+            n_chars
+            - pc.count_substring_regex(pc.utf8_lower(texts), pattern=r"[a-z0-9 ]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sym_ratio = np.round(n_sym / np.maximum(n_chars, 1), 6)
+        keep = (
+            (n_tok >= QF_MIN_TOKENS)
+            & (n_tok <= QF_MAX_TOKENS)
+            & (ml >= QF_MIN_MEAN_WLEN)
+            & (ml <= QF_MAX_MEAN_WLEN)
+            & (sym_ratio <= QF_MAX_SYMBOL_RATIO)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "mean_word_len": pa.array(ml, pa.float64()),
+                "symbol_ratio": pa.array(sym_ratio, pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    t = pa.concat_tables(
+        ds.map_batches(rules, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return t.sort_by("doc_id")
+
+
+def oracle_filter_quality() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') words FROM documents),
+s AS (
+  SELECT doc_id,
+         len(words)::BIGINT n_tokens,
+         ROUND(list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words), 6) ml,
+         length(text)::BIGINT n_chars,
+         (length(text) - len(regexp_extract_all(lower(text), '[a-z0-9 ]')))::BIGINT n_sym
+  FROM w)
+SELECT doc_id, n_tokens,
+       ml AS mean_word_len,
+       ROUND(n_sym::DOUBLE / GREATEST(n_chars, 1), 6) AS symbol_ratio,
+       (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+        AND ml >= {QF_MIN_MEAN_WLEN} AND ml <= {QF_MAX_MEAN_WLEN}
+        AND ROUND(n_sym::DOUBLE / GREATEST(n_chars, 1), 6) <= {QF_MAX_SYMBOL_RATIO}) AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified sampling
 # ---------------------------------------------------------------------------
 
