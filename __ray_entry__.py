@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": co.stratified_sample,
         "filter_quality": co.filter_quality,
         "bpe_token_counts": bpe.bpe_token_counts,  # rows-only (BPE not SQL-expressible)
+        "unigram_logprob": bpe.unigram_logprob,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from whoosh_reloaded_ray.pipelines import ann
+    from whoosh_reloaded_ray.pipelines import bpe
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": co.oracle_lang_id(),
         "stratified_sample": co.oracle_stratified_sample(),
         "filter_quality": co.oracle_filter_quality(),
+        "unigram_logprob": bpe.oracle_unigram_logprob(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         # ann_ivf_topk: no oracle (approximate by design)

@@ -102,3 +102,19 @@ def test_word_counts_match_python(ray_session):
     c = Counter(w for t in texts for w in t.lower().split(" ") if w)
     expect = dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100])
     assert got == expect
+
+
+def test_unigram_logprob(ray_session):
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines.bpe import oracle_unigram_logprob, unigram_logprob
+
+    t = unigram_logprob(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    o = con.sql(oracle_unigram_logprob()).arrow()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert t[c].to_pylist() == o[c].to_pylist(), c
+    # typical docs score higher than a doc of rare tokens would
+    assert max(t["mean_logprob"].to_pylist()) < 0

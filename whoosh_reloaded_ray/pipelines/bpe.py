@@ -159,6 +159,80 @@ class BpeTokenCounter:
         )
 
 
+def unigram_logprob(sf_dir: str) -> pa.Table:
+    """Per-doc mean unigram log-probability — the classic cheap language-
+    model quality signal (docs full of corpus-atypical tokens score low).
+
+    Distributed: corpus word counts via the map-side-combined groupby,
+    broadcast ONCE via ``ray.put`` as a vectorized lookup (sorted word
+    array + logprob array, np.searchsorted per batch); per-doc mean is a
+    reduceat over the flattened word stream.  Smoothing: unseen words get
+    log(0.5 / total) (counts are corpus-wide here; at open-web scale the
+    count table is the top-K vocabulary and the unseen mass is real).
+
+    Output: (doc_id, n_tokens, mean_logprob) rounded to 6dp."""
+    import math
+
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    counts = corpus_word_counts(sf_dir)
+    total = sum(counts.values())
+    words_sorted = np.array(sorted(counts))
+    logp = np.array(
+        [math.log(counts[w] / total) for w in words_sorted.tolist()], dtype=np.float64
+    )
+    unseen = math.log(0.5 / total)
+    table_ref = ray.put((words_sorted, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ws, lp = ray.get(table_ref)
+        texts = batch.column("text").combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(texts), " ")
+        n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(words))
+        idx = np.searchsorted(ws, flat)
+        idx_c = np.minimum(idx, ws.size - 1)
+        hit = (idx < ws.size) & (ws[idx_c] == flat)
+        flat_lp = np.where(hit, lp[idx_c], unseen)
+        starts = np.zeros(n_tok.size, dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        mean_lp = np.round(np.add.reduceat(flat_lp, starts) / n_tok, 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "mean_logprob": pa.array(mean_lp, pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    t = pa.concat_tables(
+        ds.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return t.sort_by("doc_id")
+
+
+def oracle_unigram_logprob() -> str:
+    return """
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+cnt AS (SELECT word, COUNT(*)::DOUBLE n FROM w GROUP BY word),
+tot AS (SELECT SUM(n) t FROM cnt),
+scored AS (
+  SELECT w.doc_id, ln(cnt.n / tot.t) lp
+  FROM w JOIN cnt USING (word) CROSS JOIN tot)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(AVG(lp), 6) AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def bpe_token_counts(sf_dir: str, n_merges: int = N_MERGES) -> pa.Table:
     """Gate query (rows-only): train BPE on the corpus's word-frequency
     dict, then count per-doc BPE tokens with the broadcast merge table."""
