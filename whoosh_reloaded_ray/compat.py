@@ -680,6 +680,9 @@ def _add_searcher_passthroughs():
         "search_collapsed",
         "more_like",
         "vector",
+        "search_with_collector",
+        "parent_search",
+        "spelling_fieldname",
     ):
         def make(n):
             def fwd(self, *a, **kw):
