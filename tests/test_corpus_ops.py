@@ -239,3 +239,15 @@ def test_filter_quality(ray_session, con):
     _assert_match(res, con, co.oracle_filter_quality())
     kept = sum(res["keep"].to_pylist())
     assert 0 < kept < res.num_rows
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ codes + ADC shortlist + exact rerank: high recall vs brute
+    force at 32x compression of the scanned representation."""
+    from whoosh_reloaded_ray.pipelines import ann
+
+    bf = ann.ann_cosine_topk(SF).to_pandas()
+    pq_ = ann.ann_pq_topk(SF).to_pandas()
+    b = set(map(tuple, bf[["qid", "vec_id"]].values))
+    p = set(map(tuple, pq_[["qid", "vec_id"]].values))
+    assert len(b & p) / len(b) >= 0.8
