@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_search_props": ev.events_search_props,
         "events_value_hist": ev.events_value_hist,
         "events_recent_by_user": ev.events_recent_by_user,
+        "events_tumbling_counts": ev.events_tumbling_counts,
+        "events_sliding_rate": ev.events_sliding_rate,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -135,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "events_search_props": ev.oracle_events_search_props(),
         "events_value_hist": ev.oracle_events_value_hist(),
         "events_recent_by_user": ev.oracle_events_recent_by_user(),
+        "events_tumbling_counts": ev.oracle_events_tumbling_counts(),
+        "events_sliding_rate": ev.oracle_events_sliding_rate(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -251,3 +251,23 @@ def test_ann_pq_recall(ray_session):
     b = set(map(tuple, bf[["qid", "vec_id"]].values))
     p = set(map(tuple, pq_[["qid", "vec_id"]].values))
     assert len(b & p) / len(b) >= 0.8
+
+
+def test_events_windowed_aggregates(ray_session):
+    """Tumbling (bucket+groupby) and sliding (per-user two-pointer)
+    windowed aggregates match DuckDB window functions."""
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    for fn, osql in (
+        (ev.events_tumbling_counts, ev.oracle_events_tumbling_counts),
+        (ev.events_sliding_rate, ev.oracle_events_sliding_rate),
+    ):
+        t = fn(SF)
+        o = con2.sql(osql()).arrow()
+        assert t.num_rows == o.num_rows
+        for c in t.column_names:
+            assert t[c].to_pylist() == o[c].to_pylist(), (fn.__name__, c)

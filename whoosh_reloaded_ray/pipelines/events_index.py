@@ -144,3 +144,105 @@ WHERE user_id BETWEEN 0 AND 9
   AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 01:00:00'
 ORDER BY event_id
 """
+
+
+def events_tumbling_counts(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: events per (event_type, 1-hour window).
+    A windowed aggregate is floor-to-bucket + groupby in Ray Data — one
+    keyed shuffle, partial counts combined per batch first."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et.astype(str), "|"), hour.astype(str))
+        uk, counts = np.unique(key, return_counts=True)
+        parts = np.char.partition(uk, "|")
+        return pa.table(
+            {
+                "event_type": pa.array(parts[:, 0].tolist(), pa.string()),
+                "window_start": pa.array(
+                    parts[:, 2].astype(np.int64), pa.timestamp("us")
+                ),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .sum("n")
+    )
+    parts = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = pa.concat_tables(parts)
+    t = pa.table(
+        {
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n": t["sum(n)"].cast(pa.int64()),
+        }
+    )
+    return t.sort_by([("event_type", "ascending"), ("window_start", "ascending")])
+
+
+def oracle_events_tumbling_counts() -> str:
+    return """
+SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+"""
+
+
+def events_sliding_rate(sf_dir: str) -> pa.Table:
+    """Sliding-window rate feature: for every event, how many events the
+    same user produced in the preceding hour (inclusive of this one) —
+    the per-entity windowed aggregate pattern (sessionization, rate
+    limits, burst features).
+
+    Distributed: groupby(user_id) co-locates each user's events; inside a
+    group one sort + searchsorted two-pointer computes every window count
+    vectorized.  Shuffle is keyed by user; group state is per-user
+    bounded."""
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+
+    def window_counts(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        lo = np.searchsorted(ts_s, ts_s - 3_600_000_000, side="left")
+        n_in_window = np.arange(1, ts_s.size + 1) - lo
+        out = np.empty(ts_s.size, dtype=np.int64)
+        out[order] = n_in_window
+        return pa.table(
+            {
+                "event_id": group["event_id"],
+                "user_id": group["user_id"],
+                "n_last_hour": pa.array(out, pa.int64()),
+            }
+        )
+
+    res = ds.groupby("user_id").map_groups(window_counts, batch_format="pyarrow")
+    parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts).sort_by("event_id")
+
+
+def oracle_events_sliding_rate() -> str:
+    return """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW)::BIGINT AS n_last_hour
+FROM events ORDER BY event_id
+"""
