@@ -271,3 +271,17 @@ def test_events_windowed_aggregates(ray_session):
         assert t.num_rows == o.num_rows
         for c in t.column_names:
             assert t[c].to_pylist() == o[c].to_pylist(), (fn.__name__, c)
+
+
+def test_events_asof_join(ray_session):
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    t = ev.events_asof_signup(SF)
+    o = con2.sql(ev.oracle_events_asof_signup()).arrow()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert t[c].to_pylist() == o[c].to_pylist(), c

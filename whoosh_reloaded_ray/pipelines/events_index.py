@@ -246,3 +246,67 @@ SELECT event_id, user_id,
                       AND CURRENT ROW)::BIGINT AS n_last_hour
 FROM events ORDER BY event_id
 """
+
+
+def events_asof_signup(sf_dir: str) -> pa.Table:
+    """AS-OF JOIN: for every 'purchase' event, the user's most recent
+    'signup' at-or-before it (NULL when none) — the canonical as-of join
+    the Dataset API lacks as a primitive, expressed as keyed co-location
+    (groupby user) + a per-group sorted searchsorted lookup.  Both sides
+    of the join ride the SAME shuffle (union + one groupby), so the cost
+    is one keyed exchange regardless of table sizes."""
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def asof(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        left = np.flatnonzero(et == "purchase")
+        right = np.flatnonzero(et == "signup")
+        out_schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("signup_ts", pa.timestamp("us")),
+            ]
+        )
+        if left.size == 0:
+            return out_schema.empty_table()
+        r_ts = np.sort(ts[right]) if right.size else np.empty(0, np.int64)
+        # most recent signup at-or-before each purchase
+        pos = np.searchsorted(r_ts, ts[left], side="right") - 1
+        vals = np.where(pos >= 0, r_ts[np.maximum(pos, 0)], 0)
+        mask = pos >= 0
+        return pa.table(
+            {
+                "event_id": group["event_id"].take(pa.array(left, pa.int64())),
+                "user_id": group["user_id"].take(pa.array(left, pa.int64())),
+                "signup_ts": pa.array(
+                    [int(v) if m else None for v, m in zip(vals, mask)],
+                    pa.timestamp("us"),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    res = ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(parts).sort_by("event_id")
+
+
+def oracle_events_asof_signup() -> str:
+    return """
+SELECT p.event_id, p.user_id,
+       MAX(s.ts) AS signup_ts
+FROM events p
+LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
