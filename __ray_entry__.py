@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_counts": ev.events_tumbling_counts,
         "events_sliding_rate": ev.events_sliding_rate,
         "events_asof_signup": ev.events_asof_signup,
+        "events_range_join": ev.events_range_join,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_counts": ev.oracle_events_tumbling_counts(),
         "events_sliding_rate": ev.oracle_events_sliding_rate(),
         "events_asof_signup": ev.oracle_events_asof_signup(),
+        "events_range_join": ev.oracle_events_range_join(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

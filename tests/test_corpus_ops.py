@@ -285,3 +285,18 @@ def test_events_asof_join(ray_session):
     assert t.num_rows == o.num_rows
     for c in t.column_names:
         assert t[c].to_pylist() == o[c].to_pylist(), c
+
+
+def test_events_range_join(ray_session):
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    t = ev.events_range_join(SF)
+    o = con2.sql(ev.oracle_events_range_join()).arrow()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert t[c].to_pylist() == o[c].to_pylist(), c
+    assert set(t["band"].to_pylist()) >= {"low", "mid", "high"}

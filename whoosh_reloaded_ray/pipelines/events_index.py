@@ -310,3 +310,57 @@ WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id
 ORDER BY p.event_id
 """
+
+
+RANGE_LABELS = [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 50.0, "high")]
+
+
+def events_range_join(sf_dir: str) -> pa.Table:
+    """RANGE JOIN: label every event by the value band containing it —
+    the broadcast non-equi join pattern: the small side (band table) is a
+    constant broadcast, the probe is a vectorized searchsorted against
+    the band edges per batch.  No shuffle at all; at 10^12 rows this is
+    the only sane plan for small-side range joins."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    los = np.array([lo for lo, _, _ in RANGE_LABELS])
+    his = np.array([hi for _, hi, _ in RANGE_LABELS])
+    labels = np.array([lab for _, _, lab in RANGE_LABELS])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        idx_c = np.maximum(idx, 0)
+        ok = (idx >= 0) & (v < his[idx_c])
+        lab = np.where(ok, labels[idx_c], "other")
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "value_r": pc.round(batch["value"], 6),
+                "band": pa.array(lab.tolist(), pa.string()),
+            }
+        )
+
+    parts = list(
+        ds.map_batches(probe, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return pa.concat_tables(parts).sort_by("event_id")
+
+
+def oracle_events_range_join() -> str:
+    bands = ", ".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in RANGE_LABELS)
+    return f"""
+WITH bands(lo, hi, lab) AS (VALUES {bands})
+SELECT e.event_id, ROUND(e.value, 6) AS value_r,
+       COALESCE(b.lab, 'other') AS band
+FROM events e
+LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+ORDER BY e.event_id
+"""
