@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_rate": ev.events_sliding_rate,
         "events_asof_signup": ev.events_asof_signup,
         "events_range_join": ev.events_range_join,
+        "events_hll_users": ev.events_hll_users,  # rows-only (approximate sketch)
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,

@@ -300,3 +300,22 @@ def test_events_range_join(ray_session):
     for c in t.column_names:
         assert t[c].to_pylist() == o[c].to_pylist(), c
     assert set(t["band"].to_pylist()) >= {"low", "mid", "high"}
+
+
+def test_events_hll_accuracy(ray_session):
+    """HyperLogLog distinct-user sketch within 5% of exact at p=12."""
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exact = dict(
+        con2.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    t = ev.events_hll_users(SF)
+    assert t.num_rows == len(exact)
+    for et, ap in zip(t["event_type"].to_pylist(), t["approx_users"].to_pylist()):
+        assert abs(ap - exact[et]) / exact[et] < 0.05, (et, ap, exact[et])
