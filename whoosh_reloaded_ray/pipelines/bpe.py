@@ -239,6 +239,8 @@ def bpe_token_counts(sf_dir: str, n_merges: int = N_MERGES) -> pa.Table:
     import ray
     import ray.data
 
+    from .._rayutil import actor_pool_size as _pool
+
     counts = corpus_word_counts(sf_dir)
     merges = train_merges(counts, n_merges=n_merges)
     merges_ref = ray.put(merges)
@@ -248,7 +250,7 @@ def bpe_token_counts(sf_dir: str, n_merges: int = N_MERGES) -> pa.Table:
     out = ds.map_batches(
         BpeTokenCounter,
         fn_constructor_args=(merges_ref,),
-        concurrency=2,
+        concurrency=_pool(),
         batch_size=256,
         batch_format="pyarrow",
     )

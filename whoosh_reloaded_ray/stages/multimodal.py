@@ -105,7 +105,7 @@ def decode_image_meta(sf_dir: str) -> pa.Table:
     return per-doc metadata."""
     import ray.data
 
-    from .._rayutil import ensure_serializable
+    from .._rayutil import actor_pool_size, ensure_serializable
 
     ensure_serializable()
     ds = ray.data.read_parquet(
@@ -114,7 +114,7 @@ def decode_image_meta(sf_dir: str) -> pa.Table:
     ds = ds.map_batches(attach_payload, batch_format="pyarrow")
     ds = ds.drop_columns(["text"])
     ds = ds.map_batches(
-        FakeImageDecoder, concurrency=2, batch_size=128, batch_format="pyarrow"
+        FakeImageDecoder, concurrency=actor_pool_size(), batch_size=128, batch_format="pyarrow"
     )
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     return t.sort_by("doc_id")
@@ -134,7 +134,7 @@ FROM documents ORDER BY doc_id
 def frame_sample_meta(sf_dir: str) -> pa.Table:
     import ray.data
 
-    from .._rayutil import ensure_serializable
+    from .._rayutil import actor_pool_size, ensure_serializable
 
     ensure_serializable()
     ds = ray.data.read_parquet(
@@ -142,7 +142,7 @@ def frame_sample_meta(sf_dir: str) -> pa.Table:
     )
     ds = ds.map_batches(attach_payload, batch_format="pyarrow").drop_columns(["text"])
     ds = ds.map_batches(
-        FrameSampler, concurrency=2, batch_size=128, batch_format="pyarrow"
+        FrameSampler, concurrency=actor_pool_size(), batch_size=128, batch_format="pyarrow"
     )
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     return t.sort_by("doc_id")
@@ -289,7 +289,7 @@ def _attach_real_payload(make_fn):
 def _decode_meta_pipeline(sf_dir: str, make_fn, decoder_cls) -> pa.Table:
     import ray.data
 
-    from .._rayutil import ensure_serializable
+    from .._rayutil import actor_pool_size, ensure_serializable
 
     ensure_serializable()
     ds = ray.data.read_parquet(
@@ -297,7 +297,7 @@ def _decode_meta_pipeline(sf_dir: str, make_fn, decoder_cls) -> pa.Table:
     )
     ds = ds.map_batches(_attach_real_payload(make_fn), batch_format="pyarrow")
     ds = ds.map_batches(
-        decoder_cls, concurrency=2, batch_size=128, batch_format="pyarrow"
+        decoder_cls, concurrency=actor_pool_size(), batch_size=128, batch_format="pyarrow"
     )
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     return t.sort_by("doc_id")
