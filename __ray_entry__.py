@@ -37,6 +37,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_reloaded_ray.pipelines import ann
     from whoosh_reloaded_ray.pipelines import bpe
+    from whoosh_reloaded_ray.pipelines import curation as cu
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
@@ -90,6 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_quality": co.filter_quality,
         "bpe_token_counts": bpe.bpe_token_counts,  # rows-only (BPE not SQL-expressible)
         "unigram_logprob": bpe.unigram_logprob,
+        # curation: n-gram stats / decontamination / repetition / PII / packing
+        "top_ngrams": cu.top_ngrams,
+        "decontaminate": cu.decontaminate,
+        "repetition_stats": cu.repetition_stats,
+        "redact_pii": cu.redact_pii,
+        "pack_sequences": cu.pack_sequences,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
@@ -109,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from whoosh_reloaded_ray.pipelines import ann
     from whoosh_reloaded_ray.pipelines import bpe
+    from whoosh_reloaded_ray.pipelines import curation as cu
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
@@ -157,6 +165,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": co.oracle_stratified_sample(),
         "filter_quality": co.oracle_filter_quality(),
         "unigram_logprob": bpe.oracle_unigram_logprob(),
+        "top_ngrams": cu.oracle_top_ngrams(),
+        "decontaminate": cu.oracle_decontaminate(),
+        "repetition_stats": cu.oracle_repetition_stats(),
+        "redact_pii": cu.oracle_redact_pii(),
+        "pack_sequences": cu.oracle_pack_sequences(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         # ann_ivf_topk: no oracle (approximate by design)

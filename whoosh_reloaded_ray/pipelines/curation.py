@@ -1,0 +1,414 @@
+"""Training-data curation ops: n-gram statistics, benchmark
+decontamination, repetition filtering, PII redaction, sequence packing.
+
+These complement ``corpus_ops`` (dedup / near-dup / quality) with the
+remaining hygiene stages a large-scale LLM-data pipeline runs before
+training.  Every op is a lazy Ray Data pipeline with (where
+SQL-expressible) a matching DuckDB oracle wired through
+``__ray_entry__``:
+
+  * ``top_ngrams``       — corpus-wide top-k word n-grams.  Per-batch
+    combiner (``pc.value_counts``) shrinks the shuffle to one row per
+    distinct n-gram per batch before the ``groupby().sum()``.
+  * ``decontaminate``    — GPT-3-style benchmark decontamination: flag
+    every training doc sharing any word n-gram with the held-out set
+    (here: ``doc_id % 97 == 0``).  Distributed semi-join: n-gram-hash
+    groupby, emit non-benchmark doc_ids from mixed groups.  No driver-
+    side n-gram set — the benchmark may be arbitrarily large.
+  * ``repetition_stats`` — Gopher-style repetition signals per doc
+    (distinct-token fraction, most-frequent-bigram share), fully
+    vectorized (dictionary codes + np.unique, no Python loop over rows).
+  * ``redact_pii``       — regex scrub (email / IPv4 / number runs) over
+    ``events.props`` with per-pattern match counts; all-Arrow
+    (``pc.replace_substring_regex`` / ``pc.count_substring_regex``, RE2
+    on both the Ray side and the DuckDB oracle).
+  * ``pack_sequences``   — deterministic greedy next-fit packing of docs
+    into fixed token-budget bins, per ``source`` partition.  The
+    sequential fold runs inside ``map_groups`` per source (bounded
+    group), never on the driver; bin ids are local to the source so the
+    op needs no global coordination.
+
+Scale notes: ``top_ngrams`` / ``decontaminate`` shuffle one row per
+distinct n-gram (hash-keyed, uniform); ``repetition_stats`` and
+``redact_pii`` are map-only; ``pack_sequences`` is one groupby on the
+pre-existing ``source`` key.  Reference parity: the reference engine has
+no curation layer — these ops extend it per the 100 TB brief (SURVEY.md
+Section 2 addendum).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .corpus_ops import _hash64, _read_documents, _split_lower
+
+DECON_N = 4  # word n-gram size for decontamination
+DECON_BENCH_MOD = 97  # doc_id % MOD == 0 -> held-out benchmark doc
+TOP_NGRAM_N = 3
+TOP_NGRAM_K = 20
+PACK_BUDGET = 256  # tokens per packed sequence bin
+
+# RE2-compatible on BOTH sides (Arrow compute and DuckDB use RE2).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_NUM = r"[0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# shared: vectorized flat n-gram strings for a batch
+# ---------------------------------------------------------------------------
+
+
+def _flat_ngrams(col, n: int):
+    """(flat n-gram StringArray, n-grams-per-row counts) for
+    ``lower().split(' ')`` word n-grams — the same tokenization as the
+    SQL oracles' ``string_split(lower(text), ' ')``.  All-Arrow: gather
+    the k shifted word arrays and join with one
+    ``binary_join_element_wise`` kernel (no Python string building)."""
+    flat, counts = _split_lower(col)
+    nng = np.maximum(counts - (n - 1), 0)
+    total = int(nng.sum())
+    if total == 0:
+        return pa.array([], type=pa.string()), nng
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ng_off = np.concatenate(([0], np.cumsum(nng)[:-1]))
+    ng_row = np.repeat(np.arange(len(counts)), nng)
+    intra = np.arange(total) - np.repeat(ng_off, nng)
+    p = row_off[ng_row] + intra
+    parts = [flat.take(pa.array(p + j)) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " "), nng
+
+
+def _ngram_hashes(ngs: pa.Array) -> np.ndarray:
+    """61-bit hashes per n-gram, computed once per UNIQUE n-gram
+    (dictionary encode first — corpus n-gram multiplicity is high)."""
+    if len(ngs) == 0:
+        return np.empty(0, np.int64)
+    denc = pc.dictionary_encode(ngs)
+    uh = _hash64(denc.dictionary.to_pylist()).view(np.int64)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[codes]
+
+
+# ---------------------------------------------------------------------------
+# top-k corpus n-grams
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N, k: int = TOP_NGRAM_K) -> pa.Table:
+    """Top-k most frequent word n-grams corpus-wide.
+
+    Per-batch partial counts (one row per distinct n-gram per batch)
+    combine BEFORE the groupby, so the all-to-all moves the batch-local
+    vocabulary, not one row per token position.  Ties break on the
+    n-gram string, making the k-boundary deterministic."""
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ngs, _ = _flat_ngrams(batch["text"], n)
+        if len(ngs) == 0:
+            return pa.table({"ng": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(ngs)
+        return pa.table({"ng": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ng")
+        .sum("n")
+        .sort(["sum(n)", "ng"], descending=[True, False])
+        .limit(k)
+    )
+    t = pa.concat_tables(top.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.table({"ng": t["ng"], "n": t["sum(n)"]})
+
+
+def oracle_top_ngrams() -> str:
+    n, k = TOP_NGRAM_N, TOP_NGRAM_K
+    return f"""
+WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+g AS (SELECT array_to_string(toks[i+1:i+{n}], ' ') AS ng
+      FROM t, unnest(range(len(toks) - {n - 1})) AS u(i)
+      WHERE len(toks) >= {n})
+SELECT ng, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY ng ORDER BY n DESC, ng LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    sf_dir: str, n: int = DECON_N, bench_mod: int = DECON_BENCH_MOD
+) -> pa.Table:
+    """doc_ids of training docs contaminated by the held-out benchmark:
+    any shared word ``n``-gram with a benchmark doc (``doc_id %
+    bench_mod == 0``) flags the doc (GPT-3 appendix-C style).
+
+    Distributed semi-join: (ngram-hash, doc_id, is_bench) rows, deduped
+    per batch, one groupby on the 61-bit hash; mixed groups emit their
+    non-benchmark doc_ids, a second groupby dedups docs flagged by many
+    n-grams.  The benchmark side is never collected to the driver, so it
+    may be arbitrarily large (hash collisions: < n_distinct^2 / 2^61,
+    negligible; the gate corpus was verified collision-free vs the exact
+    string oracle)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def ngram_rows(batch: pa.Table) -> pa.Table:
+        ngs, nng = _flat_ngrams(batch["text"], n)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _ngram_hashes(ngs)
+        d = np.repeat(doc, nng)
+        rec = np.rec.fromarrays([h, d], names="h,d")
+        uniq = np.unique(rec)
+        hu, du = uniq["h"], uniq["d"]
+        return pa.table(
+            {
+                "h": pa.array(hu, pa.int64()),
+                "doc_id": pa.array(du, pa.int64()),
+                "bench": pa.array(du % bench_mod == 0),
+            }
+        )
+
+    def emit_contaminated(group: pa.Table) -> pa.Table:
+        b = group["bench"].to_numpy(zero_copy_only=False)
+        if not b.any() or b.all():
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)[~b]
+        return pa.table({"doc_id": pa.array(np.unique(docs), pa.int64())})
+
+    flagged = (
+        ds.map_batches(ngram_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_contaminated, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+    )
+    t = pa.concat_tables(flagged.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.table({"doc_id": t["doc_id"]}).sort_by("doc_id")
+
+
+def oracle_decontaminate() -> str:
+    n, m = DECON_N, DECON_BENCH_MOD
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (SELECT doc_id, array_to_string(toks[i+1:i+{n}], ' ') AS ng
+      FROM t, unnest(range(len(toks) - {n - 1})) AS u(i)
+      WHERE len(toks) >= {n}),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % {m} = 0)
+SELECT DISTINCT doc_id FROM g
+WHERE doc_id % {m} <> 0 AND ng IN (SELECT ng FROM bench)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-doc repetition signals: token counts, distinct tokens, and the
+    most-frequent-bigram count/share (Gopher Table A1's duplication
+    family re-expressed for the space-tokenized corpus).  Vectorized:
+    dictionary codes + np.unique over (row, code) keys — no per-row
+    Python loop."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_lower(batch["text"])
+        nrows = len(counts)
+        doc = batch["doc_id"]
+        denc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(max(len(denc.dictionary), 1))
+        row = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+        # distinct tokens per row
+        uniq_rows = np.unique(row * V + codes) // V
+        n_distinct = np.bincount(uniq_rows, minlength=nrows)
+        # most-frequent bigram per row
+        nbg = np.maximum(counts - 1, 0)
+        top_bg = np.zeros(nrows, np.int64)
+        if nbg.sum() > 0:
+            row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            bg_row = np.repeat(np.arange(nrows, dtype=np.int64), nbg)
+            intra = np.arange(int(nbg.sum())) - np.repeat(
+                np.concatenate(([0], np.cumsum(nbg)[:-1])), nbg
+            )
+            p = row_off[bg_row] + intra
+            key = (bg_row * V + codes[p]) * V + codes[p + 1]
+            uk, cnt = np.unique(key, return_counts=True)
+            np.maximum.at(top_bg, (uk // V) // V, cnt)
+        nt = counts.astype(np.float64)
+        frac = np.divide(top_bg, nt - 1.0, out=np.zeros(nrows), where=counts > 1)
+        return pa.table(
+            {
+                "doc_id": doc,
+                "n_tokens": pa.array(counts, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "top_bigram_n": pa.array(top_bg, pa.int64()),
+                "top_bigram_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+
+
+def oracle_repetition_stats() -> str:
+    return """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+         FROM w GROUP BY doc_id),
+g AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS ng
+      FROM t, unnest(range(len(toks) - 1)) AS u(i) WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY doc_id, ng),
+mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT base.doc_id, n_tokens, n_distinct,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN n_tokens > 1
+            THEN COALESCE(top_bigram_n, 0) / (n_tokens - 1.0) ELSE 0.0 END
+         AS top_bigram_frac
+FROM base LEFT JOIN mx USING (doc_id) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (events.props)
+# ---------------------------------------------------------------------------
+
+
+def redact_pii(sf_dir: str) -> pa.Table:
+    """Scrub emails, IPv4 addresses, then remaining number runs from
+    ``events.props``, with per-pattern match counts.  Map-only and
+    all-Arrow: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` per pattern, applied in order (counts
+    are taken on the string as it stood BEFORE that pattern's replace,
+    matching the oracle's nesting)."""
+    import ray.data
+
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch["props"], "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        out = {"event_id": batch["event_id"]}
+        for name, pat, repl in (
+            ("n_emails", PII_EMAIL, "<EMAIL>"),
+            ("n_ips", PII_IPV4, "<IP>"),
+            ("n_nums", PII_NUM, "<NUM>"),
+        ):
+            out[name] = pc.cast(pc.count_substring_regex(s, pat), pa.int64())
+            s = pc.replace_substring_regex(s, pat, repl)
+        out["redacted"] = s
+        return pa.table(out)
+
+    out = ds.map_batches(scrub, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("event_id")
+
+
+def oracle_redact_pii() -> str:
+    return f"""
+WITH a AS (SELECT event_id,
+             CAST(len(regexp_extract_all(props, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+             regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g') AS p1
+           FROM events),
+b AS (SELECT event_id, n_emails,
+             CAST(len(regexp_extract_all(p1, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+             regexp_replace(p1, '{PII_IPV4}', '<IP>', 'g') AS p2
+      FROM a)
+SELECT event_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(p2, '{PII_NUM}')) AS BIGINT) AS n_nums,
+       regexp_replace(p2, '{PII_NUM}', '<NUM>', 'g') AS redacted
+FROM b ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pa.Table:
+    """Deterministic greedy next-fit sequence packing: docs in doc_id
+    order within each ``source`` fold into bins of at most ``budget``
+    tokens (a doc longer than the budget gets its own bin).  Bin ids are
+    LOCAL to the source — the partitioning assumption is that one
+    training shard == one source group, so packing needs no cross-group
+    coordination and the sequential fold runs inside ``map_groups`` on a
+    bounded group, never on the driver."""
+    ds = _read_documents(sf_dir, ["doc_id", "source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        _, counts = _split_lower(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        g = group.sort_by("doc_id")
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        bin_id = np.empty(len(nt), np.int64)
+        cur, fill = 0, 0
+        for i, n in enumerate(nt):
+            if fill > 0 and fill + n > budget:
+                cur += 1
+                fill = 0
+            bin_id[i] = cur
+            fill += int(n)
+        return g.append_column("bin_id", pa.array(bin_id, pa.int64()))
+
+    out = (
+        ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
+def oracle_pack_sequences() -> str:
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_tokens, rn, CAST(0 AS BIGINT) AS bin_id,
+         n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN r.fill + t.n_tokens <= {PACK_BUDGET}
+              THEN r.bin_id ELSE r.bin_id + 1 END,
+         CASE WHEN r.fill + t.n_tokens <= {PACK_BUDGET}
+              THEN r.fill + t.n_tokens ELSE t.n_tokens END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+SELECT doc_id, source, n_tokens, bin_id FROM r ORDER BY source, doc_id
+"""
