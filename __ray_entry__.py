@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_misspelled": ft.suggest_misspelled,
         "top_terms_by_df": ft.top_terms_by_df,
         "match_parsed_daterange": ft.match_parsed_daterange,
+        "match_parsed_nl_datetime": ft.match_parsed_nl_datetime,
         "conv_match_counts": ft.conv_match_counts,
         "search_simple_parser": ft.search_simple_parser,
         "match_gtlt": ft.match_gtlt,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_misspelled": ft.oracle_suggest_misspelled(),
         "top_terms_by_df": ft.oracle_top_terms_by_df(),
         "match_parsed_daterange": ft.oracle_match_parsed_daterange(),
+        "match_parsed_nl_datetime": ft.oracle_match_parsed_nl_datetime(),
         "conv_match_counts": ft.oracle_conv_match_counts(),
         "search_simple_parser": ft.oracle_search_simple_parser(),
         "match_gtlt": ft.oracle_match_gtlt(),

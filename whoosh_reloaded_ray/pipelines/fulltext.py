@@ -489,6 +489,40 @@ ORDER BY doc_id
 """
 
 
+def match_parsed_nl_datetime(sf_dir: str) -> pa.Table:
+    """Query-STRING search with the long-tail natural-language datetime
+    grammar (query/dateparse.py): a 'midnight to +3 mins' to-range with
+    a time-of-day start and a plus-minus chain end, resolved against a
+    fixed basedate (reference DateParserPlugin semantics)."""
+    import datetime as _dt
+
+    from ..query import QueryParser
+    from ..schema import transcript_schema
+
+    s = get_searcher(sf_dir)
+    base = _dt.datetime(2026, 1, 1, 0, 0, 30)
+    q = QueryParser(
+        "text", transcript_schema(), dateparse_basedate=base
+    ).parse("ts:'midnight to +3 mins' AND data")
+    res = s.search(q, limit=None, scored=False)
+    rows = _hits_with_keys(s, res, with_rank=False)
+    return rows.select(["doc_id"]).sort_by("doc_id")
+
+
+def oracle_match_parsed_nl_datetime() -> str:
+    # midnight -> floor 2026-01-01 00:00:00; +3 mins -> basedate
+    # (00:00:30) + 3 minutes = 00:03:30 exact point (span ceil)
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT doc_id, ts, {toks} AS toks FROM transcripts)
+SELECT doc_id FROM tokd
+WHERE list_contains(toks, 'data')
+  AND ts BETWEEN TIMESTAMP '2026-01-01 00:00:00' AND TIMESTAMP '2026-01-01 00:03:30'
+ORDER BY doc_id
+"""
+
+
 def conv_match_counts(sf_dir: str) -> pa.Table:
     """Conversation-level block join (NestedParent analog): conversations
     with any turn containing 'spark', with matching-turn counts."""

@@ -541,123 +541,22 @@ def _datetime_bounds(text: str):
     return np.datetime64(flo, "us"), np.datetime64(chi, "us")
 
 
-_NL_MONTHS = {}
-for _i, _name in enumerate(
-    "january february march april may june july august september october november december".split(),
-    1,
-):
-    _NL_MONTHS[_name] = _i
-    _NL_MONTHS[_name[:3]] = _i
-_NL_WEEKDAYS = {}
-for _i, _name in enumerate(
-    "monday tuesday wednesday thursday friday saturday sunday".split()
-):
-    _NL_WEEKDAYS[_name] = _i
-    _NL_WEEKDAYS[_name[:3]] = _i
-_NL_UNITS = {
-    "minute": "minutes", "minutes": "minutes", "min": "minutes",
-    "hour": "hours", "hours": "hours", "h": "hours",
-    "day": "days", "days": "days", "d": "days",
-    "week": "weeks", "weeks": "weeks", "w": "weeks",
-    "month": "months", "months": "months", "mo": "months",
-    "year": "years", "years": "years", "y": "years",
-}
-
-
 def _nl_date_bounds(text: str, base):
-    """Natural-language datestring subset of the reference
-    DateParserPlugin grammar (qparser/dateparse.py), relative to
-    ``base``: now (exact) / today / yesterday / tomorrow (day ranges);
-    next|last <weekday> (day range); [day] month-name [year] (day or
-    month range, year defaulting to the basedate's); signed offsets like
-    '-3 weeks' (exact point).  Returns (floor, ceil) np.datetime64[us] or
-    None (unparseable -> no matches, like the reference's NullQuery)."""
-    import datetime as _dt
-
+    """Natural-language datestring bounds via the full English grammar
+    (query/dateparse.py — the reference DateParserPlugin analog,
+    qparser/dateparse.py:603-780): times of day, date/time bags, d-m-y
+    orderings, named/relative days, plus-minus chains, and 'a to b'
+    ranges, all relative to ``base``.  Returns (floor, ceil)
+    np.datetime64[us] or None (unparseable -> no matches, like the
+    reference's NullQuery)."""
     import numpy as np
 
-    def day_bounds(d: "_dt.date"):
-        lo = _dt.datetime(d.year, d.month, d.day)
-        return (
-            np.datetime64(lo, "us"),
-            np.datetime64(lo + _dt.timedelta(days=1) - _dt.timedelta(microseconds=1), "us"),
-        )
+    from .dateparse import english_date_bounds
 
-    def month_bounds(y: int, mo: int):
-        import calendar
-
-        lo = _dt.datetime(y, mo, 1)
-        hi = _dt.datetime(y, mo, calendar.monthrange(y, mo)[1], 23, 59, 59, 999999)
-        return np.datetime64(lo, "us"), np.datetime64(hi, "us")
-
-    t = text.strip().lower()
-    if t == "now":
-        v = np.datetime64(base, "us")
-        return v, v
-    if t == "today":
-        return day_bounds(base.date())
-    if t == "yesterday":
-        return day_bounds(base.date() - _dt.timedelta(days=1))
-    if t == "tomorrow":
-        return day_bounds(base.date() + _dt.timedelta(days=1))
-
-    m = re.match(r"^(next|last)\s+([a-z]+)$", t)
-    if m and m.group(2) in _NL_WEEKDAYS:
-        target = _NL_WEEKDAYS[m.group(2)]
-        cur = base.weekday()
-        if m.group(1) == "next":
-            delta = (target - cur - 1) % 7 + 1
-        else:
-            delta = -((cur - target - 1) % 7 + 1)
-        return day_bounds(base.date() + _dt.timedelta(days=delta))
-
-    m = re.match(r"^([+-]\d+)\s*([a-z]+)$", t)
-    if m and m.group(2) in _NL_UNITS:
-        n = int(m.group(1))
-        unit = _NL_UNITS[m.group(2)]
-        if unit in ("months", "years"):
-            months = n * (12 if unit == "years" else 1)
-            y, mo = base.year, base.month + months
-            y += (mo - 1) // 12
-            mo = (mo - 1) % 12 + 1
-            import calendar
-
-            day = min(base.day, calendar.monthrange(y, mo)[1])
-            v = base.replace(year=y, month=mo, day=day)
-        else:
-            v = base + _dt.timedelta(**{unit: n})
-        v64 = np.datetime64(v, "us")
-        return v64, v64
-
-    # [day] month-name [year] — day before the month, year after it
-    parts = t.split()
-    day = year = month = None
-    try:
-        i = 0
-        if i < len(parts) and parts[i].isdigit() and int(parts[i]) <= 31:
-            day = int(parts[i])
-            i += 1
-        if i < len(parts) and parts[i] in _NL_MONTHS:
-            month = _NL_MONTHS[parts[i]]
-            i += 1
-        else:
-            return None
-        if i < len(parts) and parts[i].isdigit() and len(parts[i]) == 4:
-            year = int(parts[i])
-            i += 1
-        if i != len(parts):
-            return None
-    except ValueError:
+    b = english_date_bounds(text, base)
+    if b is None:
         return None
-    year = year if year is not None else base.year
-    if day is not None:
-        import datetime as _dt2
-
-        try:
-            return day_bounds(_dt2.date(year, month, day))
-        except ValueError:
-            return None
-    return month_bounds(year, month)
+    return np.datetime64(b[0], "us"), np.datetime64(b[1], "us")
 
 
 def _parse_number(text: str):
