@@ -103,6 +103,31 @@ def test_redact_pii_patterns(ray_session):
     assert s.to_pylist() == ["mail <EMAIL> from <IP> port <NUM>"]
 
 
+def test_doc_keywords(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import curation as cu
+
+    res = cu.doc_keywords(SF)
+    _assert_match(res, con, cu.oracle_doc_keywords())
+    t = res.to_pandas()
+    assert set(t["rank"]) == {1, 2, 3}
+    # rank 1 has the max score within each doc
+    g = t.groupby("doc_id")["score"]
+    assert (g.transform("max") >= t["score"]).all()
+
+
+def test_lazy_dataset_variants(ray_session):
+    """collect=False returns a lazy Dataset (the 100 TB path: feed it to
+    write_parquet instead of collecting)."""
+    import ray.data
+
+    from whoosh_reloaded_ray.pipelines import curation as cu
+
+    for fn in (cu.repetition_stats, cu.redact_pii, cu.pack_sequences, cu.doc_keywords):
+        ds = fn(SF, collect=False)
+        assert isinstance(ds, ray.data.Dataset), fn.__name__
+    assert cu.repetition_stats(SF, collect=False).count() == 500
+
+
 def test_pack_sequences(ray_session, con):
     from whoosh_reloaded_ray.pipelines import curation as cu
 

@@ -214,7 +214,7 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def repetition_stats(sf_dir: str) -> pa.Table:
+def repetition_stats(sf_dir: str, collect: bool = True):
     """Per-doc repetition signals: token counts, distinct tokens, and the
     most-frequent-bigram count/share (Gopher Table A1's duplication
     family re-expressed for the space-tokenized corpus).  Vectorized:
@@ -261,6 +261,8 @@ def repetition_stats(sf_dir: str) -> pa.Table:
         )
 
     out = ds.map_batches(stats, batch_format="pyarrow")
+    if not collect:
+        return out  # lazy Dataset: at scale, write_parquet this instead
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("doc_id")
@@ -287,11 +289,132 @@ FROM base LEFT JOIN mx USING (doc_id) ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(sf_dir: str, k: int = KEYWORDS_PER_DOC, collect: bool = True):
+    """Top-k TF-IDF keywords per doc: score = tf * ln(N / df), ranked
+    (score desc, term asc) on the 6-decimal-rounded score.
+
+    Scale shape: ONE vocab-sized shuffle (df = docs-per-term groupby,
+    pre-aggregated per batch), then the df table is broadcast via
+    ``ray.put`` and every batch computes its docs' tf + top-k locally —
+    docs never shuffle.  Assumes the distinct-term table fits a worker
+    (10^7-ish terms is fine); for web-scale vocab, pre-filter
+    stopword-frequency terms before the broadcast."""
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def batch_term_docs(batch: pa.Table) -> pa.Table:
+        # partial df: one row per (term) with the batch's doc-count
+        flat, counts = _split_lower(batch["text"])
+        denc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(max(len(denc.dictionary), 1))
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        uniq = np.unique(row * V + codes)  # distinct (doc, term)
+        term_codes, df_part = np.unique(uniq % V, return_counts=True)
+        return pa.table(
+            {
+                "term": denc.dictionary.take(pa.array(term_codes)),
+                "df": pa.array(df_part, pa.int64()),
+            }
+        )
+
+    df_table = pa.concat_tables(
+        ds.map_batches(batch_term_docs, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    df_map = dict(
+        zip(df_table["term"].to_pylist(), df_table["sum(df)"].to_pylist())
+    )
+    df_ref = ray.put(df_map)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        flat, counts = _split_lower(batch["text"])
+        denc = pc.dictionary_encode(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        )
+        vocab = denc.dictionary.to_pylist()
+        df_by_code = np.array([dfm[t] for t in vocab], np.int64)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(max(len(vocab), 1))
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        key, tf = np.unique(row * V + codes, return_counts=True)
+        krow, kcode = key // V, key % V
+        kdf = df_by_code[kcode]
+        score = np.round(tf * np.log(n_docs / kdf), 6)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        terms = np.array(vocab, dtype=object)[kcode]
+        out = {"doc_id": [], "rank": [], "term": [], "tf": [], "df": [], "score": []}
+        order = np.lexsort((terms, -score, krow))  # doc, score desc, term
+        krow, terms = krow[order], terms[order]
+        tf, kdf, score = tf[order], kdf[order], score[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(krow)) + 1, [len(krow)]))
+        for i in range(len(starts) - 1):
+            lo = starts[i]
+            hi = min(starts[i] + k, starts[i + 1])
+            m = hi - lo
+            out["doc_id"].append(np.full(m, doc[krow[lo]]))
+            out["rank"].append(np.arange(1, m + 1))
+            out["term"].append(terms[lo:hi])
+            out["tf"].append(tf[lo:hi])
+            out["df"].append(kdf[lo:hi])
+            out["score"].append(score[lo:hi])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out["doc_id"]), pa.int64()),
+                "rank": pa.array(np.concatenate(out["rank"]), pa.int64()),
+                "term": pa.array(np.concatenate(out["term"]).tolist(), pa.string()),
+                "tf": pa.array(np.concatenate(out["tf"]), pa.int64()),
+                "df": pa.array(np.concatenate(out["df"]), pa.int64()),
+                "score": pa.array(np.concatenate(out["score"]), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(topk, batch_format="pyarrow")
+    if not collect:
+        return out  # lazy Dataset: at scale, write_parquet this instead
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+
+
+def oracle_doc_keywords() -> str:
+    k = KEYWORDS_PER_DOC
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (SELECT doc_id, term, tf, df,
+                  round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS score
+           FROM tf JOIN df USING (term)),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (events.props)
 # ---------------------------------------------------------------------------
 
 
-def redact_pii(sf_dir: str) -> pa.Table:
+def redact_pii(sf_dir: str, collect: bool = True):
     """Scrub emails, IPv4 addresses, then remaining number runs from
     ``events.props``, with per-pattern match counts.  Map-only and
     all-Arrow: one ``count_substring_regex`` + one
@@ -323,6 +446,8 @@ def redact_pii(sf_dir: str) -> pa.Table:
         return pa.table(out)
 
     out = ds.map_batches(scrub, batch_format="pyarrow")
+    if not collect:
+        return out  # lazy Dataset: at scale, write_parquet this instead
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("event_id")
@@ -350,7 +475,7 @@ FROM b ORDER BY event_id
 # ---------------------------------------------------------------------------
 
 
-def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pa.Table:
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET, collect: bool = True):
     """Deterministic greedy next-fit sequence packing: docs in doc_id
     order within each ``source`` fold into bins of at most ``budget``
     tokens (a doc longer than the budget gets its own bin).  Bin ids are
@@ -388,6 +513,8 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> pa.Table:
         .groupby("source")
         .map_groups(pack, batch_format="pyarrow")
     )
+    if not collect:
+        return out  # lazy Dataset: at scale, write_parquet this instead
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
