@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_signup": ev.events_asof_signup,
         "events_range_join": ev.events_range_join,
         "events_hll_users": ev.events_hll_users,  # rows-only (approximate sketch)
+        "events_sessionize": ev.events_sessionize,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_rate": ev.oracle_events_sliding_rate(),
         "events_asof_signup": ev.oracle_events_asof_signup(),
         "events_range_join": ev.oracle_events_range_join(),
+        "events_sessionize": ev.oracle_events_sessionize(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

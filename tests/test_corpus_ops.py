@@ -319,3 +319,31 @@ def test_events_hll_accuracy(ray_session):
     assert t.num_rows == len(exact)
     for et, ap in zip(t["event_type"].to_pylist(), t["approx_users"].to_pylist()):
         assert abs(ap - exact[et]) / exact[et] < 0.05, (et, ap, exact[et])
+
+
+def test_events_sessionize(ray_session):
+    import duckdb
+    import numpy as np
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    t = ev.events_sessionize(SF)
+    o = con2.sql(ev.oracle_events_sessionize()).arrow()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert t[c].to_pylist() == o[c].to_pylist(), c
+    # invariants: session ids dense per user, start <= end, gap respected
+    df = t.to_pandas()
+    for _, g in df.groupby("user_id"):
+        sids = np.sort(g["session_id"].unique())
+        assert sids[0] == 0 and (np.diff(sids) == 1).all()
+        g = g.sort_values("session_id")
+        # next session starts more than the gap after the previous ends
+        gaps = (
+            g["session_start"].values[1:].astype("datetime64[us]").astype(np.int64)
+            - g["session_end"].values[:-1].astype("datetime64[us]").astype(np.int64)
+        )
+        assert (gaps > ev.SESSION_GAP_US).all()
+    assert (df["session_start"] <= df["session_end"]).all()

@@ -448,3 +448,74 @@ def events_hll_users(sf_dir: str) -> pa.Table:
             "approx_users": pa.array([n for _, n in rows], pa.int64()),
         }
     )
+
+
+SESSION_GAP_US = 12 * 3_600_000_000  # 12-hour inactivity gap
+
+
+def events_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """Gap-based sessionization: a user's events split into sessions
+    wherever consecutive inter-event time exceeds ``gap_us``; returns
+    per-session summaries (count, start, end).
+
+    The classic stateful-streaming operator expressed Ray-Data-first:
+    one groupby(user_id) shuffle, then a fully vectorized per-group
+    sort + diff + cumsum inside ``map_groups`` (no driver state, no
+    Python loop).  Partitioning assumption: one user's history fits a
+    worker — holds at 100 TB because sessions derive from per-user
+    event streams, which are individually small; a pathological single
+    hot user would need a two-level (user, day) pre-split."""
+    import numpy as np
+    import ray.data
+
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.empty(len(ts), np.int64)
+        brk[0] = 0
+        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        starts = np.concatenate(([0], np.flatnonzero(brk) , [len(ts)]))
+        starts = np.unique(starts)
+        uid = g["user_id"][0].as_py()
+        lo, hi = starts[:-1], starts[1:]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(lo), uid), pa.int64()),
+                "session_id": pa.array(sid[lo], pa.int64()),
+                "n_events": pa.array(hi - lo, pa.int64()),
+                "session_start": pa.array(ts[lo], pa.timestamp("us")),
+                "session_end": pa.array(ts[hi - 1], pa.timestamp("us")),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+
+
+def oracle_events_sessionize() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
