@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": cu.repetition_stats,
         "redact_pii": cu.redact_pii,
         "doc_keywords": cu.doc_keywords,
+        "dup_spans": cu.dup_spans,
         "pack_sequences": cu.pack_sequences,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": cu.oracle_repetition_stats(),
         "redact_pii": cu.oracle_redact_pii(),
         "doc_keywords": cu.oracle_doc_keywords(),
+        "dup_spans": cu.oracle_dup_spans(),
         "pack_sequences": cu.oracle_pack_sequences(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),

@@ -128,6 +128,14 @@ def test_lazy_dataset_variants(ray_session):
     assert cu.repetition_stats(SF, collect=False).count() == 500
 
 
+def test_dup_spans(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import curation as cu
+
+    res = cu.dup_spans(SF)
+    _assert_match(res, con, cu.oracle_dup_spans())
+    assert res.num_rows > 0, "sf corpus plants near-duplicate docs"
+
+
 def test_pack_sequences(ray_session, con):
     from whoosh_reloaded_ray.pipelines import curation as cu
 

@@ -539,3 +539,69 @@ r AS (
   FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
 SELECT doc_id, source, n_tokens, bin_id FROM r ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span detection (substring dedup core)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 20  # tokens per span (Lee et al.'s exact-substring dedup, scaled)
+
+
+def dup_spans(sf_dir: str, n: int = DUP_SPAN_N, collect: bool = True):
+    """(doc_id, pos) of every word ``n``-gram span that occurs more than
+    once corpus-wide — the detection core of exact-substring training-
+    data dedup (remove-all-but-first repeated spans).
+
+    One groupby on the span's 61-bit hash; groups of size > 1 emit their
+    member (doc_id, pos) rows.  Span text never leaves the mapper (the
+    shuffle moves 3 ints per span); repeated-span groups are bounded by
+    the corpus duplication rate.  ``collect=False`` returns the lazy
+    Dataset (at scale the span list feeds a per-doc mask rewrite, not a
+    driver collect)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        ngs, nng = _flat_ngrams(batch["text"], n)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        total = int(nng.sum())
+        off = np.concatenate(([0], np.cumsum(nng)[:-1]))
+        pos = np.arange(total) - np.repeat(off, nng)
+        return pa.table(
+            {
+                "h": pa.array(_ngram_hashes(ngs), pa.int64()),
+                "doc_id": pa.array(np.repeat(doc, nng), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def emit_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        return group.select(["doc_id", "pos"])
+
+    out = (
+        ds.map_batches(span_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_dups, batch_format="pyarrow")
+    )
+    if not collect:
+        return out
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+
+
+def oracle_dup_spans() -> str:
+    n = DUP_SPAN_N
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i+1:i+{n}], ' ') AS ng
+      FROM t, unnest(range(len(toks) - {n - 1})) AS u(i)
+      WHERE len(toks) >= {n}),
+d AS (SELECT ng FROM g GROUP BY ng HAVING count(*) > 1)
+SELECT doc_id, pos FROM g JOIN d USING (ng) ORDER BY doc_id, pos
+"""
