@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
+    from whoosh_reloaded_ray.pipelines import relational as rel
     from whoosh_reloaded_ray.stages import multimodal as mm
 
     return {
@@ -100,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": cu.redact_pii,
         "doc_keywords": cu.doc_keywords,
         "dup_spans": cu.dup_spans,
+        # relational analytics (TPC-H-style tables)
+        "lineitem_pricing_summary": rel.lineitem_pricing_summary,
+        "orders_by_segment": rel.orders_by_segment,
+        "top_customers_by_spend": rel.top_customers_by_spend,
         "pack_sequences": cu.pack_sequences,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -124,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import fulltext as ft
+    from whoosh_reloaded_ray.pipelines import relational as rel
     from whoosh_reloaded_ray.stages import multimodal as mm
 
     return {
@@ -177,6 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": cu.oracle_redact_pii(),
         "doc_keywords": cu.oracle_doc_keywords(),
         "dup_spans": cu.oracle_dup_spans(),
+        "lineitem_pricing_summary": rel.oracle_lineitem_pricing_summary(),
+        "orders_by_segment": rel.oracle_orders_by_segment(),
+        "top_customers_by_spend": rel.oracle_top_customers_by_spend(),
         "pack_sequences": cu.oracle_pack_sequences(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
