@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": ev.events_range_join,
         "events_hll_users": ev.events_hll_users,  # rows-only (approximate sketch)
         "events_sessionize": ev.events_sessionize,
+        "events_funnel": ev.events_funnel,
         # training-data corpus ops (documents table)
         "dedup_exact": co.dedup_exact,
         "neardup_ngram_jaccard": co.neardup_ngram_jaccard,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_signup": ev.oracle_events_asof_signup(),
         "events_range_join": ev.oracle_events_range_join(),
         "events_sessionize": ev.oracle_events_sessionize(),
+        "events_funnel": ev.oracle_events_funnel(),
         "dedup_exact": co.oracle_dedup_exact(),
         "neardup_ngram_jaccard": co.oracle_neardup_ngram_jaccard(),
         "dedup_minhash": co.oracle_dedup_minhash(),

@@ -347,3 +347,20 @@ def test_events_sessionize(ray_session):
         )
         assert (gaps > ev.SESSION_GAP_US).all()
     assert (df["session_start"] <= df["session_end"]).all()
+
+
+def test_events_funnel(ray_session):
+    import duckdb
+
+    from whoosh_reloaded_ray.pipelines import events_index as ev
+
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    t = ev.events_funnel(SF)
+    o = con2.sql(ev.oracle_events_funnel()).arrow()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert t[c].to_pylist() == o[c].to_pylist(), c
+    df = t.to_pandas()
+    assert (df["first_purchase"] > df["signup_ts"]).all()
+    assert (df["convert_us"] <= ev.FUNNEL_WINDOW_US).all() and (df["convert_us"] > 0).all()

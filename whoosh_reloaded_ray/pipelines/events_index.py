@@ -519,3 +519,78 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
+
+
+FUNNEL_WINDOW_US = 7 * 24 * 3_600_000_000  # 7-day conversion window
+
+
+def events_funnel(sf_dir: str, window_us: int = FUNNEL_WINDOW_US) -> pa.Table:
+    """Ordered conversion funnel: per user, the first 'signup' event and
+    the first 'purchase' STRICTLY AFTER it within the window; emits the
+    conversion delay as exact integer microseconds.
+
+    Sequential-pattern detection as one groupby(user_id) +
+    vectorized per-group mins — the ordering constraint ('purchase
+    after signup') that window functions express in SQL is a plain
+    boolean mask on the user's own events.  Same partitioning
+    assumption as sessionization: one user's history per worker."""
+    import numpy as np
+    import ray.data
+
+    from .._rayutil import ensure_serializable
+
+    ensure_serializable()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "signup_ts": pa.array([], pa.timestamp("us")),
+                "first_purchase": pa.array([], pa.timestamp("us")),
+                "convert_us": pa.array([], pa.int64()),
+            }
+        )
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sign = ts[et == "signup"]
+        if not len(sign):
+            return empty
+        s0 = sign.min()
+        purch = ts[(et == "purchase") & (ts > s0) & (ts <= s0 + window_us)]
+        if not len(purch):
+            return empty
+        p0 = purch.min()
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "signup_ts": pa.array(np.array([s0]), pa.timestamp("us")),
+                "first_purchase": pa.array(np.array([p0]), pa.timestamp("us")),
+                "convert_us": pa.array([int(p0 - s0)], pa.int64()),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("user_id")
+
+
+def oracle_events_funnel() -> str:
+    return """
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s.signup_ts
+        AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+SELECT s.user_id, s.signup_ts, p.first_purchase,
+       CAST(date_sub('microsecond', s.signup_ts, p.first_purchase) AS BIGINT)
+         AS convert_us
+FROM s JOIN p USING (user_id) ORDER BY s.user_id
+"""
