@@ -34,6 +34,12 @@ def entry() -> Any:
     return s.search_with_fields(q, limit=20, columns=["conv_id", "turn_idx", "role", "doc_id"])
 
 
+def _cms():
+    from whoosh_reloaded_ray.pipelines.sketches import heavy_hitters_cms
+
+    return heavy_hitters_cms
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_reloaded_ray.pipelines import ann
     from whoosh_reloaded_ray.pipelines import bpe
@@ -102,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": cu.redact_pii,
         "doc_keywords": cu.doc_keywords,
         "dup_spans": cu.dup_spans,
+        "heavy_hitters_cms": _cms(),  # rows-only (seeded multi-hash sketch)
         # relational analytics (TPC-H-style tables)
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
         "orders_by_segment": rel.orders_by_segment,

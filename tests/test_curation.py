@@ -154,3 +154,23 @@ def test_pack_sequences(ray_session, con):
     for _, g in t.groupby("source"):
         bins = np.sort(g["bin_id"].unique())
         assert bins[0] == 0 and (np.diff(bins) == 1).all()
+
+
+def test_heavy_hitters_cms(ray_session, con):
+    """CMS top-k equals exact top-k on the gate corpus; estimates never
+    undercount and overshoot within the e/w * total_tokens bound."""
+    from whoosh_reloaded_ray.pipelines.sketches import CMS_W, heavy_hitters_cms
+
+    t = heavy_hitters_cms(SF).to_pandas()
+    exact = con.sql(
+        """SELECT w AS term, CAST(count(*) AS BIGINT) AS n FROM
+             (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           GROUP BY w ORDER BY n DESC, w LIMIT 10"""
+    ).df()
+    total = con.sql(
+        "SELECT sum(len(string_split(lower(text), ' '))) FROM documents"
+    ).fetchone()[0]
+    assert list(t["term"]) == list(exact["term"])
+    over = t["est_count"].values - exact["n"].values
+    assert (over >= 0).all()
+    assert (over <= 2.7182818 * total / CMS_W).all()
