@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": rel.lineitem_pricing_summary,
         "orders_by_segment": rel.orders_by_segment,
         "top_customers_by_spend": rel.top_customers_by_spend,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "part_type_revenue": rel.part_type_revenue,
+        "supplier_revenue": rel.supplier_revenue,
         "pack_sequences": cu.pack_sequences,
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
@@ -195,6 +198,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing_summary": rel.oracle_lineitem_pricing_summary(),
         "orders_by_segment": rel.oracle_orders_by_segment(),
         "top_customers_by_spend": rel.oracle_top_customers_by_spend(),
+        "revenue_by_nation": rel.oracle_revenue_by_nation(),
+        "part_type_revenue": rel.oracle_part_type_revenue(),
+        "supplier_revenue": rel.oracle_supplier_revenue(),
         "pack_sequences": cu.oracle_pack_sequences(),
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["lineitem", "orders", "customer"]:
+    for t in ["lineitem", "orders", "customer", "nation", "region", "part", "supplier"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -56,3 +56,28 @@ def test_top_customers_by_spend(ray_session, con):
     spend = res["total_spend_c"].to_pylist()
     assert spend == sorted(spend, reverse=True)
     assert res.num_rows == rel.TOP_CUSTOMERS_K
+
+
+def test_revenue_by_nation(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import relational as rel
+
+    res = rel.revenue_by_nation(SF)
+    _assert_match(res, con, rel.oracle_revenue_by_nation())
+    assert res.num_rows > 0
+
+
+def test_part_type_revenue(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import relational as rel
+
+    res = rel.part_type_revenue(SF)
+    _assert_match(res, con, rel.oracle_part_type_revenue())
+    assert res.num_rows > 0
+
+
+def test_supplier_revenue(ray_session, con):
+    from whoosh_reloaded_ray.pipelines import relational as rel
+
+    res = rel.supplier_revenue(SF)
+    _assert_match(res, con, rel.oracle_supplier_revenue())
+    rev = res["revenue_e4"].to_pylist()
+    assert rev == sorted(rev, reverse=True)

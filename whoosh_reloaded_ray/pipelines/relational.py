@@ -299,3 +299,207 @@ SELECT s.c_custkey, c.c_name, s.total_spend_c, s.n_orders
 FROM spend s JOIN customer c USING (c_custkey)
 ORDER BY s.total_spend_c DESC, s.c_custkey LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-dimension broadcast chain: orders -> customer -> nation -> region
+# ---------------------------------------------------------------------------
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Order revenue (exact cents) per customer nation and region — a
+    three-table dimension chain (customer 1.5k x nation 25 x region 5)
+    pre-joined ON THE DRIVER into one custkey -> (nation, region) lookup
+    and broadcast once; the orders fact table only ever flows through
+    map_batches.  TPC-H Q5's join shape without the supplier leg."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nk2region = {
+        k: n2r[r]
+        for k, r in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    ckeys = cust["c_custkey"].to_numpy()
+    cnk = cust["c_nationkey"].to_numpy()
+    order_ = np.argsort(ckeys)
+    names = np.array([nk2name[int(k)] for k in cnk], object)[order_]
+    regions = np.array([nk2region[int(k)] for k in cnk], object)[order_]
+    dim_ref = ray.put((ckeys[order_], names, regions))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dkeys, dnames, dregions = ray.get(dim_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(dkeys, ck), 0, len(dkeys) - 1)
+        assert (dkeys[idx] == ck).all(), "orphan o_custkey"
+        cents = _cents(batch["o_totalprice"])
+        key = np.char.add(
+            np.char.add(dregions[idx].astype(str), "|"), dnames[idx].astype(str)
+        )
+        uk, inv = np.unique(key, return_inverse=True)
+        parts = np.char.partition(uk, "|")
+        return pa.table(
+            {
+                "r_name": pa.array(parts[:, 0].tolist(), pa.string()),
+                "n_name": pa.array(parts[:, 2].tolist(), pa.string()),
+                "revenue_c": pa.array(np.bincount(inv, cents, len(uk)).astype(np.int64)),
+                "n_orders": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .sum(["revenue_c", "n_orders"])
+    )
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = t.rename_columns([c[4:-1] if c.startswith("sum(") else c for c in t.column_names])
+    return t.sort_by([("r_name", "ascending"), ("n_name", "ascending")])
+
+
+def oracle_revenue_by_nation() -> str:
+    return """
+SELECT r_name, n_name,
+  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineitem x part / supplier dimension joins
+# ---------------------------------------------------------------------------
+
+
+def part_type_revenue(sf_dir: str) -> pa.Table:
+    """Lineitem revenue (discounted, exact 1e-4 units) per part type:
+    broadcast the part dimension's partkey -> type map, pre-aggregate
+    per batch, one tiny groupby."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pkeys = part["p_partkey"].to_numpy()
+    ptypes = part["p_type"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(pkeys)
+    dim_ref = ray.put((pkeys[order_], ptypes[order_]))
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dkeys, dtypes = ray.get(dim_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(dkeys, pk), 0, len(dkeys) - 1)
+        assert (dkeys[idx] == pk).all(), "orphan l_partkey"
+        price_c = _cents(batch["l_extendedprice"])
+        disc_pct = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev_e4 = price_c * (100 - disc_pct)
+        uk, inv = np.unique(dtypes[idx], return_inverse=True)
+        return pa.table(
+            {
+                "p_type": pa.array(uk.tolist(), pa.string()),
+                "revenue_e4": pa.array(np.bincount(inv, rev_e4, len(uk)).astype(np.int64)),
+                "n_items": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .sum(["revenue_e4", "n_items"])
+    )
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = t.rename_columns([c[4:-1] if c.startswith("sum(") else c for c in t.column_names])
+    return t.sort_by("p_type")
+
+
+def oracle_part_type_revenue() -> str:
+    return """
+SELECT p_type,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type
+"""
+
+
+def supplier_revenue(sf_dir: str, k: int = TOP_CUSTOMERS_K) -> pa.Table:
+    """Top-k suppliers by discounted lineitem revenue, names attached
+    after the cut (aggregate-then-lookup, same shape as
+    top_customers_by_spend)."""
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price_c = _cents(batch["l_extendedprice"])
+        disc_pct = np.rint(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev_e4 = price_c * (100 - disc_pct)
+        uk, inv = np.unique(sk, return_inverse=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk, pa.int64()),
+                "revenue_e4": pa.array(np.bincount(inv, rev_e4, len(uk)).astype(np.int64)),
+            }
+        )
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("revenue_e4")
+        .sort(["sum(revenue_e4)", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )
+    t = pa.concat_tables(top.iter_batches(batch_format="pyarrow", batch_size=None))
+    t = t.rename_columns([c[4:-1] if c.startswith("sum(") else c for c in t.column_names])
+    names = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", t["s_suppkey"].to_pylist())],
+    )
+    nm = dict(zip(names["s_suppkey"].to_pylist(), names["s_name"].to_pylist()))
+    t = t.append_column(
+        "s_name", pa.array([nm[s] for s in t["s_suppkey"].to_pylist()], pa.string())
+    )
+    return t.select(["s_suppkey", "s_name", "revenue_e4"])
+
+
+def oracle_supplier_revenue() -> str:
+    k = TOP_CUSTOMERS_K
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+  FROM lineitem GROUP BY l_suppkey)
+SELECT r.s_suppkey, s.s_name, r.revenue_e4
+FROM rev r JOIN supplier s USING (s_suppkey)
+ORDER BY r.revenue_e4 DESC, r.s_suppkey LIMIT {k}
+"""
