@@ -177,6 +177,10 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     # over a deterministic 100k-doc probe corpus
     corpus_ops = _corpus_ops_probe()
 
+    # 4. curation-pipeline throughput: full shuffled pipelines (not just
+    # the map stage) over the same 100k-doc probe
+    curation = _curation_probe()
+
     total = time.perf_counter() - t_total0
     shutil.rmtree(index_dir, ignore_errors=True)
     return {
@@ -189,6 +193,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "build": {"rows": sf_rows, "build_sec": build_s, "rows_per_sec": sf_rows / build_s},
         "synthetic": synth,
         "corpus_ops": corpus_ops,
+        "curation": curation,
     }
 
 
@@ -224,6 +229,33 @@ def _corpus_ops_probe(n_docs: int = 100_000) -> dict:
         ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
         t0 = time.perf_counter()
         ds.map_batches(fn, batch_format="pyarrow", batch_size=1024).count()
+        out[f"{name}_docs_per_sec"] = n_docs / (time.perf_counter() - t0)
+    return out
+
+
+def _curation_probe(n_docs: int = 100_000) -> dict:
+    """End-to-end docs/s of the shuffled curation pipelines (n-gram
+    top-k, TF-IDF keywords, duplicated-span detection) on the shared
+    probe corpus — these include their groupby exchanges, unlike the
+    map-only corpus_ops probe."""
+    _corpus_ops_probe(n_docs)  # ensures the probe parquet exists
+    src = f"/tmp/wrr_bench/docs-{n_docs}.parquet"
+    sf_dir = "/tmp/wrr_bench/curation_sf"
+    dst = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(sf_dir, exist_ok=True)
+        os.link(src, dst)
+
+    from whoosh_reloaded_ray.pipelines import curation as cu
+
+    out = {"docs": n_docs}
+    for name, fn in (
+        ("top_ngrams", cu.top_ngrams),
+        ("doc_keywords", cu.doc_keywords),
+        ("dup_spans", cu.dup_spans),
+    ):
+        t0 = time.perf_counter()
+        fn(sf_dir)
         out[f"{name}_docs_per_sec"] = n_docs / (time.perf_counter() - t0)
     return out
 

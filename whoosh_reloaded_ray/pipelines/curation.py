@@ -117,15 +117,32 @@ def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N, k: int = TOP_NGRAM_K) -> pa.Ta
         vc = pc.value_counts(ngs)
         return pa.table({"ng": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
 
-    top = (
+    def local_topk(block: pa.Table) -> pa.Table:
+        # counts are already GLOBAL after the groupby (each n-gram lives
+        # in exactly one block), so each block's local top-k is a sound
+        # candidate set — no full sort of the aggregated table needed
+        cnt = block["sum(n)"].to_numpy(zero_copy_only=False)
+        ngs = block["ng"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ngs, -cnt))[:k]
+        return pa.table(
+            {"ng": pa.array(ngs[order].tolist(), pa.string()),
+             "n": pa.array(cnt[order], pa.int64())}
+        )
+
+    cand = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("ng")
         .sum("n")
-        .sort(["sum(n)", "ng"], descending=[True, False])
-        .limit(k)
+        .map_batches(local_topk, batch_format="pyarrow")
     )
-    t = pa.concat_tables(top.iter_batches(batch_format="pyarrow", batch_size=None))
-    return pa.table({"ng": t["ng"], "n": t["sum(n)"]})
+    t = pa.concat_tables(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+    ngs = t["ng"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ngs, -cnt))[:k]
+    return pa.table(
+        {"ng": pa.array(ngs[order].tolist(), pa.string()),
+         "n": pa.array(cnt[order], pa.int64())}
+    )
 
 
 def oracle_top_ngrams() -> str:
@@ -191,7 +208,10 @@ def decontaminate(
         .groupby("doc_id")
         .count()
     )
-    t = pa.concat_tables(flagged.iter_batches(batch_format="pyarrow", batch_size=None))
+    parts = list(flagged.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:  # clean corpus: nothing contaminated
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
     return pa.table({"doc_id": t["doc_id"]}).sort_by("doc_id")
 
 
@@ -589,9 +609,12 @@ def dup_spans(sf_dir: str, n: int = DUP_SPAN_N, collect: bool = True):
     )
     if not collect:
         return out
-    return pa.concat_tables(
-        out.iter_batches(batch_format="pyarrow", batch_size=None)
-    ).sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+    parts = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not parts:  # no repeated spans anywhere
+        return pa.table({"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())})
+    return pa.concat_tables(parts).sort_by(
+        [("doc_id", "ascending"), ("pos", "ascending")]
+    )
 
 
 def oracle_dup_spans() -> str:

@@ -147,13 +147,13 @@ def lineitem_pricing_summary(sf_dir: str) -> pa.Table:
 def oracle_lineitem_pricing_summary() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
       * (100 - CAST(round(l_discount * 100) AS BIGINT))
-      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_e6,
+      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
@@ -229,7 +229,7 @@ def oracle_orders_by_segment() -> str:
     return """
 SELECT c_mktsegment, o_orderpriority,
   CAST(count(*) AS BIGINT) AS n_orders,
-  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_spend_c
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spend_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, o_orderpriority
 ORDER BY c_mktsegment, o_orderpriority
@@ -292,7 +292,7 @@ def oracle_top_customers_by_spend() -> str:
     return f"""
 WITH spend AS (
   SELECT o_custkey AS c_custkey,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_spend_c,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spend_c,
          CAST(count(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY o_custkey)
 SELECT s.c_custkey, c.c_name, s.total_spend_c, s.n_orders
@@ -375,7 +375,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 def oracle_revenue_by_nation() -> str:
     return """
 SELECT r_name, n_name,
-  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -439,8 +439,8 @@ def part_type_revenue(sf_dir: str) -> pa.Table:
 def oracle_part_type_revenue() -> str:
     return """
 SELECT p_type,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
   CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
@@ -496,8 +496,8 @@ def oracle_supplier_revenue() -> str:
     return f"""
 WITH rev AS (
   SELECT l_suppkey AS s_suppkey,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
   FROM lineitem GROUP BY l_suppkey)
 SELECT r.s_suppkey, s.s_name, r.revenue_e4
 FROM rev r JOIN supplier s USING (s_suppkey)
