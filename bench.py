@@ -197,15 +197,10 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _corpus_ops_probe(n_docs: int = 100_000) -> dict:
-    """docs/s of the minhash-banding and simhash map stages at scale."""
+def _ensure_probe_corpus(n_docs: int) -> str:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    import ray.data
-
-    from whoosh_reloaded_ray.pipelines import corpus_ops as co
 
     path = f"/tmp/wrr_bench/docs-{n_docs}.parquet"
     if not os.path.exists(path):
@@ -220,6 +215,16 @@ def _corpus_ops_probe(n_docs: int = 100_000) -> dict:
             path,
             row_group_size=4096,
         )
+    return path
+
+
+def _corpus_ops_probe(n_docs: int = 100_000) -> dict:
+    """docs/s of the minhash-banding and simhash map stages at scale."""
+    import ray.data
+
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    path = _ensure_probe_corpus(n_docs)
     out = {"docs": n_docs}
     for name, fn in (
         ("minhash", co.minhash_band_rows),
@@ -238,8 +243,7 @@ def _curation_probe(n_docs: int = 100_000) -> dict:
     top-k, TF-IDF keywords, duplicated-span detection) on the shared
     probe corpus — these include their groupby exchanges, unlike the
     map-only corpus_ops probe."""
-    _corpus_ops_probe(n_docs)  # ensures the probe parquet exists
-    src = f"/tmp/wrr_bench/docs-{n_docs}.parquet"
+    src = _ensure_probe_corpus(n_docs)
     sf_dir = "/tmp/wrr_bench/curation_sf"
     dst = os.path.join(sf_dir, "documents.parquet")
     if not os.path.exists(dst):

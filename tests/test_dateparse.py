@@ -92,10 +92,15 @@ def test_parser_integration():
 
     base = dt.datetime(2026, 1, 1, 0, 0, 30)
     p = QueryParser("text", transcript_schema(), dateparse_basedate=base)
-    q = p.parse("ts:'midnight to +3 mins'")
+    q = p.parse("ts:'yesterday to +3 mins'")
     assert isinstance(q, ast.NumericRange)
-    assert q.start == np.datetime64("2026-01-01T00:00:00.000000", "us")
+    assert q.start == np.datetime64("2025-12-31T00:00:00.000000", "us")
     assert q.end == np.datetime64("2026-01-01T00:03:30.000000", "us")
+    # time-only start + datetime end errors in the reference
+    # (timespan.disambiguated calls end.ceil() on a plain datetime ->
+    # AttributeError -> error/NullQuery), so it must be a no-match here too
+    qerr = p.parse("ts:'midnight to +3 mins'")
+    assert isinstance(qerr, ast.Or) and not qerr.subqueries
     q2 = p.parse("ts:'tomorrow 3pm'")
     assert q2.start == np.datetime64("2026-01-02T15:00:00.000000", "us")
     assert q2.end == np.datetime64("2026-01-02T15:59:59.999999", "us")

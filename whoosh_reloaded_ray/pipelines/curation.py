@@ -44,6 +44,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.partition import (
+    PART_COL,
+    arrow_group_aggregate,
+    num_partitions_default,
+    partition_ids,
+    partitioned_map_groups,
+    polyhash64,
+)
 from .corpus_ops import _hash64, _read_documents, _split_lower
 
 DECON_N = 4  # word n-gram size for decontamination
@@ -105,35 +113,50 @@ def top_ngrams(sf_dir: str, n: int = TOP_NGRAM_N, k: int = TOP_NGRAM_K) -> pa.Ta
     """Top-k most frequent word n-grams corpus-wide.
 
     Per-batch partial counts (one row per distinct n-gram per batch)
-    combine BEFORE the groupby, so the all-to-all moves the batch-local
-    vocabulary, not one row per token position.  Ties break on the
-    n-gram string, making the k-boundary deterministic."""
+    combine BEFORE the shuffle, so the all-to-all moves the batch-local
+    vocabulary, not one row per token position.  The shuffle key is a
+    small hash-partition id, NOT the n-gram string — Ray's sort-based
+    groupby walks group boundaries in Python, which is pathological at
+    n-gram cardinality (see functions/partition.py; 10.8x measured).
+    Each partition aggregates with Arrow's C++ group_by and yields its
+    local top-k (sound: every n-gram lives in exactly one partition).
+    Ties break on the n-gram string, making the k-boundary
+    deterministic."""
     ds = _read_documents(sf_dir, ["text"])
+    P = num_partitions_default()
 
     def partial(batch: pa.Table) -> pa.Table:
         ngs, _ = _flat_ngrams(batch["text"], n)
         if len(ngs) == 0:
-            return pa.table({"ng": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    PART_COL: pa.array([], pa.int64()),
+                    "ng": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         vc = pc.value_counts(ngs)
-        return pa.table({"ng": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+        vals = vc.field("values")
+        return pa.table(
+            {
+                PART_COL: pa.array(partition_ids(polyhash64(vals), P)),
+                "ng": vals,
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
 
-    def local_topk(block: pa.Table) -> pa.Table:
-        # counts are already GLOBAL after the groupby (each n-gram lives
-        # in exactly one block), so each block's local top-k is a sound
-        # candidate set — no full sort of the aggregated table needed
-        cnt = block["sum(n)"].to_numpy(zero_copy_only=False)
-        ngs = block["ng"].to_numpy(zero_copy_only=False)
+    def local_topk(part: pa.Table) -> pa.Table:
+        g = arrow_group_aggregate(part, "ng", [("n", "sum")])
+        cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+        ngs = g["ng"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ngs, -cnt))[:k]
         return pa.table(
             {"ng": pa.array(ngs[order].tolist(), pa.string()),
              "n": pa.array(cnt[order], pa.int64())}
         )
 
-    cand = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("ng")
-        .sum("n")
-        .map_batches(local_topk, batch_format="pyarrow")
+    cand = partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), local_topk
     )
     t = pa.concat_tables(cand.iter_batches(batch_format="pyarrow", batch_size=None))
     cnt = t["n"].to_numpy(zero_copy_only=False)
@@ -178,6 +201,8 @@ def decontaminate(
     string oracle)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
+    P = num_partitions_default()
+
     def ngram_rows(batch: pa.Table) -> pa.Table:
         ngs, nng = _flat_ngrams(batch["text"], n)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -188,25 +213,48 @@ def decontaminate(
         hu, du = uniq["h"], uniq["d"]
         return pa.table(
             {
+                PART_COL: pa.array(partition_ids(hu.view(np.uint64), P)),
                 "h": pa.array(hu, pa.int64()),
                 "doc_id": pa.array(du, pa.int64()),
                 "bench": pa.array(du % bench_mod == 0),
             }
         )
 
-    def emit_contaminated(group: pa.Table) -> pa.Table:
-        b = group["bench"].to_numpy(zero_copy_only=False)
-        if not b.any() or b.all():
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        docs = group["doc_id"].to_numpy(zero_copy_only=False)[~b]
-        return pa.table({"doc_id": pa.array(np.unique(docs), pa.int64())})
+    def emit_contaminated(part: pa.Table) -> pa.Table:
+        # vectorized over ALL hash-groups in the partition: sort by h,
+        # per-group bench counts via reduceat, members of mixed groups
+        # that are not benchmark docs are contaminated
+        h = part["h"].to_numpy(zero_copy_only=False)
+        docs = part["doc_id"].to_numpy(zero_copy_only=False)
+        bench = part["bench"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, docs, bench = h[order], docs[order], bench[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(h)])))
+        bcnt = np.add.reduceat(bench.astype(np.int64), starts)
+        mixed = (bcnt > 0) & (bcnt < sizes)
+        member_mixed = np.repeat(mixed, sizes)
+        out = np.unique(docs[member_mixed & ~bench])
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
 
-    flagged = (
-        ds.map_batches(ngram_rows, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(emit_contaminated, batch_format="pyarrow")
-        .groupby("doc_id")
-        .count()
+    def distinct_docs(part: pa.Table) -> pa.Table:
+        d = np.unique(part["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+    def docpart(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                PART_COL: pa.array(partition_ids(d.astype(np.uint64), P)),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    flagged = partitioned_map_groups(
+        partitioned_map_groups(
+            ds.map_batches(ngram_rows, batch_format="pyarrow"), emit_contaminated
+        ).map_batches(docpart, batch_format="pyarrow"),
+        distinct_docs,
     )
     parts = list(flagged.iter_batches(batch_format="pyarrow", batch_size=None))
     if not parts:  # clean corpus: nothing contaminated
@@ -341,21 +389,29 @@ def doc_keywords(sf_dir: str, k: int = KEYWORDS_PER_DOC, collect: bool = True):
         row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         uniq = np.unique(row * V + codes)  # distinct (doc, term)
         term_codes, df_part = np.unique(uniq % V, return_counts=True)
+        terms = denc.dictionary.take(pa.array(term_codes))
         return pa.table(
             {
-                "term": denc.dictionary.take(pa.array(term_codes)),
+                PART_COL: pa.array(partition_ids(polyhash64(terms), _P)),
+                "term": terms,
                 "df": pa.array(df_part, pa.int64()),
             }
         )
 
+    _P = num_partitions_default()
+
+    def sum_df(part: pa.Table) -> pa.Table:
+        # vocab-cardinality key: Arrow C++ group_by per hash partition
+        # instead of Ray's per-group-Python sort aggregate
+        return arrow_group_aggregate(part, "term", [("df", "sum")])
+
     df_table = pa.concat_tables(
-        ds.map_batches(batch_term_docs, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
+        partitioned_map_groups(
+            ds.map_batches(batch_term_docs, batch_format="pyarrow"), sum_df
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
     )
     df_map = dict(
-        zip(df_table["term"].to_pylist(), df_table["sum(df)"].to_pylist())
+        zip(df_table["term"].to_pylist(), df_table["df_sum"].to_pylist())
     )
     df_ref = ray.put(df_map)
 
@@ -581,31 +637,43 @@ def dup_spans(sf_dir: str, n: int = DUP_SPAN_N, collect: bool = True):
     driver collect)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
+    P = num_partitions_default()
+
     def span_rows(batch: pa.Table) -> pa.Table:
         ngs, nng = _flat_ngrams(batch["text"], n)
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         total = int(nng.sum())
         off = np.concatenate(([0], np.cumsum(nng)[:-1]))
         pos = np.arange(total) - np.repeat(off, nng)
+        h = _ngram_hashes(ngs)
         return pa.table(
             {
-                "h": pa.array(_ngram_hashes(ngs), pa.int64()),
+                PART_COL: pa.array(partition_ids(h.view(np.uint64), P)),
+                "h": pa.array(h, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc, nng), pa.int64()),
                 "pos": pa.array(pos, pa.int64()),
             }
         )
 
-    def emit_dups(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
+    def emit_dups(part: pa.Table) -> pa.Table:
+        # all span-hash groups of one partition at once: sort by h,
+        # group sizes via reduceat boundaries, keep members of size>1
+        # groups (span-hash cardinality makes per-group Python calls
+        # pathological — see functions/partition.py)
+        h = part["h"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
             )
-        return group.select(["doc_id", "pos"])
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(h)])))
+        keep = order[np.repeat(sizes > 1, sizes)]
+        return part.select(["doc_id", "pos"]).take(pa.array(np.sort(keep)))
 
-    out = (
-        ds.map_batches(span_rows, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(emit_dups, batch_format="pyarrow")
+    out = partitioned_map_groups(
+        ds.map_batches(span_rows, batch_format="pyarrow"), emit_dups
     )
     if not collect:
         return out

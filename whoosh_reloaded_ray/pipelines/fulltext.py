@@ -491,9 +491,12 @@ ORDER BY doc_id
 
 def match_parsed_nl_datetime(sf_dir: str) -> pa.Table:
     """Query-STRING search with the long-tail natural-language datetime
-    grammar (query/dateparse.py): a 'midnight to +3 mins' to-range with
-    a time-of-day start and a plus-minus chain end, resolved against a
-    fixed basedate (reference DateParserPlugin semantics)."""
+    grammar (query/dateparse.py): a 'today midnight to +3 mins' to-range
+    with a date+time bag start and a plus-minus chain end, resolved
+    against a fixed basedate (reference DateParserPlugin semantics).
+    A bare time-of-day start ('midnight to ...') errors in the reference
+    (timespan.disambiguated AttributeError) so the date-bag form is the
+    parseable long-tail case."""
     import datetime as _dt
 
     from ..query import QueryParser
@@ -503,14 +506,14 @@ def match_parsed_nl_datetime(sf_dir: str) -> pa.Table:
     base = _dt.datetime(2026, 1, 1, 0, 0, 30)
     q = QueryParser(
         "text", transcript_schema(), dateparse_basedate=base
-    ).parse("ts:'midnight to +3 mins' AND data")
+    ).parse("ts:'today midnight to +3 mins' AND data")
     res = s.search(q, limit=None, scored=False)
     rows = _hits_with_keys(s, res, with_rank=False)
     return rows.select(["doc_id"]).sort_by("doc_id")
 
 
 def oracle_match_parsed_nl_datetime() -> str:
-    # midnight -> floor 2026-01-01 00:00:00; +3 mins -> basedate
+    # today midnight -> 2026-01-01 00:00:00; +3 mins -> basedate
     # (00:00:30) + 3 minutes = 00:03:30 exact point (span ceil)
     toks = tokenize_sql()
     return f"""

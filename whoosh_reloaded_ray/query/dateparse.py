@@ -303,14 +303,48 @@ def _date_tokens(tokens: tuple, base: dt.datetime):
 
 
 _SEP_RE = re.compile(r"(\s+|\s*,\s*)")
+_TOKEN_RE = re.compile(r"[^\s,]+")
+
+
+def _split_tokens(text: str):
+    """Split on the reference's element separator ``(\\s+|\\s*,\\s*)``
+    honoring its no-backtracking semantics: a gap starting with
+    whitespace is consumed as pure whitespace (so " , " kills the parse),
+    otherwise it must be a single comma plus optional trailing spaces.
+    Returns None when any gap (or leading/trailing junk) is invalid."""
+    toks = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        gap = text[pos : m.start()]
+        if not toks:
+            if gap:
+                return None
+        elif not (gap.strip() == "" or (gap[0] == "," and gap[1:].strip() == "")):
+            return None
+        toks.append(m.group())
+        pos = m.end()
+    if text[pos:]:
+        return None
+    return toks
 
 
 def _bag(text: str, base: dt.datetime):
     """Time + date in either order (the reference Bag), either part
     optional.  Returns SparseDate or a full datetime (``now``) or None."""
     text = text.strip()
-    if text == "now":
-        return base
+    tokens = _split_tokens(text.lower())
+    if not tokens:
+        return None
+    now_toks = tokens
+    if now_toks and now_toks[0] == "now":
+        # ``now`` matches the reference's time element and yields the full
+        # basedate datetime; fill_in() returns a fully-specified
+        # accumulator unchanged, so any following regex-valid date parses
+        # but is ignored — even semantically impossible ones like "32 dec"
+        # (ref dateparse.py:712-714, util/times.py:436-443).
+        if len(now_toks) == 1 or _date_tokens(tuple(now_toks[1:]), base) is not None:
+            return base
+        return None
     # time first (the reference Bag tries its elements in listed order)
     tp = _time_prefix(text)
     if tp is not None:
@@ -327,7 +361,6 @@ def _bag(text: str, base: dt.datetime):
     # reference's Choice tries its longer d/m/y sequences first and a
     # committed match never retries shorter ("may 3 pm" is a parse
     # error, not May + 3pm).
-    tokens = [t for t in _SEP_RE.split(text.lower()) if t.strip(", ")]
     for cut in range(len(tokens), 0, -1):
         dval = _date_tokens(tuple(tokens[:cut]), base)
         if dval is None:
@@ -335,6 +368,23 @@ def _bag(text: str, base: dt.datetime):
         rest = " ".join(tokens[cut:])
         if not rest:
             return dval
+        if tokens[cut:] == ["now"]:
+            # date + now: fill_in() fills EVERY unspecified unit (date
+            # units included) from the basedate, yielding a full
+            # datetime; impossible combos ("feb 31 now") raise inside
+            # the reference's fix() and surface as no-parse.
+            try:
+                return dt.datetime(
+                    dval.year if dval.year is not None else base.year,
+                    dval.month if dval.month is not None else base.month,
+                    dval.day if dval.day is not None else base.day,
+                    base.hour,
+                    base.minute,
+                    base.second,
+                    base.microsecond,
+                )
+            except ValueError:
+                return None
         tp = _time_prefix(rest)
         if tp is None or tp[1].strip(", "):
             return None
@@ -377,9 +427,10 @@ def _point_bounds(res, base: dt.datetime):
 def _span_bounds(s, e, base: dt.datetime):
     """Cross-side inference for ``a to b`` (reference
     timespan.disambiguated, util/times.py:329-421)."""
+    e_is_dt = isinstance(e, dt.datetime)
     if isinstance(s, dt.datetime):
         s = _full(s)
-    if isinstance(e, dt.datetime):
+    if e_is_dt:
         e = _full(e)
     s_year_amb, e_year_amb = s.year is None, e.year is None
     if not s.has_date() and not e.has_date():
@@ -396,6 +447,11 @@ def _span_bounds(s, e, base: dt.datetime):
         s_dm = not (s.month is None and s.day is None)
         e_dm = not (e.month is None and e.day is None)
         if e_dm and not s_dm:
+            if e_is_dt:
+                # "3pm to now": the reference calls end.ceil() as a METHOD
+                # here and plain datetimes have none -> AttributeError ->
+                # no match (util/times.py timespan.disambiguated).
+                return None
             if s.floor().time() > e.ceil().time():
                 s = replace(s, month=base.month, day=base.day)
             else:
@@ -419,7 +475,12 @@ def _span_bounds(s, e, base: dt.datetime):
 # entry point
 # ---------------------------------------------------------------------------
 
-_TO_RE = re.compile(r"\s+to\s+")
+# The reference torange Combo separates its elements with
+# ``(\s+|\s*,\s*)`` tried WITHOUT backtracking: a whitespace run is
+# consumed atomically, so " , to" fails while ", to" / ",to" / " to"
+# parse.  The atomic groups + boundary lookarounds replicate that: the
+# sep must consume the entire run between the two bundles.
+_TO_RE = re.compile(r"(?<![\s,])(?>\s+|,\s*)to(?>\s+|,\s*)(?![\s,])")
 
 
 def english_date_bounds(text: str, base: dt.datetime):
