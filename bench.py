@@ -250,6 +250,7 @@ def _curation_probe(n_docs: int = 100_000) -> dict:
         os.makedirs(sf_dir, exist_ok=True)
         os.link(src, dst)
 
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
     from whoosh_reloaded_ray.pipelines import curation as cu
 
     out = {"docs": n_docs}
@@ -257,6 +258,8 @@ def _curation_probe(n_docs: int = 100_000) -> dict:
         ("top_ngrams", cu.top_ngrams),
         ("doc_keywords", cu.doc_keywords),
         ("dup_spans", cu.dup_spans),
+        ("neardup_e2e", co.neardup_ngram_jaccard),
+        ("dedup_exact", co.dedup_exact),
     ):
         t0 = time.perf_counter()
         fn(sf_dir)

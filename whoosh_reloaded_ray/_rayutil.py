@@ -11,25 +11,30 @@ from __future__ import annotations
 
 import sys
 
-_done = False
+_registered: set = set()
 
 
 def ensure_serializable():
-    global _done
-    if _done:
-        return
+    # incremental, NOT once-only: a submodule imported after the first
+    # call (e.g. functions.partition pulled in by a later pipeline) must
+    # still be registered or workers without the repo on PYTHONPATH fail
+    # to unpickle UDFs referencing it
     try:
         from ray import cloudpickle
     except Exception:
         return
     pkg = __name__.rsplit(".", 1)[0]  # "whoosh_reloaded_ray"
     for name, mod in list(sys.modules.items()):
-        if mod is not None and (name == pkg or name.startswith(pkg + ".")):
+        if (
+            mod is not None
+            and name not in _registered
+            and (name == pkg or name.startswith(pkg + "."))
+        ):
             try:
                 cloudpickle.register_pickle_by_value(mod)
+                _registered.add(name)
             except Exception:
                 pass
-    _done = True
 
 
 def actor_pool_size(divisor: int = 2, floor: int = 2) -> int:

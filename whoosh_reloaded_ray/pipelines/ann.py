@@ -229,17 +229,30 @@ def neardup_embedding_pairs_lsh(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = ids.size
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        dim = int(lens[0])
+        X = np.asarray(flat, dtype=np.float64).reshape(n, dim)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         # identical plane matrix in every task: seeded by (seed, dim) only
-        H = np.random.default_rng(seed).standard_normal((X.shape[1], n_planes))
+        H = np.random.default_rng(seed).standard_normal((dim, n_planes))
         bits = (Xn @ H) > 0  # (n, n_planes)
         weights = (1 << np.arange(width, dtype=np.int64))
         vals = np.stack(
             [bits[:, b * width : (b + 1) * width] @ weights for b in range(n_bands)],
             axis=1,
         )  # (n, n_bands)
-        n = ids.size
+        # embeddings ride the shuffle: replicate rows via numpy repeat +
+        # rebuilt list offsets (no Python list-of-lists)
+        rep = np.repeat(flat.reshape(n, dim), n_bands, axis=0).reshape(-1)
+        offsets = pa.array(
+            np.arange(n * n_bands + 1, dtype=np.int32) * dim, pa.int32()
+        )
+        emb_rep = pa.ListArray.from_arrays(offsets, pa.array(rep, col.type.value_type))
         return pa.table(
             {
                 "band": pa.array(
@@ -247,46 +260,112 @@ def neardup_embedding_pairs_lsh(
                 ),
                 "band_val": pa.array(vals.reshape(-1).astype(np.int64), pa.int64()),
                 "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
-                "embedding": pa.array(
-                    [e for e in batch["embedding"].to_pylist() for _ in range(n_bands)]
-                ),
+                "embedding": emb_rep,
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("sim_r", pa.float64())]
-        )
-        ids = group["vec_id"].to_numpy()
-        if ids.size < 2:
+    from ..functions.partition import (
+        PART_COL,
+        mix64,
+        num_partitions_default,
+        partition_ids,
+        partitioned_map_groups,
+    )
+
+    P = num_partitions_default()
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("sim_r", pa.float64())]
+    )
+
+    def bandpart(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = t["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = mix64(bv) ^ band * _GOLD
+        return t.add_column(0, PART_COL, pa.array(partition_ids(key, P)))
+
+    def part_verify(part: pa.Table) -> pa.Table:
+        # all buckets of the partition: vectorized bucket discovery, small
+        # in-bucket matmul verify only where a bucket has >= 2 vectors
+        band = part["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = part["band_val"].to_numpy(zero_copy_only=False)
+        ids = part["vec_id"].to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(part["embedding"]).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(part["embedding"]).to_numpy(zero_copy_only=False)
+        X = np.asarray(flat, dtype=np.float64).reshape(ids.size, int(lens[0]))
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, X = band[order], bv[order], ids[order], X[order]
+        newgrp = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(newgrp) + 1))
+        sizes = np.diff(np.concatenate((starts, [ids.size])))
+        dup = sizes > 1
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for s, z in zip(starts[dup], sizes[dup]):
+            gi = ids[s : s + z]
+            Xg = X[s : s + z]
+            Xn = Xg / np.linalg.norm(Xg, axis=1, keepdims=True)
+            S = Xn @ Xn.T
+            iu, ju = np.triu_indices(int(z), 1)
+            sims = S[iu, ju]
+            ok = sims >= tau
+            out_a.append(gi[iu][ok])
+            out_b.append(gi[ju][ok])
+            out_s.append(np.round(sims[ok], 4))
+        if not out_a:
             return out_schema.empty_table()
-        X = np.array(group["embedding"].to_pylist(), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, X = ids[order], X[order]
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        S = Xn @ Xn.T
-        iu, ju = np.triu_indices(ids.size, 1)
-        sims = S[iu, ju]
-        ok = sims >= tau
+        rec = np.unique(
+            np.rec.fromarrays(
+                [np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)],
+                names="a,b,s",
+            )
+        )
         return pa.table(
             {
-                "a": pa.array(ids[iu][ok], pa.int64()),
-                "b": pa.array(ids[ju][ok], pa.int64()),
-                "sim_r": pa.array(np.round(sims[ok], 4), pa.float64()),
+                "a": pa.array(rec["a"], pa.int64()),
+                "b": pa.array(rec["b"], pa.int64()),
+                "sim_r": pa.array(rec["s"], pa.float64()),
             },
             schema=out_schema,
         )
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def pairpart(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = mix64(a) ^ b
+        return batch.add_column(0, PART_COL, pa.array(partition_ids(key, P)))
+
+    def distinct_pairs(part: pa.Table) -> pa.Table:
+        rec = np.unique(
+            np.rec.fromarrays(
+                [
+                    part["a"].to_numpy(zero_copy_only=False),
+                    part["b"].to_numpy(zero_copy_only=False),
+                    part["sim_r"].to_numpy(zero_copy_only=False),
+                ],
+                names="a,b,s",
+            )
+        )
+        return pa.table(
+            {
+                "a": pa.array(rec["a"], pa.int64()),
+                "b": pa.array(rec["b"], pa.int64()),
+                "sim_r": pa.array(rec["s"], pa.float64()),
+            },
+            schema=out_schema,
+        )
 
     ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_verify, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(first_row, batch_format="pyarrow")
+    pairs = partitioned_map_groups(
+        partitioned_map_groups(
+            ds.map_batches(bandpart, batch_format="pyarrow", batch_size=512),
+            part_verify,
+        ).map_batches(pairpart, batch_format="pyarrow"),
+        distinct_pairs,
     )
     parts = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
     t = (

@@ -54,18 +54,47 @@ def corpus_word_counts(sf_dir: str, max_words: int = MAX_VOCAB_WORDS):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["text"]
     )
-    counted = (
-        ds.map_batches(_word_count_rows, batch_format="pyarrow")
-        .groupby("word")
-        .sum("n")
+    from ..functions.partition import (
+        PART_COL,
+        arrow_group_aggregate,
+        num_partitions_default,
+        partition_ids,
+        partitioned_map_groups,
+        polyhash64,
+    )
+
+    P = num_partitions_default()
+
+    def addp(batch: pa.Table) -> pa.Table:
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(polyhash64(batch["word"]), P))
+        )
+
+    def sum_words(part: pa.Table) -> pa.Table:
+        # vocab-cardinality key: Arrow C++ group_by per hash partition
+        # (see functions/partition.py) with a partition-local top-k —
+        # sound because each word lives in exactly one partition
+        g = arrow_group_aggregate(part, "word", [("n", "sum")])
+        if g.num_rows > max_words:
+            cnt = g["n_sum"].to_numpy(zero_copy_only=False)
+            words = g["word"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((words, -cnt))[:max_words]
+            g = g.take(pa.array(np.sort(order), pa.int64()))
+        return g
+
+    counted = partitioned_map_groups(
+        ds.map_batches(_word_count_rows, batch_format="pyarrow").map_batches(
+            addp, batch_format="pyarrow"
+        ),
+        sum_words,
     )
     # tie-break by word so the max_words truncation boundary is stable
     rows = (
-        counted.sort(["sum(n)", "word"], descending=[True, False])
+        counted.sort(["n_sum", "word"], descending=[True, False])
         .limit(max_words)
         .take_all()
     )
-    return {r["word"]: int(r["sum(n)"]) for r in rows if r["word"]}
+    return {r["word"]: int(r["n_sum"]) for r in rows if r["word"]}
 
 
 def train_merges(word_counts: dict, n_merges: int = N_MERGES) -> list:

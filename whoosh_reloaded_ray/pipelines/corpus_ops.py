@@ -31,6 +31,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.partition import (
+    PART_COL,
+    arrow_group_aggregate,
+    mix64,
+    num_partitions_default,
+    partition_ids,
+    partitioned_map_groups,
+    polyhash64,
+)
+
 # ---------------------------------------------------------------------------
 # shared helpers
 # ---------------------------------------------------------------------------
@@ -84,20 +94,32 @@ def _hash64(values: list) -> np.ndarray:
 
 
 def dedup_exact(sf_dir: str) -> pa.Table:
-    """Kept doc_ids: min doc_id per md5(text) — hash-partitioned groupby."""
+    """Kept doc_ids: min doc_id per md5(text) — hash-partitioned groupby
+    (content-hash cardinality ~= doc count, so the aggregation runs as
+    Arrow C++ group_by per hash partition; see functions/partition.py)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
+    P = num_partitions_default()
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table({"h": pa.array(hs), "doc_id": batch["doc_id"]})
+        hs = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        )
+        return pa.table(
+            {
+                PART_COL: pa.array(partition_ids(polyhash64(hs), P)),
+                "h": hs,
+                "doc_id": batch["doc_id"],
+            }
+        )
 
-    kept = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .min("doc_id")
+    def min_per_hash(part: pa.Table) -> pa.Table:
+        return arrow_group_aggregate(part, "h", [("doc_id", "min")])
+
+    kept = partitioned_map_groups(
+        ds.map_batches(add_hash, batch_format="pyarrow"), min_per_hash
     )
     parts = [b for b in kept.iter_batches(batch_format="pyarrow", batch_size=None)]
-    t = pa.table({"doc_id": pa.concat_tables(parts)["min(doc_id)"]})
+    t = pa.table({"doc_id": pa.concat_tables(parts)["doc_id_min"]})
     return t.sort_by("doc_id")
 
 
@@ -223,33 +245,101 @@ def minhash_band_rows(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
     )
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _pair_partition_ids(a: np.ndarray, b: np.ndarray, P: int) -> np.ndarray:
+    """Partition ids for (a, b) pair keys: mix both sides so either
+    coordinate's structure can't skew the buckets."""
+    with np.errstate(over="ignore"):
+        key = mix64(a.astype(np.uint64)) ^ b.astype(np.uint64)
+    return partition_ids(key, P)
+
+
+def _bucket_pairs_combine(part: pa.Table, key_cols, id_col: str = "doc_id") -> pa.Table:
+    """All LSH buckets of one partition -> distinct (a < b) candidate
+    pairs.  Vectorized bucket discovery (lexsort + boundary diff); the
+    triu expansion loops only over buckets of size > 1 — bounded by the
+    duplicate rate, while the size-1 vast majority never reaches Python."""
+    n = part.num_rows
+    ids = part[id_col].to_numpy(zero_copy_only=False)
+    keys = [part[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    order = np.lexsort((ids, *reversed(keys)))
+    ids = ids[order]
+    sk = [k[order] for k in keys]
+    newgrp = np.zeros(n - 1, dtype=bool) if n > 1 else np.empty(0, bool)
+    for k in sk:
+        newgrp |= k[1:] != k[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(newgrp) + 1))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    dup = sizes > 1
+    out_a: list = []
+    out_b: list = []
+    for s, z in zip(starts[dup], sizes[dup]):
+        g = ids[s : s + z]
+        iu, ju = np.triu_indices(int(z), 1)
+        out_a.append(g[iu])
+        out_b.append(g[ju])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    rec = np.unique(np.rec.fromarrays([np.concatenate(out_a), np.concatenate(out_b)], names="a,b"))
+    return pa.table(
+        {"a": pa.array(rec["a"], pa.int64()), "b": pa.array(rec["b"], pa.int64())}
+    )
+
+
+def _distinct_pairs(cand, P: int):
+    """(a, b) Dataset -> cross-partition-distinct (a, b) Dataset via a
+    pair-hash partition and per-partition np.unique."""
+
+    def addp(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.add_column(0, PART_COL, pa.array(_pair_partition_ids(a, b, P)))
+
+    def uniq(part: pa.Table) -> pa.Table:
+        rec = np.unique(
+            np.rec.fromarrays(
+                [
+                    part["a"].to_numpy(zero_copy_only=False),
+                    part["b"].to_numpy(zero_copy_only=False),
+                ],
+                names="a,b",
+            )
+        )
+        return pa.table(
+            {"a": pa.array(rec["a"], pa.int64()), "b": pa.array(rec["b"], pa.int64())}
+        )
+
+    return partitioned_map_groups(cand.map_batches(addp, batch_format="pyarrow"), uniq)
 
 
 def _lsh_candidate_pairs(sf_dir: str):
-    """LSH bucket groupby -> Dataset of DISTINCT candidate (a < b) pairs.
+    """LSH bucket partition-groupby -> Dataset of DISTINCT candidate
+    (a < b) pairs.
 
-    Fully distributed: band rows shuffle by (band, band_hash) — uniform by
-    construction — pair emission is a vectorized triu expansion per bucket,
-    and cross-band duplicates collapse in a second (a, b) groupby.  Nothing
-    is collected on the driver."""
+    Fully distributed: band rows shuffle by hash-partition of
+    (band, band_hash) — uniform by construction — each partition's pair
+    emission is vectorized bucket discovery + triu over dup buckets only,
+    and cross-band duplicates collapse in a second pair-keyed partition
+    pass.  Nothing is collected on the driver, and no per-bucket or
+    per-pair Python call crosses the Ray group machinery (see
+    functions/partition.py)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow", batch_size=512)
+    P = num_partitions_default()
 
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        iu, ju = np.triu_indices(ids.size, 1)
-        return pa.table(
-            {"a": pa.array(ids[iu], pa.int64()), "b": pa.array(ids[ju], pa.int64())}
-        )
+    def banded(batch: pa.Table) -> pa.Table:
+        t = minhash_band_rows(batch)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = mix64(bh) ^ band * _BAND_MIX
+        return t.add_column(0, PART_COL, pa.array(partition_ids(key, P)))
 
-    return (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_bucket, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(_first_row, batch_format="pyarrow")
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        return _bucket_pairs_combine(part, ["band", "band_hash"])
+
+    cand = partitioned_map_groups(
+        ds.map_batches(banded, batch_format="pyarrow", batch_size=512), bucket_pairs
     )
+    return _distinct_pairs(cand, P)
 
 
 _SH_LIST = pa.list_(pa.int64())
@@ -303,49 +393,82 @@ def _request_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _attach_shingles(group: pa.Table) -> pa.Table:
-    """groupby(key) reducer: one doc row (sh set) + N request rows ->
-    (a, b, side, sh) rows, side 0 when key is the pair's 'a'."""
-    valid_sh = pc.is_valid(group["sh"]).to_numpy(zero_copy_only=False)
-    doc_rows = np.flatnonzero(valid_sh)  # the doc row carries the set
-    req = np.flatnonzero(~valid_sh)  # request rows carry (a, b)
-    out_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("side", pa.int32()), ("sh", _SH_LIST)]
-    )
-    if doc_rows.size == 0 or req.size == 0:
-        return out_schema.empty_table()
-    sh = group["sh"][int(doc_rows[0])]
-    key = group["key"][0].as_py()
-    sub = group.take(pa.array(req, pa.int64()))
-    side = np.where(sub["a"].to_numpy(zero_copy_only=False) == key, 0, 1).astype(np.int32)
+_ATTACH_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("side", pa.int32()), ("sh", _SH_LIST)]
+)
+_JACC_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _attach_shingles_part(part: pa.Table) -> pa.Table:
+    """All keys of one partition at once: doc rows (sh set) join to their
+    request rows via a sorted-key searchsorted lookup (no per-key Python
+    call); side 0 when key is the pair's 'a'."""
+    valid = pc.is_valid(part["sh"]).to_numpy(zero_copy_only=False)
+    keys = part["key"].to_numpy(zero_copy_only=False)
+    doc_idx = np.flatnonzero(valid)
+    req_idx = np.flatnonzero(~valid)
+    if doc_idx.size == 0 or req_idx.size == 0:
+        return _ATTACH_SCHEMA.empty_table()
+    dorder = np.argsort(keys[doc_idx])
+    dkeys = keys[doc_idx][dorder]
+    dsrc = doc_idx[dorder]
+    rkeys = keys[req_idx]
+    pos = np.minimum(np.searchsorted(dkeys, rkeys), dkeys.size - 1)
+    match = dkeys[pos] == rkeys
+    req_ok = req_idx[match]
+    sub = part.take(pa.array(req_ok, pa.int64()))
+    sh_col = part["sh"].take(pa.array(dsrc[pos[match]], pa.int64()))
+    side = np.where(
+        sub["a"].to_numpy(zero_copy_only=False) == rkeys[match], 0, 1
+    ).astype(np.int32)
     return pa.table(
-        {
-            "a": sub["a"],
-            "b": sub["b"],
-            "side": pa.array(side),
-            "sh": pa.array([sh.as_py()] * len(sub), _SH_LIST),
-        },
-        schema=out_schema,
+        {"a": sub["a"], "b": sub["b"], "side": pa.array(side), "sh": sh_col},
+        schema=_ATTACH_SCHEMA,
     )
 
 
-def _pair_jaccard(group: pa.Table) -> pa.Table:
-    """groupby(a, b) reducer: two sides' shingle-hash sets -> exact Jaccard."""
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
-    if len(group) != 2:
-        return out_schema.empty_table()  # partner doc missing (can't happen for real ids)
-    s0 = np.asarray(group["sh"][0].as_py(), dtype=np.int64)
-    s1 = np.asarray(group["sh"][1].as_py(), dtype=np.int64)
-    inter = np.intersect1d(s0, s1, assume_unique=True).size
-    union = s0.size + s1.size - inter
-    j = inter / union if union else 0.0
+def _pair_jaccard_part(part: pa.Table) -> pa.Table:
+    """All candidate pairs of one partition at once: exact Jaccard of the
+    two sides' sorted-unique shingle-hash sets, fully vectorized — the
+    intersection count is the number of values occurring twice within a
+    pair (each side's set is unique), found by one lexsort over
+    (pair, value) and an adjacent-equal bincount."""
+    n = part.num_rows
+    if n == 0:
+        return _JACC_SCHEMA.empty_table()
+    a = part["a"].to_numpy(zero_copy_only=False)
+    b = part["b"].to_numpy(zero_copy_only=False)
+    side = part["side"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((side, b, a))
+    a, b = a[order], b[order]
+    # keep only complete pairs (row i pairs with i+1 on the same (a, b))
+    same = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+    first = np.flatnonzero(np.concatenate((same, [False])) & ~np.concatenate(([False], same)))
+    if first.size == 0:
+        return _JACC_SCHEMA.empty_table()
+    keep = np.stack((first, first + 1), axis=1).reshape(-1)
+    sub = part.take(pa.array(order[keep], pa.int64()))
+    lens = pc.list_value_length(sub["sh"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals_arr = pc.list_flatten(sub["sh"])
+    vals = vals_arr.to_numpy(zero_copy_only=False)
+    npairs = first.size
+    pair_of_val = np.repeat(np.arange(2 * npairs, dtype=np.int64) // 2, lens)
+    vorder = np.lexsort((vals, pair_of_val))
+    sv, sp = vals[vorder], pair_of_val[vorder]
+    dupmask = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.bincount(sp[1:][dupmask], minlength=npairs)
+    union = lens.reshape(-1, 2).sum(axis=1) - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     return pa.table(
         {
-            "a": group["a"].slice(0, 1),
-            "b": group["b"].slice(0, 1),
-            "jaccard": pa.array([j], pa.float64()),
+            "a": sub["a"].take(pa.array(np.arange(0, 2 * npairs, 2), pa.int64())),
+            "b": sub["b"].take(pa.array(np.arange(0, 2 * npairs, 2), pa.int64())),
+            "jaccard": pa.array(j, pa.float64()),
         },
-        schema=out_schema,
+        schema=_JACC_SCHEMA,
     )
 
 
@@ -356,14 +479,29 @@ def _verified_pairs_ds(sf_dir: str):
     neardup_clusters."""
     cand = _lsh_candidate_pairs(sf_dir)
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-    sh_ds = docs.map_batches(_shingle_set_rows, batch_format="pyarrow", batch_size=512)
-    req_ds = cand.map_batches(_request_rows, batch_format="pyarrow")
-    sided = (
-        sh_ds.union(req_ds)
-        .groupby("key")
-        .map_groups(_attach_shingles, batch_format="pyarrow")
+    P = num_partitions_default()
+
+    def keypart(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(k.astype(np.uint64), P))
+        )
+
+    def pairpart(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.add_column(0, PART_COL, pa.array(_pair_partition_ids(a, b, P)))
+
+    sh_ds = docs.map_batches(
+        _shingle_set_rows, batch_format="pyarrow", batch_size=512
+    ).map_batches(keypart, batch_format="pyarrow")
+    req_ds = cand.map_batches(_request_rows, batch_format="pyarrow").map_batches(
+        keypart, batch_format="pyarrow"
     )
-    return sided.groupby(["a", "b"]).map_groups(_pair_jaccard, batch_format="pyarrow")
+    sided = partitioned_map_groups(sh_ds.union(req_ds), _attach_shingles_part)
+    return partitioned_map_groups(
+        sided.map_batches(pairpart, batch_format="pyarrow"), _pair_jaccard_part
+    )
 
 
 def neardup_ngram_jaccard(sf_dir: str) -> pa.Table:
@@ -460,26 +598,81 @@ ORDER BY doc_id
 _MSG_SCHEMA = pa.schema([("key", pa.int64()), ("dst", pa.int64()), ("label", pa.int64())])
 
 
-def _cc_emit_messages(group: pa.Table) -> pa.Table:
-    """groupby(key) reducer: one label row (dst == -1, carries the key's
-    current label) + N edge rows (dst = neighbor) -> (node, candidate
-    label) messages for every neighbor plus the key itself."""
-    dst = group["dst"].to_numpy(zero_copy_only=False)
-    lab_rows = np.flatnonzero(dst < 0)
-    out_schema = pa.schema([("dst", pa.int64()), ("label", pa.int64())])
-    if lab_rows.size == 0:
-        return out_schema.empty_table()
-    lab = int(group["label"][int(lab_rows[0])].as_py())
-    targets = dst[dst >= 0]
-    key = int(group["key"][0].as_py())
-    out_dst = np.concatenate([targets, [key]])
+_CC_LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _cc_join_min_part(part: pa.Table) -> pa.Table:
+    """All keys of one partition at once: label rows (dst < 0, one per
+    node) join to edge/request rows via a sorted-key searchsorted lookup;
+    every label row also messages its own key.  Emits PARTIAL per-node
+    label minima via one sort + minimum.reduceat — no per-key Python call
+    crosses the Ray group machinery (see functions/partition.py)."""
+    key = part["key"].to_numpy(zero_copy_only=False)
+    dst = part["dst"].to_numpy(zero_copy_only=False)
+    lab = part["label"].to_numpy(zero_copy_only=False)
+    is_lab = dst < 0
+    lidx = np.flatnonzero(is_lab)
+    if lidx.size == 0:
+        return _CC_LABELS_SCHEMA.empty_table()
+    ridx = np.flatnonzero(~is_lab)
+    lorder = np.argsort(key[lidx], kind="stable")
+    lkeys = key[lidx][lorder]
+    lvals = lab[lidx][lorder]
+    if ridx.size:
+        rk = key[ridx]
+        pos = np.minimum(np.searchsorted(lkeys, rk), lkeys.size - 1)
+        match = lkeys[pos] == rk
+        msg_dst = np.concatenate([dst[ridx][match], lkeys])
+        msg_lab = np.concatenate([lvals[pos[match]], lvals])
+    else:
+        msg_dst, msg_lab = lkeys, lvals
+    o = np.argsort(msg_dst, kind="stable")
+    d, l = msg_dst[o], msg_lab[o]
+    starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
     return pa.table(
         {
-            "dst": pa.array(out_dst, pa.int64()),
-            "label": pa.array(np.full(out_dst.size, lab), pa.int64()),
+            "node": pa.array(d[starts], pa.int64()),
+            "label": pa.array(np.minimum.reduceat(l, starts), pa.int64()),
         },
-        schema=out_schema,
+        schema=_CC_LABELS_SCHEMA,
     )
+
+
+def _cc_global_min(ds, P: int):
+    """(node, label) partials -> exact per-node min labels (node-keyed
+    partition pass + Arrow C++ group_by)."""
+
+    def nodepart(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(nodes.astype(np.uint64), P))
+        )
+
+    def minpart(part: pa.Table) -> pa.Table:
+        g = arrow_group_aggregate(part, "node", [("label", "min")])
+        return pa.table(
+            {"node": g["node"], "label": g["label_min"]}, schema=_CC_LABELS_SCHEMA
+        )
+
+    return partitioned_map_groups(
+        ds.map_batches(nodepart, batch_format="pyarrow"), minpart
+    )
+
+
+def _cc_messages_min(msgs, P: int):
+    """(key, dst, label) message Dataset -> per-node min of delivered
+    labels: key-partitioned join, then node-partitioned global min."""
+
+    def keypart(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(k.astype(np.uint64), P))
+        )
+
+    partials = partitioned_map_groups(
+        msgs.map_batches(keypart, batch_format="pyarrow"), _cc_join_min_part
+    )
+    return _cc_global_min(partials, P)
 
 
 def _cc_shortcut(labels):
@@ -499,17 +692,11 @@ def _cc_shortcut(labels):
             schema=_MSG_SCHEMA,
         )
 
-    return (
-        labels.map_batches(request_rows, batch_format="pyarrow")
-        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(_cc_emit_messages, batch_format="pyarrow")
-        .groupby("dst")
-        .min("label")
-        .map_batches(
-            lambda b: pa.table({"node": b["dst"], "label": b["min(label)"]}),
-            batch_format="pyarrow",
-        )
+    return _cc_messages_min(
+        labels.map_batches(request_rows, batch_format="pyarrow").union(
+            labels.map_batches(label_rows, batch_format="pyarrow")
+        ),
+        num_partitions_default(),
     )
 
 
@@ -533,16 +720,10 @@ def _cc_min_label(edges, max_iters: int = 50):
             }
         )
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
-        .map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    P = num_partitions_default()
+    labels = _cc_global_min(
+        edges.map_batches(init_labels, batch_format="pyarrow"), P
+    ).materialize()
     prev_sum = None
     for _ in range(max_iters):
         edge_rows = edges.map_batches(
@@ -567,17 +748,7 @@ def _cc_min_label(edges, max_iters: int = 50):
             ),
             batch_format="pyarrow",
         )
-        neighbor_min = (
-            edge_rows.union(label_rows)
-            .groupby("key")
-            .map_groups(_cc_emit_messages, batch_format="pyarrow")
-            .groupby("dst")
-            .min("label")
-            .map_batches(
-                lambda b: pa.table({"node": b["dst"], "label": b["min(label)"]}),
-                batch_format="pyarrow",
-            )
-        )
+        neighbor_min = _cc_messages_min(edge_rows.union(label_rows), P)
         labels = _cc_shortcut(neighbor_min).materialize()
         s = labels.sum("label")
         if s == prev_sum:  # labels only decrease; a stable sum is convergence
@@ -891,34 +1062,90 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    def bucket_verified_pairs(group: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    P = num_partitions_default()
+
+    def bandpart(batch: pa.Table) -> pa.Table:
+        t = band_explode(batch)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = t["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = mix64(bv) ^ band * _BAND_MIX
+        return t.add_column(0, PART_COL, pa.array(partition_ids(key, P)))
+
+    _OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
+
+    def part_verified_pairs(part: pa.Table) -> pa.Table:
+        # all buckets of the partition at once: vectorized bucket
+        # discovery; triu + popcount verify only inside dup buckets
+        band = part["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = part["band_val"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        hs = part["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, hs = band[order], bv[order], ids[order], hs[order]
+        n = ids.size
+        newgrp = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(newgrp) + 1))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        dup = sizes > 1
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
+        for s, z in zip(starts[dup], sizes[dup]):
+            gi, gh = ids[s : s + z], hs[s : s + z]
+            iu, ju = np.triu_indices(int(z), 1)
+            ham = _popcount64(gh[iu] ^ gh[ju])
+            ok = ham <= max_hamming
+            out_a.append(gi[iu][ok])
+            out_b.append(gi[ju][ok])
+            out_h.append(ham[ok])
+        if not out_a:
+            return _OUT.empty_table()
+        rec = np.unique(
+            np.rec.fromarrays(
+                [np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_h)],
+                names="a,b,h",
+            )
         )
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        if ids.size < 2:
-            return out_schema.empty_table()
-        hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        iu, ju = np.triu_indices(ids.size, 1)
-        ham = _popcount64(hs[iu] ^ hs[ju])
-        ok = ham <= max_hamming
         return pa.table(
             {
-                "a": pa.array(ids[iu][ok], pa.int64()),
-                "b": pa.array(ids[ju][ok], pa.int64()),
-                "hamming": pa.array(ham[ok], pa.int64()),
+                "a": pa.array(rec["a"], pa.int64()),
+                "b": pa.array(rec["b"], pa.int64()),
+                "hamming": pa.array(rec["h"], pa.int64()),
             },
-            schema=out_schema,
+            schema=_OUT,
         )
 
-    pairs = (
-        sigs.map_batches(band_explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_verified_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(_first_row, batch_format="pyarrow")
+    def pairpart(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.add_column(0, PART_COL, pa.array(_pair_partition_ids(a, b, P)))
+
+    def distinct_with_ham(part: pa.Table) -> pa.Table:
+        rec = np.unique(
+            np.rec.fromarrays(
+                [
+                    part["a"].to_numpy(zero_copy_only=False),
+                    part["b"].to_numpy(zero_copy_only=False),
+                    part["hamming"].to_numpy(zero_copy_only=False),
+                ],
+                names="a,b,h",
+            )
+        )
+        return pa.table(
+            {
+                "a": pa.array(rec["a"], pa.int64()),
+                "b": pa.array(rec["b"], pa.int64()),
+                "hamming": pa.array(rec["h"], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    pairs = partitioned_map_groups(
+        partitioned_map_groups(
+            sigs.map_batches(bandpart, batch_format="pyarrow"), part_verified_pairs
+        ).map_batches(pairpart, batch_format="pyarrow"),
+        distinct_with_ham,
     )
     parts = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
     t = (
@@ -1169,15 +1396,47 @@ WINNOW_PAIR_K = 20  # long k-grams: a shared fp implies a >= K+W-1 = 27-char
 WINNOW_PAIR_W = 8   # common substring, i.e. a genuinely copied passage
 
 
-def _winnow_pair_emit(group: pa.Table) -> pa.Table:
-    """groupby(fp) reducer: all docs sharing this fingerprint -> doc pairs
-    (a < b)."""
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    if ids.size < 2:
-        return schema.empty_table()
-    ii, jj = np.triu_indices(ids.size, k=1)
-    return pa.table({"a": pa.array(ids[ii], pa.int64()), "b": pa.array(ids[jj], pa.int64())}, schema=schema)
+_WPAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64())])
+
+
+def _winnow_pair_partial(part: pa.Table) -> pa.Table:
+    """All fp buckets of one partition -> (a, b, n) PARTIAL shared-fp
+    counts.  Per-bucket distinct docs (a doc's winnow can pick the same
+    fp at several positions), triu pairs for dup buckets only, then one
+    np.unique(return_counts) folds the partition's per-fp pair emissions
+    into partial counts — global counts come from summing partials."""
+    fp = part["fp"].to_numpy(zero_copy_only=False)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, fp))
+    fp, ids = fp[order], ids[order]
+    keep = np.concatenate(([True], (fp[1:] != fp[:-1]) | (ids[1:] != ids[:-1])))
+    fp, ids = fp[keep], ids[keep]
+    n = ids.size
+    newgrp = fp[1:] != fp[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(newgrp) + 1))
+    sizes = np.diff(np.concatenate((starts, [n])))
+    dup = sizes > 1
+    out_a: list = []
+    out_b: list = []
+    for s, z in zip(starts[dup], sizes[dup]):
+        g = ids[s : s + z]
+        iu, ju = np.triu_indices(int(z), 1)
+        out_a.append(g[iu])
+        out_b.append(g[ju])
+    if not out_a:
+        return _WPAIR_SCHEMA.empty_table()
+    rec, cnt = np.unique(
+        np.rec.fromarrays([np.concatenate(out_a), np.concatenate(out_b)], names="a,b"),
+        return_counts=True,
+    )
+    return pa.table(
+        {
+            "a": pa.array(rec["a"], pa.int64()),
+            "b": pa.array(rec["b"], pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+        },
+        schema=_WPAIR_SCHEMA,
+    )
 
 
 def winnow_shared_pairs(sf_dir: str, min_shared: int = WINNOW_MIN_SHARED) -> pa.Table:
@@ -1197,17 +1456,38 @@ def winnow_shared_pairs(sf_dir: str, min_shared: int = WINNOW_MIN_SHARED) -> pa.
     shared by thousands of docs) before pair emission, exactly like the
     LSH hot-bucket guard; long-k buckets in the sf corpora are dup-sized,
     so the gate path is uncapped."""
-    pairs = _winnow_ds(sf_dir, k=WINNOW_PAIR_K, w=WINNOW_PAIR_W).groupby("fp").map_groups(
-        _winnow_pair_emit, batch_format="pyarrow"
+    P = num_partitions_default()
+
+    def fppart(batch: pa.Table) -> pa.Table:
+        f = batch["fp"].to_numpy(zero_copy_only=False)
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(f.astype(np.uint64), P))
+        )
+
+    def pairpart(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return batch.add_column(0, PART_COL, pa.array(_pair_partition_ids(a, b, P)))
+
+    def sum_pairs(part: pa.Table) -> pa.Table:
+        return arrow_group_aggregate(part, ["a", "b"], [("n", "sum")])
+
+    pairs = partitioned_map_groups(
+        _winnow_ds(sf_dir, k=WINNOW_PAIR_K, w=WINNOW_PAIR_W).map_batches(
+            fppart, batch_format="pyarrow"
+        ),
+        _winnow_pair_partial,
     )
-    counted = pairs.groupby(["a", "b"]).count()
+    counted = partitioned_map_groups(
+        pairs.map_batches(pairpart, batch_format="pyarrow"), sum_pairs
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
                 "a": batch["a"],
                 "b": batch["b"],
-                "n_shared": batch["count()"].cast(pa.int64()),
+                "n_shared": batch["n_sum"].cast(pa.int64()),
             }
         )
         return t.filter(pc.greater_equal(t["n_shared"], min_shared))

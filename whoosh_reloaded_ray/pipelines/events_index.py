@@ -28,6 +28,51 @@ from .fulltext import TOKENIZE_SQL, _stops_sql
 _searchers: dict = {}
 
 
+def _userpart(ds, P: int):
+    """Attach the user-hash partition column (the per-entity ops below
+    co-locate by user via one small-int shuffle instead of a per-user
+    groupby — Ray's group machinery calls Python once per key; see
+    functions/partition.py)."""
+    import numpy as np
+
+    from ..functions.partition import PART_COL, partition_ids
+
+    def addp(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.add_column(
+            0, PART_COL, pa.array(partition_ids(u.astype(np.uint64), P))
+        )
+
+    return ds.map_batches(addp, batch_format="pyarrow")
+
+
+def _disjoint_user_ts(u_sorted, ts_sorted, gap: int):
+    """For (user, ts)-sorted arrays, rebase each user's timestamps into
+    disjoint strictly-increasing int64 ranges separated by > ``gap``:
+    one GLOBAL searchsorted then answers every per-user window query,
+    because a window of width <= gap can never span two users.  Total
+    per-partition user time-span must fit int64 (~292k years of summed
+    activity) — asserted, and shrinkable by raising the partition
+    count."""
+    import numpy as np
+
+    n = u_sorted.size
+    if n == 0:
+        return ts_sorted.astype(np.int64)
+    new = np.concatenate(([True], u_sorted[1:] != u_sorted[:-1]))
+    seg_of = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    ends = np.concatenate((starts[1:], [n])) - 1
+    base = ts_sorted[starts]
+    spans = ts_sorted[ends] - base
+    offs = np.concatenate(([0], np.cumsum(spans + gap)[:-1]))
+    out = (ts_sorted - base[seg_of]) + offs[seg_of]
+    assert out[-1] >= 0, (
+        "summed user time-spans overflowed int64; raise num_partitions"
+    )
+    return out
+
+
 def events_schema() -> IndexSchema:
     return IndexSchema(
         fields=[
@@ -206,34 +251,45 @@ def events_sliding_rate(sf_dir: str) -> pa.Table:
     the per-entity windowed aggregate pattern (sessionization, rate
     limits, burst features).
 
-    Distributed: groupby(user_id) co-locates each user's events; inside a
-    group one sort + searchsorted two-pointer computes every window count
-    vectorized.  Shuffle is keyed by user; group state is per-user
-    bounded."""
+    Distributed: a user-hash partition co-locates each user's events
+    (NOT a per-user groupby — Ray's group machinery calls Python once
+    per key, pathological at user cardinality; see
+    functions/partition.py).  Inside a partition ALL users are handled
+    by one sort + one searchsorted: each user's rebased timestamps are
+    shifted into disjoint ranges separated by > window, so windows can
+    never cross a user boundary and a single global searchsorted
+    answers every per-user window query."""
     import numpy as np
     import ray.data
+
+    from ..functions.partition import num_partitions_default, partitioned_map_groups
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
     )
 
-    def window_counts(group: pa.Table) -> pa.Table:
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts_s = ts[order]
-        lo = np.searchsorted(ts_s, ts_s - 3_600_000_000, side="left")
-        n_in_window = np.arange(1, ts_s.size + 1) - lo
-        out = np.empty(ts_s.size, dtype=np.int64)
+    def window_counts(part: pa.Table) -> pa.Table:
+        win = 3_600_000_000
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        u_s, ts_s = uid[order], ts[order]
+        tshift = _disjoint_user_ts(u_s, ts_s, gap=2 * win)
+        lo = np.searchsorted(tshift, tshift - win, side="left")
+        n_in_window = np.arange(1, tshift.size + 1) - lo
+        out = np.empty(tshift.size, dtype=np.int64)
         out[order] = n_in_window
         return pa.table(
             {
-                "event_id": group["event_id"],
-                "user_id": group["user_id"],
+                "event_id": part["event_id"],
+                "user_id": part["user_id"],
                 "n_last_hour": pa.array(out, pa.int64()),
             }
         )
 
-    res = ds.groupby("user_id").map_groups(window_counts, batch_format="pyarrow")
+    res = partitioned_map_groups(
+        _userpart(ds, num_partitions_default()), window_counts
+    )
     parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
     return pa.concat_tables(parts).sort_by("event_id")
 
@@ -252,22 +308,31 @@ def events_asof_signup(sf_dir: str) -> pa.Table:
     """AS-OF JOIN: for every 'purchase' event, the user's most recent
     'signup' at-or-before it (NULL when none) — the canonical as-of join
     the Dataset API lacks as a primitive, expressed as keyed co-location
-    (groupby user) + a per-group sorted searchsorted lookup.  Both sides
-    of the join ride the SAME shuffle (union + one groupby), so the cost
-    is one keyed exchange regardless of table sizes."""
+    (user-hash partition) + a per-partition sorted searchsorted lookup.
+    Both sides of the join ride the SAME shuffle, so the cost is one
+    keyed exchange regardless of table sizes."""
     import numpy as np
     import ray.data
+
+    from ..functions.partition import num_partitions_default, partitioned_map_groups
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def asof(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    def asof(part: pa.Table) -> pa.Table:
+        # ALL users of the partition at once: signup rows sorted by
+        # (user, ts) become ONE monotone lookup array via per-user
+        # disjoint shifting; each purchase maps into its user's shifted
+        # range (clamped to the range end so late purchases can't bleed
+        # into the next user's segment) and binary-searches globally
+        import pyarrow.compute as pc
+
+        et = part["event_type"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
         left = np.flatnonzero(et == "purchase")
-        right = np.flatnonzero(et == "signup")
         out_schema = pa.schema(
             [
                 ("event_id", pa.int64()),
@@ -277,24 +342,42 @@ def events_asof_signup(sf_dir: str) -> pa.Table:
         )
         if left.size == 0:
             return out_schema.empty_table()
-        r_ts = np.sort(ts[right]) if right.size else np.empty(0, np.int64)
-        # most recent signup at-or-before each purchase
-        pos = np.searchsorted(r_ts, ts[left], side="right") - 1
-        vals = np.where(pos >= 0, r_ts[np.maximum(pos, 0)], 0)
-        mask = pos >= 0
+        li = pa.array(left, pa.int64())
+        right = np.flatnonzero(et == "signup")
+        p_u, p_ts = uid[left], ts[left]
+        ok = np.zeros(p_u.size, dtype=bool)
+        vals = np.zeros(p_u.size, dtype=np.int64)
+        if right.size:
+            s_u, s_ts = uid[right], ts[right]
+            sorder = np.lexsort((s_ts, s_u))
+            s_u, s_ts = s_u[sorder], s_ts[sorder]
+            s_shift = _disjoint_user_ts(s_u, s_ts, gap=1)
+            first = np.concatenate(([True], s_u[1:] != s_u[:-1]))
+            last = np.concatenate((first[1:], [True]))
+            fu = s_u[first]  # unique users with signups, sorted
+            foff = (s_shift - s_ts)[first]  # per-user constant shift
+            fend = s_shift[last]  # per-user shifted range end
+            upos = np.minimum(np.searchsorted(fu, p_u), fu.size - 1)
+            u_match = fu[upos] == p_u
+            q = np.minimum(p_ts + foff[upos], fend[upos])
+            pos = np.searchsorted(s_shift, q, side="right") - 1
+            ok = u_match & (pos >= 0) & (s_u[np.maximum(pos, 0)] == p_u)
+            vals = s_ts[np.maximum(pos, 0)]
+        signup = pc.if_else(
+            pa.array(ok),
+            pa.array(np.where(ok, vals, 0), pa.timestamp("us")),
+            pa.scalar(None, pa.timestamp("us")),
+        )
         return pa.table(
             {
-                "event_id": group["event_id"].take(pa.array(left, pa.int64())),
-                "user_id": group["user_id"].take(pa.array(left, pa.int64())),
-                "signup_ts": pa.array(
-                    [int(v) if m else None for v, m in zip(vals, mask)],
-                    pa.timestamp("us"),
-                ),
+                "event_id": part["event_id"].take(li),
+                "user_id": part["user_id"].take(li),
+                "signup_ts": signup,
             },
             schema=out_schema,
         )
 
-    res = ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    res = partitioned_map_groups(_userpart(ds, num_partitions_default()), asof)
     parts = list(res.iter_batches(batch_format="pyarrow", batch_size=None))
     return pa.concat_tables(parts).sort_by("event_id")
 
@@ -476,28 +559,39 @@ def events_sessionize(sf_dir: str, gap_us: int = SESSION_GAP_US) -> pa.Table:
         columns=["event_id", "user_id", "ts"],
     )
 
-    def sessions(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        brk = np.empty(len(ts), np.int64)
-        brk[0] = 0
-        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        starts = np.concatenate(([0], np.flatnonzero(brk) , [len(ts)]))
-        starts = np.unique(starts)
-        uid = g["user_id"][0].as_py()
-        lo, hi = starts[:-1], starts[1:]
+    def sessions(part: pa.Table) -> pa.Table:
+        # ALL users of the partition: one (user, ts, event_id) sort;
+        # session breaks = user change OR gap exceeded; per-session rows
+        # from boundary arithmetic, per-user session numbering from a
+        # first-segment-of-user subtraction — no per-user Python call
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s = uid[order], ts[order]
+        n = u_s.size
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        brk = new_user | np.concatenate(([True], np.diff(ts_s) > gap_us))
+        lo = np.flatnonzero(brk)
+        hi = np.concatenate((lo[1:], [n]))
+        seg_user = u_s[lo]
+        # session_id = segment index − index of the user's first segment
+        user_first_seg = np.concatenate(([0], np.flatnonzero(new_user[lo][1:]) + 1))
+        seg_of_user = np.cumsum(new_user[lo]) - 1
+        sid = np.arange(lo.size) - user_first_seg[seg_of_user]
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(lo), uid), pa.int64()),
-                "session_id": pa.array(sid[lo], pa.int64()),
+                "user_id": pa.array(seg_user, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
                 "n_events": pa.array(hi - lo, pa.int64()),
-                "session_start": pa.array(ts[lo], pa.timestamp("us")),
-                "session_end": pa.array(ts[hi - 1], pa.timestamp("us")),
+                "session_start": pa.array(ts_s[lo], pa.timestamp("us")),
+                "session_end": pa.array(ts_s[hi - 1], pa.timestamp("us")),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    from ..functions.partition import num_partitions_default, partitioned_map_groups
+
+    out = partitioned_map_groups(_userpart(ds, num_partitions_default()), sessions)
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by([("user_id", "ascending"), ("session_id", "ascending")])
@@ -545,7 +639,12 @@ def events_funnel(sf_dir: str, window_us: int = FUNNEL_WINDOW_US) -> pa.Table:
         columns=["user_id", "event_type", "ts"],
     )
 
-    def funnel(group: pa.Table) -> pa.Table:
+    def funnel(part: pa.Table) -> pa.Table:
+        # ALL users of the partition: first signup per user from a
+        # (user, ts) sort + segment boundaries; each purchase looks up
+        # its user's s0 by binary search, window-filters, and the first
+        # surviving purchase per user (still (user, ts)-sorted) is the
+        # conversion — no per-user Python call
         empty = pa.table(
             {
                 "user_id": pa.array([], pa.int64()),
@@ -554,26 +653,42 @@ def events_funnel(sf_dir: str, window_us: int = FUNNEL_WINDOW_US) -> pa.Table:
                 "convert_us": pa.array([], pa.int64()),
             }
         )
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        sign = ts[et == "signup"]
-        if not len(sign):
+        et = part["event_type"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        sm = et == "signup"
+        if not sm.any():
             return empty
-        s0 = sign.min()
-        purch = ts[(et == "purchase") & (ts > s0) & (ts <= s0 + window_us)]
-        if not len(purch):
+        s_u, s_ts = uid[sm], ts[sm]
+        so = np.lexsort((s_ts, s_u))
+        s_u, s_ts = s_u[so], s_ts[so]
+        first = np.concatenate(([True], s_u[1:] != s_u[:-1]))
+        fu, fs0 = s_u[first], s_ts[first]  # per-user first signup
+        pm = et == "purchase"
+        p_u, p_ts = uid[pm], ts[pm]
+        if p_u.size == 0:
             return empty
-        p0 = purch.min()
+        upos = np.minimum(np.searchsorted(fu, p_u), fu.size - 1)
+        s0 = fs0[upos]
+        keep = (fu[upos] == p_u) & (p_ts > s0) & (p_ts <= s0 + window_us)
+        if not keep.any():
+            return empty
+        k_u, k_ts, k_s0 = p_u[keep], p_ts[keep], s0[keep]
+        ko = np.lexsort((k_ts, k_u))
+        k_u, k_ts, k_s0 = k_u[ko], k_ts[ko], k_s0[ko]
+        kfirst = np.concatenate(([True], k_u[1:] != k_u[:-1]))
         return pa.table(
             {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "signup_ts": pa.array(np.array([s0]), pa.timestamp("us")),
-                "first_purchase": pa.array(np.array([p0]), pa.timestamp("us")),
-                "convert_us": pa.array([int(p0 - s0)], pa.int64()),
+                "user_id": pa.array(k_u[kfirst], pa.int64()),
+                "signup_ts": pa.array(k_s0[kfirst], pa.timestamp("us")),
+                "first_purchase": pa.array(k_ts[kfirst], pa.timestamp("us")),
+                "convert_us": pa.array(k_ts[kfirst] - k_s0[kfirst], pa.int64()),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    from ..functions.partition import num_partitions_default, partitioned_map_groups
+
+    out = partitioned_map_groups(_userpart(ds, num_partitions_default()), funnel)
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("user_id")
