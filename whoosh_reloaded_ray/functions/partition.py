@@ -81,21 +81,43 @@ def polyhash64(arr) -> np.ndarray:
     lens = end - start
     total = int(end[-1] - start[0])
     if total == 0:
-        return np.full(n, np.uint64(0x9E3779B97F4A7C15))
-    base = int(start[0])
-    chars = data[base : base + total].astype(np.uint64)
-    # position-from-end exponent per char, per string
-    char_row_start = np.repeat(start - base, lens)
-    pos_in_str = np.arange(total, dtype=np.int64) - char_row_start
-    exp = np.repeat(lens, lens) - 1 - pos_in_str
+        out = np.full(n, np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            return out + lens.astype(np.uint64) * _MIX2
     pows = _pows(int(lens.max()))
-    with np.errstate(over="ignore"):
-        contrib = chars * pows[exp]
-    # reduceat needs in-bounds start indices; empty strings (start==end,
-    # possibly == total at the tail) are clipped and then patched below
-    sums = np.add.reduceat(
-        contrib, np.minimum(start - base, total - 1), dtype=np.uint64
-    )
+    sums = np.empty(n, np.uint64)
+    # string-aligned chunks: ballooned-VM sandboxes (this one included)
+    # fault fresh pages at ~100x normal cost, so one big repeat/arange/
+    # astype over 10^7+ chars costs SECONDS on its first touch in every
+    # worker process; per-chunk temps are served from the allocator's
+    # freed blocks after the first chunk (the same chunk-reuse pattern
+    # as minhash_band_rows)
+    CH = 1 << 20
+    i = 0
+    while i < n:
+        j = i
+        while j < n and end[j] - start[i] <= CH:
+            j += 1
+        if j == i:
+            j = i + 1  # single string bigger than the chunk
+        lo, hi = int(start[i]), int(end[j - 1])
+        cn = hi - lo
+        if cn == 0:
+            sums[i:j] = 0
+        else:
+            cstart = start[i:j] - lo
+            clens = lens[i:j]
+            chars = data[lo:hi].astype(np.uint64)
+            pos_in_str = np.arange(cn, dtype=np.int64) - np.repeat(cstart, clens)
+            exp = np.repeat(clens, clens) - 1 - pos_in_str
+            with np.errstate(over="ignore"):
+                contrib = chars * pows[exp]
+            # reduceat needs in-bounds starts; empty strings are clipped
+            # here and patched after the loop
+            sums[i:j] = np.add.reduceat(
+                contrib, np.minimum(cstart, cn - 1), dtype=np.uint64
+            )
+        i = j
     out = np.where(lens > 0, sums, np.uint64(0x9E3779B97F4A7C15))
     # fold in the length so "a"+"" and "a" with trailing empties differ
     with np.errstate(over="ignore"):

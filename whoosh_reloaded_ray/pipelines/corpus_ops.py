@@ -76,6 +76,28 @@ def _shingles(text: str, k: int = 3) -> list:
     return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
 
 
+def _flat_ngrams(col, n: int):
+    """(flat n-gram StringArray, n-grams-per-row counts) for
+    ``lower().split(' ')`` word n-grams — the same tokenization as the
+    SQL oracles' ``string_split(lower(text), ' ')``.  All-Arrow: gather
+    the k shifted word arrays and join with one
+    ``binary_join_element_wise`` kernel (no Python string building)."""
+    flat, counts = _split_lower(col)
+    nng = np.maximum(counts - (n - 1), 0)
+    total = int(nng.sum())
+    if total == 0:
+        return pa.array([], type=pa.string()), nng
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ng_off = np.concatenate(([0], np.cumsum(nng)[:-1]))
+    ng_row = np.repeat(np.arange(len(counts)), nng)
+    intra = np.arange(total) - np.repeat(ng_off, nng)
+    p = row_off[ng_row] + intra
+    parts = [flat.take(pa.array(p + j)) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, " "), nng
+
+
 def _hash64(values: list) -> np.ndarray:
     """Stable 61-bit hashes of strings (blake2b, runs-stable)."""
     return np.array(
@@ -350,29 +372,39 @@ _JOIN_SCHEMA = pa.schema(
 
 def _shingle_set_rows(batch: pa.Table) -> pa.Table:
     """documents batch -> (key=doc_id, a=null, b=null, sh=sorted unique
-    61-bit shingle-STRING hashes).  The verify path hashes the joined
-    3-word shingle string (blake2b, per unique string) so hash-set Jaccard
-    equals the oracle's string-set Jaccard (collisions: ~2^-61, ignored)."""
-    texts = batch["text"].to_pylist()
+    64-bit shingle-STRING hashes).  Vectorized: one ``_flat_ngrams`` over
+    the batch, polynomial fingerprints off the Arrow buffers
+    (functions/partition.polyhash64 — the former per-doc Python shingle
+    loop + per-unique blake2b measured >10x slower), per-row sorted
+    dedup via a (row, hash) lexsort.  Hash-set Jaccard equals the
+    oracle's string-set Jaccard up to 64-bit collisions; the gate
+    corpora are verified hash-identical vs the exact string oracle."""
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    offs = [0]
-    flat: list = []
-    for t in texts:
-        s = _shingles(t or "")
-        flat.extend(s)
-        offs.append(len(flat))
-    denc = pc.dictionary_encode(pa.array(flat, pa.string()))
-    uh = _hash64(denc.dictionary.to_pylist()).astype(np.int64)
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    sh_lists = [
-        np.unique(uh[codes[offs[i] : offs[i + 1]]]) for i in range(len(texts))
-    ]
+    n_rows = len(doc_ids)
+    ngs, nng = _flat_ngrams(batch["text"], 3)
+    h = polyhash64(ngs).view(np.int64)
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), nng)
+    if h.size:
+        order = np.lexsort((h, row))
+        hs, rs = h[order], row[order]
+        keep = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1]))
+        )
+        hu, ru = hs[keep], rs[keep]
+    else:
+        hu = np.empty(0, np.int64)
+        ru = np.empty(0, np.int64)
+    counts = np.bincount(ru, minlength=n_rows) if n_rows else np.empty(0, np.int64)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts))).astype(np.int32), pa.int32()
+    )
+    sh_lists = pa.ListArray.from_arrays(offsets, pa.array(hu, pa.int64()))
     return pa.table(
         {
             "key": pa.array(doc_ids, pa.int64()),
-            "a": pa.nulls(len(texts), pa.int64()),
-            "b": pa.nulls(len(texts), pa.int64()),
-            "sh": pa.array([x.tolist() for x in sh_lists], _SH_LIST),
+            "a": pa.nulls(n_rows, pa.int64()),
+            "b": pa.nulls(n_rows, pa.int64()),
+            "sh": sh_lists,
         },
         schema=_JOIN_SCHEMA,
     )

@@ -52,7 +52,7 @@ from ..functions.partition import (
     partitioned_map_groups,
     polyhash64,
 )
-from .corpus_ops import _hash64, _read_documents, _split_lower
+from .corpus_ops import _flat_ngrams, _hash64, _read_documents, _split_lower
 
 DECON_N = 4  # word n-gram size for decontamination
 DECON_BENCH_MOD = 97  # doc_id % MOD == 0 -> held-out benchmark doc
@@ -71,33 +71,22 @@ PII_NUM = r"[0-9]+"
 # ---------------------------------------------------------------------------
 
 
-def _flat_ngrams(col, n: int):
-    """(flat n-gram StringArray, n-grams-per-row counts) for
-    ``lower().split(' ')`` word n-grams — the same tokenization as the
-    SQL oracles' ``string_split(lower(text), ' ')``.  All-Arrow: gather
-    the k shifted word arrays and join with one
-    ``binary_join_element_wise`` kernel (no Python string building)."""
-    flat, counts = _split_lower(col)
-    nng = np.maximum(counts - (n - 1), 0)
-    total = int(nng.sum())
-    if total == 0:
-        return pa.array([], type=pa.string()), nng
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    row_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    ng_off = np.concatenate(([0], np.cumsum(nng)[:-1]))
-    ng_row = np.repeat(np.arange(len(counts)), nng)
-    intra = np.arange(total) - np.repeat(ng_off, nng)
-    p = row_off[ng_row] + intra
-    parts = [flat.take(pa.array(p + j)) for j in range(n)]
-    return pc.binary_join_element_wise(*parts, " "), nng
-
-
 def _ngram_hashes(ngs: pa.Array) -> np.ndarray:
-    """61-bit hashes per n-gram, computed once per UNIQUE n-gram
-    (dictionary encode first — corpus n-gram multiplicity is high)."""
+    """int64 hashes per n-gram, cost-adaptive on string length: short
+    n-grams (3-4 words) hash fastest via the vectorized polynomial
+    fingerprint off the Arrow buffers (functions/partition.polyhash64 —
+    cost scales with CHARS; ~2x the blake path at n=4), long spans
+    (dup_spans' 20-gram, ~135 chars) via dictionary-encode + blake2b per
+    UNIQUE value (cost scales with VALUE COUNT; ~1.6x poly there).
+    Collisions merge two n-grams' groups (poly ~n^2/2^64, blake
+    ~n^2/2^61); every consuming gate is verified hash-identical against
+    its exact string oracle."""
     if len(ngs) == 0:
         return np.empty(0, np.int64)
+    if isinstance(ngs, pa.ChunkedArray):
+        ngs = ngs.combine_chunks()
+    if ngs.nbytes / max(len(ngs), 1) <= 64:
+        return polyhash64(ngs).view(np.int64)
     denc = pc.dictionary_encode(ngs)
     uh = _hash64(denc.dictionary.to_pylist()).view(np.int64)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
