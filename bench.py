@@ -108,6 +108,21 @@ def _time_queries(searcher, reps: int = 5) -> dict:
     return out
 
 
+def _searches_per_sec(searcher, seconds: float = 3.0) -> float:
+    """Sustained mixed-query throughput against the warm searcher — the
+    reference protocol's 'searches/s' (support/bench.py:548-559), cycled
+    over the full query set instead of a term file."""
+    qs = list(_query_set().values())
+    for q in qs:
+        searcher.search(q, limit=10)  # warm
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        searcher.search(qs[n % len(qs)], limit=10)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def _build(corpus: str, index_dir: str, num_shards: int = 16, partition_rows: int = 25_000):
     from whoosh_reloaded_ray.pipelines.build import build_index
 
@@ -147,6 +162,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     build_s, man = _build(corpus, index_dir, num_shards=8, partition_rows=4096)
     searcher = IndexSearcher(index_dir)
     queries = _time_queries(searcher)
+    qps = _searches_per_sec(searcher)
 
     # 2. synthetic throughput build — measured in a FRESH subprocess with
     # its own ray session (warmup build + best-of-2, the same protocol as
@@ -173,6 +189,16 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "postings": child.get("postings", 0),
         }
 
+    # 2b. reference single-node comparison: the real whoosh over rows of
+    # the same synthetic corpus (index docs/s + searches/s) — the north
+    # rule asks to match-or-beat the reference's single-node throughput.
+    # 20k rows ≈ 8 s of whoosh indexing; its per-doc rate is flat, so
+    # docs/s compares directly against synthetic.turns_per_sec
+    reference = _reference_probe(
+        _synth_corpus(BENCH_TURNS) if BENCH_TURNS > 0 else corpus,
+        max_rows=20_000,
+    )
+
     # 3. corpus-ops throughput: vectorized MinHash-LSH banding + SimHash
     # over a deterministic 100k-doc probe corpus
     corpus_ops = _corpus_ops_probe()
@@ -188,13 +214,92 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "searches_per_sec": qps,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "build": {"rows": sf_rows, "build_sec": build_s, "rows_per_sec": sf_rows / build_s},
         "synthetic": synth,
+        "reference_whoosh": reference,
         "corpus_ops": corpus_ops,
         "curation": curation,
     }
+
+
+def _reference_probe(corpus: str, max_rows: int = 5000) -> dict:
+    """Index-build docs/s and sustained searches/s of the REFERENCE
+    whoosh (imported read-only from /root/reference) over the same
+    transcript rows and an equivalent query set — the single-node
+    baseline the engine must match or beat.  Skipped (empty dict) when
+    the reference tree is absent."""
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        return {}
+    try:
+        import functools
+        import types
+
+        if "cached_property" not in sys.modules:
+            m = types.ModuleType("cached_property")
+            m.cached_property = functools.cached_property
+            sys.modules["cached_property"] = m
+        if ref_src not in sys.path:
+            sys.path.insert(0, ref_src)
+        from whoosh import fields as wf
+        from whoosh import index as windex
+        from whoosh import query as wq
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            corpus, columns=["conv_id", "turn_idx", "text"]
+        ).slice(0, max_rows)
+        rows = t.to_pylist()
+        idx_dir = tempfile.mkdtemp(prefix="wrr_ref_idx_")
+        schema = wf.Schema(
+            conv_id=wf.ID(stored=True),
+            turn_idx=wf.NUMERIC(int, 64, stored=True),
+            text=wf.TEXT(),
+        )
+        ix = windex.create_in(idx_dir, schema)
+        w = ix.writer(limitmb=256)
+        t0 = time.perf_counter()
+        for r in rows:
+            w.add_document(
+                conv_id=r["conv_id"], turn_idx=r["turn_idx"], text=r["text"]
+            )
+        w.commit()
+        build_s = time.perf_counter() - t0
+        qs = [
+            wq.Term("text", "spark"),
+            wq.And([wq.Term("text", "window"), wq.Term("text", "hash")]),
+            wq.Or([wq.Term("text", "merge"), wq.Term("text", "scan"), wq.Term("text", "index")]),
+            wq.DisjunctionMax([wq.Term("text", "join"), wq.Term("text", "sort")]),
+            wq.Phrase("text", ["key", "order"]),
+            wq.And([wq.Term("text", "data"), wq.Not(wq.Term("text", "window"))]),
+            wq.Prefix("text", "pre"),
+            wq.Wildcard("text", "s?ar*"),
+            wq.TermRange("text", "sa", "sc"),
+            wq.And([wq.Term("text", "join"), wq.NumericRange("turn_idx", 1, 3)]),
+            wq.FuzzyTerm("text", "spak", maxdist=1),
+        ]
+        with ix.searcher() as s:
+            for q in qs:
+                s.search(q, limit=10)  # warm
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < 3.0:
+                s.search(qs[n % len(qs)], limit=10)
+                n += 1
+            sps = n / (time.perf_counter() - t0)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return {
+            "rows": len(rows),
+            "build_sec": build_s,
+            "docs_per_sec": len(rows) / build_s,
+            "searches_per_sec": sps,
+        }
+    except Exception as exc:  # pragma: no cover - reference quirks
+        return {"error": repr(exc)}
 
 
 def _ensure_probe_corpus(n_docs: int) -> str:
