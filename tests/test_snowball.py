@@ -1,0 +1,82 @@
+"""Differential parity of the clean-room Snowball stemmers vs the
+reference transcriptions (ref lang/snowball/*), over biased random
+pseudo-words (suffix-seeded so the rule branches actually fire) plus
+alphabet-uniform noise."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from whoosh_reloaded_ray.functions import snowball
+
+ALPHABETS = {
+    "da": "abcdefghijklmnopqrstuvwxyzæøå",
+    "no": "abcdefghijklmnopqrstuvwxyzæøå",
+    "sv": "abcdefghijklmnopqrstuvwxyzäåö",
+    "de": "abcdefghijklmnopqrstuvwxyzäöüß",
+    "nl": "abcdefghijklmnopqrstuvwxyzàèéëïî",
+    "fr": "abcdefghijklmnopqrstuvwxyzâàçëéêèïîôûùü",
+    "es": "abcdefghijklmnopqrstuvwxyzáéíóúüñ",
+    "it": "abcdefghijklmnopqrstuvwxyzàèéìíîòóùú",
+    "pt": "abcdefghijklmnopqrstuvwxyzãõáéíóúâêôçàü",
+    "ro": "abcdefghijklmnopqrstuvwxyzăâîșşțţ",
+    "ru": "абвгдеёжзийклмнопрстуфхцчшщъыьэюя",
+    "fi": "abcdefghijklmnopqrstuvwxyzäö",
+    "hu": "abcdefghijklmnopqrstuvwxyzáéíóöőüúű",
+}
+
+SUFFIXES = {
+    "da": ["hed", "erede", "erende", "heden", "endes", "igst", "løst", "elig", "els", "en", "es", "et", "e", "s", "gd", "dt", "kendelse"],
+    "no": ["hetene", "hetens", "endes", "ande", "ende", "erte", "ert", "ene", "ens", "het", "ast", "en", "ar", "es", "et", "dt", "vt", "eleg", "eig", "elig", "els", "hetslov", "s"],
+    "sv": ["heterna", "anden", "arnas", "andes", "arna", "aste", "ande", "ade", "are", "het", "ast", "en", "ar", "or", "at", "a", "e", "s", "dd", "gt", "tt", "fullt", "löst", "lig", "els", "ig"],
+    "de": ["ern", "em", "er", "en", "es", "e", "s", "est", "st", "end", "ung", "igung", "isch", "ik", "ig", "lich", "heit", "keit", "lichkeit", "igkeit", "niss", "ss", "ß"],
+    "nl": ["heden", "ene", "en", "se", "s", "e", "heid", "end", "ing", "ig", "lijk", "baar", "bar", "kke", "tte", "aat", "oot", "gem", "cheid", "iging", "y", "i", "iy", "ïy"],
+    "es": ["selas", "iéndo", "ándo", "ando", "ar", "uyendo", "anza", "ico", "ismo", "able", "ista", "oso", "amiento", "ador", "ación", "ante", "logía", "ución", "encia", "amente", "mente", "idad", "iva", "ya", "yeron", "en", "éis", "emos", "arían", "iésemos", "ábamos", "aba", "ía", "ase", "iste", "aron", "ido", "ió", "ís", "os", "á", "é", "gue"],
+    "it": ["gliela", "sene", "velo", "gli", "ando", "endo", "arla", "amente", "icamente", "anza", "iche", "ismo", "abile", "ista", "mente", "atrice", "azione", "logia", "uzione", "enza", "amento", "ità", "ivo", "erebbero", "iscono", "iamo", "ato", "erà", "uto", "à", "ò", "chi", "ghe", "cchio", "qu"],
+    "pt": ["eza", "ismo", "ável", "ista", "amento", "adora", "ação", "ções", "ância", "logia", "ução", "ência", "amente", "mente", "idade", "iva", "eira", "aríamos", "asse", "aram", "ando", "ada", "ava", "ia", "am", "ar", "eu", "os", "á", "ê", "ç", "ão", "ões"],
+}
+
+
+def gen_words(lang: str, n: int, seed: int = 11):
+    rng = random.Random(seed)
+    alpha = ALPHABETS[lang]
+    bias = SUFFIXES.get(lang, [])
+    out = []
+    for _ in range(n):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+        if bias and rng.random() < 0.7:
+            w = w[: rng.randint(0, len(w))] + rng.choice(bias)
+        out.append(w)
+    return out
+
+
+IMPLEMENTED = [lang for lang in ALPHABETS if snowball.stemmer_for(lang) is not None]
+
+
+@pytest.mark.parametrize("lang", IMPLEMENTED)
+def test_snowball_parity(whoosh, lang):
+    from whoosh.lang.snowball import classes
+
+    ref = classes[lang]().stem
+    ours = snowball.stemmer_for(lang)
+    bad = []
+    for w in gen_words(lang, 20_000):
+        r = ref(w)
+        o = ours(w)
+        if o != r:
+            bad.append((w, r, o))
+    assert not bad, bad[:10]
+
+
+def test_registry_subset_of_reference(whoosh):
+    from whoosh.lang.snowball import classes
+
+    for lang in snowball.available_languages():
+        assert lang in classes
+
+
+def test_cached_stemmer():
+    fn = snowball.cached_stemmer_for("da")
+    assert fn("kendelse") == fn("kendelse") == "kend"
