@@ -512,8 +512,29 @@ def test_language_analyzer(whoosh):
         assert [w for w, _ in ours(t)] == [tok.text for tok in ref(t)], t
     # eng alias resolves like the reference's two_letter_code
     assert make_analyzer(language_analyzer("eng"))(texts[0]) == ours(texts[0])
-    # Spanish: stoplist filtering parity (chain minus the stemmer we lack)
-    es = make_analyzer(language_analyzer("es"))
+    # full tokenize|lower|stop|stem chain parity for the snowball family
+    lang_texts = {
+        "es": "Por el mar corren las liebres y los conejos corriendo velozmente",
+        "fr": "Les chevaux nationaux mangeaient rapidement des pommes délicieuses",
+        "ru": "Быстрые коричневые лисицы прыгнули через ленивых собак",
+        "de": "Die schnellen braunen Füchse sprangen über die faulen Hunde",
+        "it": "Le volpi marroni saltavano velocemente sopra i cani pigri",
+        "pt": "As raposas castanhas saltavam rapidamente sobre os cães",
+        "nl": "De snelle bruine vossen sprongen over de luie honden",
+        "da": "De hurtige brune ræve sprang over de dovne hunde",
+        "no": "De raske brune revene hoppet over de late hundene",
+        "sv": "De snabba bruna rävarna hoppade över de lata hundarna",
+    }
+    for lang, t in lang_texts.items():
+        mine = make_analyzer(language_analyzer(lang))
+        ref_la = LanguageAnalyzer(lang)
+        assert [w for w, _ in mine(t)] == [tok.text for tok in ref_la(t)], lang
+    # RegexTokenizer/StopFilter manual-chain equivalence still holds
+    es = make_analyzer(
+        language_analyzer("es").__class__(
+            **{**language_analyzer("es").__dict__, "stemmer": None, "kind": "standard"}
+        )
+    )
     ref_es = RegexTokenizer() | LowercaseFilter() | StopFilter(lang="es")
     t = "Por el mar corren las liebres y los conejos"
     assert [w for w, _ in es(t)] == [tok.text for tok in ref_es(t)]

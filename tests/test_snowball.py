@@ -36,6 +36,8 @@ SUFFIXES = {
     "es": ["selas", "iéndo", "ándo", "ando", "ar", "uyendo", "anza", "ico", "ismo", "able", "ista", "oso", "amiento", "ador", "ación", "ante", "logía", "ución", "encia", "amente", "mente", "idad", "iva", "ya", "yeron", "en", "éis", "emos", "arían", "iésemos", "ábamos", "aba", "ía", "ase", "iste", "aron", "ido", "ió", "ís", "os", "á", "é", "gue"],
     "it": ["gliela", "sene", "velo", "gli", "ando", "endo", "arla", "amente", "icamente", "anza", "iche", "ismo", "abile", "ista", "mente", "atrice", "azione", "logia", "uzione", "enza", "amento", "ità", "ivo", "erebbero", "iscono", "iamo", "ato", "erà", "uto", "à", "ò", "chi", "ghe", "cchio", "qu"],
     "pt": ["eza", "ismo", "ável", "ista", "amento", "adora", "ação", "ções", "ância", "logia", "ução", "ência", "amente", "mente", "idade", "iva", "eira", "aríamos", "asse", "aram", "ando", "ada", "ava", "ia", "am", "ar", "eu", "os", "á", "ê", "ç", "ão", "ões"],
+    "ru": ["ившись", "вшись", "вши", "ав", "яв", "ив", "в", "ся", "сь", "ейше", "ость", "нн", "ться", "ется", "лся", "ующий", "щий", "вший", "емый", "нный", "уйте", "ите", "или", "ила", "ена", "ует", "уют", "ить", "ишь", "ят", "ую", "ла", "ли", "ем", "ло", "ет", "ют", "ть", "ешь", "й", "л", "н", "ю", "иями", "ями", "ами", "ией", "иях", "ов", "ие", "ье", "ии", "ей", "ий", "ям", "ам", "ом", "ах", "ью", "ия", "ья", "ими", "ыми", "ого", "ому", "их", "ая", "ое", "ый", "им", "а", "е", "и", "о", "у", "ы", "ь", "я"],
+    "fr": ["issement", "atrice", "ations", "logie", "usion", "ution", "ences", "ement", "euses", "ments", "ance", "ique", "isme", "able", "iste", "ence", "ités", "ives", "eaux", "euse", "ment", "eux", "ité", "ive", "ifs", "aux", "if", "issaient", "issante", "issions", "issant", "issent", "irons", "isses", "îmes", "irai", "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i", "eraient", "assions", "assent", "èrent", "erais", "eriez", "eront", "aient", "antes", "ions", "erai", "erez", "âmes", "ante", "asse", "ées", "era", "iez", "ais", "ait", "ant", "ée", "és", "er", "ez", "ât", "ai", "as", "é", "a", "ière", "tion", "sion", "ier", "e", "s", "guë", "enne", "onne", "ette", "elle", "eille", "qu", "èrement"],
 }
 
 

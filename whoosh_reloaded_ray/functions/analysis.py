@@ -159,16 +159,22 @@ def language_analyzer(lang: str, gaps: bool = False) -> "AnalyzerSpec":
     StopFilter when the language has a stop list (lang/stopwords data,
     minsize=2), plus a StemFilter when a stemmer is available.
 
-    Stemmers available here: English ("en" -> porter2, parity-tested
-    against the reference's snowball transcription; "en_porter" -> the
-    original porter).  Other languages get the stop-only chain — the
-    reference's 14 other snowball stemmers are a declared gap (TODO.md)."""
+    Stemmers: "en" -> porter2 (what the reference's StemFilter(lang="en")
+    resolves to), "en_porter" -> the original porter, and the clean-room
+    snowball family (functions/snowball, parity-fuzzed per language).
+    Arabic's ISRI stemmer is the remaining gap (TODO.md)."""
+    from . import snowball as _snowball
     from .lang_stopwords import STOPLISTS
 
     tlc = _LANG_ALIASES.get(lang, lang)
-    stemmer = {"en": "porter2", "en_porter": "porter"}.get(
-        "en_porter" if lang == "en_porter" else tlc
-    )
+    if lang == "en_porter":
+        stemmer = "porter"
+    elif tlc == "en":
+        stemmer = "porter2"
+    elif _snowball.stemmer_for(tlc) is not None:
+        stemmer = f"snowball:{tlc}"
+    else:
+        stemmer = None
     stops = STOPLISTS.get("en" if lang == "en_porter" else tlc)
     return AnalyzerSpec(
         kind="stemming" if stemmer else "standard",
@@ -230,6 +236,10 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 from .porter2 import porter2_stem_cached
 
                 stem = porter2_stem_cached
+            elif spec.stemmer and spec.stemmer.startswith("snowball:"):
+                from .snowball import cached_stemmer_for
+
+                stem = cached_stemmer_for(spec.stemmer.split(":", 1)[1])
             else:
                 stem = _porter_stem_cached()
         gaps = spec.gaps
