@@ -524,6 +524,9 @@ def test_language_analyzer(whoosh):
         "da": "De hurtige brune ræve sprang over de dovne hunde",
         "no": "De raske brune revene hoppet over de late hundene",
         "sv": "De snabba bruna rävarna hoppade över de lata hundarna",
+        "fi": "Nopeat ruskeat ketut hyppäsivät laiskojen koirien ylitse",
+        "hu": "A gyors barna rókák átugrottak a lusta kutyákon",
+        "ro": "Vulpile maronii săreau repede peste câinii leneși",
     }
     for lang, t in lang_texts.items():
         mine = make_analyzer(language_analyzer(lang))

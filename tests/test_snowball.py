@@ -38,6 +38,9 @@ SUFFIXES = {
     "pt": ["eza", "ismo", "ável", "ista", "amento", "adora", "ação", "ções", "ância", "logia", "ução", "ência", "amente", "mente", "idade", "iva", "eira", "aríamos", "asse", "aram", "ando", "ada", "ava", "ia", "am", "ar", "eu", "os", "á", "ê", "ç", "ão", "ões"],
     "ru": ["ившись", "вшись", "вши", "ав", "яв", "ив", "в", "ся", "сь", "ейше", "ость", "нн", "ться", "ется", "лся", "ующий", "щий", "вший", "емый", "нный", "уйте", "ите", "или", "ила", "ена", "ует", "уют", "ить", "ишь", "ят", "ую", "ла", "ли", "ем", "ло", "ет", "ют", "ть", "ешь", "й", "л", "н", "ю", "иями", "ями", "ами", "ией", "иях", "ов", "ие", "ье", "ии", "ей", "ий", "ям", "ам", "ом", "ах", "ью", "ия", "ья", "ими", "ыми", "ого", "ому", "их", "ая", "ое", "ый", "им", "а", "е", "и", "о", "у", "ы", "ь", "я"],
     "fr": ["issement", "atrice", "ations", "logie", "usion", "ution", "ences", "ement", "euses", "ments", "ance", "ique", "isme", "able", "iste", "ence", "ités", "ives", "eaux", "euse", "ment", "eux", "ité", "ive", "ifs", "aux", "if", "issaient", "issante", "issions", "issant", "issent", "irons", "isses", "îmes", "irai", "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i", "eraient", "assions", "assent", "èrent", "erais", "eriez", "eront", "aient", "antes", "ions", "erai", "erez", "âmes", "ante", "asse", "ées", "era", "iez", "ais", "ait", "ant", "ée", "és", "er", "ez", "ât", "ai", "as", "é", "a", "ière", "tion", "sion", "ier", "e", "s", "guë", "enne", "onne", "ette", "elle", "eille", "qu", "èrement"],
+    "fi": ["kaan", "kään", "sti", "kin", "han", "hän", "ko", "kö", "pa", "pä", "nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en", "siin", "tten", "seen", "hin", "hon", "den", "tta", "ttä", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle", "ksi", "ine", "ta", "tä", "na", "nä", "a", "ä", "n", "impi", "impa", "immi", "imma", "mpi", "mpa", "mmi", "mma", "eja", "ejä", "it", "at", "ät", "ija", "oj", "uj", "jo", "aa", "ee", "ii", "uu", "ää", "kk", "ll", "tt", "nn"],
+    "hu": ["astul", "estül", "stul", "stül", "ástul", "éstül", "képpen", "onként", "enként", "anként", "ánként", "képp", "ként", "ban", "ben", "nak", "nek", "val", "vel", "tól", "hoz", "hez", "höz", "nál", "nél", "ért", "kor", "ba", "be", "ra", "re", "ig", "at", "et", "ot", "öt", "ul", "ül", "vá", "vé", "en", "on", "an", "ön", "n", "t", "án", "én", "á", "é", "oké", "öké", "aké", "eké", "áké", "áéi", "éké", "ééi", "ké", "éi", "éé", "ájuk", "éjük", "ünk", "unk", "juk", "jük", "ánk", "énk", "nk", "uk", "ük", "em", "om", "am", "od", "ed", "ad", "öd", "ja", "je", "ám", "ád", "ém", "éd", "m", "d", "a", "e", "o", "jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek", "áink", "éink", "jai", "jei", "ink", "aik", "eik", "im", "id", "ai", "ei", "ik", "ái", "éi", "i", "ák", "ék", "ök", "ok", "ek", "ak", "k", "sszal", "ttel", "bbal", "ggyel", "sszá", "ttá"],
+    "ro": ["abilităţi", "ivităţi", "icităţi", "ităţi", "işti", "oşi", "aţie", "aţia", "aţiune", "iţiune", "eşti", "eşte", "aţi", "eţi", "iţi", "abilitate", "ibilitate", "icitate", "ătoare", "atoare", "ativa", "ativă", "iciva", "icale", "atori", "ator", "itoare", "itori", "itor", "ele", "ea", "ei", "iua", "ilor", "ul", "ului", "uri", "elor", "iilor", "ii", "iei", "ie", "ia", "ata", "ată", "ati", "ate", "uta", "ută", "ita", "ită", "ica", "ice", "ici", "ică", "abila", "abile", "anta", "ante", "ista", "iste", "ut", "it", "at", "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze", "ează", "esc", "ăsc", "eam", "eau", "iam", "iau", "ui", "arăm", "urăm", "irăm", "ase", "use", "ise", "âse", "seserăţi", "serăm", "sese", "a", "e", "i", "ă"],
 }
 
 
