@@ -30,6 +30,8 @@ ALPHABETS = {
     "ru": "абвгдеёжзийклмнопрстуфхцчшщъыьэюя",
     "fi": "abcdefghijklmnopqrstuvwxyzäö",
     "hu": "abcdefghijklmnopqrstuvwxyzáéíóöőüúűõû",
+    # Arabic letters + short-vowel diacritics + hamza forms for ISRI
+    "ar": "ابتثجحخدذرزسشصضطظعغفقكلمنهويةءآأإؤئًٌٍَُِّْ",
 }
 
 # common suffixes per language to bias generation toward rule-triggering
@@ -42,6 +44,7 @@ SUFFIX_BIAS = {
     "fr": ["issements", "issement", "atrice", "ateurs", "ations", "logies", "usions", "utions", "ements", "amment", "emment", "ances", "iques", "ismes", "ables", "istes", "ateur", "ation", "logie", "usion", "ution", "ences", "ement", "euses", "ments", "ance", "ique", "isme", "able", "iste", "ence", "ités", "ives", "eaux", "euse", "ment", "eux", "ité", "ive", "ifs", "aux", "if", "issaient", "issantes", "iraient", "issante", "issions", "irions", "issais", "issant", "issent", "issons", "irais", "irent", "irons", "iront", "isses", "issez", "îmes", "îtes", "irai", "isse", "ies", "ira", "ît", "ie", "ir", "is", "it", "i", "eraient", "assions", "erions", "assent", "assiez", "èrent", "erais", "erait", "eriez", "erons", "eront", "aient", "antes", "asses", "ions", "erai", "eras", "erez", "âmes", "âtes", "ante", "ants", "asse", "ées", "era", "iez", "ais", "ait", "ant", "ée", "és", "er", "ez", "ât", "ai", "as", "é", "a", "ière", "ions", "tion", "sion", "ier", "e", "s", "gus", "guë", "enne", "onne", "ette", "elle", "eille", "ying", "quu", "qu", "éments", "èrement"],
     "fi": ["kään", "kaan", "hän", "han", "kin", "ko", "kö", "pä", "pa", "nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en", "ssa", "ssä", "sta", "stä", "lla", "llä", "lta", "ltä", "lle", "lna", "lnä", "ksi", "ine", "tta", "ttä", "ta", "tä", "a", "ä", "n", "han", "seen", "siin", "den", "tten", "impi", "impa", "immi", "imma", "eja", "ejä", "mpi", "mpa", "mmi", "mma", "eia", "eiä", "oma", "ima", "poikkeus", "t", "ut", "yt", "ija", "ijä", "itse", "ke", "ine", "oj", "uk", "uu", "yy", "ää", "öö", "ii", "aa", "ee", "oo"],
     "hu": ["astul", "estül", "stul", "stül", "astól", "estõl", "ástól", "éstül", "tól", "tõl", "rõl", "bõl", "képpen", "onként", "enként", "anként", "ánként", "sszal", "ttel", "ggyel", "bbal", "llel", "nnal", "sszá", "ttá", "ggyé", "áké", "ééi", "éé", "ájuk", "éjük", "jaitok", "jeitek", "áitok", "éitek", "áink", "éink", "ái", "éi", "ák", "ék", "ul", "ül", "ba", "be", "ban", "ben", "ból", "ből", "nak", "nek", "val", "vel", "tól", "ra", "re", "ről", "ban", "hoz", "hez", "höz", "nál", "nél", "ig", "at", "et", "ot", "öt", "ért", "képp", "képpen", "kor", "uk", "ük", "juk", "jük", "unk", "ünk", "nk", "áké", "éké", "ké", "éi", "é", "ánk", "énk", "ájé", "ák", "ék", "ök", "ok", "ek", "ak", "k", "ája", "éje", "ja", "je", "a", "e", "o", "á", "é", "i", "an", "en", "on", "ön", "lan", "len", "bb", "obb", "abb", "ebb", "astul", "itt"],
+    "ar": ["كال", "بال", "ولل", "وال", "ال", "لل", "تمل", "همل", "تان", "تين", "كمل", "ون", "ات", "ان", "ين", "تن", "كم", "هن", "نا", "ها", "تم", "ني", "وا", "هم", "ة", "ه", "ي", "ت", "ا", "ن", "است", "مست", "مت", "وو"],
     "ro": ["abilităţi", "ivităţi", "icităţi", "ităţi", "işti", "oşi", "aţie", "aţia", "aţiune", "iţiune", "seserăţi", "aserăţi", "serăţi", "seseşi", "arăţi", "aseşi", "aseră", "eşti", "eşte", "ăşti", "ăşte", "eaţi", "iaţi", "aşi", "uşi", "işi", "âşi", "aţi", "eţi", "iţi", "âţi", "ţiune", "ţiuni", "abilitate", "abilitati", "abilităi", "abilități", "ibilitate", "icitate", "icitati", "icităi", "icități", "ătoare", "atoare", "ativa", "ative", "ativi", "ativă", "iciva", "icive", "icivi", "icivă", "atori", "ator", "itoare", "itori", "itor", "ăreasa", "ărease", "easa", "ele", "ea", "ei", "eie", "iua", "ilor", "ul", "ului", "ur", "uri", "ului", "elor", "iilor", "ii", "iei", "ie", "ia", "ata", "ată", "ati", "ate", "uta", "ută", "uti", "ute", "ita", "ită", "iti", "ite", "ica", "ice", "ici", "ică", "abila", "abile", "abili", "abilă", "ibila", "anta", "ante", "anti", "antă", "ista", "iste", "isti", "istă", "ut", "it", "at", "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "ești", "ește", "ăsc", "ăști", "ăște", "am", "ai", "au", "eam", "eai", "eau", "iam", "iai", "iau", "ui", "ași", "arăm", "urăm", "irăm", "âși", "ârăm", "ase", "use", "ise", "âse", "a", "e", "i", "ă", "ie"],
 }
 
@@ -63,14 +66,22 @@ def gen_words(lang: str, n: int, seed: int = 7):
 def main():
     lang = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
-    from whoosh.lang.snowball import classes
+    if lang == "ar":
+        from whoosh.lang.isri import ISRIStemmer
 
-    ref = classes[lang]().stem
+        ref = ISRIStemmer().stem
+    else:
+        from whoosh.lang.snowball import classes
+
+        ref = classes[lang]().stem
     import importlib
 
-    from whoosh_reloaded_ray.functions import snowball as ours_pkg
+    if lang == "ar":
+        from whoosh_reloaded_ray.functions.isri import stem as ours
+    else:
+        from whoosh_reloaded_ray.functions import snowball as ours_pkg
 
-    ours = ours_pkg.stemmer_for(lang)
+        ours = ours_pkg.stemmer_for(lang)
     if ours is None:
         print(f"no local stemmer for {lang}")
         sys.exit(2)

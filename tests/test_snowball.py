@@ -85,3 +85,43 @@ def test_registry_subset_of_reference(whoosh):
 def test_cached_stemmer():
     fn = snowball.cached_stemmer_for("da")
     assert fn("kendelse") == fn("kendelse") == "kend"
+
+
+def test_isri_parity(whoosh):
+    """Arabic ISRI stemmer parity vs the reference transcription
+    (ref lang/isri.py), over biased random Arabic pseudo-words with
+    diacritics and hamza forms."""
+    import random
+
+    from whoosh.lang.isri import ISRIStemmer
+
+    from whoosh_reloaded_ray.functions.isri import stem as ours
+
+    ref = ISRIStemmer().stem
+    alpha = "ابتثجحخدذرزسشصضطظعغفقكلمنهويةءآأإؤئًٌٍَُِّْ"
+    bias = ["كال", "بال", "ولل", "وال", "ال", "لل", "تمل", "تان",
+            "تين", "ون", "ات", "ان", "ين", "نا", "ها", "تم", "ني",
+            "وا", "هم", "ة", "ه", "ي", "ت", "ا", "ن", "است", "مست",
+            "مت", "وو"]
+    rng = random.Random(13)
+    bad = []
+    for _ in range(20_000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+        if rng.random() < 0.7:
+            w = (rng.choice(bias) + w) if rng.random() < 0.5 else (w + rng.choice(bias))
+        r = ref(w)
+        o = ours(w)
+        if o != r:
+            bad.append((w, r, o))
+    assert not bad, bad[:10]
+
+
+def test_arabic_language_analyzer(whoosh):
+    from whoosh.analysis import LanguageAnalyzer
+
+    from whoosh_reloaded_ray.functions.analysis import language_analyzer, make_analyzer
+
+    text = "الكتاب المدرسية للطلاب يتعلمون القراءة والكتابة"
+    ours = [w for w, _ in make_analyzer(language_analyzer("ar"))(text)]
+    ref = [t.text for t in LanguageAnalyzer("ar")(text)]
+    assert ours == ref

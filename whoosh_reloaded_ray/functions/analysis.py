@@ -160,9 +160,10 @@ def language_analyzer(lang: str, gaps: bool = False) -> "AnalyzerSpec":
     minsize=2), plus a StemFilter when a stemmer is available.
 
     Stemmers: "en" -> porter2 (what the reference's StemFilter(lang="en")
-    resolves to), "en_porter" -> the original porter, and the clean-room
-    snowball family (functions/snowball, parity-fuzzed per language).
-    Arabic's ISRI stemmer is the remaining gap (TODO.md)."""
+    resolves to), "en_porter" -> the original porter, "ar" -> the ISRI
+    stemmer (functions/isri), and the clean-room snowball family
+    (functions/snowball) — every language the reference can stem,
+    parity-fuzzed per language."""
     from . import snowball as _snowball
     from .lang_stopwords import STOPLISTS
 
@@ -171,6 +172,8 @@ def language_analyzer(lang: str, gaps: bool = False) -> "AnalyzerSpec":
         stemmer = "porter"
     elif tlc == "en":
         stemmer = "porter2"
+    elif tlc == "ar":
+        stemmer = "isri"
     elif _snowball.stemmer_for(tlc) is not None:
         stemmer = f"snowball:{tlc}"
     else:
@@ -240,6 +243,12 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 from .snowball import cached_stemmer_for
 
                 stem = cached_stemmer_for(spec.stemmer.split(":", 1)[1])
+            elif spec.stemmer == "isri":
+                from functools import lru_cache
+
+                from .isri import stem as _isri_stem
+
+                stem = lru_cache(maxsize=50000)(_isri_stem)
             else:
                 stem = _porter_stem_cached()
         gaps = spec.gaps
