@@ -344,3 +344,46 @@ def test_boolean_field(ray_session, tmp_path_factory, whoosh):
             theirs = sorted(h["key"] for h in ws.search(wq, limit=None))
         assert ours == theirs, (qs, ours, theirs)
     assert wrr.exists_in(d) and not wrr.exists_in(str(tmp_path_factory.mktemp("empty")))
+
+
+def test_named_analyzer_constructors(ray_session, tmp_path_factory, whoosh):
+    """Whoosh-named analyzer constructors work end-to-end through
+    TEXT(analyzer=...) — a Russian-stemmed field matches inflected
+    forms the way the reference LanguageAnalyzer does."""
+    import whoosh.analysis as wa
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer
+
+    # spec-level parity for each constructor against the reference
+    text = "The RENDERING Interest-rates of 2024 was quickly up-town"
+    pairs = [
+        (wrr.IDAnalyzer(), wa.IDAnalyzer()),
+        (wrr.KeywordAnalyzer(lowercase=True), wa.KeywordAnalyzer(lowercase=True)),
+        (wrr.SimpleAnalyzer(), wa.SimpleAnalyzer()),
+        (wrr.StandardAnalyzer(), wa.StandardAnalyzer()),
+        (wrr.StemmingAnalyzer(), wa.StemmingAnalyzer()),
+        (wrr.FancyAnalyzer(), wa.FancyAnalyzer()),
+        (wrr.LanguageAnalyzer("es"), wa.LanguageAnalyzer("es")),
+    ]
+    for ours, ref in pairs:
+        got = [w for w, _ in make_analyzer(ours)(text)]
+        want = [t.text for t in ref(text)]
+        assert got == want, (ours, got, want)
+
+    # end-to-end: Russian stemming field matches inflected query forms
+    d = str(tmp_path_factory.mktemp("langidx"))
+    schema = wrr.Schema(
+        key=wrr.ID(stored=True),
+        body=wrr.TEXT(analyzer=wrr.LanguageAnalyzer("ru")),
+    )
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="1", body="быстрые лисицы прыгнули")
+    w.add_document(key="2", body="медленная черепаха ползла")
+    w.commit()
+    with ix.searcher() as s:
+        # query analyzer stems the inflected form to the same stem
+        r = s.search(s.parse("body:лисица"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        r = s.search(s.parse("body:черепахи"), limit=None)
+        assert sorted(h["key"] for h in r) == ["2"]

@@ -32,13 +32,117 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .functions.analysis import keyword_analyzer, standard_analyzer, stemming_analyzer
+from .functions.analysis import (
+    DEFAULT_TOKEN_PATTERN,
+    STOP_WORDS,
+    AnalyzerSpec,
+    fancy_analyzer,
+    id_analyzer,
+    keyword_analyzer,
+    language_analyzer,
+    ngram_analyzer,
+    ngramwords_analyzer,
+    simple_analyzer,
+    standard_analyzer,
+    stemming_analyzer,
+)
 from .pipelines.build import build_index
 from .pipelines.merge import maybe_merge
 from .query.parser import QueryParser
 from .schema import FieldSpec, IndexSchema, id_field, numeric_field, text_field
 from .state.manifest import load_manifest
 from .state.searcher import IndexSearcher
+
+
+# ---- whoosh-named analyzer constructors (reference analysis/analyzers.py) --
+# Each returns an AnalyzerSpec, accepted by TEXT(analyzer=...); whoosh's
+# compiled-pattern arguments are unwrapped to their pattern strings.
+
+
+def _pattern_of(expression) -> str:
+    if expression is None:
+        return DEFAULT_TOKEN_PATTERN
+    return getattr(expression, "pattern", expression)
+
+
+def _stops_of(stoplist):
+    return None if stoplist is None else frozenset(stoplist)
+
+
+def IDAnalyzer(lowercase=False):
+    return id_analyzer(lowercase=lowercase)
+
+
+def KeywordAnalyzer(lowercase=False, commas=False):
+    return keyword_analyzer(lowercase=lowercase, commas=commas)
+
+
+def RegexAnalyzer(expression=None, gaps=False):
+    from dataclasses import replace
+
+    return replace(
+        simple_analyzer(), pattern=_pattern_of(expression), gaps=gaps,
+        lowercase=False,
+    )
+
+
+def SimpleAnalyzer(expression=None, gaps=False):
+    from dataclasses import replace
+
+    return replace(
+        simple_analyzer(), pattern=_pattern_of(expression), gaps=gaps
+    )
+
+
+def StandardAnalyzer(expression=None, stoplist=STOP_WORDS, minsize=2,
+                     maxsize=None, gaps=False):
+    from dataclasses import replace
+
+    return replace(
+        standard_analyzer(
+            stopwords=_stops_of(stoplist), minsize=minsize, maxsize=maxsize
+        ),
+        pattern=_pattern_of(expression),
+        gaps=gaps,
+    )
+
+
+def StemmingAnalyzer(expression=None, stoplist=STOP_WORDS, minsize=2,
+                     maxsize=None, gaps=False, ignore=None,
+                     cachesize=50000):
+    from dataclasses import replace
+
+    return replace(
+        stemming_analyzer(
+            stopwords=_stops_of(stoplist), minsize=minsize, maxsize=maxsize
+        ),
+        pattern=_pattern_of(expression),
+        gaps=gaps,
+    )
+
+
+def FancyAnalyzer(expression=None, stoplist=STOP_WORDS, minsize=2,
+                  gaps=False, mergewords=False, mergenums=False):
+    return fancy_analyzer(
+        stopwords=_stops_of(stoplist), minsize=minsize,
+        mergewords=mergewords, mergenums=mergenums,
+    )
+
+
+def NgramAnalyzer(minsize, maxsize=None):
+    return ngram_analyzer(minsize=minsize, maxsize=maxsize or minsize)
+
+
+def NgramWordAnalyzer(minsize, maxsize=None, at=None):
+    return ngramwords_analyzer(minsize=minsize, maxsize=maxsize, at=at)
+
+
+def LanguageAnalyzer(lang, expression=None, gaps=False, cachesize=50000):
+    from dataclasses import replace
+
+    return replace(
+        language_analyzer(lang, gaps=gaps), pattern=_pattern_of(expression)
+    )
 
 
 # ---- field constructors (reference fields.py surface) ----------------------

@@ -179,6 +179,10 @@ def language_analyzer(lang: str, gaps: bool = False) -> "AnalyzerSpec":
     else:
         stemmer = None
     stops = STOPLISTS.get("en" if lang == "en_porter" else tlc)
+    if stops is not None:
+        # reference StopFilter(lang=...) ADDS the language list to the
+        # default English STOP_WORDS (analysis/filters.py stoplist arg)
+        stops = frozenset(stops) | STOP_WORDS
     return AnalyzerSpec(
         kind="stemming" if stemmer else "standard",
         gaps=gaps,
@@ -240,15 +244,13 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
 
                 stem = porter2_stem_cached
             elif spec.stemmer and spec.stemmer.startswith("snowball:"):
-                from .snowball import cached_stemmer_for
+                from .snowball import SnowballStem
 
-                stem = cached_stemmer_for(spec.stemmer.split(":", 1)[1])
+                stem = SnowballStem(spec.stemmer.split(":", 1)[1])
             elif spec.stemmer == "isri":
-                from functools import lru_cache
+                from .isri import isri_stem_cached
 
-                from .isri import stem as _isri_stem
-
-                stem = lru_cache(maxsize=50000)(_isri_stem)
+                stem = isri_stem_cached
             else:
                 stem = _porter_stem_cached()
         gaps = spec.gaps

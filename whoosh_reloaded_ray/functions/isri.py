@@ -19,6 +19,7 @@ Reference quirks replicated on purpose:
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 
 # affixes
 _P3 = ("كال", "بال", "ولل", "وال")
@@ -247,3 +248,8 @@ def stem(word: str) -> str:
         if len(w) == 6:
             return _end_w6(_pro_w6(w))
     return w
+
+
+@_lru_cache(maxsize=50000)
+def isri_stem_cached(word: str) -> str:
+    return stem(word)

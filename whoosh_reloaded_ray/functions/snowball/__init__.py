@@ -56,3 +56,25 @@ def cached_stemmer_for(lang: str, cachesize: int = 50000):
     if fn is None:
         return None
     return lru_cache(maxsize=cachesize)(fn)
+
+
+class SnowballStem:
+    """Picklable per-language stem callable: ships only the language
+    code to Ray workers and rebuilds the per-worker LRU on first call
+    (a bare lru_cache wrapper around a module function does not
+    pickle)."""
+
+    __slots__ = ("lang", "_fn")
+
+    def __init__(self, lang: str):
+        self.lang = lang
+        self._fn = None
+
+    def __call__(self, word: str) -> str:
+        fn = self._fn
+        if fn is None:
+            fn = self._fn = cached_stemmer_for(self.lang)
+        return fn(word)
+
+    def __reduce__(self):
+        return (SnowballStem, (self.lang,))
