@@ -387,3 +387,53 @@ def test_named_analyzer_constructors(ray_session, tmp_path_factory, whoosh):
         assert sorted(h["key"] for h in r) == ["1"]
         r = s.search(s.parse("body:черепахи"), limit=None)
         assert sorted(h["key"] for h in r) == ["2"]
+
+
+def test_pipe_dsl_analyzers(ray_session, tmp_path_factory, whoosh):
+    """Whoosh pipe-composition DSL compiles to AnalyzerSpecs with
+    reference-identical output, and unrepresentable chains fail loudly."""
+    import whoosh.analysis as wa
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer
+
+    text = "The RENDERING Interest-rates of 2024 went UP-town fast"
+    chains = [
+        (wrr.RegexTokenizer() | wrr.LowercaseFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter()),
+        (wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.StopFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.StopFilter()),
+        (wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.StopFilter() | wrr.StemFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.StopFilter() | wa.StemFilter()),
+        (wrr.SpaceSeparatedTokenizer() | wrr.LowercaseFilter(),
+         wa.SpaceSeparatedTokenizer() | wa.LowercaseFilter()),
+        (wrr.CommaSeparatedTokenizer(),
+         wa.CommaSeparatedTokenizer()),
+        (wrr.StopFilter(lang="es") | wrr.LowercaseFilter() if False else
+         wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.StopFilter(lang="es") | wrr.StemFilter(lang="es"),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.StopFilter(lang="es") | wa.StemFilter(lang="es")),
+    ]
+    for ours, ref in chains:
+        got = [t.text for t in ours(text)]
+        want = [t.text for t in ref(text)]
+        assert got == want, (got, want)
+
+    # chain objects are accepted by TEXT(analyzer=...)
+    d = str(tmp_path_factory.mktemp("pipeidx"))
+    schema = wrr.Schema(
+        key=wrr.ID(stored=True),
+        body=wrr.TEXT(
+            analyzer=wrr.RegexTokenizer() | wrr.LowercaseFilter()
+            | wrr.StopFilter() | wrr.StemFilter()
+        ),
+    )
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="1", body="The interests of rendering nations")
+    w.commit()
+    with ix.searcher() as s:
+        r = s.search(s.parse("body:interesting"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+
+    # unrepresentable chains raise instead of mis-analyzing
+    with pytest.raises(TypeError):
+        (wrr.LowercaseFilter() | wrr.StopFilter()).to_spec()

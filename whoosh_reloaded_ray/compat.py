@@ -145,6 +145,177 @@ def LanguageAnalyzer(lang, expression=None, gaps=False, cachesize=50000):
     )
 
 
+# ---- whoosh pipe-DSL analysis chain (reference analysis composition) -------
+# ``RegexTokenizer() | LowercaseFilter() | StopFilter() | StemFilter()``
+# compiles to an AnalyzerSpec; chains the spec can't represent raise a
+# NameError-free, actionable TypeError instead of silently mis-analyzing.
+
+
+class _AnalysisComponent:
+    """Base for pipe-composable tokenizers/filters."""
+
+    def __or__(self, other):
+        return _AnalysisChain((self,)) | other
+
+    def __call__(self, text):
+        return _AnalysisChain((self,))(text)
+
+    def to_spec(self) -> AnalyzerSpec:
+        return _AnalysisChain((self,)).to_spec()
+
+
+class _AnalysisChain:
+    def __init__(self, parts):
+        self.parts = tuple(parts)
+
+    def __or__(self, other):
+        if isinstance(other, _AnalysisChain):
+            return _AnalysisChain(self.parts + other.parts)
+        if isinstance(other, _AnalysisComponent):
+            return _AnalysisChain(self.parts + (other,))
+        return NotImplemented
+
+    def to_spec(self) -> AnalyzerSpec:
+        from dataclasses import replace
+
+        parts = list(self.parts)
+        head, rest = parts[0], parts[1:]
+        if not isinstance(head, (RegexTokenizer, IDTokenizer,
+                                 SpaceSeparatedTokenizer)):
+            raise TypeError(
+                f"chain must start with a tokenizer, got {head!r}"
+            )
+        spec = head._base_spec()
+        for f in rest:
+            if isinstance(f, (RegexTokenizer, IDTokenizer,
+                              SpaceSeparatedTokenizer)):
+                raise TypeError(f"tokenizer {f!r} mid-chain")
+            if not isinstance(f, _AnalysisComponent):
+                raise TypeError(f"not an analysis component: {f!r}")
+            spec = f._apply(spec)
+        return spec
+
+    def __call__(self, text):
+        from .functions.analysis import make_analyzer
+
+        for tok, pos in make_analyzer(self.to_spec())(text):
+            yield _CompatToken(tok, pos)
+
+
+class _CompatToken:
+    __slots__ = ("text", "pos")
+
+    def __init__(self, text, pos):
+        self.text = text
+        self.pos = pos
+
+
+class RegexTokenizer(_AnalysisComponent):
+    def __init__(self, expression=None, gaps=False):
+        self.expression = expression
+        self.gaps = gaps
+
+    def _base_spec(self):
+        from dataclasses import replace
+
+        return replace(
+            simple_analyzer(), pattern=_pattern_of(self.expression),
+            gaps=self.gaps, lowercase=False,
+        )
+
+
+class IDTokenizer(_AnalysisComponent):
+    def _base_spec(self):
+        return id_analyzer(lowercase=False)
+
+
+class SpaceSeparatedTokenizer(_AnalysisComponent):
+    commas = False
+
+    def _base_spec(self):
+        return keyword_analyzer(lowercase=False, commas=self.commas)
+
+
+class CommaSeparatedTokenizer(SpaceSeparatedTokenizer):
+    commas = True
+
+
+class LowercaseFilter(_AnalysisComponent):
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        return replace(spec, lowercase=True)
+
+
+class StopFilter(_AnalysisComponent):
+    def __init__(self, stoplist=STOP_WORDS, minsize=2, maxsize=None,
+                 renumber=True, lang=None):
+        self.stoplist = stoplist
+        self.minsize = minsize
+        self.maxsize = maxsize
+        self.renumber = renumber
+        self.lang = lang
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        from .functions.lang_stopwords import STOPLISTS
+
+        stops = frozenset(self.stoplist) if self.stoplist else frozenset()
+        if self.lang is not None:
+            # reference StopFilter adds the language list to stoplist
+            stops = stops | frozenset(STOPLISTS.get(self.lang, ()))
+        return replace(
+            spec, stopwords=stops or None, minsize=self.minsize,
+            maxsize=self.maxsize, renumber=self.renumber,
+        )
+
+
+class StemFilter(_AnalysisComponent):
+    """Porter by default; ``lang=`` picks the snowball/ISRI family
+    like the reference's PyStemmer-backed path."""
+
+    def __init__(self, lang=None, ignore=None, cachesize=50000):
+        self.lang = lang
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        if self.lang is None:
+            stemmer = "porter"
+        else:
+            la = language_analyzer(self.lang)
+            stemmer = la.stemmer or "porter"
+        return replace(spec, kind="stemming", stemmer=stemmer)
+
+
+class NgramFilter(_AnalysisComponent):
+    def __init__(self, minsize, maxsize=None, at=None):
+        self.minsize = minsize
+        self.maxsize = maxsize
+        self.at = at
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        base = ngramwords_analyzer(
+            minsize=self.minsize, maxsize=self.maxsize, at=self.at
+        )
+        return replace(
+            base, pattern=spec.pattern, gaps=spec.gaps,
+            lowercase=spec.lowercase,
+        )
+
+
+def _coerce_analyzer(analyzer):
+    """Accept AnalyzerSpec, a pipe chain, or a bare component."""
+    if analyzer is None or isinstance(analyzer, AnalyzerSpec):
+        return analyzer
+    if isinstance(analyzer, (_AnalysisChain, _AnalysisComponent)):
+        return analyzer.to_spec()
+    raise TypeError(f"unsupported analyzer: {analyzer!r}")
+
+
 # ---- field constructors (reference fields.py surface) ----------------------
 
 
@@ -196,7 +367,8 @@ class Schema:
                 specs.append(
                     text_field(
                         name,
-                        analyzer=opts.get("analyzer") or standard_analyzer(),
+                        analyzer=_coerce_analyzer(opts.get("analyzer"))
+                        or standard_analyzer(),
                         positions=opts.get("positions", True),
                         boost=opts.get("field_boost", 1.0),
                         spelling=opts.get("spelling", False),

@@ -216,6 +216,25 @@ def _stop_and_renumber(
     return out
 
 
+def resolve_stemmer(spec: "AnalyzerSpec"):
+    """Cached per-token stem callable for a stemming AnalyzerSpec —
+    the ONE resolution point shared by make_analyzer and the
+    vectorized/chars tokenize paths (stages/tokenize.py)."""
+    if spec.stemmer == "porter2":
+        from .porter2 import porter2_stem_cached
+
+        return porter2_stem_cached
+    if spec.stemmer and spec.stemmer.startswith("snowball:"):
+        from .snowball import SnowballStem
+
+        return SnowballStem(spec.stemmer.split(":", 1)[1])
+    if spec.stemmer == "isri":
+        from .isri import isri_stem_cached
+
+        return isri_stem_cached
+    return _porter_stem_cached()
+
+
 def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
     """Compile an AnalyzerSpec into ``text -> [(term, pos), ...]``.
 
@@ -237,22 +256,7 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
 
     if kind in ("standard", "simple", "stemming"):
         pat = re.compile(spec.pattern, re.UNICODE)
-        stem = None
-        if kind == "stemming":
-            if spec.stemmer == "porter2":
-                from .porter2 import porter2_stem_cached
-
-                stem = porter2_stem_cached
-            elif spec.stemmer and spec.stemmer.startswith("snowball:"):
-                from .snowball import SnowballStem
-
-                stem = SnowballStem(spec.stemmer.split(":", 1)[1])
-            elif spec.stemmer == "isri":
-                from .isri import isri_stem_cached
-
-                stem = isri_stem_cached
-            else:
-                stem = _porter_stem_cached()
+        stem = resolve_stemmer(spec) if kind == "stemming" else None
         gaps = spec.gaps
 
         def analyze(text: str) -> list:

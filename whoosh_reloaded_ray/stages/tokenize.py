@@ -436,12 +436,9 @@ class Tokenizer:
             # indexed term is the stem; the span still covers the RAW token
             # (whoosh records t.startchar/endchar before StemFilter mutates
             # t.text) — exactly what payload highlighting needs
-            if aspec.stemmer == "porter2":
-                from ..functions.porter2 import porter2_stem_cached as stem
-            else:
-                from ..functions.analysis import _porter_stem_cached
+            from ..functions.analysis import resolve_stemmer
 
-                stem = _porter_stem_cached()
+            stem = resolve_stemmer(aspec)
         R = self.num_shards
         salted = self.salted
         doc_lo, doc_n = self.doc_range
