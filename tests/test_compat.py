@@ -437,3 +437,37 @@ def test_pipe_dsl_analyzers(ray_session, tmp_path_factory, whoosh):
     # unrepresentable chains raise instead of mis-analyzing
     with pytest.raises(TypeError):
         (wrr.LowercaseFilter() | wrr.StopFilter()).to_spec()
+
+
+def test_charset_filter_field(ray_session, tmp_path_factory, whoosh):
+    """CharsetFilter in the pipe DSL folds accents at index AND query
+    time, matching the reference chain's analysis output."""
+    import whoosh.analysis as wa
+    from whoosh.support.charset import accent_map
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer
+
+    text = "Café Niño naïve Zürich résumé"
+    ours = (wrr.RegexTokenizer() | wrr.LowercaseFilter()
+            | wrr.CharsetFilter(accent_map))
+    ref = wa.RegexTokenizer() | wa.LowercaseFilter() | wa.CharsetFilter(accent_map)
+    got = [t.text for t in ours(text)]
+    want = [t.text for t in ref(text)]
+    assert got == want == ["cafe", "nino", "naive", "zurich", "resume"]
+
+    d = str(tmp_path_factory.mktemp("accentidx"))
+    schema = wrr.Schema(key=wrr.ID(stored=True), body=wrr.TEXT(analyzer=ours))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="1", body="Le café est délicieux")
+    w.add_document(key="2", body="The plain coffee house")
+    w.commit()
+    with ix.searcher() as s:
+        # unaccented query matches the accented document
+        r = s.search(s.parse("body:cafe"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        # accented query folds too
+        r = s.search(s.parse("body:café"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        r = s.search(s.parse("body:delicieux"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]

@@ -289,6 +289,23 @@ class StemFilter(_AnalysisComponent):
         return replace(spec, kind="stemming", stemmer=stemmer)
 
 
+class CharsetFilter(_AnalysisComponent):
+    """Accent/case folding via a str.translate() map (reference
+    CharsetFilter; pass e.g. whoosh.support.charset's accent_map or
+    functions.analysis.accent_fold_map()).  Applied after lowercasing,
+    before stop/size filtering."""
+
+    def __init__(self, charmap):
+        self.charmap = dict(charmap)
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        from .functions.analysis import charmap_key
+
+        return replace(spec, charmap=charmap_key(self.charmap))
+
+
 class NgramFilter(_AnalysisComponent):
     def __init__(self, minsize, maxsize=None, at=None):
         self.minsize = minsize

@@ -90,6 +90,10 @@ class AnalyzerSpec:
     mergenums: bool = False
     # ngramwords: take n-grams only from the 'start'/'end' of each word
     ngram_at: Optional[str] = None
+    # charset folding (reference CharsetFilter): hashable form of a
+    # str.translate() map, applied after lowercasing and before
+    # stop/size filtering; build with charmap_key()
+    charmap: Optional[tuple] = None
 
 
 def standard_analyzer(
@@ -216,6 +220,15 @@ def _stop_and_renumber(
     return out
 
 
+def charmap_key(charmap: dict) -> tuple:
+    """Hashable AnalyzerSpec.charmap form of a str.translate() map."""
+    return tuple(sorted((int(k), v) for k, v in charmap.items()))
+
+
+def charmap_table(key: tuple) -> dict:
+    return dict(key)
+
+
 def resolve_stemmer(spec: "AnalyzerSpec"):
     """Cached per-token stem callable for a stemming AnalyzerSpec —
     the ONE resolution point shared by make_analyzer and the
@@ -254,6 +267,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
     maxsize = spec.maxsize
     renumber = spec.renumber
 
+    cmap = charmap_table(spec.charmap) if spec.charmap else None
+
     if kind in ("standard", "simple", "stemming"):
         pat = re.compile(spec.pattern, re.UNICODE)
         stem = resolve_stemmer(spec) if kind == "stemming" else None
@@ -265,6 +280,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
             toks = _gap_split(pat, text) if gaps else pat.findall(text)
             if lower:
                 toks = [t.lower() for t in toks]
+            if cmap is not None:
+                toks = [t.translate(cmap) for t in toks]
             if stops is None and minsize <= 0 and maxsize is None:
                 res = list(zip(toks, range(len(toks))))
             else:
@@ -343,6 +360,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 toks = [t.strip() for t in toks]
             if lower:
                 toks = [t.lower() for t in toks]
+            if cmap is not None:
+                toks = [t.translate(cmap) for t in toks]
             return list(zip(toks, range(len(toks))))
 
         return analyze_kw

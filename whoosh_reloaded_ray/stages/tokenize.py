@@ -391,6 +391,7 @@ class Tokenizer:
                 and aspec.kind in ("standard", "simple")
                 and aspec.renumber
                 and not aspec.gaps  # gap-split mode takes the loop path
+                and not aspec.charmap  # charset folding too
             ):
                 self._vector_field(fname, spec_tuple, batch, docnums, out)
             elif aspec is not None and aspec.kind == "id" and not scorable:
@@ -439,6 +440,9 @@ class Tokenizer:
             from ..functions.analysis import resolve_stemmer
 
             stem = resolve_stemmer(aspec)
+        from ..functions.analysis import charmap_table
+
+        cmap = charmap_table(aspec.charmap) if aspec.charmap else None
         R = self.num_shards
         salted = self.salted
         doc_lo, doc_n = self.doc_range
@@ -458,6 +462,8 @@ class Tokenizer:
                 t = m.group(0)
                 if lower:
                     t = t.lower()
+                if cmap is not None:
+                    t = t.translate(cmap)
                 lt = len(t)
                 if (
                     lt >= minsize
