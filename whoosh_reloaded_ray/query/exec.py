@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 import re
 from functools import lru_cache
 
@@ -116,44 +117,55 @@ class PostingList:
 
     def positions_bulk(self, posting_idxs: np.ndarray):
         """Positions for MANY postings at once -> (flat uint64 positions,
-        counts per posting, in the order given).  One decode + one segmented
-        cumsum per touched block instead of per-posting numpy calls."""
+        counts per posting, in the order given).  Per touched block only
+        the cached decode + one start-offset gather run; the segmented
+        cumsum is ONE global pass over a concatenated value stream, so
+        per-call numpy overhead no longer scales with block count."""
         pidx = np.asarray(posting_idxs, dtype=np.int64)
         npost = pidx.size
-        counts_all = np.zeros(npost, dtype=np.int64)
+        if npost == 0:
+            return np.empty(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
         b_of = np.searchsorted(self.block_starts, pidx, side="right") - 1
         order = np.argsort(b_of, kind="stable")
-        groups = []  # (orig_indices, pos_concat, cnts)
-        i = 0
-        while i < npost:
-            b = b_of[order[i]]
-            j = i
-            while j < npost and b_of[order[j]] == b:
-                j += 1
-            vals, starts = self._block_positions(int(b))
-            oi = order[i:j]
-            ks = pidx[oi] - int(self.block_starts[b])
-            s = starts[ks]
-            cnts = vals[s].astype(np.int64)
-            tot = int(cnts.sum())
-            seg0 = np.cumsum(cnts) - cnts  # segment starts in the flat stream
-            gidx = np.repeat(s + 1 - seg0, cnts) + np.arange(tot)
-            deltas = vals[gidx]
-            cs = np.cumsum(deltas, dtype=np.uint64)
-            base = np.zeros(cnts.size, dtype=np.uint64)
-            nz = np.flatnonzero(seg0 > 0)
-            base[nz] = cs[seg0[nz] - 1]
-            pos = cs - np.repeat(base, cnts)
-            counts_all[oi] = cnts
-            groups.append((oi, pos, cnts))
-            i = j
-        flat = np.empty(int(counts_all.sum()), dtype=np.uint64)
-        final_start = np.cumsum(counts_all) - counts_all
-        for oi, pos, cnts in groups:
-            seg0 = np.cumsum(cnts) - cnts
-            dest = np.repeat(final_start[oi] - seg0, cnts) + np.arange(pos.size)
-            flat[dest] = pos
-        return flat, counts_all
+        b_sorted = b_of[order]
+        ublocks = np.unique(b_sorted)
+        bounds = np.searchsorted(b_sorted, ublocks)
+
+        # concat the touched blocks' decoded streams; record each block's
+        # offset into the concatenation
+        vals_list = []
+        offs = np.empty(ublocks.size, dtype=np.int64)
+        total = 0
+        for k, b in enumerate(ublocks):
+            vals, _ = self._block_positions(int(b))
+            offs[k] = total
+            vals_list.append(vals)
+            total += vals.size
+        vals_all = (
+            np.concatenate(vals_list) if len(vals_list) > 1 else vals_list[0]
+        )
+
+        # global start index (into vals_all) for every requested posting
+        s_global = np.empty(npost, dtype=np.int64)
+        for k, b in enumerate(ublocks):
+            lo = bounds[k]
+            hi = bounds[k + 1] if k + 1 < ublocks.size else npost
+            oi = order[lo:hi]
+            _, starts = self._block_positions(int(b))
+            s_global[oi] = (
+                starts[pidx[oi] - int(self.block_starts[b])] + offs[k]
+            )
+
+        cnts = vals_all[s_global].astype(np.int64)
+        tot = int(cnts.sum())
+        seg0 = np.cumsum(cnts) - cnts  # per-posting starts in flat output
+        gidx = np.repeat(s_global + 1 - seg0, cnts) + np.arange(tot)
+        cs = np.cumsum(vals_all[gidx], dtype=np.uint64)
+        base = np.zeros(cnts.size, dtype=np.uint64)
+        nz = np.flatnonzero(seg0 > 0)
+        base[nz] = cs[seg0[nz] - 1]
+        flat = cs - np.repeat(base, cnts)
+        return flat, cnts
 
 
 def _decode_posting_columns(t: pa.Table):
@@ -201,7 +213,10 @@ class SegmentReader:
     def __init__(self, index_dir: str, seg: SegmentMeta):
         self.seg = seg
         self.dir = os.path.join(index_dir, seg.name)
-        self._postings_cache: dict = {}
+        # bounded LRU: long-lived searcher actors see an open-ended query
+        # term stream at scale; decoded posting lists must not accumulate
+        self._postings_cache: "OrderedDict" = OrderedDict()
+        self._postings_cache_cap = 4096
         self._raw_cache: dict = {}
         self._terminfo_cache: dict = {}
         self._column_cache: dict = {}
@@ -386,20 +401,35 @@ class SegmentReader:
         }
 
     def decode_blocks(self, field: str, term: str, keep: np.ndarray):
-        """Decode only the selected blocks -> (docs, weights, len_bytes)."""
-        t = self._read_blocks(field, term)
-        t = t.take(pa.array(np.flatnonzero(keep)))
-        docs, weights, lens, _, _ = _decode_posting_columns(t)
-        return docs, weights, lens
+        """Postings of the selected blocks -> (docs, weights, len_bytes).
+
+        Decodes the term's FULL posting list once into the shared
+        postings cache, then answers every (re)query — WAND retries,
+        repeated searches on a warm searcher — with a pure numpy
+        gather of the kept blocks' ranges."""
+        plist = self.postings(field, term)
+        if plist is None:
+            e = np.empty(0, dtype=np.uint64)
+            return e, np.empty(0, np.float64), np.empty(0, np.uint8)
+        if keep.all():
+            return plist.docs, plist.weights, plist.len_bytes
+        kept = np.flatnonzero(keep)
+        cnts = plist.block_counts[kept].astype(np.int64)
+        tot = int(cnts.sum())
+        seg0 = np.cumsum(cnts) - cnts
+        idx = np.repeat(plist.block_starts[kept] - seg0, cnts) + np.arange(tot)
+        return plist.docs[idx], plist.weights[idx], plist.len_bytes[idx]
 
     def postings(self, field: str, term: str, need_positions=False, need_chars=False):
         key = (field, term, need_positions, need_chars)
         cached = self._postings_cache.get(key)
         if cached is not None:
+            self._postings_cache.move_to_end(key)
             return cached
         if not need_positions and not need_chars and (
             plist := self._postings_cache.get((field, term, True, False))
         ):
+            self._postings_cache.move_to_end((field, term, True, False))
             return plist
         t = self._read_blocks(field, term, need_positions, need_chars)
         if t is None:
@@ -412,6 +442,8 @@ class SegmentReader:
             docs, weights, lens, block_starts, counts, pos_blobs, chars_blobs
         )
         self._postings_cache[key] = plist
+        if len(self._postings_cache) > self._postings_cache_cap:
+            self._postings_cache.popitem(last=False)
         return plist
 
     def char_spans(self, field: str, term: str, docnum: int) -> np.ndarray:
