@@ -923,7 +923,7 @@ def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
         hits = []
         for d in range(1, slop + 1):
             cand = reach + np.uint64(d)
-            hits.append(cand[np.isin(cand, nxt)])
+            hits.append(cand[_sorted_isin(cand, nxt)])
         reach = np.unique(np.concatenate(hits)) if hits else np.empty(0, np.uint64)
         if reach.size == 0:
             return EMPTY
@@ -1010,9 +1010,30 @@ def _seq_child_terms(reader, q) -> tuple:
     raise TypeError(f"Sequence child not term-expandable: {q!r}")
 
 
+def _sorted_isin(cand: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Membership of ``cand`` in a SORTED unique ``table`` via one
+    searchsorted — avoids np.isin's internal concat+argsort."""
+    if table.size == 0 or cand.size == 0:
+        return np.zeros(cand.size, dtype=bool)
+    idx = np.searchsorted(table, cand)
+    idx[idx == table.size] = table.size - 1
+    return table[idx] == cand
+
+
 def _seq_child_keys(reader, q) -> np.ndarray:
-    """Sorted (doc << 32 | pos) keys of every occurrence of the child."""
+    """Sorted (doc << 32 | pos) keys of every occurrence of the child.
+
+    Static per segment, so cached on the reader (bounded) — repeated
+    sequence searches skip the full position decode."""
     field, terms = _seq_child_terms(reader, q)
+    ckey = (field, tuple(terms))
+    cache = getattr(reader, "_seq_keys_cache", None)
+    if cache is None:
+        cache = reader._seq_keys_cache = OrderedDict()
+    hit = cache.get(ckey)
+    if hit is not None:
+        cache.move_to_end(ckey)
+        return hit
     keys = []
     for t in terms:
         pl = reader.postings(field, t, need_positions=True)
@@ -1020,9 +1041,15 @@ def _seq_child_keys(reader, q) -> np.ndarray:
             continue
         flat, counts = pl.positions_bulk(np.arange(pl.docs.size))
         keys.append((np.repeat(pl.docs, counts) << np.uint64(32)) + flat)
-    if not keys:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(keys))
+    out = (
+        np.unique(np.concatenate(keys))
+        if keys
+        else np.empty(0, dtype=np.uint64)
+    )
+    cache[ckey] = out
+    if len(cache) > 64:
+        cache.popitem(last=False)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1067,7 +1094,7 @@ def _sequence_spans(reader, q) -> tuple:
         cs, ce = [], []
         for d in deltas:
             cand = ends + np.uint64(d) if d > 0 else ends - np.uint64(-d)
-            m = np.isin(cand, nxt)
+            m = _sorted_isin(cand, nxt)
             cs.append(starts[m])
             ce.append(cand[m])
         if not cs:
