@@ -563,3 +563,43 @@ def test_nested_parent_composes(our_index, whoosh_index, wq):
     got = dict(zip(and_res["docnum"].to_pylist(), and_res["score"].to_pylist()))
     assert got == pytest.approx(expected)
     assert len(got) > 0
+
+
+def test_span_near(our_index, whoosh_index, wq):
+    """SpanNear (binary, pre-SpanNear2) docnum parity across slop /
+    ordered / mindist combinations, incl. the phrase() tree builder."""
+    from whoosh_reloaded_ray.query import SpanNear, Term
+
+    cases = [
+        dict(slop=1, ordered=True, mindist=1),
+        dict(slop=3, ordered=True, mindist=1),
+        dict(slop=3, ordered=False, mindist=1),
+        dict(slop=4, ordered=False, mindist=2),
+        dict(slop=2, ordered=True, mindist=0),  # allows overlap=0 dist
+    ]
+    import whoosh.query.spans as wspans
+
+    for kw in cases:
+        q = SpanNear(Term("text", MID), Term("text", COMMON), **kw)
+        w = wspans.SpanNear(wq.Term("text", MID), wq.Term("text", COMMON), **kw)
+        a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+        with whoosh_index.searcher() as s:
+            b = sorted(h.docnum for h in s.search(w, limit=None))
+        assert a == b, f"SpanNear {kw}"
+
+    # scored parity (wrapped IntersectionMatcher: a+b)
+    q = SpanNear(Term("text", MID), Term("text", COMMON), slop=3)
+    w = wspans.SpanNear(wq.Term("text", MID), wq.Term("text", COMMON), slop=3)
+    t = our_index.search(q, limit=None)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, h.score) for h in s.search(w, limit=None)]
+    assert t["docnum"].to_pylist() == [d for d, _ in wres]
+    np.testing.assert_allclose(t["score"].to_pylist(), [sc for _, sc in wres], atol=1e-6)
+
+    # phrase() tree builder parity
+    q = SpanNear.phrase("text", [MID, COMMON], slop=2)
+    w = wspans.SpanNear.phrase("text", [MID, COMMON], slop=2)
+    a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+    with whoosh_index.searcher() as s:
+        b = sorted(h.docnum for h in s.search(w, limit=None))
+    assert a == b, "SpanNear.phrase"

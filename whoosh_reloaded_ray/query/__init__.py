@@ -21,6 +21,7 @@ from .ast import (  # noqa: F401
     Require,
     Sequence,
     SpanBefore,
+    SpanNear,
     SpanCondition,
     SpanContains,
     SpanFirst,

@@ -212,6 +212,50 @@ class SpanNot(Query):
 
 
 @dataclass(frozen=True)
+class SpanNear(Query):
+    """Binary near query (reference spans.py:355-528 SpanNear — the
+    pre-SpanNear2 form): spans of ``a`` and ``b`` whose distance is in
+    [mindist, slop], optionally ordered (a must start at or before b);
+    overlapping spans have distance 0, so the default mindist=1
+    REJECTS overlaps (reference quirk kept).  Combined span =
+    min start / max end."""
+
+    a: Optional[Query] = None
+    b: Optional[Query] = None
+    slop: int = 1
+    ordered: bool = True
+    mindist: int = 1
+
+    def __init__(self, a, b, slop=1, ordered=True, mindist=1, boost=1.0):
+        object.__setattr__(self, "a", a)
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "ordered", ordered)
+        object.__setattr__(self, "mindist", mindist)
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return (self.a, self.b)
+
+    @classmethod
+    def phrase(cls, fieldname, words, slop=1, ordered=True):
+        """Binary tree over the terms (reference SpanNear.phrase /
+        util.make_binary_tree: left half nested against right half)."""
+        terms = [Term(fieldname, w) for w in words]
+
+        def build(args):
+            if len(args) == 1:
+                return args[0]
+            half = len(args) // 2
+            return cls(
+                build(args[:half]), build(args[half:]),
+                slop=slop, ordered=ordered,
+            )
+
+        return build(terms)
+
+
+@dataclass(frozen=True)
 class SpanBefore(Query):
     """Docs where some occurrence of ``a`` precedes some occurrence of
     ``b`` (reference SpanBefore via Ordered, spans.py)."""

@@ -1136,6 +1136,8 @@ def _collect_spans(reader, q) -> tuple:
         sk, ek = _collect_spans(reader, q.child)
         keep = (ek & _POSMASK) <= np.uint64(q.limit)
         return sk[keep], ek[keep]
+    if isinstance(q, ast.SpanNear):
+        return _spannear_spans(reader, q)
     if isinstance(q, ast.SpanNot):
         return _spannot_spans(reader, q)
     if isinstance(q, ast.SpanContains):
@@ -1147,6 +1149,64 @@ def _collect_spans(reader, q) -> tuple:
         return ask[keep], aek[keep]
     keys = _seq_child_keys(reader, q)
     return keys, keys
+
+
+def _spannear_spans(reader, q) -> tuple:
+    """Combined spans of SpanNear (reference spans.py:476-528): pairs
+    with mindist <= distance <= slop, ordered => a.start <= b.start;
+    overlap = distance 0 (default mindist=1 rejects overlaps).  Doc
+    boundaries are 2^32 apart in key space, so cross-doc pairs never
+    satisfy the window."""
+    ask, aek = _collect_spans(reader, q.a)
+    bsk, bek = _collect_spans(reader, q.b)
+    if ask.size == 0 or bsk.size == 0:
+        return _NOSPANS
+    slop = np.uint64(q.slop)
+    # candidate window per a-span: b.start in
+    # [a.start - slop - max_b_len, a.end + slop]
+    max_b_len = np.uint64((bek - bsk).max())
+    lo_key = ask - np.minimum(ask, slop + max_b_len)  # clamp underflow
+    lo = np.searchsorted(bsk, lo_key, side="left")
+    hi = np.searchsorted(bsk, aek + slop, side="right")
+    cnt = (hi - lo).astype(np.int64)
+    tot = int(cnt.sum())
+    if tot == 0:
+        return _NOSPANS
+    seg0 = np.cumsum(cnt) - cnt
+    ai = np.repeat(np.arange(ask.size), cnt)
+    bi = np.repeat(lo - seg0, cnt) + np.arange(tot)
+    a_s, a_e = ask[ai], aek[ai]
+    b_s, b_e = bsk[bi], bek[bi]
+    keep = b_e + slop >= a_s  # b not too far in front of a
+    if q.ordered:
+        keep &= a_s <= b_s
+    # distance_to: 0 on overlap, else gap between the nearer edges
+    overlap = (a_s <= b_e) & (b_s <= a_e)
+    a_before = a_e < b_s
+    dist = np.zeros(a_s.size, dtype=np.uint64)
+    dist[a_before] = (b_s - a_e)[a_before]
+    behind = ~overlap & ~a_before
+    dist[behind] = (a_s - b_e)[behind]
+    keep &= (dist >= np.uint64(q.mindist)) & (dist <= slop)
+    if not keep.any():
+        return _NOSPANS
+    cs = np.minimum(a_s[keep], b_s[keep])
+    ce = np.maximum(a_e[keep], b_e[keep])
+    return _unique_spans(*_sort_spans(cs, ce))
+
+
+def _eval_spannear(reader, q, ctx, scored):
+    """Doc-level SpanNear: docs with a surviving pair; score is the
+    wrapped IntersectionMatcher's a+b sum (reference spans.py:476)."""
+    sk, _ = _spannear_spans(reader, q)
+    if sk.size == 0:
+        return EMPTY
+    docs = np.unique(sk >> np.uint64(32))
+    if not scored:
+        return _apply_boost((docs, np.ones(docs.size)), q.boost)
+    _, sa = _span_score(reader, q.a, ctx, True, docs)
+    _, sb = _span_score(reader, q.b, ctx, True, docs)
+    return _apply_boost((docs, sa + sb), q.boost)
 
 
 def _spannot_spans(reader, q) -> tuple:
@@ -1432,6 +1492,7 @@ _EVAL = {
     "SpanFirst": _eval_spanfirst,
     "SpanNot": _eval_spannot,
     "SpanBefore": _eval_spanbefore,
+    "SpanNear": _eval_spannear,
     "SpanOr": _eval_spanor,
     "SpanContains": _eval_spancontains,
     "SpanCondition": _eval_spancondition,
