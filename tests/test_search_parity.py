@@ -603,3 +603,35 @@ def test_span_near(our_index, whoosh_index, wq):
     with whoosh_index.searcher() as s:
         b = sorted(h.docnum for h in s.search(w, limit=None))
     assert a == b, "SpanNear.phrase"
+
+
+def test_ordered_nullquery_daterange(our_index, whoosh_index, wq):
+    """Ordered (n-ary before-chain) docnum parity; NullQuery matches
+    nothing; DateRange/DisjunctionMax API names resolve."""
+    from whoosh_reloaded_ray.query import (
+        DisjunctionMax,
+        NullQuery,
+        Ordered,
+        Term,
+    )
+
+    for subs in ([MID, COMMON], [COMMON, MID], [MID, COMMON, RARE]):
+        q = Ordered([Term("text", t) for t in subs])
+        w = wq.Ordered([wq.Term("text", t) for t in subs])
+        a = sorted(our_index.search(q, limit=None, scored=False)["docnum"].to_pylist())
+        with whoosh_index.searcher() as s:
+            b = sorted(h.docnum for h in s.search(w, limit=None))
+        assert a == b, f"Ordered {subs}"
+
+    # scored parity (sums children like Sequence)
+    q = Ordered([Term("text", MID), Term("text", COMMON)])
+    w = wq.Ordered([wq.Term("text", MID), wq.Term("text", COMMON)])
+    t = our_index.search(q, limit=None)
+    with whoosh_index.searcher() as s:
+        wres = [(h.docnum, h.score) for h in s.search(w, limit=None)]
+    assert t["docnum"].to_pylist() == [d for d, _ in wres]
+    np.testing.assert_allclose(t["score"].to_pylist(), [sc for _, sc in wres], atol=1e-6)
+
+    assert our_index.search(NullQuery, limit=None).num_rows == 0
+    assert our_index.search(NullQuery(), limit=None).num_rows == 0
+    assert DisjunctionMax is not None

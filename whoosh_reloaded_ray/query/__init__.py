@@ -20,6 +20,10 @@ from .ast import (  # noqa: F401
     Regex,
     Require,
     Sequence,
+    DateRange,
+    NullQuery,
+    Ordered,
+    QueryError,
     SpanBefore,
     SpanNear,
     SpanCondition,
@@ -33,6 +37,7 @@ from .ast import (  # noqa: F401
     Wildcard,
 )
 from .ast import ConstantTerms  # noqa: F401
+from .ast import DisMax as DisjunctionMax  # noqa: F401 (reference name)
 from .collectors import (  # noqa: F401
     CountCollector,
     FieldValuesCollector,

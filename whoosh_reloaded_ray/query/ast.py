@@ -212,6 +212,23 @@ class SpanNot(Query):
 
 
 @dataclass(frozen=True)
+class Ordered(Query):
+    """Docs containing the sub-queries in document ORDER, any distance
+    apart (reference positional.py:123-131 Ordered — a binary
+    SpanBefore tree over the halves of the list; combined spans are
+    first-start .. last-end).  Scores sum the children like Sequence."""
+
+    subqueries: tuple = ()
+
+    def __init__(self, subqueries, boost=1.0):
+        object.__setattr__(self, "subqueries", tuple(subqueries))
+        object.__setattr__(self, "boost", boost)
+
+    def children(self) -> tuple:
+        return tuple(self.subqueries)
+
+
+@dataclass(frozen=True)
 class SpanNear(Query):
     """Binary near query (reference spans.py:355-528 SpanNear — the
     pre-SpanNear2 form): spans of ``a`` and ``b`` whose distance is in
@@ -496,6 +513,38 @@ class TermRange(Query):
         object.__setattr__(self, "startexcl", startexcl)
         object.__setattr__(self, "endexcl", endexcl)
         object.__setattr__(self, "boost", boost)
+
+
+class QueryError(Exception):
+    """Raised for malformed / unanswerable queries (reference
+    qcore.py:39)."""
+
+
+@dataclass(frozen=True)
+class _NullQuery(Query):
+    """Matches nothing (reference qcore.py:593-644; the module-level
+    ``NullQuery`` is an instance, and calling it returns itself)."""
+
+    def __call__(self):
+        return self
+
+    def children(self) -> tuple:
+        return ()
+
+
+NullQuery = _NullQuery()
+
+
+def DateRange(field, start, end, startexcl=False, endexcl=False,
+              boost=1.0, constantscore=True):
+    """Datetime range (reference ranges.py:405 DateRange, a thin
+    NumericRange veneer).  Datetimes stay native here — the columnar
+    evaluator compares timestamps directly, so no datetime_to_long
+    conversion is needed; ``constantscore`` is accepted for signature
+    parity (ranges already score constant 1.0·boost)."""
+    return NumericRange(
+        field, start, end, startexcl=startexcl, endexcl=endexcl, boost=boost
+    )
 
 
 @dataclass(frozen=True)

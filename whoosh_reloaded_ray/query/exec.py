@@ -1138,6 +1138,12 @@ def _collect_spans(reader, q) -> tuple:
         return sk[keep], ek[keep]
     if isinstance(q, ast.SpanNear):
         return _spannear_spans(reader, q)
+    if isinstance(q, ast.Ordered):
+        return _ordered_spans(reader, q)
+    if isinstance(q, ast.SpanBefore):
+        return _before_spans(
+            _collect_spans(reader, q.a), _collect_spans(reader, q.b)
+        )
     if isinstance(q, ast.SpanNot):
         return _spannot_spans(reader, q)
     if isinstance(q, ast.SpanContains):
@@ -1149,6 +1155,56 @@ def _collect_spans(reader, q) -> tuple:
         return ask[keep], aek[keep]
     keys = _seq_child_keys(reader, q)
     return keys, keys
+
+
+def _before_spans(a: tuple, b: tuple) -> tuple:
+    """A-spans whose end precedes the MINIMUM b-span start of the same
+    doc (reference SpanBefore._Matcher._get_spans, spans.py:899-901 —
+    note it keeps the A spans, not a combination, and compares against
+    b's first occurrence only)."""
+    ask, aek = a
+    bsk, bek = b
+    if ask.size == 0 or bsk.size == 0:
+        return _NOSPANS
+    bdocs = bsk >> np.uint64(32)
+    ib = np.flatnonzero(np.r_[True, bdocs[1:] != bdocs[:-1]])
+    min_b_doc = bdocs[ib]
+    min_b_key = bsk[ib]
+    adocs = aek >> np.uint64(32)
+    idx = np.searchsorted(min_b_doc, adocs)
+    idx_c = np.minimum(idx, min_b_doc.size - 1)
+    keep = (min_b_doc[idx_c] == adocs) & (aek < min_b_key[idx_c])
+    return ask[keep], aek[keep]
+
+
+def _ordered_spans(reader, q) -> tuple:
+    """Ordered = binary SpanBefore tree over the halves of the list
+    (reference positional.py:123 via util.make_binary_tree); the
+    surviving spans are the FIRST child's qualifying spans."""
+
+    def rec(subs):
+        if len(subs) == 1:
+            return _collect_spans(reader, subs[0])
+        half = len(subs) // 2
+        return _before_spans(rec(subs[:half]), rec(subs[half:]))
+
+    if not q.subqueries:
+        return _NOSPANS
+    return rec(list(q.subqueries))
+
+
+def _eval_ordered(reader, q, ctx, scored):
+    sk, _ = _ordered_spans(reader, q)
+    if sk.size == 0:
+        return EMPTY
+    docs = np.unique(sk >> np.uint64(32))
+    if not scored:
+        return _apply_boost((docs, np.ones(docs.size)), q.boost)
+    total = np.zeros(docs.size, dtype=np.float64)
+    for s in q.subqueries:
+        _, sc = _span_score(reader, s, ctx, True, docs)
+        total += sc
+    return _apply_boost((docs, total), q.boost)
 
 
 def _spannear_spans(reader, q) -> tuple:
@@ -1493,6 +1549,8 @@ _EVAL = {
     "SpanNot": _eval_spannot,
     "SpanBefore": _eval_spanbefore,
     "SpanNear": _eval_spannear,
+    "Ordered": _eval_ordered,
+    "_NullQuery": lambda reader, q, ctx, scored: EMPTY,
     "SpanOr": _eval_spanor,
     "SpanContains": _eval_spancontains,
     "SpanCondition": _eval_spancondition,
