@@ -471,3 +471,81 @@ def test_charset_filter_field(ray_session, tmp_path_factory, whoosh):
         assert sorted(h["key"] for h in r) == ["1"]
         r = s.search(s.parse("body:delicieux"), limit=None)
         assert sorted(h["key"] for h in r) == ["1"]
+
+
+def test_pipe_dsl_extra_filters(ray_session, whoosh):
+    """BiWord/Shingle/Strip/Substitution/Reverse/CompoundWord/
+    DoubleMetaphone/Pass pipe components match the reference chains'
+    token texts and positions."""
+    import whoosh.analysis as wa
+
+    from whoosh_reloaded_ray.functions.analysis import make_analyzer
+
+    text = "the quick brown foxhouse jumped over seven lazy dogcat pairs"
+    wordset = {"fox", "house", "dog", "cat"}
+    chains = [
+        ("biword",
+         wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.BiWordFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.BiWordFilter()),
+        ("shingle3",
+         wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.ShingleFilter(3, ":"),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.ShingleFilter(3, ":")),
+        ("sub",
+         wrr.RegexTokenizer() | wrr.SubstitutionFilter("o", "0"),
+         wa.RegexTokenizer() | wa.SubstitutionFilter("o", "0")),
+        ("reverse",
+         wrr.RegexTokenizer() | wrr.ReverseTextFilter(),
+         wa.RegexTokenizer() | wa.ReverseTextFilter()),
+        ("compound",
+         wrr.RegexTokenizer() | wrr.CompoundWordFilter(wordset, keep_compound=True),
+         wa.RegexTokenizer() | wa.CompoundWordFilter(wordset, keep_compound=True)),
+        ("dmeta",
+         wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.DoubleMetaphoneFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.DoubleMetaphoneFilter()),
+        ("pass",
+         wrr.RegexTokenizer() | wrr.PassFilter() | wrr.LowercaseFilter(),
+         wa.RegexTokenizer() | wa.PassFilter() | wa.LowercaseFilter()),
+        ("stem+biword",
+         wrr.RegexTokenizer() | wrr.LowercaseFilter() | wrr.StemFilter() | wrr.BiWordFilter(),
+         wa.RegexTokenizer() | wa.LowercaseFilter() | wa.StemFilter() | wa.BiWordFilter()),
+    ]
+    for name, ours, ref in chains:
+        got = [(t.text, t.pos) for t in ours(text)]
+        want = [(t.text, t.pos) for t in ref(text, positions=True)]
+        assert got == want, (name, got, want)
+
+    # PyStemmerFilter resolves to the built-in family
+    spec = (wrr.RegexTokenizer() | wrr.LowercaseFilter()
+            | wrr.PyStemmerFilter("spanish")).to_spec()
+    assert spec.stemmer == "snowball:es"
+    with pytest.raises(TypeError):
+        (wrr.RegexTokenizer() | wrr.PyStemmerFilter("klingon")).to_spec()
+
+    # NgramTokenizer head
+    got = [t.text for t in wrr.NgramTokenizer(3)("hello")]
+    want = [t.text for t in wa.NgramTokenizer(3)("hello")]
+    assert got == want
+
+
+def test_post_filter_field_end_to_end(ray_session, tmp_path_factory, whoosh):
+    """A field with a trailing-filter chain (biword) builds through the
+    Ray pipeline and matches biword terms at query time."""
+    d = str(tmp_path_factory.mktemp("biwordidx"))
+    schema = wrr.Schema(
+        key=wrr.ID(stored=True),
+        body=wrr.TEXT(
+            analyzer=wrr.RegexTokenizer() | wrr.LowercaseFilter()
+            | wrr.BiWordFilter()
+        ),
+    )
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="1", body="alpha beta gamma")
+    w.add_document(key="2", body="beta gamma delta")
+    w.commit()
+    from whoosh_reloaded_ray.query import Term
+    with ix.searcher() as s:
+        r = s.search(Term("body", "alpha-beta"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        r = s.search(Term("body", "beta-gamma"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1", "2"]

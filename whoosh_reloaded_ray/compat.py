@@ -180,15 +180,13 @@ class _AnalysisChain:
 
         parts = list(self.parts)
         head, rest = parts[0], parts[1:]
-        if not isinstance(head, (RegexTokenizer, IDTokenizer,
-                                 SpaceSeparatedTokenizer)):
+        if not hasattr(head, "_base_spec"):
             raise TypeError(
                 f"chain must start with a tokenizer, got {head!r}"
             )
         spec = head._base_spec()
         for f in rest:
-            if isinstance(f, (RegexTokenizer, IDTokenizer,
-                              SpaceSeparatedTokenizer)):
+            if hasattr(f, "_base_spec"):
                 raise TypeError(f"tokenizer {f!r} mid-chain")
             if not isinstance(f, _AnalysisComponent):
                 raise TypeError(f"not an analysis component: {f!r}")
@@ -322,6 +320,139 @@ class NgramFilter(_AnalysisComponent):
             base, pattern=spec.pattern, gaps=spec.gaps,
             lowercase=spec.lowercase,
         )
+
+
+class _PostFilter(_AnalysisComponent):
+    """Base for filters that append a serializable entry to
+    AnalyzerSpec.post_filters (the field then takes the loop tokenize
+    path; chars payloads are unavailable on such fields)."""
+
+    name = ""
+
+    def _kwargs(self) -> tuple:
+        return ()
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        return replace(
+            spec, post_filters=spec.post_filters + ((self.name, self._kwargs()),)
+        )
+
+
+class StripFilter(_PostFilter):
+    name = "strip"
+
+
+class ReverseTextFilter(_PostFilter):
+    name = "reverse"
+
+
+class SubstitutionFilter(_PostFilter):
+    name = "substitution"
+
+    def __init__(self, pattern, replacement):
+        self.pattern = getattr(pattern, "pattern", pattern)
+        self.replacement = replacement
+
+    def _kwargs(self):
+        return (("pattern", self.pattern), ("replacement", self.replacement))
+
+
+class BiWordFilter(_PostFilter):
+    name = "biword"
+
+    def __init__(self, sep="-"):
+        self.sep = sep
+
+    def _kwargs(self):
+        return (("sep", self.sep),)
+
+
+class ShingleFilter(_PostFilter):
+    name = "shingle"
+
+    def __init__(self, size=2, sep="-"):
+        self.size = size
+        self.sep = sep
+
+    def _kwargs(self):
+        return (("size", self.size), ("sep", self.sep))
+
+
+class CompoundWordFilter(_PostFilter):
+    name = "compound"
+
+    def __init__(self, wordset, keep_compound=True):
+        self.wordset = frozenset(wordset)
+        self.keep_compound = keep_compound
+
+    def _kwargs(self):
+        return (("wordset", self.wordset), ("keep_compound", self.keep_compound))
+
+
+class DoubleMetaphoneFilter(_PostFilter):
+    """Phonetic expansion (reference DoubleMetaphoneFilter).  The
+    reference's primary/secondary boost parameters are accepted but
+    not carried — this engine's token stream has no per-token boost;
+    texts and positions match the reference."""
+
+    name = "dmetaphone"
+
+    def __init__(self, primary_boost=1.0, secondary_boost=0.5, combine=False):
+        self.combine = combine
+
+    def _kwargs(self):
+        return (("combine", self.combine),)
+
+
+class PassFilter(_AnalysisComponent):
+    def _apply(self, spec):
+        return spec
+
+
+class LoggingFilter(PassFilter):
+    """No-op here (the reference logs each token to a logger)."""
+
+
+class PyStemmerFilter(_AnalysisComponent):
+    """Maps onto the built-in clean-room stemmer family (the reference
+    delegates to the PyStemmer C extension).  Raises for languages
+    neither ships."""
+
+    def __init__(self, lang="english", ignore=None, cachesize=10000):
+        self.lang = lang
+
+    def _apply(self, spec):
+        from dataclasses import replace
+
+        la = language_analyzer(self.lang)
+        if la.stemmer is None:
+            raise TypeError(f"no stemmer available for {self.lang!r}")
+        return replace(spec, kind="stemming", stemmer=la.stemmer)
+
+
+class NgramTokenizer(_AnalysisComponent):
+    def __init__(self, minsize, maxsize=None):
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def _base_spec(self):
+        return ngram_analyzer(
+            minsize=self.minsize, maxsize=self.maxsize or self.minsize
+        )
+
+
+# base-class/exception names from the reference analysis namespace
+Composable = _AnalysisComponent
+Analyzer = _AnalysisComponent
+Tokenizer = _AnalysisComponent
+Filter = _AnalysisComponent
+Token = _CompatToken
+
+
+class CompositionError(TypeError):
+    pass
 
 
 def _coerce_analyzer(analyzer):

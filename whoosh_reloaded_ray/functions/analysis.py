@@ -94,6 +94,11 @@ class AnalyzerSpec:
     # str.translate() map, applied after lowercasing and before
     # stop/size filtering; build with charmap_key()
     charmap: Optional[tuple] = None
+    # trailing token-stream filters applied after the core chain, as
+    # (registry_name, kwargs_items) tuples — serializable so the spec
+    # still ships to Ray workers; fields using them take the loop
+    # tokenize path
+    post_filters: tuple = ()
 
 
 def standard_analyzer(
@@ -154,6 +159,18 @@ _LANG_ALIASES = {
     "fra": "fr", "deu": "de", "hun": "hu", "ita": "it", "nor": "no",
     "por": "pt", "ron": "ro", "rus": "ru", "spa": "es", "swe": "sv",
     "tur": "tr",
+    # English names (the PyStemmer spelling the reference's
+    # PyStemmerFilter takes) and the reference's native-name aliases
+    "arabic": "ar", "danish": "da", "dutch": "nl", "english": "en",
+    "finnish": "fi", "french": "fr", "german": "de", "hungarian": "hu",
+    "italian": "it", "norwegian": "no", "portuguese": "pt",
+    "romanian": "ro", "russian": "ru", "spanish": "es", "swedish": "sv",
+    "turkish": "tr",
+    "العربية": "ar", "dansk": "da", "nederlands": "nl", "suomi": "fi",
+    "français": "fr", "deutsch": "de", "magyar": "hu",
+    "italiano": "it", "norsk": "no", "português": "pt",
+    "русский язык": "ru", "español": "es", "svenska": "sv",
+    "türkçe": "tr",
 }
 
 
@@ -229,6 +246,34 @@ def charmap_table(key: tuple) -> dict:
     return dict(key)
 
 
+def _post_filter_registry():
+    return {
+        "strip": strip_filter,
+        "reverse": reverse_text_filter,
+        "substitution": substitution_filter,
+        "biword": biword_filter,
+        "shingle": shingle_filter,
+        "compound": compound_word_filter,
+        "dmetaphone": dmetaphone_filter,
+    }
+
+
+def make_post_filters(spec: "AnalyzerSpec"):
+    """Compose spec.post_filters into one list->list function (None
+    when the spec has none)."""
+    if not spec.post_filters:
+        return None
+    reg = _post_filter_registry()
+    chain = [(reg[name], dict(kw)) for name, kw in spec.post_filters]
+
+    def apply(res):
+        for fn, kw in chain:
+            res = fn(res, **kw)
+        return res
+
+    return apply
+
+
 def resolve_stemmer(spec: "AnalyzerSpec"):
     """Cached per-token stem callable for a stemming AnalyzerSpec —
     the ONE resolution point shared by make_analyzer and the
@@ -269,6 +314,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
 
     cmap = charmap_table(spec.charmap) if spec.charmap else None
 
+    post = make_post_filters(spec)
+
     if kind in ("standard", "simple", "stemming"):
         pat = re.compile(spec.pattern, re.UNICODE)
         stem = resolve_stemmer(spec) if kind == "stemming" else None
@@ -288,6 +335,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 res = _stop_and_renumber(toks, stops, minsize, maxsize, renumber)
             if stem is not None:
                 res = [(stem(t), p) for (t, p) in res]
+            if post is not None:
+                res = post(res)
             return res
 
         return analyze
@@ -362,7 +411,8 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 toks = [t.lower() for t in toks]
             if cmap is not None:
                 toks = [t.translate(cmap) for t in toks]
-            return list(zip(toks, range(len(toks))))
+            res = list(zip(toks, range(len(toks))))
+            return post(res) if post is not None else res
 
         return analyze_kw
 

@@ -384,7 +384,7 @@ class Tokenizer:
                 continue
             if fname in self.chars_fields and aspec is not None and aspec.kind in (
                 "standard", "simple", "stemming",
-            ):
+            ) and not aspec.post_filters:
                 self._chars_field(fname, spec_tuple, batch, docnums, out)
             elif (
                 aspec is not None
@@ -392,6 +392,7 @@ class Tokenizer:
                 and aspec.renumber
                 and not aspec.gaps  # gap-split mode takes the loop path
                 and not aspec.charmap  # charset folding too
+                and not aspec.post_filters  # trailing filters too
             ):
                 self._vector_field(fname, spec_tuple, batch, docnums, out)
             elif aspec is not None and aspec.kind == "id" and not scorable:
