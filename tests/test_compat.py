@@ -549,3 +549,60 @@ def test_post_filter_field_end_to_end(ray_session, tmp_path_factory, whoosh):
         assert sorted(h["key"] for h in r) == ["1"]
         r = s.search(Term("body", "beta-gamma"), limit=None)
         assert sorted(h["key"] for h in r) == ["1", "2"]
+
+
+def test_scoring_module_weighting_objects(ix, whoosh):
+    """ix.searcher(weighting=scoring.X()) accepts the whoosh-named
+    weighting models and changes rankings accordingly."""
+    from whoosh_reloaded_ray import scoring
+    from whoosh_reloaded_ray.query import Term
+
+    q = Term("value", "red")
+    with ix.searcher(weighting=scoring.TF_IDF()) as s:
+        tfidf = [(h["key"], h.score) for h in s.search(q, limit=None)]
+    with ix.searcher(weighting=scoring.Frequency()) as s:
+        freq = [(h["key"], h.score) for h in s.search(q, limit=None)]
+    with ix.searcher(weighting=scoring.BM25F(B=0.9, K1=2.0)) as s:
+        bm = [(h["key"], h.score) for h in s.search(q, limit=None)]
+    assert {k for k, _ in tfidf} == {k for k, _ in freq} == {k for k, _ in bm} == {"A", "D"}
+    assert all(sc == 1.0 for _, sc in freq)  # tf of 'red' is 1 in both docs
+    with ix.searcher(weighting=scoring.ReverseWeighting(scoring.Frequency())) as s:
+        rev = [h.score for h in s.search(q, limit=None)]
+    assert all(sc == -1.0 for sc in rev)
+    with ix.searcher(weighting=scoring.MultiWeighting(
+            scoring.BM25F(), value=scoring.Frequency())) as s:
+        mw = [h.score for h in s.search(q, limit=None)]
+    assert all(sc == 1.0 for sc in mw)
+
+
+def test_query_stored_facets(ix, whoosh):
+    """QueryFacet (first-match bucket semantics + other), Facets
+    collections, and StoredFieldFacet grouping."""
+    from whoosh_reloaded_ray.query import Every, Or, Term
+
+    qd = {
+        "reddish": Or([Term("value", "red"), Term("value", "purple")]),
+        "rendery": Term("value", "rendered"),
+    }
+    with ix.searcher() as s:
+        r = s.search(Every(), limit=None, groupedby=wrr.QueryFacet(qd, other="misc"),
+                     maptype="count")
+        g = r.groups()
+        # A and D match reddish; C matches rendery; A would match both but
+        # first bucket wins; B and E fall to other
+        assert g == {"reddish": 2, "rendery": 1, "misc": 2}, g
+
+        r = s.search(Every(), limit=None, groupedby=wrr.QueryFacet(qd),
+                     maptype="count")
+        assert r.groups() == {"reddish": 2, "rendery": 1}
+
+        # Facets collection: one map per entry, selected by name
+        fs = wrr.Facets().add_query("buckets", qd).add_field("key")
+        r = s.search(Every(), limit=None, groupedby=fs, maptype="count")
+        assert r.groups("buckets") == {"reddish": 2, "rendery": 1}
+        assert sum(r.groups("key").values()) == 5
+
+        # StoredFieldFacet over the stored key field
+        r = s.search(Term("value", "red"), limit=None,
+                     groupedby=wrr.StoredFieldFacet("key"), maptype="count")
+        assert r.groups() == {"A": 1, "D": 1}

@@ -604,6 +604,59 @@ class DateRangeFacet(RangeFacet):
     sorting.DateRangeFacet, sorting.py:477)."""
 
 
+class QueryFacet:
+    """Facets results by a dict of named queries (reference
+    sorting.QueryFacet, sorting.py:402-445): each doc is keyed by the
+    FIRST bucket query (dict order) matching it, else ``other``.
+    Evaluated as distributed per-bucket sub-searches with
+    prior-bucket exclusion — no driver-side doc sets for counts."""
+
+    def __init__(self, querydict, other=None, allow_overlap=False,
+                 maptype=None):
+        self.querydict = dict(querydict)
+        self.other = other
+        self.allow_overlap = allow_overlap
+        self.maptype = maptype
+
+
+class StoredFieldFacet:
+    """Group by a stored (possibly unindexed) field's value (reference
+    sorting.StoredFieldFacet, sorting.py:688-737).  ``allow_overlap``
+    splits the value into multiple keys with ``split_fn`` (default
+    str.split)."""
+
+    def __init__(self, fieldname, allow_overlap=False, split_fn=None,
+                 maptype=None):
+        self.fieldname = fieldname
+        self.allow_overlap = allow_overlap
+        self.split_fn = split_fn
+        self.maptype = maptype
+
+
+class Facets:
+    """Named collection of facets (reference sorting.Facets): search
+    with ``groupedby=Facets(...)`` computes one group map per entry;
+    ``results.groups(name)`` selects by name."""
+
+    def __init__(self, x=None):
+        self.facets = dict(x) if x else {}
+
+    def add_field(self, fieldname, allow_overlap=False):
+        self.facets[fieldname] = FieldFacet(fieldname)
+        return self
+
+    def add_query(self, name, querydict, **kwargs):
+        self.facets[name] = QueryFacet(querydict, **kwargs)
+        return self
+
+    def add_facet(self, name, facet):
+        self.facets[name] = facet
+        return self
+
+    def items(self):
+        return self.facets.items()
+
+
 def _sortedby_fields(spec):
     """Normalize a sortedby spec (str | FieldFacet | MultiFacet | list) to
     (fieldnames, reverse)."""
@@ -832,10 +885,15 @@ class Results:
 
     def groups(self, name=None):
         """Facet groups from a search(groupedby=...) (reference
-        Results.groups, searching.py:1043-1076).  ``name`` is accepted for
-        API parity; a single groupedby spec means there is one group map."""
+        Results.groups, searching.py:1043-1076).  With a Facets
+        groupedby, ``name`` selects the entry (first entry if None)."""
         if self._groups is None:
             raise KeyError("search was not run with groupedby")
+        if isinstance(self._groups, dict) and self._groups.get("__facets__"):
+            maps = self._groups["maps"]
+            if name is None:
+                return next(iter(maps.values()))
+            return maps[name]
         return self._groups
 
     def __iter__(self):
@@ -894,9 +952,13 @@ class Results:
 
 
 class CompatSearcher:
-    def __init__(self, index: Index, **searcher_kwargs):
+    def __init__(self, index: Index, weighting=None, **searcher_kwargs):
+        from .scoring import weighting_kwargs
+
         self.index = index
-        self._s = IndexSearcher(index.dirname, **searcher_kwargs)
+        self._s = IndexSearcher(
+            index.dirname, **weighting_kwargs(weighting), **searcher_kwargs
+        )
         self._schema = self._s.manifest.schema
         self._parser = None
 
@@ -964,6 +1026,18 @@ class CompatSearcher:
         """groupedby spec -> group map: field name(s) via the distributed
         grouped search; Range/DateRange facets via segment-side bucket
         counts ({(lo, hi): n}, the Count map)."""
+        if isinstance(groupedby, Facets):
+            return {
+                "__facets__": True,
+                "maps": {
+                    name: self._groups_for(q, f, limit, maptype)
+                    for name, f in groupedby.items()
+                },
+            }
+        if isinstance(groupedby, QueryFacet):
+            return self._query_facet_groups(q, groupedby, maptype)
+        if isinstance(groupedby, StoredFieldFacet):
+            return self._stored_field_groups(q, groupedby, limit, maptype)
         if isinstance(groupedby, RangeFacet):
             return self._s.facet_counts_range(
                 q, groupedby.fieldname, groupedby.start, groupedby.end, groupedby.gap
@@ -973,6 +1047,62 @@ class CompatSearcher:
         elif isinstance(groupedby, MultiFacet):
             groupedby = groupedby.fieldnames()
         return self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+
+    def _query_facet_groups(self, q, qf: QueryFacet, maptype):
+        """QueryFacet via distributed per-bucket sub-searches with
+        prior-bucket exclusion (first-match dict-order semantics); the
+        count map never materializes doc lists on the driver."""
+        from .query.ast import And as _And
+        from .query.ast import Not as _Not
+        from .query.collectors import CountCollector
+
+        groups: dict = {}
+        prior: list = []
+
+        def one(key, bucket_q):
+            sub = _And([q] + ([bucket_q] if bucket_q is not None else [])
+                       + [_Not(p) for p in prior])
+            if maptype == "count":
+                n = self._s.search_with_collector(sub, CountCollector())
+                if n:
+                    groups[key] = n
+            elif maptype == "best":
+                r = self._s.search(sub, limit=1)
+                if r.num_rows:
+                    groups[key] = int(r["docnum"][0].as_py())
+            else:
+                r = self._s.search(sub, limit=None)
+                if r.num_rows:
+                    groups[key] = r["docnum"].to_pylist()
+
+        for name, bq in qf.querydict.items():
+            one(name, bq)
+            prior.append(bq)
+        if qf.other is not None:
+            one(qf.other, None)
+        return groups
+
+    def _stored_field_groups(self, q, sf: StoredFieldFacet, limit, maptype):
+        """StoredFieldFacet: group hits by a stored field's value
+        (optionally split into overlapping keys)."""
+        res = self._s.search(q, limit=limit)
+        docs = res["docnum"].to_pylist()
+        rows = self.stored_fields_many(docs)
+        split = sf.split_fn or (lambda v: v.split())
+        groups: dict = {}
+        for d, row in zip(docs, rows):
+            v = (row or {}).get(sf.fieldname)
+            if v is None:
+                continue
+            keys = split(v) if sf.allow_overlap else [v]
+            for k in keys:
+                if maptype == "count":
+                    groups[k] = groups.get(k, 0) + 1
+                elif maptype == "best":
+                    groups.setdefault(k, d)
+                else:
+                    groups.setdefault(k, []).append(d)
+        return groups
 
     def _hits_to_results(self, res, stored, q, terms: bool) -> Results:
         if res.num_rows == 0:
