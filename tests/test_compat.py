@@ -606,3 +606,30 @@ def test_query_stored_facets(ix, whoosh):
         r = s.search(Term("value", "red"), limit=None,
                      groupedby=wrr.StoredFieldFacet("key"), maptype="count")
         assert r.groups() == {"A": 1, "D": 1}
+
+
+def test_highlighter_object(ix, whoosh):
+    """Highlighter bundles fragmenter/formatter/scorer/order and
+    highlights hits like the reference object API."""
+    from whoosh_reloaded_ray.query import Term
+    from whoosh_reloaded_ray.query.highlight import (
+        SCORE,
+        BasicFragmentScorer,
+        Highlighter,
+        NullFragmeter,
+        UppercaseFormatter,
+        WholeFragmenter,
+    )
+
+    assert NullFragmeter is WholeFragmenter
+    hi = Highlighter(
+        fragmenter=WholeFragmenter(),
+        formatter=UppercaseFormatter(),
+        scorer=BasicFragmentScorer(),
+        order=SCORE,
+    )
+    with ix.searcher() as s:
+        r = s.search(Term("value", "red"), limit=None)
+        outs = {h["key"]: hi.highlight_hit(h, "value") for h in r}
+    assert outs["A"] == "Blue RED green render purple?"
+    assert outs["D"] == "Every RED town."

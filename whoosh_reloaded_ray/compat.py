@@ -836,6 +836,8 @@ class Hit:
         minscore: int = 1,
         fragmenter=None,
         formatter=None,
+        scorer=None,
+        order=None,
     ) -> str:
         """Highlighted snippets of this hit for the search's query terms
         (reference Hit.highlights, searching.py:1232-1283).  ``text``
@@ -850,6 +852,10 @@ class Hit:
             kw["fragmenter"] = fragmenter
         if formatter is not None:
             kw["formatter"] = formatter
+        if scorer is not None:
+            kw["scorer"] = scorer
+        if order is not None:
+            kw["order"] = order
         if text is not None:
             terms = {t for (f, t) in self._q.terms() if f == fieldname}
             fspec = next(

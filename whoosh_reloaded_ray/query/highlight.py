@@ -413,3 +413,53 @@ def highlight_with_spans(
     fragments = fragmenter.fragment_tokens(text, tokens)
     fragments = top_fragments(fragments, top, scorer, order, minscore)
     return formatter.format(fragments)
+
+
+def SCORE(f: Fragment):
+    """Order marker: highest-scored passages first (reference
+    highlight.py:626 — returns a constant so the score-descending
+    pre-sort of top_fragments is left untouched)."""
+    return 1
+
+
+class FragmentScorer:
+    """Base scorer (reference highlight.py:607)."""
+
+    def __call__(self, f: Fragment) -> float:
+        raise NotImplementedError
+
+
+class BasicFragmentScorer(FragmentScorer):
+    """Sum of matched-term boosts x 100x distinct-term diversity
+    (reference highlight.py:611-619)."""
+
+    def __call__(self, f: Fragment) -> float:
+        return basic_fragment_score(f)
+
+
+# deprecated alias kept by the reference (whole text as one fragment)
+NullFragmeter = WholeFragmenter
+
+
+class Highlighter:
+    """Reusable highlighting configuration (reference
+    highlight.py:961-1050): bundles fragmenter/scorer/formatter/order
+    and highlights hits on demand.  Payload (Characters) spans are used
+    automatically when the field stores them — the engine-side analog
+    of can_load_chars()."""
+
+    def __init__(self, fragmenter=None, scorer=None, formatter=None,
+                 always_retokenize=False, order=FIRST):
+        self.fragmenter = fragmenter or ContextFragmenter()
+        self.scorer = scorer or BasicFragmentScorer()
+        self.formatter = formatter or HtmlFormatter(tagname="b")
+        self.order = order
+        self.always_retokenize = always_retokenize
+
+    def highlight_hit(self, hit, fieldname, text=None, top=3, minscore=1):
+        """``hit`` is a compat Hit (carries its search context)."""
+        return hit.highlights(
+            fieldname, text=text, top=top, minscore=minscore,
+            fragmenter=self.fragmenter, formatter=self.formatter,
+            scorer=self.scorer, order=self.order,
+        )
