@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_prefix": ft.term_stats_prefix,
         "doclen_quantized": ft.doclen_quantized,
         "facet_counts_match": ft.facet_counts_match,
+        "facet_query_buckets": ft.facet_query_buckets,
         "sorted_by_turn": ft.sorted_by_turn,
         "suggest_misspelled": ft.suggest_misspelled,
         "top_terms_by_df": ft.top_terms_by_df,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats_prefix": ft.oracle_term_stats_prefix(),
         "doclen_quantized": ft.oracle_doclen_quantized(),
         "facet_counts_match": ft.oracle_facet_counts_match(),
+        "facet_query_buckets": ft.oracle_facet_query_buckets(),
         "sorted_by_turn": ft.oracle_sorted_by_turn(),
         "suggest_misspelled": ft.oracle_suggest_misspelled(),
         "top_terms_by_df": ft.oracle_top_terms_by_df(),

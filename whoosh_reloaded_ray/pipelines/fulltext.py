@@ -780,3 +780,46 @@ tokd AS (SELECT doc_id, {toks} AS toks FROM transcripts)
 SELECT doc_id FROM tokd WHERE list_contains(toks, 'spark')
 ORDER BY doc_id
 """
+
+
+def facet_query_buckets(sf_dir: str) -> pa.Table:
+    """QueryFacet counts: docs containing 'data' bucketed by the FIRST
+    matching named query (dict order), remainder under 'rest' —
+    exercises the distributed per-bucket exclusion path
+    (compat.QueryFacet)."""
+    from .. import compat as wrr
+    from ..query import Or, Term
+
+    s = get_searcher(sf_dir)  # ensures the index exists
+    ix = wrr.open_dir(s.index_dir)
+    qd = {
+        "merge_scan": Or([Term("text", "merge"), Term("text", "scan")]),
+        "joins": Term("text", "join"),
+    }
+    with ix.searcher() as cs:
+        res = cs.search(
+            Term("text", "data"), limit=None,
+            groupedby=wrr.QueryFacet(qd, other="rest"), maptype="count",
+        )
+        g = res.groups()
+    keys = sorted(g)
+    return pa.table(
+        {"bucket": pa.array(keys), "n": pa.array([g[k] for k in keys], pa.int64())}
+    )
+
+
+def oracle_facet_query_buckets() -> str:
+    toks = tokenize_sql()
+    return f"""
+WITH transcripts AS ({TRANSCRIPTS_CTE}),
+tokd AS (SELECT {toks} AS toks FROM transcripts),
+hits AS (
+  SELECT CASE
+    WHEN list_contains(toks, 'merge') OR list_contains(toks, 'scan')
+      THEN 'merge_scan'
+    WHEN list_contains(toks, 'join') THEN 'joins'
+    ELSE 'rest' END AS bucket
+  FROM tokd WHERE list_contains(toks, 'data')
+)
+SELECT bucket, COUNT(*)::BIGINT AS n FROM hits GROUP BY bucket ORDER BY bucket
+"""
