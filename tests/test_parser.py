@@ -507,3 +507,41 @@ def test_binary_null_rewrites():
     assert is_null(normalize(Not(null)))
     # nested: the null side comes from a collapsed group
     assert normalize(AndNot(t, Or([Or([])]))) == t
+
+
+def test_group_boost_parity(whoosh):
+    """``(...)^N`` group boosts: distributed into children through
+    same-class flattening, kept on a different-class group (reference
+    GroupNode boost + compound.py:124 flatten)."""
+    from whoosh import fields as wf
+    from whoosh.qparser import QueryParser as RefQP
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import IndexSchema, text_field
+
+    rp = RefQP("text", wf.Schema(text=wf.TEXT(), title=wf.TEXT()))
+    op = QueryParser(
+        "text", IndexSchema(fields=[text_field("text"), text_field("title")])
+    )
+
+    def canon(q):
+        n = type(q).__name__
+        if n in ("And", "Or"):
+            return (n, round(q.boost, 6), tuple(canon(s) for s in q.subqueries))
+        if n == "Phrase":
+            return ("Phrase", round(q.boost, 6), tuple(q.words), q.slop)
+        if n == "Term":
+            f = getattr(q, "fieldname", None) or getattr(q, "field", None)
+            return ("Term", f, q.text, round(q.boost, 6))
+        if n == "Not":
+            sub = getattr(q, "query", None) or getattr(q, "subquery", None)
+            return ("Not", canon(sub))
+        return (n, repr(q))
+
+    for c in [
+        "(alpha beta)^2 gamma", "title:(alpha beta)^3", "(alpha OR beta)^0.5",
+        '("alpha beta" gamma)^2', "(alpha beta)^2", "((alpha beta)^2 delta)^3",
+        "alpha^2.5 (beta OR gamma)^2", "(alpha AND beta)^2 OR gamma",
+        "NOT (alpha beta)^2", "(alpha)^2",
+    ]:
+        assert canon(op.parse(c)) == canon(rp.parse(c)), c

@@ -256,9 +256,17 @@ class QueryParser:
     # -- operator resolution (reference pass order) ------------------------
 
     def _resolve(self, group: _Group):
-        nodes = [
-            self._resolve(n) if isinstance(n, _Group) else n for n in group
-        ]
+        nodes = []
+        for n in group:
+            if isinstance(n, _Group):
+                n = self._resolve(n)
+            elif isinstance(n, _Boosted) and isinstance(n.node, _Group):
+                # ``(...)^N``: resolve the group, keep the boost on the
+                # resulting compound (reference GroupNode boost; And-in-
+                # And flattening then multiplies it into the children)
+                inner = self._resolve(n.node)
+                n = _Boosted(inner, n.boost) if inner is not None else None
+            nodes.append(n)
         nodes = [n for n in nodes if n is not None or isinstance(n, _Op)]
 
         # pass 1: NOT (prefix)
@@ -299,7 +307,21 @@ class QueryParser:
         if not queries:
             return None
         if len(queries) == 1:
-            return queries[0]
+            q = queries[0]
+            # the reference always wraps in the group class and its
+            # normalize flattens a same-class child by multiplying the
+            # child's boost into the grandchildren (compound.py:124) —
+            # replicate so ``(a b)^2`` yields per-term boosts
+            if type(q) is self.group_cls and q.boost != 1.0:
+                import dataclasses as _dc
+
+                return self.group_cls(
+                    [
+                        _dc.replace(s, boost=s.boost * q.boost)
+                        for s in q.subqueries
+                    ]
+                )
+            return q
         return self.group_cls(queries)
 
     # -- node -> ast.Query -------------------------------------------------
