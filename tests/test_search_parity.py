@@ -343,7 +343,7 @@ def test_fuzzyterm_parser():
     from whoosh_reloaded_ray.query.parser import QueryParser
     from whoosh_reloaded_ray.schema import transcript_schema
 
-    p = QueryParser("text", transcript_schema())
+    p = QueryParser("text", transcript_schema(), fuzzy=True)
     assert p.parse("hello~") == FuzzyTerm("text", "hello", maxdist=1)
     assert p.parse("hello~2") == FuzzyTerm("text", "hello", maxdist=2)
 

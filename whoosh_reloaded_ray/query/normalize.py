@@ -129,7 +129,9 @@ def normalize(q: ast.Query) -> ast.Query:
             i += 1
         # Every absorption (reference compound.py:133-170): an unfielded
         # Every makes the whole group Every(); a fielded Every drops every
-        # other leaf on the same field (before OR after it)
+        # other sibling whose Query.field() — the common field of ALL its
+        # descendants, None for Not and mixed-field compounds — matches
+        # (before OR after it)
         if any(
             isinstance(s, ast.Every) and s.field in (None, "", "*") for s in flat
         ):
@@ -142,7 +144,7 @@ def normalize(q: ast.Query) -> ast.Query:
                 s
                 for s in flat
                 if isinstance(s, ast.Every)
-                or getattr(s, "field", None) not in everyfields
+                or _field_of(s) not in everyfields
             ]
         # de-duplicate, keeping first occurrence
         out, seen = [], set()
@@ -197,3 +199,23 @@ def normalize(q: ast.Query) -> ast.Query:
                 return a
         return type(q)(a, b, boost=q.boost)
     return q
+
+
+_MISSING = object()
+
+
+def _field_of(q: ast.Query):
+    """The reference's ``Query.field()``: the single field a query
+    matches in, or None (Not always answers None; compounds answer
+    the common field of their children, None when mixed)."""
+    if isinstance(q, ast.Not):
+        return None
+    f = getattr(q, "field", _MISSING)
+    if f is not _MISSING:
+        return f
+    kids = q.children()
+    if kids:
+        fields = {_field_of(c) for c in kids}
+        if len(fields) == 1:
+            return next(iter(fields))
+    return None

@@ -22,6 +22,19 @@ Replicates the behavior of the reference's default plugin pipeline
   * query text re-analyzed with the target field's analyzer (default.py
     term_query): 0 tokens -> ignored, 1 -> Term, >1 -> default group of
     Terms.
+
+Declared deviations (differential-fuzzed to 10/8000 random token-soup
+strings, tests/test_parser.py::test_parser_differential_fuzz):
+
+  * the reference CRASHES (IndexError/AssertionError) on some malformed
+    inputs (``NOT NOT x ANDMAYBE ...``, operator runs against stray
+    parens); this parser degrades gracefully instead;
+  * the reference's infix-AND merge appends the right operand into an
+    already-boosted left group, leaking the boost onto it
+    (``(a b)^2 AND c`` boosts ``c`` too) — here the boost stays on the
+    left group only;
+  * an empty parse is the empty ``Or([])`` (this engine's null query
+    representation) instead of the ``_NullQuery`` singleton.
 """
 
 from __future__ import annotations
@@ -39,6 +52,7 @@ _TOKEN_BODY = r"""
   | (?P<fphrase>(?P<fpf>\w+):"(?P<fptext>[^"]*)"(?:~(?P<fpslop>\d+))?)
   | (?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<fsquote>(?P<fsf>\w+):'(?P<fstext>[^']*)')
+  | (?P<squote>'(?P<sqtext>[^']*)')
   | (?P<frange>(?P<frf>\w+):(?P<frbody>[\[{{][^\]}}]*[\]}}]))
   | (?P<range>[\[{{](?P<rbody>[^\]}}]*)[\]}}])
   | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
@@ -85,6 +99,7 @@ class QueryParser:
         group: str = "and",
         gtlt: bool = False,
         regex: bool = False,
+        fuzzy: bool = False,
         fieldaliases: dict | None = None,
         copyfields: dict | None = None,
         dateparse_basedate=None,
@@ -92,11 +107,15 @@ class QueryParser:
         """``gtlt=True`` enables the reference's optional GtLtPlugin
         (qparser/plugins.py:1081-1160): ``field:>5  field:<=z`` become
         open-ended ranges.  Off by default, matching the reference's
-        default plugin set."""
+        default plugin set.  ``fuzzy`` gates the ``term~n/m`` syntax
+        (reference FuzzyTermPlugin — opt-in there too, so the default-off
+        here matches the default plugin set: a bare ``term~`` parses
+        as a plain term)."""
         self.default_field = default_field
         self.schema = schema
         self.group_cls = ast.And if group == "and" else ast.Or
         self.gtlt = gtlt
+        self.fuzzy = fuzzy
         # RegexPlugin analog: opt-in r"pattern" term syntax
         self.regex = regex
         # DateParserPlugin analog (qparser/dateparse.py): when a basedate
@@ -139,6 +158,11 @@ class QueryParser:
                 out.append(("phrase", (m.group("phtext"), int(m.group("slop") or 1))))
             elif m.group("fsquote") is not None:
                 out.append(("fsquote", (m.group("fsf"), m.group("fstext"))))
+            elif m.group("squote") is not None:
+                # bare 'quoted text' is ONE atomic operand (reference
+                # SingleQuotePlugin): analyzed later, possibly into a
+                # default group, but never split across operators
+                out.append(("squote", m.group("sqtext")))
             elif m.group("frange") is not None:
                 out.append(("frange", (m.group("frf"), m.group("frbody"))))
             elif m.group("range") is not None:
@@ -147,18 +171,37 @@ class QueryParser:
                 out.append(("boost", float(m.group("bval"))))
             elif m.group("word") is not None:
                 w = m.group("word")
-                if w in self.OPERATORS:
+                if w in self.OPERATORS and self._op_context_ok(
+                    w, text, m.start("word"), m.end("word")
+                ):
                     out.append(("op", w))
                 else:
                     out.append(("word", w))
             pos = m.end()
         return out
 
+    @staticmethod
+    def _op_context_ok(op: str, text: str, s: int, e: int) -> bool:
+        """Operator words need the reference taggers' raw-text context
+        (plugins.py:937-942): AND/OR/ANDNOT/ANDMAYBE require whitespace
+        on BOTH sides, NOT allows start-of-string or a paren before,
+        REQUIRE allows start-of-string; all need whitespace after.
+        Elsewhere the word is plain text (``and``/``or``/``not`` then
+        vanish into the stop filter, ``andnot`` stays a term)."""
+        if e >= len(text) or not text[e].isspace():
+            return False
+        if s == 0:
+            return op in ("NOT", "REQUIRE")
+        prev = text[s - 1]
+        if prev.isspace():
+            return True
+        return op == "NOT" and prev in "()"
+
     # -- node building -----------------------------------------------------
 
     def parse(self, text: str) -> ast.Query:
         tokens = self._tokens(text)
-        group, _ = self._build_group(tokens, 0)
+        group, _, _ = self._build_group(tokens, 0, top=True)
         q = self._resolve(group)
         if q is None:
             return ast.Or([])
@@ -168,16 +211,26 @@ class QueryParser:
         # normalize=True); direct AST searches stay un-normalized
         return normalize(q)
 
-    def _build_group(self, tokens, i) -> tuple:
+    def _build_group(self, tokens, i, top: bool = False) -> tuple:
         nodes = _Group()
         field_ctx = None  # pending "field:" prefix for the next node
         while i < len(tokens):
             kind, val = tokens[i]
             if kind == ")":
-                return nodes, i + 1
+                if top:  # stray close paren: ignored, parsing continues
+                    i += 1
+                    continue
+                return nodes, i + 1, True
             if kind == "(":
-                sub, i = self._build_group(tokens, i + 1)
-                nodes.append(self._with_field(sub, field_ctx))
+                sub, i, closed = self._build_group(tokens, i + 1)
+                sub = self._with_field(sub, field_ctx)
+                if closed:
+                    nodes.append(sub)
+                else:
+                    # unclosed "(": the reference's tagger never emits a
+                    # group, so the paren dissolves and the contents flow
+                    # inline
+                    nodes.extend(sub)
                 field_ctx = None
                 continue
             if kind == "op":
@@ -212,6 +265,9 @@ class QueryParser:
                 f = f if f in self.fields else self.default_field
                 nodes.append(_WordNode(f, text))
                 field_ctx = None
+            elif kind == "squote":
+                nodes.append(_WordNode(field_ctx or self.default_field, val))
+                field_ctx = None
             elif kind == "frange":
                 f, body = val
                 f = self.aliases.get(f, f)
@@ -240,7 +296,7 @@ class QueryParser:
                     nodes.append(_WordNode(field_ctx or self.default_field, w))
                 field_ctx = None
             i += 1
-        return nodes, i
+        return nodes, i, top
 
     def _with_field(self, node, field):
         if field is None:
@@ -259,7 +315,12 @@ class QueryParser:
         nodes = []
         for n in group:
             if isinstance(n, _Group):
+                # an empty group is a NULL OPERAND (reference: () ->
+                # NullQuery), kept so binary ops see it — AndNot(null, x)
+                # then nulls out in normalize instead of x surviving
                 n = self._resolve(n)
+                if n is None:
+                    n = ast.Or(())
             elif isinstance(n, _Boosted) and isinstance(n.node, _Group):
                 # ``(...)^N``: resolve the group, keep the boost on the
                 # resulting compound (reference GroupNode boost; And-in-
@@ -339,9 +400,14 @@ class QueryParser:
                 return subs[0]
             return (ast.And if node.kind == "AND" else ast.Or)(subs)
         if isinstance(node, _BinNode):
+            # null-operand semantics follow the reference's binary
+            # rewrites (compound.py:530-658): AndNot/AndMaybe null a ->
+            # null, null b -> a; Require either null -> null
             lq, rq = self._to_query(node.left), self._to_query(node.right)
+            if node.kind == "REQUIRE" and (lq is None or rq is None):
+                return None
             if lq is None:
-                return rq
+                return None if node.kind in ("ANDNOT", "ANDMAYBE") else rq
             if rq is None:
                 return lq
             cls = {"ANDNOT": ast.AndNot, "ANDMAYBE": ast.AndMaybe, "REQUIRE": ast.Require}[node.kind]
@@ -441,7 +507,7 @@ class QueryParser:
         if text == "*":
             return ast.Every(field)
         fm = re.match(r"^(.+?)~(\d*)(?:/(\d+))?$", text)
-        if fm and not is_numeric:
+        if fm and not is_numeric and self.fuzzy:
             base = fm.group(1)
             maxdist = int(fm.group(2)) if fm.group(2) else 1
             # ~n/m syntax: m = required prefix length (reference
