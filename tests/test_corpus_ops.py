@@ -364,3 +364,32 @@ def test_events_funnel(ray_session):
     df = t.to_pandas()
     assert (df["first_purchase"] > df["signup_ts"]).all()
     assert (df["convert_us"] <= ev.FUNNEL_WINDOW_US).all() and (df["convert_us"] > 0).all()
+
+
+def test_lang_id_real_sentences(ray_session, tmp_path):
+    """Stopword-profile language ID correctly classifies real sentences
+    in the stoplist-covered languages."""
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    sents = {
+        "en": "the quick brown fox is jumping over that lazy dog of yours and it was not even trying",
+        "de": "der schnelle braune fuchs springt über den faulen hund und das ist auch gut so",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et il est dans une forme",
+        "es": "el rápido zorro marrón salta sobre el perro perezoso y es una de las cosas que hace",
+        "it": "la volpe marrone salta sopra il cane pigro e questo è anche un bene per tutti",
+        "ru": "быстрая коричневая лисица прыгает через ленивую собаку и это было не так уж и плохо",
+        "nl": "de snelle bruine vos springt over de luie hond en dat is ook maar goed zo",
+        "fi": "nopea ruskea kettu hyppää laiskan koiran yli ja se on myös hyvä asia kun näin",
+    }
+    rows = [{"doc_id": i, "text": t, "source": "x", "url": "u", "ts_crawl": 0}
+            for i, t in enumerate(sents.values())]
+    import pyarrow as pa
+
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(p))
+    out = co.lang_id(str(tmp_path))
+    preds = dict(zip(out["doc_id"].to_pylist(), out["pred_lang"].to_pylist()))
+    want = dict(enumerate(sents.keys()))
+    assert preds == want, (preds, want)

@@ -1303,38 +1303,41 @@ FROM documents ORDER BY doc_id
 """
 
 
-LANG_MARKERS = {
-    "en": ["the", "value", "fast", "query", "table"],
-    "de": ["der", "und", "wert", "tabelle", "schnell"],
-    "es": ["el", "valor", "tabla", "consulta", "rapido"],
-    "fr": ["le", "valeur", "table", "requete", "rapide"],
-    "zh": ["biao", "zhi", "kuai", "chaxun", "shuju"],
-}
-
-
 def lang_id(sf_dir: str) -> pa.Table:
-    """Marker-word language ID (deterministic heuristic): score = count of
-    marker tokens per language; predict argmax, ties -> alphabetically
-    first language.  A real system swaps the marker table for char-n-gram
-    profiles; the pipeline shape (stateless vectorized map) is identical."""
+    """Stopword-profile language ID over the reference's 14 per-language
+    stoplists (lang/stopwords data; the classic stopword-frequency
+    method): score = count of tokens in each language's stoplist,
+    predict argmax, ties -> alphabetically first language.  Fully
+    vectorized: one Arrow split + one is_in/bincount pass per language
+    over the flattened token stream."""
+    from ..functions.lang_stopwords import STOPLISTS
+
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    langs = sorted(LANG_MARKERS)
-    markers = {l: set(LANG_MARKERS[l]) for l in langs}
+    langs = sorted(STOPLISTS)
+    value_sets = {l: pa.array(sorted(STOPLISTS[l])) for l in langs}
 
     def predict(batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for t in batch["text"].to_pylist():
-            words = t.lower().split(" ")
-            cnt = {l: sum(1 for w in words if w in markers[l]) for l in langs}
-            best = max(langs, key=lambda l: (cnt[l], ))  # ties: first alphabetical
-            # max() keeps the FIRST max in iteration order = alphabetical
-            preds.append(best)
-            scores.append(cnt[best])
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        n = len(batch)
+        row_of = np.repeat(
+            np.arange(n), pc.list_value_length(toks).to_numpy()
+        )
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, l in enumerate(langs):
+            hit = pc.is_in(flat, value_set=value_sets[l]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[:, j] = np.bincount(row_of[hit.astype(bool)], minlength=n)
+        best = scores.argmax(axis=1)  # first max = alphabetical tie-break
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "pred_lang": pa.array(preds),
-                "marker_hits": pa.array(scores, pa.int64()),
+                "pred_lang": pa.array([langs[j] for j in best]),
+                "stop_hits": pa.array(
+                    scores[np.arange(n), best], pa.int64()
+                ),
             }
         )
 
@@ -1347,14 +1350,15 @@ def lang_id(sf_dir: str) -> pa.Table:
 
 
 def oracle_lang_id() -> str:
-    langs = sorted(LANG_MARKERS)
+    from ..functions.lang_stopwords import STOPLISTS
+
+    langs = sorted(STOPLISTS)
     score_cols = ",\n         ".join(
         "len(list_filter(words, x -> x IN ({})))::BIGINT s_{}".format(
-            ", ".join(f"'{w}'" for w in LANG_MARKERS[l]), l
+            ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(STOPLISTS[l])), l
         )
         for l in langs
     )
-    # alphabetical tie-break: first language with score == greatest
     greatest = "GREATEST({})".format(", ".join(f"s_{l}" for l in langs))
     case = "CASE " + " ".join(
         f"WHEN s_{l} = g THEN '{l}'" for l in langs
@@ -1363,7 +1367,7 @@ def oracle_lang_id() -> str:
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') words FROM documents),
 s AS (SELECT doc_id, {score_cols} FROM w),
 g AS (SELECT *, {greatest} g FROM s)
-SELECT doc_id, {case} AS pred_lang, g AS marker_hits FROM g ORDER BY doc_id
+SELECT doc_id, {case} AS pred_lang, g AS stop_hits FROM g ORDER BY doc_id
 """
 
 
