@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
         "neardup_embedding_lsh": ann.neardup_embedding_pairs_lsh,  # rows-only (approx scale mode)
         "ann_ivf_topk": ann.ann_ivf_topk,  # rows-only (approximate)
+        "ann_hnsw_topk": ann.ann_hnsw_topk,  # rows-only (approximate)  # rows-only (approximate)
         "ann_pq_topk": ann.ann_pq_topk,  # rows-only (approximate, PQ codes + exact rerank)
         "simhash_neardup_pairs": lambda sf: co.simhash_neardup_pairs(sf, max_hamming=8),  # rows-only
         # multimodal: REAL PPM/WAV decode (pure numpy/stdlib) + stubbed

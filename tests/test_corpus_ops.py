@@ -393,3 +393,36 @@ def test_lang_id_real_sentences(ray_session, tmp_path):
     preds = dict(zip(out["doc_id"].to_pylist(), out["pred_lang"].to_pylist()))
     want = dict(enumerate(sents.keys()))
     assert preds == want, (preds, want)
+
+
+def test_ann_hnsw_recall(ray_session):
+    from whoosh_reloaded_ray.pipelines import ann
+
+    bf = ann.ann_cosine_topk(SF).to_pandas()
+    h = ann.ann_hnsw_topk(SF).to_pandas()
+    recall = len(
+        set(map(tuple, h[["qid", "vec_id"]].values))
+        & set(map(tuple, bf[["qid", "vec_id"]].values))
+    ) / len(bf)
+    assert recall >= 0.9, recall
+
+
+def test_hnsw_graph_single_shard_recall():
+    """The graph itself (one shard, 2000 vectors): beam search recall
+    vs exact brute force must be high at ef=64."""
+    import numpy as np
+
+    from whoosh_reloaded_ray.pipelines.ann import _HnswGraph
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(2000, 32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    g = _HnswGraph(M=8, ef_construction=64, seed=7)
+    g.build(X)
+    recalls = []
+    for qi in range(20):
+        q = X[qi]
+        exact = set(np.argsort(-(X @ q))[:10].tolist())
+        got = {li for _, li in g.search(q, 10, ef=64)}
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

@@ -600,3 +600,166 @@ def ann_pq_topk(
             "rank": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW — graph-based ANN (Malkov & Yashunin 2016, "Efficient and robust
+# approximate nearest neighbor search using Hierarchical Navigable Small
+# World graphs").  Ray-Data-native shape: each worker batch builds an
+# HNSW graph over ITS shard of the vectors and answers the broadcast
+# query matrix locally; the driver merges the bounded per-shard top-k
+# (shards x k rows).  At 10^12 vectors the graphs live in long-lived
+# shard actors keyed by the vector parquet's partitioning; here they are
+# built per batch, which exercises the same plumbing.
+# ---------------------------------------------------------------------------
+
+
+class _HnswGraph:
+    """Minimal in-memory HNSW over unit-normalized vectors (cosine via
+    dot product).  Deterministic level draws from a seeded RNG."""
+
+    def __init__(self, M: int = 8, ef_construction: int = 64, seed: int = 7):
+        self.M = M
+        self.M0 = 2 * M
+        self.efc = ef_construction
+        self.mL = 1.0 / np.log(M)
+        self.rng = np.random.RandomState(seed)
+        self.X = None  # (n, d) unit vectors
+        self.levels: list = []
+        self.links: list = []  # per node: {level: np.ndarray of neighbor ids}
+        self.entry = -1
+        self.max_level = -1
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
+        import heapq
+
+        visited = {entry}
+        d0 = float(self.X[entry] @ q)
+        cand = [(-d0, entry)]  # max-heap on similarity via negation
+        best = [(d0, entry)]  # min-heap of current ef best
+        while cand:
+            negd, c = heapq.heappop(cand)
+            if -negd < best[0][0] and len(best) >= ef:
+                break
+            for nb in self.links[c].get(level, ()):  # numpy array
+                nb = int(nb)
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                d = float(self.X[nb] @ q)
+                if len(best) < ef or d > best[0][0]:
+                    heapq.heappush(cand, (-d, nb))
+                    heapq.heappush(best, (d, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted(best, reverse=True)  # (sim, id) best-first
+
+    def build(self, X: np.ndarray):
+        n = X.shape[0]
+        self.X = X
+        draws = self.rng.random_sample(n)
+        node_levels = np.floor(-np.log(np.clip(draws, 1e-12, None)) * self.mL).astype(int)
+        self.levels = node_levels
+        self.links = [dict() for _ in range(n)]
+        for i in range(n):
+            li = int(node_levels[i])
+            if self.entry < 0:
+                for lev in range(li + 1):
+                    self.links[i][lev] = np.empty(0, dtype=np.int64)
+                self.entry, self.max_level = i, li
+                continue
+            ep = self.entry
+            # greedy descent above the node's level
+            for lev in range(self.max_level, li, -1):
+                ep = self._search_layer(self.X[i], ep, 1, lev)[0][1]
+            # insert with ef_construction from min(li, max_level) down
+            for lev in range(min(li, self.max_level), -1, -1):
+                cands = self._search_layer(self.X[i], ep, self.efc, lev)
+                mmax = self.M0 if lev == 0 else self.M
+                nbrs = np.array([c[1] for c in cands[:mmax]], dtype=np.int64)
+                self.links[i][lev] = nbrs
+                for nb in nbrs:
+                    nb = int(nb)
+                    cur = self.links[nb].get(lev)
+                    cur = (
+                        np.array([i], dtype=np.int64)
+                        if cur is None or cur.size == 0
+                        else np.append(cur, i)
+                    )
+                    if cur.size > mmax:  # prune to the closest mmax
+                        sims = self.X[cur] @ self.X[nb]
+                        cur = cur[np.argsort(-sims)[:mmax]]
+                    self.links[nb][lev] = cur
+                ep = cands[0][1]
+            for lev in range(self.max_level + 1, li + 1):
+                self.links[i][lev] = np.empty(0, dtype=np.int64)
+            if li > self.max_level:
+                self.entry, self.max_level = i, li
+
+    def search(self, q: np.ndarray, k: int, ef: int = 64):
+        ep = self.entry
+        for lev in range(self.max_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lev)[0][1]
+        best = self._search_layer(q, ep, max(ef, k), 0)
+        return best[:k]  # (sim, local_id) best-first
+
+
+def ann_hnsw_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10, M: int = 8,
+    ef_construction: int = 64, ef_search: int = 64,
+) -> pa.Table:
+    """HNSW approximate top-k: per-batch (= per-shard) graphs answer the
+    broadcast queries; driver merges shards x k candidates exactly."""
+    import ray
+
+    qids, Q = _query_matrix(sf_dir, n_queries)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bcast = ray.put((qids, Qn))
+
+    def shard_topk(batch: pa.Table) -> pa.Table:
+        qids_, Qn_ = ray.get(bcast)
+        ids = batch["vec_id"].to_numpy()
+        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        g = _HnswGraph(M=M, ef_construction=ef_construction, seed=7)
+        g.build(Xn)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            for sim, li in g.search(Qn_[qi], k + 1, ef=ef_search):
+                if ids[li] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(int(ids[li]))
+                out_s.append(float(sim))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    t = pa.concat_tables(
+        ds.map_batches(shard_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    import pyarrow.compute as pc
+
+    rows = []
+    for qid in qids:
+        sub = t.filter(pc.equal(t["qid"], qid))
+        s = sub["sim"].to_numpy()
+        v = sub["vec_id"].to_numpy()
+        order = np.lexsort((v, -np.round(s, 4)))[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, int(v[i]), round(float(s[i]), 4), rank))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "sim_r": pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
