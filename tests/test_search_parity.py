@@ -752,3 +752,49 @@ def test_random_query_tree_fuzz(our_index, whoosh_index, wq, corpus):
                 both(our_index, whoosh_index, q, w, limit=10)
         except AssertionError as exc:
             raise AssertionError(f"tree #{i}: {q!r}\n{exc}") from None
+
+
+def test_reader_veneer_parity(our_index, whoosh_index, whoosh):
+    """Reader (IndexReader veneer) statistics parity vs the reference
+    reader on the same corpus."""
+    from whoosh_reloaded_ray.compat import Reader
+
+    r = Reader(our_index)
+    with whoosh_index.reader() as wr:
+        assert r.doc_count_all() == wr.doc_count_all()
+        assert r.doc_count() == wr.doc_count()
+        assert r.has_deletions() == wr.has_deletions()
+        for t in (COMMON, MID, RARE, "zzznope"):
+            assert r.doc_frequency("text", t) == wr.doc_frequency("text", t), t
+            assert r.frequency("text", t) == wr.frequency("text", t), t
+        # lexicon parity (reference yields encoded bytes)
+        ours_lex = list(r.lexicon("text"))
+        theirs_lex = [b.decode("utf-8") for b in wr.lexicon("text")]
+        assert ours_lex == theirs_lex
+        # prefix expansion
+        pre = COMMON[:2]
+        assert list(r.expand_prefix("text", pre)) == [
+            b.decode("utf-8") for b in wr.expand_prefix("text", pre)
+        ]
+        # term_info stats
+        ti, wti = r.term_info("text", MID), wr.term_info("text", MID)
+        assert ti.doc_frequency() == wti.doc_frequency()
+        assert ti.weight() == wti.weight()
+        # field length totals and per-doc quantized lengths
+        assert r.field_length("text") == wr.field_length("text")
+        for d in (0, 7, 100):
+            assert r.doc_field_length(d, "text") == wr.doc_field_length(d, "text"), d
+        # most frequent terms
+        ours_mf = [(round(w, 6), t) for w, t in r.most_frequent_terms("text", 5)]
+        theirs_mf = [
+            (round(w, 6), t.decode("utf-8"))
+            for w, t in wr.most_frequent_terms("text", 5)
+        ]
+        assert ours_mf == theirs_mf
+        # most distinctive terms (tf*idf)
+        ours_md = [(round(w, 6), t) for w, t in r.most_distinctive_terms("text", 5)]
+        theirs_md = [
+            (round(w, 6), t.decode("utf-8"))
+            for w, t in wr.most_distinctive_terms("text", 5)
+        ]
+        assert ours_md == theirs_md

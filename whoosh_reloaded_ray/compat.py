@@ -714,6 +714,9 @@ class Index:
     def searcher(self, **kwargs) -> "CompatSearcher":
         return CompatSearcher(self, **kwargs)
 
+    def reader(self) -> "Reader":
+        return Reader(IndexSearcher(self.dirname))
+
     def optimize(self):
         maybe_merge(self.dirname, optimize=True)
 
@@ -1186,6 +1189,9 @@ class CompatSearcher:
             return d
         return None
 
+    def reader(self) -> "Reader":
+        return Reader(self._s)
+
     def stored_fields(self, docnum: int) -> dict:
         """Stored fields of one document (reference reader.stored_fields)."""
         rows = self.stored_fields_many([docnum])
@@ -1256,3 +1262,135 @@ def _add_searcher_passthroughs():
 
 
 _add_searcher_passthroughs()
+
+
+# ---- IndexReader veneer (reference reading.py surface) ----------------------
+
+
+class TermInfo:
+    """Collection statistics of one term (reference reading.TermInfo
+    subset: total weight + document frequency)."""
+
+    __slots__ = ("_weight", "_df")
+
+    def __init__(self, weight: float, df: int):
+        self._weight = weight
+        self._df = df
+
+    def weight(self) -> float:
+        return self._weight
+
+    def doc_frequency(self) -> int:
+        return self._df
+
+
+class Reader:
+    """Whoosh-style IndexReader over the engine searcher (reference
+    reading.IndexReader API subset; term texts are str, not the
+    reference's encoded bytes).  Obtain via ``ix.reader()`` or
+    ``searcher.reader()``."""
+
+    def __init__(self, searcher: IndexSearcher):
+        self._s = searcher
+
+    # -- collection stats --
+    def doc_count_all(self) -> int:
+        return self._s.doc_count_all()
+
+    def _tombstones(self):
+        return self._s._local_worker().excluded
+
+    def doc_count(self) -> int:
+        return self._s.doc_count_all() - int(self._tombstones().size)
+
+    def has_deletions(self) -> bool:
+        return bool(self._tombstones().size)
+
+    def is_deleted(self, docnum: int) -> bool:
+        import numpy as _np
+
+        return bool(_np.isin(docnum, self._tombstones()))
+
+    # -- term stats --
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        return self._s.doc_frequency(fieldname, text)
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        return self._s.frequencies([(fieldname, text)]).get((fieldname, text), 0)
+
+    def term_info(self, fieldname: str, text: str) -> TermInfo:
+        stats = self._s._term_stats(fieldname, text)
+        if text not in stats:
+            raise KeyError((fieldname, text))
+        w, df = stats[text]
+        return TermInfo(w, df)
+
+    def lexicon(self, fieldname: str):
+        return iter(self._s.lexicon(fieldname))
+
+    def field_terms(self, fieldname: str):
+        return self.lexicon(fieldname)
+
+    def expand_prefix(self, fieldname: str, prefix: str):
+        return iter(self._s.lexicon(fieldname, prefix))
+
+    def iter_prefix(self, fieldname: str, prefix: str = ""):
+        stats = self._s._term_stats(fieldname, prefix)
+        for term in sorted(stats):
+            w, df = stats[term]
+            yield term, TermInfo(w, df)
+
+    def iter_field(self, fieldname: str):
+        return self.iter_prefix(fieldname, "")
+
+    def all_terms(self):
+        for f in self._s.manifest.schema.fields:
+            if f.kind in ("text", "id", "keyword", "ngram"):
+                for t in self._s.lexicon(f.name):
+                    yield f.name, t
+
+    def indexed_field_names(self):
+        return [
+            f.name
+            for f in self._s.manifest.schema.fields
+            if f.kind in ("text", "id", "keyword", "ngram")
+        ]
+
+    def most_frequent_terms(self, fieldname: str, number: int = 5, prefix: str = ""):
+        return self._s.most_frequent_terms(fieldname, number, prefix)
+
+    def most_distinctive_terms(self, fieldname: str, number: int = 5, prefix: str = ""):
+        return self._s.most_distinctive_terms(fieldname, number, prefix)
+
+    # -- lengths --
+    def field_length(self, fieldname: str) -> int:
+        return self._s.manifest.field_length(fieldname)
+
+    def doc_field_length(self, docnum: int, fieldname: str, default: int = 0) -> int:
+        return self._s.doc_field_length(docnum, fieldname, default)
+
+    # -- documents --
+    def stored_fields(self, docnum: int) -> dict:
+        return self._s.stored_fields(docnum)
+
+    def all_doc_ids(self):
+        excluded = set(self._tombstones().tolist())
+        for d in range(self._s.doc_count_all()):
+            if d not in excluded:
+                yield d
+
+    def all_stored_fields(self):
+        for d in self.all_doc_ids():
+            yield self.stored_fields(d)
+
+    # -- vectors / spelling --
+    def vector(self, docnum: int, fieldname: str):
+        return self._s.vector(docnum, fieldname)
+
+    def corrector(self, fieldname: str):
+        from .query.suggest import ListCorrector
+
+        return ListCorrector(self._s.lexicon(fieldname))
+
+    def close(self):
+        pass

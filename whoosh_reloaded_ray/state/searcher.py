@@ -449,6 +449,37 @@ class IndexSearcher:
 
     # ---- global stats ----------------------------------------------------
 
+    def _local_worker(self) -> "_SegmentWorker":
+        """An in-process worker over ALL segments (lazily built on the
+        ray executor, for driver-side point lookups like doclens)."""
+        w = getattr(self, "local", None)
+        if w is None:
+            w = self.local = _SegmentWorker(
+                self.index_dir,
+                self.manifest.to_dict(),
+                list(range(len(self.manifest.segments))),
+            )
+        return w
+
+    def doc_field_length(self, docnum: int, fieldname: str, default: int = 0) -> int:
+        """Stored (quantized) length of one doc's field (reference
+        reader.doc_field_length — the reference also answers the lossy
+        byte-quantized value)."""
+        from ..functions.quant import BYTE_TO_LENGTH
+
+        for r in self._local_worker().readers:
+            bases, rows = r._part_bases, r._part_rows
+            pi = int(np.searchsorted(bases, docnum, side="right")) - 1
+            if pi < 0 or docnum >= bases[pi] + rows[pi]:
+                continue  # docnum not in this segment
+            lens = r.doclens(fieldname)
+            if lens is None:
+                continue
+            i = int(r._part_cum[pi] + (docnum - bases[pi]))
+            if 0 <= i < lens.size and lens[i]:
+                return int(BYTE_TO_LENGTH[int(lens[i])])
+        return default
+
     def doc_count_all(self) -> int:
         return self.manifest.doc_count
 
