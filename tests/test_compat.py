@@ -633,3 +633,36 @@ def test_highlighter_object(ix, whoosh):
         outs = {h["key"]: hi.highlight_hit(h, "value") for h in r}
     assert outs["A"] == "Blue RED green render purple?"
     assert outs["D"] == "Every RED town."
+
+
+def test_field_types_ngram_idlist_schemaclass(ray_session, tmp_path_factory, whoosh):
+    """NGRAM/NGRAMWORDS/IDLIST/COLUMN field constructors and declarative
+    SchemaClass build and search end-to-end."""
+    from whoosh_reloaded_ray.query import Term
+
+    class MySchema(wrr.SchemaClass):
+        key = wrr.ID(stored=True)
+        grams = wrr.NGRAM(minsize=3, maxsize=3)
+        tags = wrr.IDLIST()
+        extra = wrr.COLUMN()
+
+    d = str(tmp_path_factory.mktemp("fieldsidx"))
+    ix = wrr.create_in(d, MySchema)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="1", grams="hello", tags="Alpha,beta gamma", extra="x1")
+    w.add_document(key="2", grams="goodbye", tags="beta;delta", extra="x2")
+    w.commit()
+    with ix.searcher() as s:
+        # ngram field matches substrings
+        r = s.search(Term("grams", "ell"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        # idlist splits on , ; and space, case preserved
+        r = s.search(Term("tags", "beta"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1", "2"]
+        r = s.search(Term("tags", "Alpha"), limit=None)
+        assert sorted(h["key"] for h in r) == ["1"]
+        r = s.search(Term("tags", "alpha"), limit=None)  # not lowercased
+        assert r.total == 0
+        # COLUMN value is stored
+        r = s.search(Term("tags", "delta"), limit=None)
+        assert [h["extra"] for h in r] == ["x2"]

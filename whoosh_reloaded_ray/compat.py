@@ -504,6 +504,93 @@ def STORED():
     return ("stored", {})
 
 
+def NGRAM(stored=False, minsize=2, maxsize=4, field_boost=1.0,
+          queryor=False, phrase=False):
+    """Character n-gram field (reference fields.NGRAM)."""
+    return (
+        "text",
+        {
+            "analyzer": ngram_analyzer(minsize=minsize, maxsize=maxsize),
+            "stored": stored,
+            "positions": phrase,
+            "field_boost": field_boost,
+        },
+    )
+
+
+def NGRAMWORDS(minsize=2, maxsize=4, stored=False, field_boost=1.0,
+               tokenizer=None, at=None, queryor=False, sortable=False):
+    """Word-wise n-gram field (reference fields.NGRAMWORDS)."""
+    return (
+        "text",
+        {
+            "analyzer": ngramwords_analyzer(
+                minsize=minsize, maxsize=maxsize, at=at
+            ),
+            "stored": stored,
+            "positions": False,
+            "field_boost": field_boost,
+        },
+    )
+
+
+def IDLIST(stored=False, unique=False, expression=None, field_boost=1.0):
+    """Multiple-ID field split on the expression (reference
+    fields.IDLIST; default separator set matches its
+    ``[^\\r\\n\\t ,;]+``)."""
+    from dataclasses import replace
+
+    spec = replace(
+        simple_analyzer(),
+        pattern=getattr(expression, "pattern", expression)
+        or r"[^\r\n\t ,;]+",
+        lowercase=False,
+    )
+    return ("idlist", {"analyzer": spec, "stored": stored})
+
+
+def COLUMN(columnobj=None):
+    """Per-document stored value for sorting/faceting (reference
+    fields.COLUMN).  Columns here are native Parquet: the value is
+    stored and served through the stored-field/facet paths, so the
+    codec-level column object has no analog and is ignored."""
+    return ("stored", {})
+
+
+class FieldConfigurationError(Exception):
+    """Reference fields.FieldConfigurationError."""
+
+
+class UnknownFieldError(KeyError):
+    """Reference fields.UnknownFieldError."""
+
+
+class MetaSchema(type):
+    def __new__(mcs, name, bases, attrs):
+        cls = super().__new__(mcs, name, bases, attrs)
+        fields = {}
+        for base in reversed(cls.__mro__):
+            for k, v in vars(base).items():
+                if isinstance(v, tuple) and len(v) == 2 and isinstance(v[0], str):
+                    fields[k] = v
+        cls._declared_fields = fields
+        return cls
+
+    def schema(cls) -> "Schema":
+        return Schema(**cls._declared_fields)
+
+
+class SchemaClass(metaclass=MetaSchema):
+    """Declarative schema base (reference fields.SchemaClass)::
+
+        class MySchema(SchemaClass):
+            title = TEXT(stored=True)
+            body = TEXT()
+
+        ix = create_in(dirname, MySchema)
+    """
+
+
 class Schema:
     """Field-name -> field-constructor schema (reference fields.Schema)."""
 
@@ -545,6 +632,16 @@ class Schema:
                 from .schema import boolean_field
 
                 specs.append(boolean_field(name))
+            elif kind == "idlist":
+                specs.append(
+                    FieldSpec(
+                        name=name,
+                        kind="keyword",
+                        analyzer=opts["analyzer"],
+                        scorable=False,
+                        positions=False,
+                    )
+                )
             elif kind == "stored":
                 specs.append(
                     FieldSpec(name=name, kind="stored", analyzer=None, scorable=False, positions=False)
@@ -680,6 +777,8 @@ def _sortedby_fields(spec):
 
 
 def create_in(dirname: str, schema: Schema) -> "Index":
+    if isinstance(schema, type) and issubclass(schema, SchemaClass):
+        schema = schema.schema()  # declarative SchemaClass accepted
     os.makedirs(dirname, exist_ok=True)
     return Index(dirname, schema)
 
