@@ -209,10 +209,15 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
 
     total = time.perf_counter() - t_total0
     shutil.rmtree(index_dir, ignore_errors=True)
+    # headline value = sf build + query latency sum (comparable across
+    # rounds); the probe blocks report their own numbers and their cost
+    # lands only in probe_overhead_sec
+    headline = build_s + sum(queries.values())
     return {
         "metric": "fulltext index build + BM25 query latency",
-        "value": total,
+        "value": headline,
         "unit": "sec",
+        "probe_overhead_sec": total - headline,
         "queries": queries,
         "searches_per_sec": qps,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
