@@ -666,3 +666,29 @@ def test_field_types_ngram_idlist_schemaclass(ray_session, tmp_path_factory, who
         # COLUMN value is stored
         r = s.search(Term("tags", "delta"), limit=None)
         assert [h["extra"] for h in r] == ["x2"]
+
+
+def test_writing_module_surface(ray_session, tmp_path_factory, whoosh):
+    """Merge-policy constants on commit(), AsyncWriter alias, error
+    classes exist."""
+    from whoosh_reloaded_ray.query import Term
+
+    d = str(tmp_path_factory.mktemp("mpidx"))
+    schema = wrr.Schema(key=wrr.ID(stored=True), body=wrr.TEXT())
+    ix = wrr.create_in(d, schema)
+    w = wrr.AsyncWriter(ix, num_shards=2, partition_rows=16)
+    w.add_document(key="1", body="first generation words")
+    w.commit(mergetype=wrr.NO_MERGE)
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="2", body="second generation words")
+    w.commit(mergetype=wrr.MERGE_SMALL)
+    with ix.searcher() as s:
+        assert sorted(h["key"] for h in s.search(Term("body", "words"), limit=None)) == ["1", "2"]
+    # CLEAR drops everything indexed before this commit
+    w = ix.writer(num_shards=2, partition_rows=16)
+    w.add_document(key="3", body="third generation words")
+    w.commit(mergetype=wrr.CLEAR)
+    with ix.searcher() as s:
+        assert sorted(h["key"] for h in s.search(Term("body", "words"), limit=None)) == ["3"]
+    for err in (wrr.IndexingError, wrr.LockError, wrr.EmptyIndexError):
+        assert issubclass(err, Exception)

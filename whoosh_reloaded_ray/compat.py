@@ -773,6 +773,40 @@ def _sortedby_fields(spec):
     raise TypeError(f"unsupported sortedby spec {spec!r}")
 
 
+# ---- writing-module surface (reference writing.py) -------------------------
+
+
+class _MergePolicy:
+    def __init__(self, name):
+        self.name = name
+
+    def __repr__(self):
+        return f"<merge policy {self.name}>"
+
+
+#: skip the post-commit merge pass
+NO_MERGE = _MergePolicy("NO_MERGE")
+#: the default fib-heuristic small-segment merge
+MERGE_SMALL = _MergePolicy("MERGE_SMALL")
+#: full merge to one segment
+OPTIMIZE = _MergePolicy("OPTIMIZE")
+#: drop the existing index, keep only this commit's documents
+CLEAR = _MergePolicy("CLEAR")
+
+
+class IndexingError(Exception):
+    """Reference writing.IndexingError."""
+
+
+class LockError(Exception):
+    """Reference store.LockError (no file locks here — commits are
+    whole batch jobs — kept for except-clause compatibility)."""
+
+
+class EmptyIndexError(Exception):
+    """Reference index.EmptyIndexError."""
+
+
 # ---- index object ----------------------------------------------------------
 
 
@@ -852,7 +886,18 @@ class Writer:
             raise ValueError(f"unknown fields {sorted(unknown)}")
         self.rows.append(fields)
 
-    def commit(self, optimize: bool = False):
+    def commit(self, optimize: bool = False, mergetype=None):
+        """``mergetype`` accepts the reference writing-module policies:
+        NO_MERGE (skip the post-commit merge pass), MERGE_SMALL (the
+        default fib-heuristic pass), OPTIMIZE (full merge), CLEAR
+        (drop the existing index before committing the buffer)."""
+        if mergetype is CLEAR:
+            import shutil as _shutil
+
+            for p in _glob.glob(os.path.join(self.index.dirname, "*")):
+                (_shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        if mergetype is OPTIMIZE:
+            optimize = True
         if self.rows:
             schema = self.index.index_schema
             cols = {}
@@ -904,6 +949,8 @@ class Writer:
             self.rows = []
         if optimize:
             maybe_merge(self.index.dirname, optimize=True)
+        elif mergetype is MERGE_SMALL:
+            maybe_merge(self.index.dirname)
 
     def delete_by_term(self, fieldname: str, text: str) -> int:
         from .pipelines.write_ops import delete_by_term
@@ -919,6 +966,15 @@ class Writer:
 
 
 # ---- searcher / results ----------------------------------------------------
+
+
+class AsyncWriter(Writer):
+    """Reference writing.AsyncWriter veneer: the reference wraps a
+    writer to avoid lock contention; commits here are whole batch jobs
+    with no file locks, so it IS the plain writer."""
+
+
+BatchWriter = AsyncWriter  # reference's deprecated alias
 
 
 class Hit:
