@@ -692,3 +692,49 @@ def test_writing_module_surface(ray_session, tmp_path_factory, whoosh):
         assert sorted(h["key"] for h in s.search(Term("body", "words"), limit=None)) == ["3"]
     for err in (wrr.IndexingError, wrr.LockError, wrr.EmptyIndexError):
         assert issubclass(err, Exception)
+
+
+def test_results_hit_api_fillers(ix, whoosh):
+    """Results/Hit reference-API fillers: mapping access, items, copy,
+    key_terms, more_like_this."""
+    from whoosh_reloaded_ray.query import Term
+
+    with ix.searcher() as s:
+        r = s.search(Term("value", "red"), limit=None, terms=True)
+        assert not r.is_empty()
+        assert r.has_exact_length() and r.estimated_length() == len(r)
+        assert r.docnum(0) == r[0].docnum and r.score(0) == r[0].score
+        assert dict(r.items())  # (docnum, score) pairs
+        assert r.fields(0) == r[0].fields()
+        assert r.has_matched_terms() and ("value", "red") in r.matched_terms()
+        assert ("value", "red") in r.query_terms()
+        c = r.copy()
+        assert [h.docnum for h in c] == [h.docnum for h in r]
+        h = r[0]
+        assert set(h.keys()) == set(h.fields().keys())
+        assert "key" in h and dict(h.items())["key"] == h["key"]
+        kt = r.key_terms("value", docs=5, numterms=3)
+        assert kt  # non-empty key-term list
+        ml = h.more_like_this("value", limit=5)
+        assert ml is not None
+
+
+def test_searcher_api_fillers(ix, whoosh):
+    """find/doc_count/field_length/idf/docs_for_query/refresh/up_to_date."""
+    with ix.searcher() as s:
+        r = s.find("value", "red OR purple")
+        assert sorted(h["key"] for h in r) == ["A", "D"]
+        # the module-scoped index may have extra docs/tombstones from
+        # earlier tests; assert consistency, not an absolute count
+        assert s.doc_count() <= s.doc_count_all()
+        assert s.doc_count_all() >= 5
+        assert s.field_length("value") > 0
+        assert s.avg_field_length("value") > 0
+        assert s.idf("value", "red") > 0
+        from whoosh_reloaded_ray.query import Term
+
+        docs = list(s.docs_for_query(Term("value", "red")))
+        assert len(docs) == 2
+        assert s.up_to_date()
+        s2 = s.refresh()
+        assert s2.up_to_date()

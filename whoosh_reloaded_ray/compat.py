@@ -981,10 +981,42 @@ class Hit:
     def __init__(self, docnum: int, score: float, fields: dict):
         self.docnum = docnum
         self.score = score
-        self.fields = fields
+        self._fields = fields
         self._matched_terms = None  # set by search(terms=True)
         self._searcher = None  # back-refs set by _hits_to_results
         self._q = None
+
+    # dict-style access (reference Hit mapping API)
+    def fields(self) -> dict:
+        return self._fields
+
+    def keys(self):
+        return self._fields.keys()
+
+    def values(self):
+        return self._fields.values()
+
+    def items(self):
+        return self._fields.items()
+
+    iterkeys = keys
+    itervalues = values
+    iteritems = items
+
+    def __contains__(self, k):
+        return k in self._fields
+
+    def __iter__(self):
+        return iter(self._fields)
+
+    def more_like_this(self, fieldname, limit=10, numterms=5, model=None):
+        """Docs similar to this hit (reference Hit.more_like_this ->
+        Searcher.more_like)."""
+        if self._searcher is None:
+            raise ValueError("hit has no search context")
+        return self._searcher.more_like(
+            self.docnum, fieldname, limit=limit, numterms=numterms, model=model
+        )
 
     def highlights(
         self,
@@ -1023,10 +1055,10 @@ class Hit:
         return highlight_hit(self._searcher, self.docnum, fieldname, self._q, **kw)
 
     def __getitem__(self, k):
-        return self.fields[k]
+        return self._fields[k]
 
     def get(self, k, default=None):
-        return self.fields.get(k, default)
+        return self._fields.get(k, default)
 
     def matched_terms(self):
         """(field, text) pairs of query terms present in this doc —
@@ -1038,7 +1070,7 @@ class Hit:
         return sorted(self._matched_terms)
 
     def __repr__(self):
-        return f"<Hit {self.docnum} {self.score:.4f} {self.fields}>"
+        return f"<Hit {self.docnum} {self.score:.4f} {self._fields}>"
 
 
 class Results:
@@ -1071,6 +1103,68 @@ class Results:
 
     def scored_length(self):
         return len(self.hits)
+
+    # -- reference Results API fillers (searching.py:960-1170) --
+    def is_empty(self) -> bool:
+        return not self.hits
+
+    def docnum(self, n: int) -> int:
+        return self.hits[n].docnum
+
+    def score(self, n: int) -> float:
+        return self.hits[n].score
+
+    def fields(self, n: int) -> dict:
+        return self.hits[n].fields()
+
+    def items(self):
+        return ((h.docnum, h.score) for h in self.hits)
+
+    def has_exact_length(self) -> bool:
+        return True  # totals here are always exact
+
+    def estimated_length(self) -> int:
+        return self.total
+
+    def estimated_min_length(self) -> int:
+        return self.total
+
+    def copy(self) -> "Results":
+        out = Results(list(self.hits), self.total)
+        out._groups = self._groups
+        return out
+
+    def facet_names(self):
+        if self._groups is None:
+            return []
+        if isinstance(self._groups, dict) and self._groups.get("__facets__"):
+            return list(self._groups["maps"].keys())
+        return [None]
+
+    def has_matched_terms(self) -> bool:
+        return any(h._matched_terms is not None for h in self.hits)
+
+    def matched_terms(self) -> set:
+        out: set = set()
+        for h in self.hits:
+            if h._matched_terms:
+                out |= set(h._matched_terms)
+        return out
+
+    def query_terms(self, expand=False, fieldname=None):
+        q = getattr(self, "_q", None)
+        if q is None:
+            return []
+        return [
+            (f, t) for f, t in q.terms() if fieldname is None or f == fieldname
+        ]
+
+    def key_terms(self, fieldname, docs: int = 10, numterms: int = 5):
+        s = getattr(self, "_searcher", None)
+        if s is None:
+            raise ValueError("results have no search context")
+        docnums = [h.docnum for h in self.hits[:docs]]
+        return s.key_terms(docnums, fieldname, numterms=numterms)
 
     # ---- combination ops (reference searching.py:1327-1396) --------------
 
@@ -1280,7 +1374,9 @@ class CompatSearcher:
             hits.append(h)
         if terms:
             self._attach_matched_terms(q, hits)
-        return Results(hits, len(hits))
+        out = Results(hits, len(hits))
+        out._searcher, out._q = self._s, q
+        return out
 
     def _attach_matched_terms(self, q, hits):
         """TermsCollector equivalent (reference collectors.py:600-656 via
@@ -1346,6 +1442,50 @@ class CompatSearcher:
 
     def reader(self) -> "Reader":
         return Reader(self._s)
+
+    # -- reference Searcher API fillers (searching.py:60-720) --
+    def find(self, defaultfield: str, querystring: str, **kwargs) -> Results:
+        """Parse and search in one call (reference Searcher.find)."""
+        q = QueryParser(defaultfield, self._schema).parse(querystring)
+        return self.search(q, **kwargs)
+
+    def doc_count(self) -> int:
+        return self.reader().doc_count()
+
+    def doc_count_all(self) -> int:
+        return self._s.doc_count_all()
+
+    def field_length(self, fieldname: str) -> int:
+        return self._s.manifest.field_length(fieldname)
+
+    def avg_field_length(self, fieldname: str, default=None) -> float:
+        try:
+            return self._s.avg_field_length(fieldname)
+        except KeyError:
+            return default
+
+    def idf(self, fieldname: str, text: str) -> float:
+        return self._s.idf(fieldname, text)
+
+    def key_terms_from_text(self, fieldname, text, numterms=5, **kw):
+        return self._s.key_terms_from_text(fieldname, text, numterms=numterms, **kw)
+
+    def docs_for_query(self, q):
+        """Docnums matching a query, unscored (reference
+        Searcher.docs_for_query)."""
+        t = self._s.search(q, limit=None, scored=False)
+        yield from t["docnum"].to_pylist()
+
+    def refresh(self) -> "CompatSearcher":
+        """Fresh searcher over the latest committed generation."""
+        return CompatSearcher(self.index)
+
+    def up_to_date(self) -> bool:
+        cur = load_manifest(self.index.dirname)
+        return cur is not None and cur.generation == self._s.manifest.generation
+
+    def close(self):
+        pass
 
     def stored_fields(self, docnum: int) -> dict:
         """Stored fields of one document (reference reader.stored_fields)."""
