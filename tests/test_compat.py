@@ -57,7 +57,10 @@ def test_parse_and_page(ix):
         assert sorted(h["key"] for h in r) == ["A", "D", "E"]
         p1 = s.search_page(s.parse("value:red OR name:yellow"), 1, pagelen=2)
         p2 = s.search_page(s.parse("value:red OR name:yellow"), 2, pagelen=2)
-        assert len(p1) == 2 and len(p2) == 1
+        # reference ResultsPage: len() is the TOTAL; iteration is the page
+        assert len(p1) == len(p2) == 3
+        assert len(list(p1)) == 2 and len(list(p2)) == 1
+        assert p2.is_last_page() and not p1.is_last_page()
         assert {h["key"] for h in list(p1) + list(p2)} == {"A", "D", "E"}
 
 

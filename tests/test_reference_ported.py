@@ -1,0 +1,215 @@
+"""Scenarios ported VERBATIM-in-spirit from the reference's own test
+suite (ref tests/test_results.py) and run against the compat API — the
+"a whoosh user can switch" check: same schemas, same documents, same
+assertions (RamStorage becomes a tmp index dir)."""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+import pytest
+
+from whoosh_reloaded_ray import compat as wrr
+from whoosh_reloaded_ray import scoring
+from whoosh_reloaded_ray.query import Every, Term
+
+
+def _mk(tmp_path_factory, schema, rows, **writer_kw):
+    d = str(tmp_path_factory.mktemp("refport"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64, **writer_kw)
+    for r in rows:
+        w.add_document(**r)
+    w.commit()
+    return ix
+
+
+def test_score_retrieval(ray_session, tmp_path_factory):
+    # ref test_results.py:10-34
+    schema = wrr.Schema(title=wrr.TEXT(stored=True), content=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(title="Miss Mary",
+             content="Mary had a little white lamb its fleece was white as snow"),
+        dict(title="Snow White",
+             content="Snow white lived in the forest with seven dwarfs"),
+    ])
+    with ix.searcher() as s:
+        results = s.search(Term("content", "white"))
+        assert len(results) == 2
+        assert results[0]["title"] == "Miss Mary"
+        assert results[1]["title"] == "Snow White"
+        assert results.score(0) is not None
+        assert results.score(0) != 0
+        assert results.score(0) != 1
+
+
+def test_resultslength(ray_session, tmp_path_factory):
+    # ref test_results.py:56-73: len() is the EXACT count despite limit
+    schema = wrr.Schema(id=wrr.ID(stored=True), value=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", value="alfa alfa alfa alfa alfa"),
+        dict(id="2", value="alfa alfa alfa alfa"),
+        dict(id="3", value="alfa alfa alfa"),
+        dict(id="4", value="alfa alfa"),
+        dict(id="5", value="alfa"),
+        dict(id="6", value="bravo"),
+    ])
+    with ix.searcher() as s:
+        r = s.search(Term("value", "alfa"), limit=3)
+        assert len(r) == 5
+        assert r.scored_length() == 3
+        assert r[10:] == []
+
+
+def test_combine(ray_session, tmp_path_factory):
+    # ref test_results.py:76-108: exact result-combination orders
+    schema = wrr.Schema(id=wrr.ID(stored=True), value=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", value="alfa bravo charlie all"),
+        dict(id="2", value="bravo charlie echo all"),
+        dict(id="3", value="charlie echo foxtrot all"),
+        dict(id="4", value="echo foxtrot india all"),
+        dict(id="5", value="foxtrot india juliet all"),
+        dict(id="6", value="india juliet alfa all"),
+        dict(id="7", value="juliet alfa bravo all"),
+        dict(id="8", value="charlie charlie charlie all"),
+    ])
+    with ix.searcher() as s:
+        def idsof(r):
+            return "".join(hit["id"] for hit in r.hits)
+
+        def check(r1, methodname, r2, ids):
+            getattr(r1, methodname)(r2)
+            assert idsof(r1) == ids
+
+        def rfor(t):
+            return s.search(Term("value", t))
+
+        assert idsof(rfor("foxtrot")) == "345"
+        check(rfor("foxtrot"), "extend", rfor("charlie"), "345812")
+        check(rfor("foxtrot"), "filter", rfor("juliet"), "5")
+        check(rfor("charlie"), "filter", rfor("foxtrot"), "3")
+        check(rfor("all"), "filter", rfor("foxtrot"), "345")
+        check(rfor("all"), "upgrade", rfor("india"), "45612378")
+        check(rfor("charlie"), "upgrade_and_extend", rfor("echo"), "23814")
+
+
+def test_extend_empty(ray_session, tmp_path_factory):
+    # ref test_results.py:176-199
+    schema = wrr.Schema(id=wrr.ID(stored=True), words=wrr.KEYWORD())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", words="alfa bravo charlie"),
+        dict(id="2", words="bravo charlie delta"),
+        dict(id="3", words="charlie delta echo"),
+        dict(id="4", words="delta echo foxtrot"),
+        dict(id="5", words="echo foxtrot golf"),
+    ])
+    with ix.searcher() as s:
+        r1 = s.search(Term("words", "hotel"))
+        r1c = r1.copy()
+        r2 = s.search(Term("words", "delta"))
+        r2c = r2.copy()
+        r1c.extend(r2c)
+        assert [hit["id"] for hit in r1c.hits] == ["2", "3", "4"]
+        assert r1c.scored_length() == 3
+
+
+def test_pages(ray_session, tmp_path_factory):
+    # ref test_results.py:232-257 (Frequency weighting orders by tf)
+    schema = wrr.Schema(id=wrr.ID(stored=True), c=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", c="alfa alfa alfa alfa alfa alfa"),
+        dict(id="2", c="alfa alfa alfa alfa alfa"),
+        dict(id="3", c="alfa alfa alfa alfa"),
+        dict(id="4", c="alfa alfa alfa"),
+        dict(id="5", c="alfa alfa"),
+        dict(id="6", c="alfa"),
+    ])
+    with ix.searcher(weighting=scoring.Frequency) as s:
+        q = Term("c", "alfa")
+        r = s.search(q)
+        assert [d["id"] for d in r] == ["1", "2", "3", "4", "5", "6"]
+        r = s.search_page(q, 2, pagelen=2)
+        assert [d["id"] for d in r] == ["3", "4"]
+
+        r = s.search_page(q, 2, pagelen=4)
+        assert r.total == 6
+        assert r.pagenum == 2
+        assert r.pagelen == 2  # last partial page shrinks
+
+
+def test_page_counts(ray_session, tmp_path_factory):
+    # ref test_results.py:297-334
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [dict(id=str(i)) for i in range(10)])
+    with ix.searcher(weighting=scoring.Frequency) as s:
+        q = Every("id")
+        r = s.search(q)
+        assert len(r) == 10
+        with pytest.raises(ValueError):
+            s.search_page(q, 0)
+        r = s.search_page(q, 1, 5)
+        assert len(r) == 10
+        assert r.pagecount == 2
+        r = s.search_page(q, 2, 5)
+        assert len(r) == 10
+        assert r.pagecount == 2
+        assert r.pagenum == 2
+        r = s.search_page(q, 1, 10)
+        assert len(r) == 10
+        assert r.pagecount == 1
+        assert r.pagenum == 1
+
+
+def test_resultspage(ray_session, tmp_path_factory):
+    # ref test_results.py:337-373
+    schema = wrr.Schema(id=wrr.STORED(), content=wrr.TEXT(stored=True))
+    domain = ("alfa", "bravo", "bravo", "charlie", "delta")
+    rows = [
+        dict(id=str(i), content=" ".join(lst))
+        for i, lst in enumerate(permutations(domain, 3))
+    ]
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        q = Term("content", "bravo")
+        r = s.search(q, limit=10)
+        tops = list(r)
+
+        rp = s.search_page(q, 1, pagelen=5)
+        assert rp.scored_length() == 5
+        assert list(rp) == tops[0:5]
+        assert rp[10:] == []
+
+        rp = s.search_page(q, 2, pagelen=5)
+        assert list(rp) == tops[5:10]
+
+        rp = s.search_page(q, 1, pagelen=10)
+        assert len(rp) == 54
+        assert rp.pagecount == 6
+        rp = s.search_page(q, 6, pagelen=10)
+        assert len(list(rp)) == 4
+        assert rp.is_last_page()
+
+        with pytest.raises(ValueError):
+            s.search_page(q, 0)
+        assert s.search_page(q, 10).pagenum == 6
+
+        rp = s.search_page(Term("content", "glonk"), 1)
+        assert len(rp) == 0
+        assert rp.is_last_page()
+
+
+def test_stability(ray_session, tmp_path_factory):
+    # ref test_results.py:510-527: growing-limit searches are prefixes
+    schema = wrr.Schema(text=wrr.TEXT())
+    domain = "alfa bravo charlie delta".split()
+    rows = [dict(text=" ".join(ls)) for ls in permutations(domain, 3)]
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        q = Term("text", "bravo")
+        last = []
+        for i in range(s._s.doc_frequency("text", "bravo")):
+            r = s.search(q, limit=i + 1)
+            docnums = [hit.docnum for hit in r.hits]
+            assert docnums[:-1] == last
+            last = docnums

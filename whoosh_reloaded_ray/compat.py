@@ -968,6 +968,53 @@ class Writer:
 # ---- searcher / results ----------------------------------------------------
 
 
+class ResultsPage:
+    """One page of a results set (reference searching.py:1620-1710):
+    ``len()`` is the TOTAL hit count, iteration yields this page's
+    hits, ``pagenum`` clamps to the last page, ``pagelen`` shrinks on
+    the final partial page."""
+
+    def __init__(self, results: Results, pagenum: int, pagelen: int = 10):
+        import math as _math
+
+        self.results = results
+        self.total = len(results)
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        self.pagecount = int(_math.ceil(self.total / pagelen))
+        self.pagenum = min(self.pagecount, pagenum)
+        offset = (self.pagenum - 1) * pagelen
+        if (offset + pagelen) > self.total:
+            pagelen = self.total - offset
+        self.offset = offset
+        self.pagelen = pagelen
+
+    def __getitem__(self, n):
+        offset = self.offset
+        if isinstance(n, slice):
+            start, stop, step = n.indices(self.pagelen)
+            return self.results[start + offset : stop + offset : step]
+        return self.results[n + offset]
+
+    def __iter__(self):
+        return iter(self.results[self.offset : self.offset + self.pagelen])
+
+    def __len__(self):
+        return self.total
+
+    def scored_length(self):
+        return self.results.scored_length()
+
+    def score(self, n):
+        return self.results.score(n + self.offset)
+
+    def docnum(self, n):
+        return self.results.docnum(n + self.offset)
+
+    def is_last_page(self):
+        return self.pagecount == 0 or self.pagenum == self.pagecount
+
+
 class AsyncWriter(Writer):
     """Reference writing.AsyncWriter veneer: the reference wraps a
     writer to avoid lock contention; commits here are whole batch jobs
@@ -1008,6 +1055,18 @@ class Hit:
 
     def __iter__(self):
         return iter(self._fields)
+
+    def __eq__(self, other):
+        # reference Hit.__eq__ (searching.py:1562-1566): stored-field
+        # dict equality, also against a plain dict
+        if isinstance(other, Hit):
+            return self._fields == other._fields
+        if isinstance(other, dict):
+            return self._fields == other
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self.docnum)
 
     def more_like_this(self, fieldname, limit=10, numterms=5, model=None):
         """Docs similar to this hit (reference Hit.more_like_this ->
@@ -1074,10 +1133,26 @@ class Hit:
 
 
 class Results:
-    def __init__(self, hits: list, total: int):
+    def __init__(self, hits: list, total: int | None = None, total_fn=None):
         self.hits = hits
-        self.total = total
+        self._total = total
+        self._total_fn = total_fn
         self._groups = None
+
+    @property
+    def total(self):
+        """EXACT number of matching documents (reference len(Results)):
+        computed lazily via a distributed count when the search was
+        truncated by ``limit``."""
+        if self._total is None:
+            self._total = (
+                self._total_fn() if self._total_fn else len(self.hits)
+            )
+        return self._total
+
+    @total.setter
+    def total(self, v):
+        self._total = v
 
     def groups(self, name=None):
         """Facet groups from a search(groupedby=...) (reference
@@ -1096,7 +1171,7 @@ class Results:
         return iter(self.hits)
 
     def __len__(self):
-        return len(self.hits)
+        return self.total  # exact match count (reference semantics)
 
     def __getitem__(self, i):
         return self.hits[i]
@@ -1130,8 +1205,10 @@ class Results:
         return self.total
 
     def copy(self) -> "Results":
-        out = Results(list(self.hits), self.total)
+        out = Results(list(self.hits), self._total, self._total_fn)
         out._groups = self._groups
+        out._searcher = getattr(self, "_searcher", None)
+        out._q = getattr(self, "_q", None)
         return out
 
     def facet_names(self):
@@ -1275,10 +1352,14 @@ class CompatSearcher:
         else:
             res = self._s.search(q, limit=limit, **kw)
         if groupedby is not None:
-            out = self._hits_to_results(res, stored, q, terms)
+            out = self._hits_to_results(
+                res, stored, q, terms, truncated=limit is not None
+            )
             out._groups = self._groups_for(q, groupedby, limit, maptype)
             return out
-        return self._hits_to_results(res, stored, q, terms)
+        return self._hits_to_results(
+            res, stored, q, terms, truncated=limit is not None
+        )
 
     def _groups_for(self, q, groupedby, limit, maptype):
         """groupedby spec -> group map: field name(s) via the distributed
@@ -1362,9 +1443,20 @@ class CompatSearcher:
                     groups.setdefault(k, []).append(d)
         return groups
 
-    def _hits_to_results(self, res, stored, q, terms: bool) -> Results:
+    def _hits_to_results(self, res, stored, q, terms: bool,
+                         truncated: bool = False) -> Results:
+        if truncated:
+            # the reference's len(Results) is the EXACT hit count even
+            # when limit pruned collection; count lazily on demand
+            from .query.collectors import CountCollector
+
+            total, total_fn = None, (
+                lambda: self._s.search_with_collector(q, CountCollector())
+            )
+        else:
+            total, total_fn = res.num_rows, None
         if res.num_rows == 0:
-            return Results([], 0)
+            return Results([], total, total_fn)
         docnums = res["docnum"].to_pylist()
         rows = self.stored_fields_many(docnums)
         hits = []
@@ -1374,7 +1466,7 @@ class CompatSearcher:
             hits.append(h)
         if terms:
             self._attach_matched_terms(q, hits)
-        out = Results(hits, len(hits))
+        out = Results(hits, total, total_fn)
         out._searcher, out._q = self._s, q
         return out
 
@@ -1400,14 +1492,13 @@ class CompatSearcher:
                 if hit is not None:
                     hit._matched_terms.add((f, t))
 
-    def search_page(self, q, pagenum: int, pagelen: int = 10) -> Results:
-        """Reference search_page (searching.py:617-669): results
-        [(pagenum-1)*pagelen, pagenum*pagelen)."""
+    def search_page(self, q, pagenum: int, pagelen: int = 10, **kwargs) -> "ResultsPage":
+        """Reference search_page (searching.py:617-669 + ResultsPage)."""
         if pagenum < 1:
             raise ValueError("pagenum must be >= 1")
-        full = self.search(q, limit=pagenum * pagelen)
-        offset = (pagenum - 1) * pagelen
-        return Results(full.hits[offset : offset + pagelen], full.total)
+        return ResultsPage(
+            self.search(q, limit=pagenum * pagelen, **kwargs), pagenum, pagelen
+        )
 
     def document_numbers(self, **kw):
         """Docnums of documents whose fields contain the given terms

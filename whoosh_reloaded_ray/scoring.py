@@ -111,6 +111,8 @@ def weighting_kwargs(weighting) -> dict:
         return {}
     if isinstance(weighting, str):
         return {"weighting": weighting}
+    if isinstance(weighting, type) and issubclass(weighting, WeightingModel):
+        weighting = weighting()  # the reference accepts classes too
     if isinstance(weighting, WeightingModel):
         return weighting.searcher_kwargs()
     raise TypeError(f"unsupported weighting: {weighting!r}")
