@@ -213,3 +213,99 @@ def test_stability(ray_session, tmp_path_factory):
             docnums = [hit.docnum for hit in r.hits]
             assert docnums[:-1] == last
             last = docnums
+
+
+def test_snippets(ray_session, tmp_path_factory):
+    # ref test_results.py:391-436 (stemming analyzer + sentence
+    # fragmenter + uppercase formatter through Results setters)
+    from whoosh_reloaded_ray.query.highlight import (
+        SentenceFragmenter,
+        UppercaseFormatter,
+    )
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True, analyzer=wrr.StemmingAnalyzer()))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(text="Lay out the rough animation by creating the important poses where they occur on the timeline."),
+        dict(text="Set key frames on everything that's key-able. This is for control and predictability: you don't want to accidentally leave something un-keyed. This is also much faster than selecting the parameters to key."),
+        dict(text="Use constant (straight) or sometimes linear transitions between keyframes in the channel editor. This makes the character jump between poses."),
+        dict(text="Keying everything gives quick, immediate results. But it can become difficult to tweak the animation later, especially for complex characters."),
+        dict(text="Copy the current pose to create the next one: pose the character, key everything, then copy the keyframe in the playbar to another frame, and key everything at that frame."),
+    ])
+    target = [
+        "Set KEY frames on everything that's KEY-able",
+        "Copy the current pose to create the next one: pose the character, KEY everything, then copy the keyframe in the playbar to another frame, and KEY everything at that frame",
+        "KEYING everything gives quick, immediate results",
+    ]
+    with ix.searcher() as s:
+        r = s.search(s.parse("key"), terms=True)
+        r.fragmenter = SentenceFragmenter()
+        r.formatter = UppercaseFormatter()
+        assert sorted(hit.highlights("text", top=1) for hit in r.hits) == sorted(target)
+
+
+def test_keyterms(ray_session, tmp_path_factory):
+    # ref test_results.py:439-461
+    schema = wrr.Schema(path=wrr.ID(stored=True), content=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(path="a", content="This is some generic content"),
+        dict(path="b", content="This is some distinctive content"),
+    ])
+    with ix.searcher() as s:
+        docnum = s.document_number(path="b")
+        keyterms = list(s.key_terms([docnum], "content"))
+        assert len(keyterms) > 0
+        assert keyterms[0][0] == "distinctive"
+
+        r = s.search(Term("path", "b"))
+        keyterms2 = list(r.key_terms("content"))
+        assert len(keyterms2) > 0
+        assert keyterms2[0][0] == "distinctive"
+
+
+def test_lengths(ray_session, tmp_path_factory):
+    # ref test_results.py:464-487 — DECLARED DEVIATION: the reference
+    # reports inexact doc-frequency estimates when limit pruned the
+    # collector; this engine's lazy count is always exact
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    from whoosh_reloaded_ray.query import Or
+
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", text="alfa bravo charlie delta echo"),
+        dict(id="2", text="bravo charlie delta echo foxtrot"),
+        dict(id="3", text="charlie needle echo foxtrot golf"),
+        dict(id="4", text="delta echo foxtrot golf hotel"),
+        dict(id="5", text="echo needle needle hotel india"),
+        dict(id="6", text="foxtrot golf hotel india juliet"),
+        dict(id="7", text="golf needle india juliet kilo"),
+        dict(id="8", text="hotel india juliet needle lima"),
+    ])
+    with ix.searcher() as s:
+        q = Or([Term("text", "needle"), Term("text", "charlie")])
+        r = s.search(q, limit=2)
+        assert r.has_exact_length()  # stronger than the reference
+        assert r.scored_length() == 2
+        assert len(r) == 6
+        assert r.estimated_length() == 6
+
+
+def test_lengths2(ray_session, tmp_path_factory):
+    # ref test_results.py:489-507 (three commit generations, no merge)
+    from whoosh_reloaded_ray.query import Or
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("refport"))
+    ix = wrr.create_in(d, schema)
+    count = 0
+    for _ in range(3):
+        w = ix.writer(num_shards=2, partition_rows=64)
+        for ls in permutations("alfa bravo charlie".split()):
+            if "bravo" in ls and "charlie" in ls:
+                count += 1
+            w.add_document(text=" ".join(ls))
+        w.commit(mergetype=wrr.NO_MERGE)
+    with ix.searcher() as s:
+        q = Or([Term("text", "bravo"), Term("text", "charlie")])
+        r = s.search(q, limit=None)
+        assert len(r) == count
+        r = s.search(q, limit=3)
+        assert len(r) == count

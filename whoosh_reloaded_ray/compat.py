@@ -1096,15 +1096,17 @@ class Hit:
             raise ValueError("hit has no search context for highlighting")
         from .query.highlight import highlight, highlight_hit
 
+        res = getattr(self, "_results", None)
         kw = {"top": top, "minscore": minscore}
-        if fragmenter is not None:
-            kw["fragmenter"] = fragmenter
-        if formatter is not None:
-            kw["formatter"] = formatter
-        if scorer is not None:
-            kw["scorer"] = scorer
-        if order is not None:
-            kw["order"] = order
+        for name, override in (
+            ("fragmenter", fragmenter), ("formatter", formatter),
+            ("scorer", scorer), ("order", order),
+        ):
+            v = override if override is not None else (
+                getattr(res, name, None) if res is not None else None
+            )
+            if v is not None:
+                kw[name] = v
         if text is not None:
             terms = {t for (f, t) in self._q.terms() if f == fieldname}
             fspec = next(
@@ -1138,6 +1140,13 @@ class Results:
         self._total = total
         self._total_fn = total_fn
         self._groups = None
+
+    # highlight configuration consumed by Hit.highlights (reference
+    # Results.fragmenter/formatter/scorer/order setters)
+    fragmenter = None
+    formatter = None
+    scorer = None
+    order = None
 
     @property
     def total(self):
@@ -1468,6 +1477,8 @@ class CompatSearcher:
             self._attach_matched_terms(q, hits)
         out = Results(hits, total, total_fn)
         out._searcher, out._q = self._s, q
+        for h in hits:
+            h._results = out
         return out
 
     def _attach_matched_terms(self, q, hits):

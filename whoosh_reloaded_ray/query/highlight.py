@@ -41,14 +41,28 @@ class Fragment:
 
 
 def analyze_with_chars(spec, text: str):
-    """Char-offset token stream for highlighting (standard/simple
-    analyzers): regex tokens with original spans, lowered text, stops
-    kept."""
+    """Char-offset token stream for highlighting: regex tokens with the
+    ORIGINAL char spans but the INDEXED token text (lowered / charset-
+    folded / stemmed), so matched-term decisions line up with parsed
+    query terms on stemming fields (the reference's Token keeps raw
+    spans while StemFilter mutates the text).  Stops kept."""
+    from ..functions.analysis import charmap_table, resolve_stemmer
+
     pat = re.compile(spec.pattern, re.UNICODE)
+    stem = resolve_stemmer(spec) if spec.kind == "stemming" else None
+    cmap = (
+        charmap_table(spec.charmap) if getattr(spec, "charmap", None) else None
+    )
     toks = []
     for i, m in enumerate(pat.finditer(text)):
         t = m.group(0)
-        toks.append(Token(t.lower() if spec.lowercase else t, i, m.start(), m.end()))
+        if spec.lowercase:
+            t = t.lower()
+        if cmap is not None:
+            t = t.translate(cmap)
+        if stem is not None:
+            t = stem(t)
+        toks.append(Token(t, i, m.start(), m.end()))
     return toks
 
 
