@@ -309,3 +309,82 @@ def test_lengths2(ray_session, tmp_path_factory):
         assert len(r) == count
         r = s.search(q, limit=3)
         assert len(r) == count
+
+
+def test_terms(ray_session, tmp_path_factory):
+    # ref test_results.py:530-554 (term texts are str here, not bytes)
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(text="alfa sierra tango"),
+        dict(text="bravo charlie delta"),
+        dict(text="charlie delta echo"),
+        dict(text="delta echo foxtrot"),
+    ])
+    with ix.searcher() as s:
+        q = s.parse("(bravo AND charlie) OR foxtrot OR missing")
+        r = s.search(q, terms=True)
+
+        def txts(tset):
+            return sorted(t for _, t in tset)
+
+        assert txts(r.matched_terms()) == ["bravo", "charlie", "foxtrot"]
+        for hit in r.hits:
+            value = hit["text"]
+            for txt in txts(hit.matched_terms()):
+                assert txt in value
+
+
+def test_phrase_keywords(ray_session, tmp_path_factory):
+    # ref test_results.py:638-654 (exact Bo1 key-term order)
+    from whoosh_reloaded_ray.query import Phrase
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(text="alfa bravo charlie delta"),
+        dict(text="bravo charlie delta echo"),
+        dict(text="charlie delta echo foxtrot"),
+        dict(text="delta echo foxtrot alfa"),
+        dict(text="echo foxtrot alfa bravo"),
+    ])
+    with ix.searcher() as s:
+        q = Phrase("text", "alfa bravo".split())
+        r = s.search(q)
+        assert len(r) == 2
+        kts = " ".join(t for t, score in r.key_terms("text"))
+        assert kts == "alfa bravo charlie foxtrot delta"
+
+
+def test_every_keywords(ray_session, tmp_path_factory):
+    # ref test_results.py:656-671
+    schema = wrr.Schema(title=wrr.TEXT(), content=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(title="alfa", content="bravo"),
+        dict(title="charlie", content="delta"),
+    ])
+    with ix.searcher() as s:
+        q = s.parse("*", default_field="content") if False else s.parse("*")
+        assert isinstance(q, Every)
+        r = s.search(q, terms=True)
+        assert len(r) == 2
+        hit = next(h for h in r.hits if h["content"] == "bravo")
+        assert hit.highlights("content") == ""
+
+
+def test_filter_by_result(ray_session, tmp_path_factory):
+    # ref test_results.py:674-696 (filter= accepts a Results object)
+    schema = wrr.Schema(title=wrr.TEXT(stored=True), content=wrr.TEXT(stored=True))
+    words = "foo bar baz qux barney".split()
+    rows = [
+        dict(title=("even" if x % 2 == 0 else "odd"), content=words[x % len(words)])
+        for x in range(100)
+    ]
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        fq = Term("title", "even")
+        filter_result = s.search(fq, limit=None)
+        q = Term("content", "foo")
+        result = s.search(q, filter=filter_result, limit=None)
+        assert len(result) > 0
+        assert all(
+            x["title"] == "even" and x["content"] == "foo" for x in result.hits
+        )

@@ -655,6 +655,16 @@ class Schema:
 # ---- facet objects (reference sorting.py surface) --------------------------
 
 
+def _docset_query(docnums):
+    """Pre-resolved doc set as a filter query (reference accepts
+    Results / plain sets for filter=/mask=)."""
+    import numpy as _np
+
+    from .query.ast import DocSet
+
+    return DocSet(_np.array(sorted(int(d) for d in docnums), dtype=_np.uint64))
+
+
 class FieldFacet:
     """Sort/group by a field's native column value (reference
     sorting.FieldFacet, sorting.py:190)."""
@@ -1343,6 +1353,14 @@ class CompatSearcher:
         route to the distributed segment-partial implementations."""
         if isinstance(q, str):
             q = self.parse(q)
+        # the reference's filter/mask accept Results objects and plain
+        # docnum sets as well as queries
+        for key in ("filter", "mask"):
+            v = kw.get(key)
+            if isinstance(v, Results):
+                kw[key] = _docset_query(d for d in v.docs())
+            elif isinstance(v, (set, frozenset, list)):
+                kw[key] = _docset_query(v)
         stored = [f.name for f in self._schema.fields if f.stored]
         if sortedby is not None and not isinstance(sortedby, ScoreFacet):
             fields, facet_rev = _sortedby_fields(sortedby)
