@@ -388,3 +388,122 @@ def test_filter_by_result(ray_session, tmp_path_factory):
         assert all(
             x["title"] == "even" and x["content"] == "foo" for x in result.hits
         )
+
+
+# ---- ported from ref tests/test_sorting.py ---------------------------------
+
+SORT_DOCS = (
+    {"id": "zulu", "num": 100, "tag": "one"},
+    {"id": "xray", "num": -5, "tag": "three"},
+    {"id": "yankee", "num": 3, "tag": "two"},
+    {"id": "alfa", "num": 7, "tag": "three"},
+    {"id": "tango", "num": 2, "tag": "two"},
+    {"id": "foxtrot", "num": -800, "tag": "two"},
+    {"id": "sierra", "num": 1, "tag": "one"},
+    {"id": "whiskey", "num": 0, "tag": "three"},
+    {"id": "bravo", "num": 582045, "tag": "three"},
+)
+
+
+def _sort_schema():
+    return wrr.Schema(
+        id=wrr.ID(stored=True), num=wrr.NUMERIC(stored=True),
+        tag=wrr.ID(stored=True), ev=wrr.ID(),
+    )
+
+
+def _try_sort(tmp_path_factory, sortedby, key, limit=None, reverse=False):
+    # ref test_sorting.py:71-85: single-commit AND multi-generation
+    # indexes must sort identically
+    correct = [d["id"] for d in sorted(SORT_DOCS, key=key, reverse=reverse)][:limit]
+    for multi in (False, True):
+        d = str(tmp_path_factory.mktemp("refsort"))
+        ix = wrr.create_in(d, _sort_schema())
+        if multi:
+            for i in range(0, len(SORT_DOCS), 3):
+                w = ix.writer(num_shards=2, partition_rows=64)
+                for doc in SORT_DOCS[i : i + 3]:
+                    w.add_document(ev="a", **doc)
+                w.commit(mergetype=wrr.NO_MERGE)
+        else:
+            w = ix.writer(num_shards=2, partition_rows=64)
+            for doc in SORT_DOCS:
+                w.add_document(ev="a", **doc)
+            w.commit()
+        with ix.searcher() as s:
+            r = s.search(Term("ev", "a"), sortedby=sortedby, limit=limit,
+                         reverse=reverse)
+            rids = [h["id"] for h in r.hits]
+            assert rids == correct, (multi, sortedby, rids, correct)
+
+
+def test_sortedby(ray_session, tmp_path_factory):
+    # ref test_sorting.py:87-92
+    _try_sort(tmp_path_factory, "id", lambda d: d["id"])
+    _try_sort(tmp_path_factory, "id", lambda d: d["id"], limit=5)
+    _try_sort(tmp_path_factory, "id", lambda d: d["id"], reverse=True)
+    _try_sort(tmp_path_factory, "id", lambda d: d["id"], limit=5, reverse=True)
+
+
+def test_multisort(ray_session, tmp_path_factory):
+    # ref test_sorting.py:94-100
+    mf = wrr.MultiFacet(["tag", "id"])
+    _try_sort(tmp_path_factory, mf, lambda d: (d["tag"], d["id"]))
+    _try_sort(tmp_path_factory, mf, lambda d: (d["tag"], d["id"]), limit=5)
+
+
+def test_numeric_sort(ray_session, tmp_path_factory):
+    # ref test_sorting.py:102-107 (int part; float NUMERIC is a
+    # declared compat-writer gap, TODO.md)
+    _try_sort(tmp_path_factory, "num", lambda d: d["num"])
+    _try_sort(tmp_path_factory, "num", lambda d: d["num"], reverse=True)
+    _try_sort(tmp_path_factory, "num", lambda d: d["num"], limit=5)
+
+
+def test_page_sorted(ray_session, tmp_path_factory):
+    # ref test_sorting.py:123-145
+    import random as _random
+
+    schema = wrr.Schema(key=wrr.ID(stored=True))
+    domain = list("abcdefghijklmnopqrstuvwxyz")
+    _random.Random(42).shuffle(domain)
+    ix = _mk(tmp_path_factory, schema, [dict(key=c) for c in domain])
+    with ix.searcher() as s:
+        r = s.search(Every(), sortedby="key", limit=5)
+        assert r.scored_length() == 5
+        assert len(r) == s.doc_count_all()
+
+        rp = s.search_page(Every(), 1, pagelen=5, sortedby="key")
+        assert "".join(h["key"] for h in rp) == "abcde"
+        assert rp[10:] == []
+
+        rp = s.search_page(Term("key", "glonk"), 1, pagelen=5, sortedby="key")
+        assert len(rp) == 0
+        assert rp.is_last_page()
+
+
+def test_query_facet_ported(ray_session, tmp_path_factory):
+    # ref test_sorting.py:223-249 (multi-generation commits)
+    from whoosh_reloaded_ray.query import TermRange
+
+    schema = wrr.Schema(id=wrr.STORED(), v=wrr.ID())
+    d = str(tmp_path_factory.mktemp("refqf"))
+    ix = wrr.create_in(d, schema)
+    for i, ltr in enumerate("iacgbehdf"):
+        w = ix.writer(num_shards=2, partition_rows=64)
+        w.add_document(id=str(i), v=ltr)
+        w.commit(mergetype=wrr.NO_MERGE)
+    with ix.searcher() as s:
+        q1 = TermRange("v", "a", "c")
+        q2 = TermRange("v", "d", "f")
+        q3 = TermRange("v", "g", "i")
+        assert sorted(int(h["id"]) for h in s.search(q1, limit=None).hits) == [1, 2, 4]
+        assert sorted(int(h["id"]) for h in s.search(q2, limit=None).hits) == [5, 7, 8]
+        assert sorted(int(h["id"]) for h in s.search(q3, limit=None).hits) == [0, 3, 6]
+        facet = wrr.QueryFacet({"a-c": q1, "d-f": q2, "g-i": q3})
+        r = s.search(Every(), limit=None, groupedby=facet)
+        assert r.groups() == {
+            "a-c": [1, 2, 4],
+            "d-f": [5, 7, 8],
+            "g-i": [0, 3, 6],
+        }

@@ -1366,9 +1366,22 @@ class CompatSearcher:
             fields, facet_rev = _sortedby_fields(sortedby)
             t = self._s.search_sorted(q, fields, limit=limit, reverse=reverse or facet_rev)
             docnums = t["docnum"].to_pylist()
-            rows = self.stored_fields_many(docnums)
+            rows = self.stored_fields_many(docnums) if docnums else []
             hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
-            out = Results(hits, len(hits))
+            if limit is not None:
+                from .query.collectors import CountCollector
+
+                out = Results(
+                    hits,
+                    total_fn=lambda: self._s.search_with_collector(
+                        q, CountCollector()
+                    ),
+                )
+            else:
+                out = Results(hits, len(hits))
+            out._searcher, out._q = self._s, q
+            for h in hits:
+                h._searcher, h._q, h._results = self._s, q, out
             if groupedby is not None:
                 out._groups = self._groups_for(q, groupedby, limit, maptype)
             return out
