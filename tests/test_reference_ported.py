@@ -507,3 +507,27 @@ def test_query_facet_ported(ray_session, tmp_path_factory):
             "d-f": [5, 7, 8],
             "g-i": [0, 3, 6],
         }
+
+
+def test_numeric_float_sort(ray_session, tmp_path_factory):
+    # ref test_sorting.py:102-107 frac line (float NUMERIC)
+    from whoosh_reloaded_ray.query import NumericRange
+
+    fracs = {"zulu": 0.75, "xray": 2.0, "yankee": 5.5, "alfa": 2.25,
+             "tango": 1.75, "foxtrot": 3.25, "sierra": 4.75,
+             "whiskey": 5.25, "bravo": 1.25}
+    schema = wrr.Schema(
+        id=wrr.ID(stored=True), frac=wrr.NUMERIC(float, stored=True),
+        ev=wrr.ID(),
+    )
+    ix = _mk(tmp_path_factory, schema,
+             [dict(id=k, frac=v, ev="a") for k, v in fracs.items()])
+    correct = [k for k, _ in sorted(fracs.items(), key=lambda kv: kv[1])]
+    with ix.searcher() as s:
+        r = s.search(Term("ev", "a"), sortedby="frac", limit=None)
+        assert [h["id"] for h in r.hits] == correct
+        # float range predicate
+        r = s.search(NumericRange("frac", 2.0, 3.3), limit=None)
+        assert sorted(h["id"] for h in r.hits) == ["alfa", "foxtrot", "xray"]
+        # float stored value round-trips
+        assert r.hits[0]["frac"] in fracs.values()

@@ -489,7 +489,10 @@ def KEYWORD(stored=True, lowercase=False, commas=False):
 
 
 def NUMERIC(numtype=int, stored=True):
-    return ("numeric", {"stored": stored})
+    return (
+        "numeric",
+        {"stored": stored, "numtype": "float" if numtype is float else "int"},
+    )
 
 
 def DATETIME(stored=True):
@@ -625,7 +628,9 @@ class Schema:
                     )
                 )
             elif kind == "numeric":
-                specs.append(numeric_field(name))
+                specs.append(
+                    numeric_field(name, numtype=opts.get("numtype", "int"))
+                )
             elif kind == "datetime":
                 specs.append(numeric_field(name, kind="datetime"))
             elif kind == "boolean":
@@ -914,7 +919,10 @@ class Writer:
             for f in schema.fields:
                 vals = [r.get(f.name) for r in self.rows]
                 if f.kind == "numeric":
-                    cols[f.name] = pa.array(vals, pa.int64())
+                    cols[f.name] = pa.array(
+                        vals,
+                        pa.float64() if f.numtype == "float" else pa.int64(),
+                    )
                 elif f.kind == "boolean":
                     cols[f.name] = pa.array(vals, pa.bool_())
                 elif f.kind == "datetime":

@@ -27,6 +27,10 @@ class FieldSpec:
     name: str
     kind: str = "text"  # text | id | keyword | numeric | datetime | boolean
     analyzer: Optional[AnalyzerSpec] = None  # None for columnar fields
+    # numeric storage type: "int" (int64) or "float" (float64) — the
+    # reference's NUMERIC(numtype=...); the columnar evaluator and
+    # sort/facet readers are type-generic
+    numtype: str = "int"
     scorable: bool = False  # record lengths + BM25 length normalization
     stored: bool = True  # returned with hits (fetched from source parquet)
     positions: bool = True  # index positions (needed for phrase queries)
