@@ -531,3 +531,92 @@ def test_numeric_float_sort(ray_session, tmp_path_factory):
         assert sorted(h["id"] for h in r.hits) == ["alfa", "foxtrot", "xray"]
         # float stored value round-trips
         assert r.hits[0]["frac"] in fracs.values()
+
+
+def test_range_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:351-372 (doc lists incl. the None bucket)
+    schema = wrr.Schema(id=wrr.STORED(), price=wrr.NUMERIC())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="0", price=200),
+        dict(id="1", price=100),
+        dict(id="2"),
+        dict(id="3", price=50),
+        dict(id="4", price=500),
+        dict(id="5", price=125),
+    ])
+    with ix.searcher() as s:
+        rf = wrr.RangeFacet("price", 0, 1000, 100)
+        r = s.search(Every(), limit=None, groupedby={"price": rf})
+        assert r.groups("price") == {
+            (0, 100): [3],
+            (100, 200): [1, 5],
+            (200, 300): [0],
+            (500, 600): [4],
+            None: [2],
+        }
+
+
+def test_range_gaps(ray_session, tmp_path_factory):
+    # ref test_sorting.py:375-393 (variable-width gap list)
+    schema = wrr.Schema(id=wrr.STORED(), num=wrr.NUMERIC())
+    ix = _mk(tmp_path_factory, schema,
+             [dict(id=str(i), num=i) for i in range(10)])
+    with ix.searcher() as s:
+        rf = wrr.RangeFacet("num", 0, 1000, [1, 2, 3])
+        r = s.search(Every(), limit=None, groupedby={"num": rf})
+        assert r.groups("num") == {
+            (0, 1): [0],
+            (1, 3): [1, 2],
+            (3, 6): [3, 4, 5],
+            (6, 9): [6, 7, 8],
+            (9, 12): [9],
+        }
+
+
+def test_numeric_field_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:201-221: per-FIELD reverse inside MultiFacet
+    schema = wrr.Schema(id=wrr.STORED(), v1=wrr.NUMERIC(), v2=wrr.NUMERIC())
+    d = str(tmp_path_factory.mktemp("refmf"))
+    ix = wrr.create_in(d, schema)
+    for batch in ([dict(id="1", v1=2, v2=100), dict(id="2", v1=1, v2=50)],
+                  [dict(id="3", v1=2, v2=200), dict(id="4", v1=1, v2=100)],
+                  [dict(id="5", v1=2, v2=50), dict(id="6", v1=1, v2=200)]):
+        w = ix.writer(num_shards=2, partition_rows=64)
+        for r in batch:
+            w.add_document(**r)
+        w.commit(mergetype=wrr.NO_MERGE)
+    with ix.searcher() as s:
+        mf = wrr.MultiFacet().add_field("v1").add_field("v2", reverse=True)
+        r = s.search(Every(), sortedby=mf, limit=None)
+        assert [h["id"] for h in r.hits] == ["6", "4", "2", "3", "1", "5"]
+
+
+def test_sorted_extend_facet(ray_session, tmp_path_factory):
+    # ref test_results.py:135-173 (MultiFacet with reversed field +
+    # ScoreFacet secondary; extend combines two sorted result sets)
+    from itertools import permutations as _perms
+
+    schema = wrr.Schema(
+        title=wrr.TEXT(stored=True), keywords=wrr.TEXT(), num=wrr.NUMERIC(),
+    )
+    domain = "alfa bravo charlie delta echo foxtrot golf hotel india".split()
+    keys = "juliet kilo lima november oskar papa quebec romeo".split()
+    rows, tcount, kcount, combined = [], 0, 0, 0
+    for i, words in enumerate(_perms(domain, 3)):
+        key = keys[i % (len(domain) - 1)]
+        if "bravo" in words:
+            tcount += 1
+        if key == "kilo":
+            kcount += 1
+        if "bravo" in words or key == "kilo":
+            combined += 1
+        rows.append(dict(title=" ".join(words), keywords=key, num=i))
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        facet = wrr.MultiFacet([wrr.FieldFacet("num", reverse=True), wrr.ScoreFacet()])
+        r1 = s.search(Term("title", "bravo"), limit=None, sortedby=facet)
+        r2 = s.search(Term("keywords", "kilo"), limit=None, sortedby=facet)
+        assert len(r1) == tcount
+        assert len(r2) == kcount
+        r1.extend(r2)
+        assert len(r1) == combined

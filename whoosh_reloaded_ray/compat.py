@@ -770,21 +770,28 @@ class Facets:
 
 
 def _sortedby_fields(spec):
-    """Normalize a sortedby spec (str | FieldFacet | MultiFacet | list) to
-    (fieldnames, reverse)."""
+    """Normalize a sortedby spec (str | FieldFacet | MultiFacet | list)
+    to a list of (fieldname, reverse) pairs — per-FIELD reverse, like
+    the reference's FieldFacet(reverse=True) inside a MultiFacet."""
     if isinstance(spec, str):
-        return [spec], False
+        return [(spec, False)]
     if isinstance(spec, FieldFacet):
-        return [spec.fieldname], spec.reverse
+        return [(spec.fieldname, spec.reverse)]
+    if isinstance(spec, ScoreFacet):
+        # score as a SECONDARY sort key degrades to the docnum tiebreak
+        # here (sorted search is unscored); as the primary spec it is
+        # handled upstream (plain scored search)
+        return []
     if isinstance(spec, MultiFacet):
-        return spec.fieldnames(), any(f.reverse for f in spec.facets)
+        out = []
+        for f in spec.facets:
+            out.extend(_sortedby_fields(f))
+        return out
     if isinstance(spec, (list, tuple)):
-        out, rev = [], False
+        out = []
         for s in spec:
-            fs, r = _sortedby_fields(s)
-            out.extend(fs)
-            rev = rev or r
-        return out, rev
+            out.extend(_sortedby_fields(s))
+        return out
     raise TypeError(f"unsupported sortedby spec {spec!r}")
 
 
@@ -1371,8 +1378,8 @@ class CompatSearcher:
                 kw[key] = _docset_query(v)
         stored = [f.name for f in self._schema.fields if f.stored]
         if sortedby is not None and not isinstance(sortedby, ScoreFacet):
-            fields, facet_rev = _sortedby_fields(sortedby)
-            t = self._s.search_sorted(q, fields, limit=limit, reverse=reverse or facet_rev)
+            pairs = _sortedby_fields(sortedby)
+            t = self._s.search_sorted(q, pairs, limit=limit, reverse=reverse)
             docnums = t["docnum"].to_pylist()
             rows = self.stored_fields_many(docnums) if docnums else []
             hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
@@ -1413,6 +1420,12 @@ class CompatSearcher:
         """groupedby spec -> group map: field name(s) via the distributed
         grouped search; Range/DateRange facets via segment-side bucket
         counts ({(lo, hi): n}, the Count map)."""
+        if isinstance(groupedby, dict):
+            # the reference accepts {"name": facet} dicts
+            fs = Facets()
+            for name, f in groupedby.items():
+                fs.add_facet(name, f)
+            groupedby = fs
         if isinstance(groupedby, Facets):
             return {
                 "__facets__": True,
@@ -1426,14 +1439,55 @@ class CompatSearcher:
         if isinstance(groupedby, StoredFieldFacet):
             return self._stored_field_groups(q, groupedby, limit, maptype)
         if isinstance(groupedby, RangeFacet):
-            return self._s.facet_counts_range(
-                q, groupedby.fieldname, groupedby.start, groupedby.end, groupedby.gap
-            )
+            scalar_gap = not isinstance(groupedby.gap, (list, tuple))
+            if maptype == "count" and scalar_gap:
+                # distributed segment-side bucket counts (no match
+                # materialization) — the scale path
+                return self._s.facet_counts_range(
+                    q, groupedby.fieldname, groupedby.start, groupedby.end,
+                    groupedby.gap,
+                )
+            return self._range_facet_groups(q, groupedby, maptype)
         if isinstance(groupedby, FieldFacet):
             groupedby = groupedby.fieldname
         elif isinstance(groupedby, MultiFacet):
             groupedby = groupedby.fieldnames()
         return self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+
+    def _range_facet_groups(self, q, rf: RangeFacet, maptype):
+        """Reference RangeFacet map semantics: doc lists in score order
+        per bucket, variable-width gap lists (last width repeats), a
+        ``None`` bucket for missing/out-of-range values."""
+        res = self._s.search(q, limit=None)
+        docs = res["docnum"].to_pylist()
+        sorted_docs = np.sort(np.array(docs, dtype=np.uint64))
+        vals = self._s._doc_values(rf.fieldname, sorted_docs)
+        val_of = dict(zip(sorted_docs.tolist(), list(vals)))
+        gaps = (
+            list(rf.gap) if isinstance(rf.gap, (list, tuple)) else [rf.gap]
+        )
+        edges = []
+        lo, gi = rf.start, 0
+        while lo < rf.end:
+            g = gaps[min(gi, len(gaps) - 1)]
+            edges.append((lo, lo + g))
+            lo, gi = lo + g, gi + 1
+        groups: dict = {}
+        for d in docs:  # score order
+            v = val_of.get(d)
+            key = None
+            if v is not None and not (isinstance(v, float) and v != v):
+                for a, b in edges:
+                    if a <= v < b:
+                        key = (a, b)
+                        break
+            if maptype == "count":
+                groups[key] = groups.get(key, 0) + 1
+            elif maptype == "best":
+                groups.setdefault(key, d)
+            else:
+                groups.setdefault(key, []).append(d)
+        return groups
 
     def _query_facet_groups(self, q, qf: QueryFacet, maptype):
         """QueryFacet via distributed per-bucket sub-searches with

@@ -42,6 +42,40 @@ _PKG_PARENT = _os.path.dirname(
 )
 
 
+def _sorted_order(docs, cols, fieldlist, flags, reverse, limit):
+    """Composed sort order: per-field descending (``flags``) via
+    dense-rank inversion (stable on any dtype), ascending docnum
+    tiebreak; the global ``reverse`` flips every key including the
+    tiebreak (the reference's whole-key reversal)."""
+    dockey = docs.astype(np.int64)
+    keys = [-dockey if reverse else dockey]
+    for f, flag in zip(reversed(fieldlist), reversed(flags)):
+        v = cols[f]
+        if bool(flag) != bool(reverse):
+            _, inv = np.unique(v, return_inverse=True)
+            keys.append(-inv)
+        else:
+            keys.append(v)
+    order = np.lexsort(keys)
+    return order[:limit] if limit is not None else order
+
+
+def _split_sort_spec(sortedby):
+    """Normalize a sort spec (str | [str | (field, reverse)]) into
+    (fieldlist, per-field reverse flags)."""
+    if isinstance(sortedby, str):
+        sortedby = [sortedby]
+    fields, flags = [], []
+    for s in sortedby:
+        if isinstance(s, tuple):
+            fields.append(s[0])
+            flags.append(bool(s[1]))
+        else:
+            fields.append(s)
+            flags.append(False)
+    return fields, flags
+
+
 class _SegmentWorker:
     """Holds SegmentReaders for a subset of segments (used in-process or as
     the body of a Ray actor)."""
@@ -189,7 +223,7 @@ class _SegmentWorker:
                     out.setdefault(k, []).append((s, d))
         return out
 
-    def sorted_partial(self, q, ctx, fieldlist, limit, reverse) -> dict:
+    def sorted_partial(self, q, ctx, fieldlist, limit, reverse, flags=None) -> dict:
         """Matches ordered by field values, truncated to ``limit`` PER
         WORKER (a valid superset of the worker's contribution to the global
         top-``limit``).  Returns {"docnum": arr, f: values, ...}."""
@@ -205,11 +239,8 @@ class _SegmentWorker:
             f: (np.concatenate(col_l[f]) if col_l[f] else np.empty(0, object))
             for f in fieldlist
         }
-        order = np.lexsort([docs] + [cols[f] for f in reversed(fieldlist)])
-        if reverse:
-            order = order[::-1]
-        if limit is not None:
-            order = order[:limit]
+        flags = flags or [False] * len(fieldlist)
+        order = _sorted_order(docs, cols, fieldlist, flags, reverse, limit)
         return {"docnum": docs[order], **{f: cols[f][order] for f in fieldlist}}
 
     @staticmethod
@@ -1022,20 +1053,17 @@ class IndexSearcher:
         key-reversal).  Distributed: each worker sorts + truncates its own
         matches against its segment columns; the driver merges at most
         n_workers x limit rows."""
-        if isinstance(sortedby, str):
-            sortedby = [sortedby]
+        fieldlist, flags = _split_sort_spec(sortedby)
         q = self._rewrite(q)
         ctx = self._context(q)
-        parts = self._partials("sorted_partial", q, ctx, sortedby, limit, reverse)
+        parts = self._partials(
+            "sorted_partial", q, ctx, fieldlist, limit, reverse, flags
+        )
         docs = np.concatenate([p["docnum"] for p in parts])
-        cols = {f: np.concatenate([p[f] for p in parts]) for f in sortedby}
-        order = np.lexsort([docs] + [cols[f] for f in reversed(sortedby)])
-        if reverse:
-            order = order[::-1]
-        if limit is not None:
-            order = order[:limit]
+        cols = {f: np.concatenate([p[f] for p in parts]) for f in fieldlist}
+        order = _sorted_order(docs, cols, fieldlist, flags, reverse, limit)
         out = {"docnum": pa.array(docs[order], pa.uint64())}
-        for f in sortedby:
+        for f in fieldlist:
             out[f] = pa.array(cols[f][order])
         return pa.table(out)
 
