@@ -620,3 +620,52 @@ def test_sorted_extend_facet(ray_session, tmp_path_factory):
         assert len(r2) == kcount
         r1.extend(r2)
         assert len(r1) == combined
+
+
+def test_missing_field_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:280-293 (docs without the field -> None group)
+    schema = wrr.Schema(id=wrr.STORED(), tag=wrr.ID())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="0", tag="alfa"),
+        dict(id="1", tag="alfa"),
+        dict(id="2"),
+        dict(id="3", tag="bravo"),
+        dict(id="4"),
+    ])
+    with ix.searcher() as s:
+        r = s.search(Every(), limit=None, groupedby="tag")
+        assert r.groups("tag") == {None: [2, 4], "bravo": [3], "alfa": [0, 1]}
+
+
+def test_missing_numeric_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:296-309
+    schema = wrr.Schema(id=wrr.STORED(), tag=wrr.NUMERIC())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="0", tag=1),
+        dict(id="1", tag=1),
+        dict(id="2"),
+        dict(id="3", tag=0),
+        dict(id="4"),
+    ])
+    with ix.searcher() as s:
+        r = s.search(Every(), limit=None, groupedby="tag")
+        assert r.groups("tag") == {None: [2, 4], 0: [3], 1: [0, 1]}
+
+
+def test_date_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:329-349 (datetime group keys, None for missing)
+    from datetime import datetime
+
+    schema = wrr.Schema(id=wrr.STORED(), date=wrr.DATETIME())
+    d1 = datetime(2011, 7, 13)
+    d2 = datetime(1984, 3, 29)
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="0", date=d1),
+        dict(id="1", date=d1),
+        dict(id="2"),
+        dict(id="3", date=d2),
+        dict(id="4"),
+    ])
+    with ix.searcher() as s:
+        r = s.search(Every(), limit=None, groupedby="date")
+        assert r.groups() == {d1: [0, 1], d2: [3], None: [2, 4]}

@@ -86,6 +86,10 @@ class _SegmentWorker:
         if _PKG_PARENT not in sys.path:
             sys.path.insert(0, _PKG_PARENT)
         man = Manifest.from_dict(manifest_dict)
+        self.field_kinds = {
+            f.name: (f.kind, getattr(f, "numtype", "int"))
+            for f in man.schema.fields
+        }
         self.readers = [SegmentReader(index_dir, man.segments[i]) for i in seg_indices]
         # tombstone mask (deleted docs stay in collection stats, exactly
         # like the reference's doc_count_all; they are filtered from every
@@ -165,15 +169,34 @@ class _SegmentWorker:
                 docs, scores = docs[m], scores[m]
             yield r, docs, scores
 
-    @staticmethod
-    def _keys_for(r, docs, fieldlist):
-        cols = [r.column(f)[r.dense_index(docs)] for f in fieldlist]
+    def _keys_for(self, r, docs, fieldlist):
+        cols = [
+            self._norm_group_keys(r.column(f)[r.dense_index(docs)], f)
+            for f in fieldlist
+        ]
         if len(fieldlist) == 1:
             return cols[0]
         return np.fromiter(
             (tuple(vs) for vs in zip(*(c.tolist() for c in cols))),
             dtype=object, count=docs.size,
         )
+
+    def _norm_group_keys(self, vals, field):
+        """Missing values group under None (the reference's missing
+        bucket); an int column whose nulls decayed the numpy array to
+        float recovers int keys."""
+        if getattr(vals, "dtype", None) is None or vals.dtype.kind != "f":
+            return vals
+        kind, numtype = self.field_kinds.get(field, (None, "int"))
+        as_int = kind in ("numeric", "datetime") and numtype == "int"
+        out = np.empty(vals.size, dtype=object)
+        nan = np.isnan(vals)
+        out[nan] = None
+        if as_int:
+            out[~nan] = [int(v) for v in vals[~nan]]
+        else:
+            out[~nan] = [float(v) for v in vals[~nan]]
+        return out
 
     def facet_partial(self, q, ctx, field, mode="count", spec=None) -> dict:
         """mode "count": {value: n}; mode "range": {bucket_index: n} with
