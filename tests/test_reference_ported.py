@@ -669,3 +669,101 @@ def test_date_facet(ray_session, tmp_path_factory):
     with ix.searcher() as s:
         r = s.search(Every(), limit=None, groupedby="date")
         assert r.groups() == {d1: [0, 1], d2: [3], None: [2, 4]}
+
+
+# ---- ported from ref tests/test_highlighting.py ----------------------------
+
+_HLDOC = "alfa bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def test_null_fragment(whoosh):
+    # ref test_highlighting.py:15-24
+    from whoosh_reloaded_ray.query.highlight import (
+        UppercaseFormatter,
+        WholeFragmenter,
+        highlight,
+    )
+
+    htext = highlight(
+        _HLDOC, frozenset(("bravo", "india")), wrr.StandardAnalyzer(),
+        WholeFragmenter(), UppercaseFormatter(),
+    )
+    assert htext == "alfa BRAVO charlie delta echo foxtrot golf hotel INDIA juliet kilo lima"
+
+
+def test_sentence_fragment_ported(whoosh):
+    # ref test_highlighting.py:86-99
+    from whoosh_reloaded_ray.query.highlight import (
+        SentenceFragmenter,
+        UppercaseFormatter,
+        highlight,
+    )
+
+    text = ("This is the first sentence. This one doesn't have the word. "
+            "This sentence is the second. Third sentence here.")
+    htext = highlight(
+        text, ("sentence",), wrr.StandardAnalyzer(stoplist=None),
+        SentenceFragmenter(), UppercaseFormatter(),
+    )
+    assert htext == (
+        "This is the first SENTENCE...This SENTENCE is the second...Third SENTENCE here"
+    )
+
+
+def test_context_fragment_ported(whoosh):
+    # ref test_highlighting.py:102-118
+    from whoosh_reloaded_ray.query.highlight import (
+        ContextFragmenter,
+        UppercaseFormatter,
+        highlight,
+    )
+
+    htext = highlight(
+        _HLDOC, frozenset(("bravo", "india")), wrr.StandardAnalyzer(),
+        ContextFragmenter(surround=6), UppercaseFormatter(),
+    )
+    assert htext == "alfa BRAVO charlie...hotel INDIA juliet"
+
+    htext = highlight(
+        _HLDOC, frozenset(["alfa"]), wrr.StandardAnalyzer(),
+        ContextFragmenter(surround=15), UppercaseFormatter(),
+    )
+    assert htext == "ALFA bravo charlie delta echo foxtrot"
+
+
+def test_html_format_ported(whoosh):
+    # ref test_highlighting.py:120-153
+    from whoosh_reloaded_ray.query.highlight import (
+        ContextFragmenter,
+        HtmlFormatter,
+        WholeFragmenter,
+        highlight,
+    )
+
+    htext = highlight(
+        _HLDOC, frozenset(("bravo", "india")), wrr.StandardAnalyzer(),
+        ContextFragmenter(surround=6), HtmlFormatter(),
+    )
+    assert htext == (
+        'alfa <strong class="match term0">bravo</strong> charlie...'
+        'hotel <strong class="match term1">india</strong> juliet'
+    )
+
+    htext = highlight(
+        'alfa <bravo "charlie"> delta', frozenset(["bravo"]),
+        wrr.StandardAnalyzer(), WholeFragmenter(), HtmlFormatter(),
+    )
+    assert htext == (
+        'alfa &lt;<strong class="match term0">bravo</strong> "charlie"&gt; delta'
+    )
+
+    htext = highlight(
+        _HLDOC, frozenset(("alfa", "bravo", "charlie", "delta", "echo")),
+        wrr.StandardAnalyzer(), ContextFragmenter(surround=6),
+        HtmlFormatter(tagname="b", termclass="t", maxclasses=2),
+    )
+    assert htext == (
+        '<b class="match t0">alfa</b> <b class="match t1">bravo</b> '
+        '<b class="match t0">charlie</b>...<b class="match t1">delta</b> '
+        '<b class="match t0">echo</b> foxtrot'
+    )

@@ -275,6 +275,11 @@ def top_fragments(fragments, count, scorer, order, minscore=1):
 class Formatter:
     between = "..."
 
+    def _text(self, text: str) -> str:
+        """Hook for transforming plain (non-match) text — HtmlFormatter
+        escapes here (reference Formatter._text)."""
+        return text
+
     @staticmethod
     def _token_text(text, token, replace: bool) -> str:
         """replace=True substitutes the token's (corrected) .text for the
@@ -295,10 +300,10 @@ class Formatter:
             if t.startchar < index:
                 continue
             if t.startchar > index:
-                output.append(text[index : t.startchar])
+                output.append(self._text(text[index : t.startchar]))
             output.append(self.format_token(text, t, replace))
             index = t.endchar
-        output.append(text[index : fragment.endchar])
+        output.append(self._text(text[index : fragment.endchar]))
         return "".join(output)
 
     def format(self, fragments) -> str:
@@ -320,26 +325,39 @@ class UppercaseFormatter(Formatter):
 
 class HtmlFormatter(Formatter):
     """``<strong class="match term0">text</strong>`` markup with a stable
-    per-term class index (reference HtmlFormatter defaults)."""
+    per-term class index recycled modulo ``maxclasses``; plain text is
+    HTML-escaped without quote escaping (reference HtmlFormatter)."""
 
-    def __init__(self, tagname="strong", between="...", classname="match", termclass="term"):
+    def __init__(self, tagname="strong", between="...", classname="match",
+                 termclass="term", maxclasses=5, attrquote='"'):
         self.tagname = tagname
         self.between = between
         self.classname = classname
         self.termclass = termclass
+        self.maxclasses = maxclasses
+        self.attrquote = attrquote
         self.seen: dict = {}
 
+    def _text(self, text: str) -> str:
+        import html
+
+        return html.escape(text, quote=False)
+
     def format_token(self, text, token, replace=False):
-        ttxt = self._token_text(text, token, replace)
-        if token.text in self.seen:
-            termnum = self.seen[token.text]
+        ttxt = self._text(self._token_text(text, token, replace))
+        if ttxt in self.seen:
+            termnum = self.seen[ttxt]
         else:
-            termnum = len(self.seen)
-            self.seen[token.text] = termnum
+            termnum = len(self.seen) % self.maxclasses
+            self.seen[ttxt] = termnum
+        q = self.attrquote
         return (
-            f'<{self.tagname} class="{self.classname} {self.termclass}{termnum}">'
-            f"{ttxt}</{self.tagname}>"
+            f'<{self.tagname} class={q}{self.classname} '
+            f'{self.termclass}{termnum}{q}>{ttxt}</{self.tagname}>'
         )
+
+    def clean(self):
+        self.seen = {}
 
 
 # ---- top-level -------------------------------------------------------------
