@@ -767,3 +767,120 @@ def test_html_format_ported(whoosh):
         '<b class="match t0">charlie</b>...<b class="match t1">delta</b> '
         '<b class="match t0">echo</b> foxtrot'
     )
+
+
+# ---- ported from ref tests/test_searching.py -------------------------------
+
+
+def test_phrase_order(ray_session, tmp_path_factory):
+    # ref test_searching.py:637-656
+    from whoosh_reloaded_ray.query import Phrase
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True, analyzer=wrr.SimpleAnalyzer()))
+    rows = [dict(text=" ".join(ls))
+            for ls in permutations(["ape", "bay", "can", "day"], 4)]
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        q = Phrase("text", ["bay", "can", "day"])
+        r = s.search(q, limit=None)
+        assert sorted(d["text"] for d in r.hits) == [
+            "ape bay can day", "bay can day ape",
+        ]
+
+
+def test_phrase_sameword(ray_session, tmp_path_factory):
+    # ref test_searching.py:658-672
+    from whoosh_reloaded_ray.query import Phrase
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", text="The film Linda Linda Linda is good"),
+        dict(id="2", text="The model Linda Evangelista is pretty"),
+    ])
+    with ix.searcher() as s:
+        r = s.search(Phrase("text", ["linda", "linda", "linda"]), limit=None)
+        assert len(r) == 1
+        assert r[0]["id"] == "1"
+
+
+def test_range_parse_and_search(ray_session, tmp_path_factory):
+    # ref test_searching.py:241-291
+    from whoosh_reloaded_ray.query import And, TermRange
+
+    schema = wrr.Schema(id=wrr.ID(stored=True), content=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="A", content="alfa bravo charlie delta echo"),
+        dict(id="B", content="bravo charlie delta echo foxtrot"),
+        dict(id="C", content="charlie delta echo foxtrot golf"),
+        dict(id="D", content="delta echo foxtrot golf hotel"),
+        dict(id="E", content="echo foxtrot golf hotel india"),
+    ])
+    with ix.searcher() as s:
+        q = s.parse("charlie [delta TO foxtrot]", default_field="content") if False \
+            else s.parse("charlie [delta TO foxtrot]")
+        assert isinstance(q, And)
+        assert isinstance(q.subqueries[1], TermRange)
+        tr = q.subqueries[1]
+        assert (tr.start, tr.end, tr.startexcl, tr.endexcl) == (
+            "delta", "foxtrot", False, False)
+        assert sorted(d["id"] for d in s.search(q).hits) == ["A", "B", "C"]
+
+        q = s.parse("foxtrot {echo TO hotel]")
+        tr = q.subqueries[1]
+        assert (tr.start, tr.end, tr.startexcl, tr.endexcl) == (
+            "echo", "hotel", True, False)
+        assert sorted(d["id"] for d in s.search(q).hits) == ["B", "C", "D", "E"]
+
+        q = s.parse("{bravo TO delta}")
+        assert isinstance(q, TermRange)
+        assert (q.start, q.end, q.startexcl, q.endexcl) == (
+            "bravo", "delta", True, True)
+        assert sorted(d["id"] for d in s.search(q).hits) == ["A", "B", "C"]
+
+        q = s.parse("[1 to 10]")
+        assert isinstance(q, TermRange)
+        assert len(s.search(q)) == 0
+
+
+def test_range_clusiveness(ray_session, tmp_path_factory):
+    # ref test_searching.py:294-313
+    from whoosh_reloaded_ray.query import TermRange
+
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [dict(id=c) for c in "abcdefg"])
+    with ix.searcher() as s:
+        def check(startexcl, endexcl, string):
+            q = TermRange("id", "b", "f", startexcl, endexcl)
+            assert "".join(sorted(d["id"] for d in s.search(q).hits)) == string
+
+        check(False, False, "bcdef")
+        check(True, False, "cdef")
+        check(True, True, "cde")
+        check(False, True, "bcde")
+
+
+def test_open_ranges(ray_session, tmp_path_factory):
+    # ref test_searching.py:316-339
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [dict(id=c) for c in "abcdefg"])
+    with ix.searcher() as s:
+        def check(qstring, result):
+            q = s.parse(qstring, )
+            got = "".join(sorted(d["id"] for d in s.search(q, limit=None).hits))
+            assert got == result, (qstring, got, result)
+
+        # our searcher.parse uses the default text field; parse on id
+        from whoosh_reloaded_ray.query.parser import QueryParser
+
+        p = QueryParser("id", s._schema)
+        def check(qstring, result):  # noqa: F811
+            q = p.parse(qstring)
+            got = "".join(sorted(d["id"] for d in s.search(q, limit=None).hits))
+            assert got == result, (qstring, got, result)
+
+        check("[b TO]", "bcdefg")
+        check("[TO e]", "abcde")
+        check("[b TO d]", "bcd")
+        check("{b TO]", "cdefg")
+        check("[TO e}", "abcd")
+        check("{b TO d}", "c")

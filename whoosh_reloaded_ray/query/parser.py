@@ -73,7 +73,11 @@ _TOKEN_RE_REGEX = re.compile(
     re.VERBOSE,
 )
 
-_RANGE_RE = re.compile(r"^([\[{])(.*?)\sTO\s(.*?)([\]}])$", re.DOTALL)
+# TO is case-insensitive and may touch the brackets ("[b TO]",
+# "[TO e]", "[1 to 10]" — reference RangePlugin behaviors)
+_RANGE_RE = re.compile(
+    r"^([\[{])\s*(.*?)\s*\b[Tt][Oo]\b\s*(.*?)\s*([\]}])$", re.DOTALL
+)
 # DateParserPlugin ranges use lowercase 'to' ([today to tomorrow])
 _RANGE_RE_NL = re.compile(r"^([\[{])(.*?)\s[Tt][Oo]\s(.*?)([\]}])$", re.DOTALL)
 
@@ -577,9 +581,18 @@ class QueryParser:
                 startexcl=startexcl,
                 endexcl=endexcl,
             )
-        low = self._analyze(field, lo)[0] if lo else None
-        high = self._analyze(field, hi)[0] if hi else None
-        return ast.TermRange(field, low, high, startexcl=startexcl, endexcl=endexcl)
+        def bound(text):
+            if not text:
+                return None
+            words = self._analyze(field, text)
+            # a bound the analyzer rejects (too short / stopword) keeps
+            # its raw lowercased text, like the reference's unanalyzed
+            # range bounds ("[1 to 10]" -> TermRange('1', '10'))
+            return words[0] if words else text.lower()
+
+        return ast.TermRange(
+            field, bound(lo), bound(hi), startexcl=startexcl, endexcl=endexcl
+        )
 
 
 def _datetime_bounds(text: str):
