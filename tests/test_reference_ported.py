@@ -884,3 +884,103 @@ def test_open_ranges(ray_session, tmp_path_factory):
         check("{b TO]", "cdefg")
         check("[TO e}", "abcd")
         check("{b TO d}", "c")
+
+
+def test_posting_phrase(ray_session, tmp_path_factory):
+    # ref test_searching.py:546-590
+    from whoosh_reloaded_ray.query import Phrase
+
+    schema = wrr.Schema(name=wrr.ID(stored=True), value=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(name="A", value="Little Miss Muffet sat on a tuffet"),
+        dict(name="B", value="Miss Little Muffet tuffet"),
+        dict(name="C", value="Miss Little Muffet tuffet sat"),
+        dict(name="D", value="Gibberish blonk falunk miss muffet sat tuffet garbonzo"),
+        dict(name="E", value="Blah blah blah pancakes"),
+    ])
+    with ix.searcher() as s:
+        def names(r):
+            return sorted(h["name"] for h in r.hits)
+
+        q = Phrase("value", ["little", "miss", "muffet", "sat", "tuffet"])
+        r = s.search(q)
+        assert names(r) == ["A"] and len(r) == 1
+        assert names(s.search(Phrase("value", ["miss", "muffet", "sat", "tuffet"]))) == ["A", "D"]
+        r = s.search(Phrase("value", ["falunk", "gibberish"]))
+        assert not names(r) and len(r) == 0
+        assert names(s.search(Phrase("value", ["gibberish", "falunk"], slop=2))) == ["D"]
+        assert not names(s.search(Phrase("value", ["blah"] * 4)))
+        assert names(s.search(Phrase("value", ["blah"] * 3))) == ["E"]
+
+
+def test_stop_phrase(ray_session, tmp_path_factory):
+    # ref test_searching.py:618-634 (stop words vanish from the parse)
+    from whoosh_reloaded_ray.query import And, Term as _T
+
+    schema = wrr.Schema(title=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        dict(title="Richard of York"),
+        dict(title="Lily the Pink"),
+    ])
+    with ix.searcher() as s:
+        q = s.parse("richard of york")
+        assert q == And([_T("title", "richard"), _T("title", "york")])
+        assert len(s.search(q)) == 1
+        assert len(s.find("title", "lily the pink")) == 1
+
+
+def test_deleted_wildcard(ray_session, tmp_path_factory):
+    # ref test_searching.py:809-831
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema,
+             [dict(id=w) for w in "alfa bravo charlie delta echo foxtrot".split()])
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.delete_by_term("id", "bravo")
+    w.delete_by_term("id", "delta")
+    w.delete_by_term("id", "echo")
+    w.commit()
+    with ix.searcher() as s:
+        r = s.search(Every("id"), limit=None)
+        assert sorted(d["id"] for d in r.hits) == ["alfa", "charlie", "foxtrot"]
+
+
+def test_missing_wildcard(ray_session, tmp_path_factory):
+    # ref test_searching.py:834-856 (Every(field) skips docs missing it)
+    schema = wrr.Schema(id=wrr.ID(stored=True), f1=wrr.TEXT(), f2=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(id="1", f1="alfa", f2="apple"),
+        dict(id="2", f1="bravo"),
+        dict(id="3", f1="charlie", f2="candy"),
+        dict(id="4", f2="donut"),
+        dict(id="5"),
+    ])
+    with ix.searcher() as s:
+        assert sorted(d["id"] for d in s.search(Every("id"), limit=None).hits) == ["1", "2", "3", "4", "5"]
+        assert sorted(d["id"] for d in s.search(Every("f1"), limit=None).hits) == ["1", "2", "3"]
+        assert sorted(d["id"] for d in s.search(Every("f2"), limit=None).hits) == ["1", "3", "4"]
+
+
+def test_search_fieldname_underscores(ray_session, tmp_path_factory):
+    # ref test_searching.py:720-733
+    schema = wrr.Schema(my_name=wrr.ID(stored=True), my_value=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        dict(my_name="Green", my_value="It's not easy being green"),
+        dict(my_name="Red", my_value="Hopping mad like a playground ball"),
+    ])
+    with ix.searcher() as s:
+        from whoosh_reloaded_ray.query.parser import QueryParser
+
+        r = s.search(QueryParser("my_value", s._schema).parse("my_name:Green"))
+        assert r[0]["my_name"] == "Green"
+
+
+def test_short_prefix(whoosh):
+    # ref test_searching.py:736-741
+    from whoosh_reloaded_ray.query import Prefix
+    from whoosh_reloaded_ray.query.parser import QueryParser
+    from whoosh_reloaded_ray.schema import IndexSchema, id_field, text_field
+
+    p = QueryParser("value", IndexSchema(fields=[id_field("name"), text_field("value")]))
+    q = p.parse("s*")
+    assert isinstance(q, Prefix)
+    assert q.text == "s"
