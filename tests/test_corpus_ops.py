@@ -426,3 +426,30 @@ def test_hnsw_graph_single_shard_recall():
         got = {li for _, li in g.search(q, 10, ef=64)}
         recalls.append(len(exact & got) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_lazy_collect_false_writes_parquet(ray_session, tmp_path, con):
+    """collect=False returns a LAZY Dataset for every O(N)-output per-doc
+    op; drive one end-to-end to partitioned parquet with no driver concat
+    and verify the parquet contents equal the collected gate result."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    for fn in (
+        co.simhash_fingerprints,
+        co.text_stats,
+        co.fingerprint_docs,
+        co.lang_id,
+        co.filter_quality,
+        co.winnow_fingerprints,
+    ):
+        lazy = fn(SF, collect=False)
+        assert isinstance(lazy, ray.data.Dataset), fn.__name__
+
+    out = str(tmp_path / "text_stats_out")
+    co.text_stats(SF, collect=False).write_parquet(out)
+    written = pq.read_table(out).sort_by("doc_id")
+    collected = co.text_stats(SF)
+    assert written.equals(collected.select(written.column_names).sort_by("doc_id"))

@@ -242,3 +242,33 @@ def test_dynamic_glob_fields(ray_session, tmp_path):
     assert "other_col" not in s.manifest.schema.by_name
     assert s.search(Term("meta_tags", "urgent"), limit=None).num_rows == 1
     assert s.search(Term("meta_notes", "quickly"), limit=None).num_rows == 1
+
+
+def test_update_no_driver_key_scan(idx, corpus, ray_session, tmp_path, monkeypatch):
+    """update_documents must never materialize segment key columns on the
+    driver: the key match is a broadcast semi-join inside Ray tasks.  Any
+    driver-side SegmentReader.column() here is the O(corpus) anti-pattern."""
+    from whoosh_reloaded_ray.query import exec as qexec
+
+    src = pq.read_table(corpus)
+    n = 30
+    upd = src.slice(0, n)
+    upd = upd.set_column(
+        upd.schema.get_field_index("text"), "text", pa.array(["nodriverscan row"] * n)
+    )
+    upd_path = str(tmp_path / "upd_noscan.parquet")
+    pq.write_table(upd, upd_path)
+
+    def boom(self, field):  # Ray tasks run in worker processes, unaffected
+        raise AssertionError("driver-side SegmentReader.column() during update")
+
+    monkeypatch.setattr(qexec.SegmentReader, "column", boom)
+    write_ops.update_documents(idx, upd_path, unique_fields=("conv_id", "turn_idx"))
+
+    s = IndexSearcher(idx)
+    assert s.search(Term("text", "nodriverscan"), limit=None).num_rows == n
+    # single-field path too (conv_id alone matches every turn of those convs)
+    upd2 = src.slice(60, 10)
+    upd2_path = str(tmp_path / "upd_noscan2.parquet")
+    pq.write_table(upd2, upd2_path)
+    write_ops.update_documents(idx, upd2_path, unique_fields=("conv_id",))

@@ -125,6 +125,30 @@ def polyhash64(arr) -> np.ndarray:
     return out
 
 
+def composite_key_hash(tbl: pa.Table, fields) -> np.ndarray:
+    """Vectorized uint64 hash of a composite key tuple: one column-wise
+    pass (polyhash64 for strings, splitmix64 for integers), order-dependent
+    combine.  Used for broadcast semi-joins on unique-key tuples (e.g.
+    ``update_documents``); candidates should be exact-verified by the
+    caller since 64-bit hashes can collide."""
+    h = np.zeros(tbl.num_rows, np.uint64)
+    for f in fields:
+        col = tbl[f]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            hf = polyhash64(col)
+        elif pa.types.is_integer(t):
+            hf = mix64(col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+        else:  # timestamps, bools, floats: hash the canonical string form
+            hf = polyhash64(col.cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = h * _POLY_BASE + hf
+            h = mix64(h)
+    return h
+
+
 def mix64(keys: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer: decorrelates low bits of structured int keys
     (sequential doc_ids, small-range hashes) before the ``% P``."""

@@ -69,6 +69,17 @@ def _read_documents(sf_dir: str, columns):
     )
 
 
+def _collect_sorted(ds, sort_keys, collect: bool):
+    """Gate-contract helper for O(N)-output per-doc ops: ``collect=True``
+    materializes + sorts for the driver's hash compare (fine at test
+    scale); ``collect=False`` returns the LAZY Dataset so callers
+    ``write_parquet`` it without any driver concat — the 100 TB path."""
+    if not collect:
+        return ds
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    return t.sort_by(sort_keys)
+
+
 def _shingles(text: str, k: int = 3) -> list:
     """Word k-shingles over ``lower().split(' ')`` — mirrors the SQL oracle's
     ``string_split(lower(text), ' ')`` exactly."""
@@ -872,7 +883,7 @@ QF_MAX_MEAN_WLEN = 12.0
 QF_MAX_SYMBOL_RATIO = 0.3
 
 
-def filter_quality(sf_dir: str) -> pa.Table:
+def filter_quality(sf_dir: str, collect: bool = True):
     """Documents passing the quality rules, with per-rule flags —
     Gopher-style heuristic filtering (Rae et al. 2021 §A1.1: word-count
     bounds, mean-word-length bounds, symbol-to-word ratio), vectorized
@@ -917,12 +928,8 @@ def filter_quality(sf_dir: str) -> pa.Table:
             }
         )
 
-    t = pa.concat_tables(
-        ds.map_batches(rules, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return t.sort_by("doc_id")
+    out = ds.map_batches(rules, batch_format="pyarrow")
+    return _collect_sorted(out, "doc_id", collect)
 
 
 def oracle_filter_quality() -> str:
@@ -1056,14 +1063,10 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_fingerprints(sf_dir: str) -> pa.Table:
+def simhash_fingerprints(sf_dir: str, collect: bool = True):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    t = pa.concat_tables(
-        ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=512).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return t.sort_by("doc_id")
+    out = ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=512)
+    return _collect_sorted(out, "doc_id", collect)
 
 
 def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
@@ -1239,18 +1242,14 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def text_stats(sf_dir: str) -> pa.Table:
+def text_stats(sf_dir: str, collect: bool = True):
     """Per-doc: whitespace token count, regex (BPE-ish) token count, mean
     word length, stopword ratio, quality score — all vectorized per batch
     (Arrow split/length/is_in kernels + np.add.reduceat over the flattened
     word list), SQL-parity formulas."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    t = pa.concat_tables(
-        ds.map_batches(text_stats_batch, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return t.sort_by("doc_id")
+    out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    return _collect_sorted(out, "doc_id", collect)
 
 
 def oracle_text_stats() -> str:
@@ -1272,7 +1271,7 @@ FROM s ORDER BY doc_id
 """
 
 
-def fingerprint_docs(sf_dir: str) -> pa.Table:
+def fingerprint_docs(sf_dir: str, collect: bool = True):
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowered text (the cross-system-stable exact-dedup key)."""
     import re
@@ -1287,12 +1286,8 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
         ]
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out)})
 
-    t = pa.concat_tables(
-        ds.map_batches(fp, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return t.sort_by("doc_id")
+    out_ds = ds.map_batches(fp, batch_format="pyarrow")
+    return _collect_sorted(out_ds, "doc_id", collect)
 
 
 def oracle_fingerprint_docs() -> str:
@@ -1303,7 +1298,7 @@ FROM documents ORDER BY doc_id
 """
 
 
-def lang_id(sf_dir: str) -> pa.Table:
+def lang_id(sf_dir: str, collect: bool = True):
     """Stopword-profile language ID over the reference's 14 per-language
     stoplists (lang/stopwords data; the classic stopword-frequency
     method): score = count of tokens in each language's stoplist,
@@ -1341,12 +1336,8 @@ def lang_id(sf_dir: str) -> pa.Table:
             }
         )
 
-    t = pa.concat_tables(
-        ds.map_batches(predict, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    return t.sort_by("doc_id")
+    out = ds.map_batches(predict, batch_format="pyarrow")
+    return _collect_sorted(out, "doc_id", collect)
 
 
 def oracle_lang_id() -> str:
@@ -1379,7 +1370,7 @@ WINNOW_B = 31      # polynomial base
 WINNOW_M = 2_147_483_647  # modulus (2^31 - 1)
 
 
-def winnow_fingerprints(sf_dir: str) -> pa.Table:
+def winnow_fingerprints(sf_dir: str, collect: bool = True):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
     polynomial rolling hashes of the lowered text's char k-grams, then the
     minimum hash of each sliding window of ``WINNOW_W`` hashes; the
@@ -1387,10 +1378,9 @@ def winnow_fingerprints(sf_dir: str) -> pa.Table:
     picks a position, not a value, so the value set is rule-independent).
     Texts yielding fewer than W hashes contribute their single overall
     minimum.  Exploded (doc_id, fp) rows, sorted."""
-    t = pa.concat_tables(
-        _winnow_ds(sf_dir).iter_batches(batch_format="pyarrow", batch_size=None)
+    return _collect_sorted(
+        _winnow_ds(sf_dir), [("doc_id", "ascending"), ("fp", "ascending")], collect
     )
-    return t.sort_by([("doc_id", "ascending"), ("fp", "ascending")])
 
 
 def _winnow_ds(sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W):

@@ -119,39 +119,70 @@ def append_documents(index_dir: str, source_paths, **build_kwargs) -> Manifest:
     return manifest
 
 
+def _partition_key_matches(part, unique_fields, incoming) -> np.ndarray:
+    """Inside one Ray task: read ONLY the key columns of one source
+    partition, hash-match against the broadcast incoming keys (vectorized
+    composite hash), exact-verify the (small) candidate set against the
+    incoming key tuples, and return the matching docnums."""
+    from ..functions.partition import composite_key_hash
+    from ..sources.corpus import read_partition
+
+    tbl = read_partition(part, columns=list(unique_fields))
+    h = composite_key_hash(tbl, unique_fields)
+    mask = np.isin(h, incoming["hashes"])
+    if not mask.any():
+        return np.empty(0, np.uint64)
+    cand_idx = np.flatnonzero(mask)
+    docs = (np.uint64(part.base) + cand_idx.astype(np.uint64))
+    # collision guard: exact tuple check on candidates only (|candidates|
+    # ~ |incoming ∩ partition|, tiny next to the partition)
+    inc_tbl: pa.Table = incoming["table"]
+    inc_keys = set(zip(*[inc_tbl[f].to_pylist() for f in unique_fields]))
+    cand = tbl.take(pa.array(cand_idx))
+    keep = np.fromiter(
+        (k in inc_keys for k in zip(*[cand[f].to_pylist() for f in unique_fields])),
+        dtype=bool,
+        count=cand_idx.size,
+    )
+    return docs[keep]
+
+
 def update_documents(
     index_dir: str, source_path: str, unique_fields=("conv_id", "turn_idx"), **build_kwargs
 ) -> Manifest:
     """Replace docs whose unique-key tuple matches an incoming row, then
     append the incoming rows (reference update_document semantics:
-    delete-by-unique-terms then add, writing.py:439-502)."""
-    s = IndexSearcher(index_dir)
+    delete-by-unique-terms then add, writing.py:439-502).
+
+    The delete side is a DISTRIBUTED broadcast semi-join: the incoming key
+    tuples are hashed once and ``ray.put`` once; one Ray task per source
+    partition reads only that partition's key columns, masks vectorized,
+    and returns matching docnums.  The driver never materializes a
+    segment's key columns (at 10^12 turns that read is the whole corpus)."""
+    import ray
+
+    from ..functions.partition import composite_key_hash
+
+    manifest = load_manifest(index_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest in {index_dir}")
     incoming = pq.read_table(source_path, columns=list(unique_fields))
-    # ONE pass over the index's key columns per segment (broadcast hash
-    # join: incoming keys -> set, segment key columns -> vectorized /
-    # hashed membership) instead of one full query per incoming row
-    to_delete = []
-    if incoming.num_rows:
-        if len(unique_fields) == 1:
-            f = unique_fields[0]
-            inc_vals = np.asarray(incoming[f].to_numpy(zero_copy_only=False))
-            for r in s.local.readers:
-                mask = np.isin(r.column(f), inc_vals)
-                to_delete.append(r.all_docnums()[mask])
-        else:
-            inc_keys = set(
-                zip(*[incoming[f].to_numpy(zero_copy_only=False).tolist()
-                      for f in unique_fields])
-            )
-            for r in s.local.readers:
-                cols = [r.column(f).tolist() for f in unique_fields]
-                docs = r.all_docnums()
-                mask = np.fromiter(
-                    (k in inc_keys for k in zip(*cols)), dtype=bool, count=docs.size
-                )
-                to_delete.append(docs[mask])
-    dels = np.concatenate(to_delete) if to_delete else np.empty(0, np.uint64)
-    manifest = s.manifest
+    dels = np.empty(0, np.uint64)
+    if incoming.num_rows and manifest.segments:
+        payload_ref = ray.put(
+            {
+                "hashes": np.unique(composite_key_hash(incoming, unique_fields)),
+                "table": incoming,
+            }
+        )
+        task = ray.remote(num_cpus=1)(_partition_key_matches)
+        futs = [
+            task.remote(p, tuple(unique_fields), payload_ref)
+            for seg in manifest.segments
+            for p in seg.partitions
+        ]
+        parts = ray.get(futs)
+        dels = np.concatenate(parts) if parts else dels
     if dels.size:
         manifest = _write_tombstones(index_dir, manifest, dels.astype(np.uint64))
     return append_documents(index_dir, source_path, **build_kwargs)
