@@ -21,6 +21,23 @@ import numpy as np
 import pyarrow as pa
 
 
+def _emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy list<float> embedding column -> (n, dim) matrix: flatten
+    the ListArray values buffer and reshape — no per-row Python conversion
+    (``to_pylist`` costs one PyObject per float; on a 768-dim batch that
+    dwarfs the matmul it feeds)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    assert flat.size % n == 0, "ragged embedding column"
+    return np.asarray(flat, dtype=dtype).reshape(n, flat.size // n)
+
+
 def _read_embeddings(sf_dir: str, columns=None):
     import ray.data
 
@@ -35,20 +52,36 @@ def _read_embeddings(sf_dir: str, columns=None):
 def _query_matrix(sf_dir: str, n_queries: int):
     """The benchmark query set = the ``n_queries`` smallest vec_ids.
 
-    Pruned reads only: the id column scan finds the smallest ids (parquet
-    row-group min stats prune it at scale), then a filtered read fetches
-    just those embeddings — never the full table.  (In a real deployment
+    Pruned reads only: row-group MIN statistics select the (usually one)
+    row group that can contain the n smallest ids — the driver reads only
+    those row groups' id column, never the full id column — then a
+    filtered read fetches just those embeddings.  (In a real deployment
     the query set is an input, not derived from the corpus.)"""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
-    qids = np.sort(ids)[:n_queries].tolist()
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    leaf = next(
+        i
+        for i in range(md.num_columns)
+        if md.schema.column(i).path.split(".")[0] == "vec_id"
+    )
+    rg_mins = sorted(
+        (md.row_group(i).column(leaf).statistics.min, i)
+        for i in range(md.num_row_groups)
+    )
+    got = np.empty(0, dtype=np.int64)
+    for mn, i in rg_mins:
+        if got.size >= n_queries and mn > np.partition(got, n_queries - 1)[n_queries - 1]:
+            break
+        ids = pf.read_row_group(i, columns=["vec_id"])["vec_id"].to_numpy()
+        got = np.concatenate([got, ids])
+    qids = np.sort(got)[:n_queries].tolist()
     t = pq.read_table(
         path, columns=["vec_id", "embedding"], filters=[("vec_id", "in", qids)]
     ).sort_by("vec_id")
-    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    return qids, Q
+    return qids, _emb_matrix(t["embedding"])
 
 
 def ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
@@ -66,7 +99,7 @@ def ann_cosine_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_, Qn_ = ray.get(q_ref)
         ids = batch["vec_id"].to_numpy()
-        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        X = _emb_matrix(batch["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         S = Qn_ @ Xn.T  # (nq, batch)
         out_q, out_v, out_s = [], [], []
@@ -150,15 +183,15 @@ def neardup_embedding_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
     full = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).sort_by("vec_id")
-    all_ids = np.array(full["vec_id"].to_pylist())
-    X = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    all_ids = full["vec_id"].to_numpy()
+    X = _emb_matrix(full["embedding"])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     m_ref = ray.put((all_ids, Xn))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_, Xn_ = ray.get(m_ref)
         bids = batch["vec_id"].to_numpy()
-        B = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        B = _emb_matrix(batch["embedding"])
         Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
         S = Bn @ Xn_.T
         a_out, b_out, s_out = [], [], []
@@ -429,7 +462,7 @@ def ann_ivf_topk(
     def scored(batch: pa.Table) -> pa.Table:
         qids_, Qn_, C_, probe_ = ray.get(bcast)
         ids = batch["vec_id"].to_numpy()
-        X_ = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        X_ = _emb_matrix(batch["embedding"])
         Xn_ = X_ / np.linalg.norm(X_, axis=1, keepdims=True)
         assign = np.argmax(Xn_ @ C_.T, axis=1)
         out_q, out_v, out_s = [], [], []
@@ -542,7 +575,7 @@ def ann_pq_topk(
     def scored(batch: pa.Table) -> pa.Table:
         qids_, tables_, books_, Qn_ = ray.get(bcast)
         ids = batch["vec_id"].to_numpy()
-        X_ = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        X_ = _emb_matrix(batch["embedding"])
         Xn_ = X_ / np.linalg.norm(X_, axis=1, keepdims=True)
         nb, msub, dsub = len(Xn_), books_.shape[0], books_.shape[2]
         subs = Xn_.reshape(nb, msub, dsub)
@@ -719,7 +752,7 @@ def ann_hnsw_topk(
     def shard_topk(batch: pa.Table) -> pa.Table:
         qids_, Qn_ = ray.get(bcast)
         ids = batch["vec_id"].to_numpy()
-        X = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        X = _emb_matrix(batch["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         g = _HnswGraph(M=M, ef_construction=ef_construction, seed=7)
         g.build(Xn)
