@@ -984,3 +984,80 @@ def test_short_prefix(whoosh):
     q = p.parse("s*")
     assert isinstance(q, Prefix)
     assert q.text == "s"
+
+
+def test_translate_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:709-757 (test_translate)
+    domain = [
+        ("alfa", 100, 50), ("bravo", 20, 80), ("charlie", 10, 10),
+        ("delta", 82, 39), ("echo", 20, 73), ("foxtrot", 81, 59),
+        ("golf", 39, 93), ("hotel", 57, 48), ("india", 84, 75),
+    ]
+    schema = wrr.Schema(
+        name=wrr.TEXT(stored=True), a=wrr.NUMERIC(stored=True),
+        b=wrr.NUMERIC(stored=True),
+    )
+    ix = _mk(tmp_path_factory, schema, [dict(name=n, a=a, b=b) for n, a, b in domain])
+    with ix.searcher() as s:
+        r = s.search(Every(), sortedby="a")
+        assert (
+            " ".join(h["name"] for h in r)
+            == "charlie bravo echo golf hotel foxtrot delta india alfa"
+        )
+
+        # sort by reversed name
+        target = [x[0] for x in sorted(domain, key=lambda x: x[0][::-1])]
+        tf = wrr.TranslateFacet(lambda name: name[::-1], wrr.FieldFacet("name"))
+        r = s.search(Every(), sortedby=tf)
+        assert [h["name"] for h in r] == target
+
+        # sort by average of a and b
+        def avg(a, b):
+            return (a + b) / 2
+
+        target = [x[0] for x in sorted(domain, key=lambda x: (x[1] + x[2]) / 2)]
+        tf = wrr.TranslateFacet(avg, wrr.FieldFacet("a"), wrr.FieldFacet("b"))
+        r = s.search(Every(), sortedby=tf)
+        assert [h["name"] for h in r] == target
+
+
+def test_function_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:170-199 (test_function_facet): sort by a custom
+    # fn over per-doc term frequencies; top hits must balance alfa/bravo
+    schema = wrr.Schema(id=wrr.NUMERIC(stored=True), text=wrr.TEXT(stored=True))
+    domain = ("alfa", "bravo", "charlie")
+    rows, count = [], 1
+    for w1 in domain:
+        for w2 in domain:
+            for w3 in domain:
+                for w4 in domain:
+                    rows.append(dict(id=count, text=" ".join((w1, w2, w3, w4))))
+                    count += 1
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        from whoosh_reloaded_ray.query import And
+
+        q = And([Term("text", "alfa"), Term("text", "bravo")])
+
+        def fn(searcher, docnum):
+            v = dict(searcher.vector(docnum, "text"))
+            return 0 - (1.0 / (abs(v.get("alfa", 0) - v.get("bravo", 0)) + 1.0))
+
+        r = s.search(q, sortedby=wrr.FunctionFacet(fn))
+        texts = [hit["text"] for hit in r]
+        assert texts, "no hits"
+        for t in texts[:10]:
+            tks = t.split()
+            assert tks.count("alfa") == tks.count("bravo"), t
+
+
+def test_translate_facet_groupedby(ray_session, tmp_path_factory):
+    # groupedby=TranslateFacet: bucket by a derived key (a // 50)
+    domain = [("alfa", 100), ("bravo", 20), ("charlie", 10), ("delta", 82),
+              ("echo", 20), ("foxtrot", 81)]
+    schema = wrr.Schema(name=wrr.TEXT(stored=True), a=wrr.NUMERIC(stored=True))
+    ix = _mk(tmp_path_factory, schema, [dict(name=n, a=a) for n, a in domain])
+    with ix.searcher() as s:
+        tf = wrr.TranslateFacet(lambda a: a // 50, wrr.FieldFacet("a"))
+        groups = s.search(Every(), limit=None, groupedby=tf, maptype="count")
+        assert groups.groups() == {2: 1, 0: 3, 1: 2}

@@ -406,6 +406,32 @@ class DoubleMetaphoneFilter(_PostFilter):
         return (("combine", self.combine),)
 
 
+class DelimitedAttributeFilter(_PostFilter):
+    """Trailing ``^value`` payload -> per-token boost (reference
+    DelimitedAttributeFilter, filters.py:419-482).  Term weight becomes
+    the summed token boost; with ``FieldSpec(boosts=True)`` the
+    per-position boosts are stored as a posting payload (reference
+    PositionBoosts/CharacterBoosts formats) and readable via
+    ``searcher.position_boosts(docnum, field, term)``."""
+
+    name = "delimited_attribute"
+
+    def __init__(self, delimiter="^", attribute="boost", default=1.0, type=float):
+        if attribute != "boost":
+            raise ValueError("only the boost attribute is supported")
+        self.delimiter = delimiter
+        self.default = default
+        self.type = type
+
+    def _kwargs(self):
+        typ_name = {float: "float", int: "int", str: "str"}.get(self.type, "float")
+        return (
+            ("delimiter", self.delimiter),
+            ("default", self.default),
+            ("typ", typ_name),
+        )
+
+
 class PassFilter(_AnalysisComponent):
     def _apply(self, spec):
         return spec
@@ -467,7 +493,8 @@ def _coerce_analyzer(analyzer):
 # ---- field constructors (reference fields.py surface) ----------------------
 
 
-def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False):
+def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False,
+         chars=False, boosts=False):
     return (
         "text",
         {
@@ -476,6 +503,8 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
             "positions": phrase,
             "field_boost": field_boost,
             "spelling": spelling,
+            "chars": chars,
+            "boosts": boosts,
         },
     )
 
@@ -610,6 +639,8 @@ class Schema:
                         positions=opts.get("positions", True),
                         boost=opts.get("field_boost", 1.0),
                         spelling=opts.get("spelling", False),
+                        chars=opts.get("chars", False),
+                        boosts=opts.get("boosts", False),
                     )
                 )
             elif kind == "id":
@@ -682,6 +713,31 @@ class FieldFacet:
 class ScoreFacet:
     """Sort by score (reference sorting.ScoreFacet) — the default search
     order; as a sortedby spec it simply means 'scored order'."""
+
+
+class FunctionFacet:
+    """Arbitrary key function ``fn(searcher, docnum)`` (reference
+    sorting.FunctionFacet, sorting.py:593-628).  The function closes over
+    the GLOBAL searcher object, so keys are computed on the driver over
+    the match set — the same single-process categorizer semantics as the
+    reference; for a distributable custom key use :class:`TranslateFacet`
+    over field facets (column-backed)."""
+
+    def __init__(self, fn, maptype=None):
+        self.fn = fn
+        self.maptype = maptype
+
+
+class TranslateFacet:
+    """Apply ``fn`` to the key(s) produced by one or more wrapped facets
+    (reference sorting.TranslateFacet, sorting.py:631-686).  Wrapped
+    FieldFacet keys come from distributed segment column reads; ``fn``
+    runs on the driver over the match-aligned key vectors."""
+
+    def __init__(self, fn, *facets):
+        self.fn = fn
+        self.facets = facets
+        self.maptype = None
 
 
 class MultiFacet:
@@ -1377,6 +1433,10 @@ class CompatSearcher:
             elif isinstance(v, (set, frozenset, list)):
                 kw[key] = _docset_query(v)
         stored = [f.name for f in self._schema.fields if f.stored]
+        if isinstance(sortedby, (FunctionFacet, TranslateFacet)):
+            return self._search_sorted_by_keys(
+                q, sortedby, limit, reverse, groupedby, maptype
+            )
         if sortedby is not None and not isinstance(sortedby, ScoreFacet):
             pairs = _sortedby_fields(sortedby)
             t = self._s.search_sorted(q, pairs, limit=limit, reverse=reverse)
@@ -1416,6 +1476,67 @@ class CompatSearcher:
             res, stored, q, terms, truncated=limit is not None
         )
 
+    def _facet_keys(self, facet, sorted_docs) -> list:
+        """Key per doc (aligned to ``sorted_docs``) for the Python-key
+        facet family (Function/Translate and whatever they wrap)."""
+        if isinstance(facet, FieldFacet):
+            return self._s._doc_values(facet.fieldname, sorted_docs).tolist()
+        if isinstance(facet, FunctionFacet):
+            return [facet.fn(self, int(d)) for d in sorted_docs]
+        if isinstance(facet, TranslateFacet):
+            cols = [self._facet_keys(f, sorted_docs) for f in facet.facets]
+            return [facet.fn(*vals) for vals in zip(*cols)]
+        if isinstance(facet, MultiFacet):
+            cols = [self._facet_keys(f, sorted_docs) for f in facet.facets]
+            return list(zip(*cols))
+        raise TypeError(f"unsupported facet for key computation: {facet!r}")
+
+    def _search_sorted_by_keys(self, q, facet, limit, reverse, groupedby, maptype):
+        """``sortedby=FunctionFacet/TranslateFacet``: Python key callables
+        can't ship to segment workers, so the driver orders the full match
+        docnum set by computed keys — the reference's categorizer is
+        equally single-process (sorting.py:593-686).  The match set and
+        any wrapped-FieldFacet key columns still come from the distributed
+        search; only the final keyed sort is driver-side."""
+        res = self._s.search(q, limit=None)
+        docs = np.sort(res["docnum"].to_numpy())
+        keys = self._facet_keys(facet, docs)
+        order = sorted(
+            range(docs.size),
+            key=lambda i: (keys[i], int(docs[i])),
+            reverse=reverse,
+        )
+        if limit is not None:
+            order = order[:limit]
+        docnums = [int(docs[i]) for i in order]
+        rows = self.stored_fields_many(docnums) if docnums else []
+        hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
+        out = Results(hits, res.num_rows)
+        out._searcher, out._q = self._s, q
+        for h in hits:
+            h._searcher, h._q, h._results = self._s, q, out
+        if groupedby is not None:
+            out._groups = self._groups_for(q, groupedby, limit, maptype)
+        return out
+
+    def _function_facet_groups(self, q, facet, limit, maptype):
+        """groupedby=FunctionFacet/TranslateFacet: keys per collected doc
+        (score order), grouped per the map type."""
+        res = self._s.search(q, limit=limit)
+        docs = res["docnum"].to_numpy()
+        sorted_docs = np.sort(docs)
+        keys = dict(zip(sorted_docs.tolist(), self._facet_keys(facet, sorted_docs)))
+        groups: dict = {}
+        for d in docs.tolist():  # score order
+            k = keys[d]
+            if maptype == "count":
+                groups[k] = groups.get(k, 0) + 1
+            elif maptype == "best":
+                groups.setdefault(k, d)
+            else:
+                groups.setdefault(k, []).append(d)
+        return groups
+
     def _groups_for(self, q, groupedby, limit, maptype):
         """groupedby spec -> group map: field name(s) via the distributed
         grouped search; Range/DateRange facets via segment-side bucket
@@ -1434,6 +1555,8 @@ class CompatSearcher:
                     for name, f in groupedby.items()
                 },
             }
+        if isinstance(groupedby, (FunctionFacet, TranslateFacet)):
+            return self._function_facet_groups(q, groupedby, limit, maptype)
         if isinstance(groupedby, QueryFacet):
             return self._query_facet_groups(q, groupedby, maptype)
         if isinstance(groupedby, StoredFieldFacet):
@@ -1736,6 +1859,7 @@ def _add_searcher_passthroughs():
         "search_collapsed",
         "more_like",
         "vector",
+        "position_boosts",
         "search_with_collector",
         "parent_search",
         "spelling_fieldname",

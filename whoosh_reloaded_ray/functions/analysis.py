@@ -255,6 +255,9 @@ def _post_filter_registry():
         "shingle": shingle_filter,
         "compound": compound_word_filter,
         "dmetaphone": dmetaphone_filter,
+        # emits (text, pos, boost) 3-tuples — keep it LAST in a chain
+        # (reference DelimitedAttributeFilter, filters.py:419-482)
+        "delimited_attribute": delimited_attribute_filter,
     }
 
 
@@ -337,6 +340,10 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
                 res = [(stem(t), p) for (t, p) in res]
             if post is not None:
                 res = post(res)
+                if mode == "query" and res and len(res[0]) == 3:
+                    # delimited-attribute boosts are an index-time payload;
+                    # the query parser consumes plain (term, pos) pairs
+                    res = [(t, p) for (t, p, _b) in res]
             return res
 
         return analyze
@@ -412,7 +419,11 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
             if cmap is not None:
                 toks = [t.translate(cmap) for t in toks]
             res = list(zip(toks, range(len(toks))))
-            return post(res) if post is not None else res
+            if post is not None:
+                res = post(res)
+                if mode == "query" and res and len(res[0]) == 3:
+                    res = [(t, p) for (t, p, _b) in res]
+            return res
 
         return analyze_kw
 
@@ -900,9 +911,18 @@ def substitution_filter(tokens, pattern, replacement):
     return [(pat.sub(replacement, t), p) for t, p in tokens]
 
 
+def resolve_delim_typ(typ):
+    """Payload type for delimited_attribute_filter: accepts the callable
+    or its serializable name (specs ship to Ray workers as JSON)."""
+    if isinstance(typ, str):
+        return {"float": float, "int": int, "str": str}[typ]
+    return typ
+
+
 def delimited_attribute_filter(tokens, delimiter="^", default=1.0, typ=float):
     """Split a trailing ``^value`` payload off each token (reference
     DelimitedAttributeFilter); returns [(text, pos, value)]."""
+    typ = resolve_delim_typ(typ)
     out = []
     for t, p in tokens:
         i = t.find(delimiter)

@@ -49,11 +49,12 @@ class PostingList:
     __slots__ = (
         "docs", "weights", "len_bytes", "block_starts", "pos_blobs",
         "block_counts", "_pos_cache", "chars_blobs", "_chars_cache",
+        "boosts_blobs", "_boosts_cache",
     )
 
     def __init__(
         self, docs, weights, len_bytes, block_starts, block_counts,
-        pos_blobs=None, chars_blobs=None,
+        pos_blobs=None, chars_blobs=None, boosts_blobs=None,
     ):
         self.docs = docs  # uint64 sorted
         self.weights = weights  # float64
@@ -62,8 +63,10 @@ class PostingList:
         self.block_counts = block_counts
         self.pos_blobs = pos_blobs  # list[bytes] per block (when requested)
         self.chars_blobs = chars_blobs  # list[bytes] per block (when requested)
+        self.boosts_blobs = boosts_blobs  # list[bytes] per block (when requested)
         self._pos_cache: dict = {}
         self._chars_cache: dict = {}
+        self._boosts_cache: dict = {}
 
     def _block_positions(self, b: int):
         """Decode one block's interleaved (count, deltas...) stream ONCE,
@@ -114,6 +117,36 @@ class PostingList:
         i = int(starts[k])
         cnt = int(vals[i])
         return np.cumsum(vals[i + 1 : i + 1 + 2 * cnt], dtype=np.uint64).reshape(cnt, 2)
+
+    def position_boosts_for(self, posting_idx: int) -> np.ndarray | None:
+        """Per-position boosts of one posting (reference PositionBoosts
+        payload, formats.py:345-409).  Stream layout: [count,
+        f32bits(b1), ...].  None when the payload is absent (then every
+        position's boost is 1.0 by convention)."""
+        if self.boosts_blobs is None:
+            return None
+        b = int(np.searchsorted(self.block_starts, posting_idx, side="right") - 1)
+        if self.boosts_blobs[b] is None:
+            return None
+        cached = self._boosts_cache.get(b)
+        if cached is None:
+            vals = decode_varints(self.boosts_blobs[b])
+            nb = int(self.block_counts[b])
+            starts = np.empty(nb + 1, dtype=np.int64)
+            i = 0
+            for k in range(nb):
+                starts[k] = i
+                i += 1 + int(vals[i])
+            starts[nb] = i
+            cached = (vals, starts)
+            self._boosts_cache[b] = cached
+        vals, starts = cached
+        k = posting_idx - int(self.block_starts[b])
+        i = int(starts[k])
+        cnt = int(vals[i])
+        return (
+            vals[i + 1 : i + 1 + cnt].astype(np.uint32).view(np.float32).astype(np.float64)
+        )
 
     def positions_bulk(self, posting_idxs: np.ndarray):
         """Positions for MANY postings at once -> (flat uint64 positions,
@@ -346,14 +379,17 @@ class SegmentReader:
 
     # ---- postings ---------------------------------------------------------
 
-    def _read_blocks(self, field: str, term: str, need_positions=False, need_chars=False):
+    def _read_blocks(
+        self, field: str, term: str, need_positions=False, need_chars=False,
+        need_boosts=False,
+    ):
         """Raw block rows of a term, doc-ordered across (possibly salted)
         shards; cached."""
-        rkey = (field, term, need_positions, need_chars)
+        rkey = (field, term, need_positions, need_chars, need_boosts)
         if rkey in self._raw_cache:
             return self._raw_cache[rkey]
-        if not need_positions and not need_chars and (
-            t := self._raw_cache.get((field, term, True, False))
+        if not need_positions and not need_chars and not need_boosts and (
+            t := self._raw_cache.get((field, term, True, False, False))
         ) is not None:
             return t
         cols = ["doc_min", "doc_max", "max_weight", "min_len_byte",
@@ -362,13 +398,26 @@ class SegmentReader:
             cols += ["positions"]
         if need_chars:
             cols += ["chars"]
+        if need_boosts:
+            cols += ["boosts"]
         parts = []
         for shard in self._shards_for(field, term):
             path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
             if os.path.exists(path):
+                have = pq.ParquetFile(path).schema_arrow.names if need_boosts else None
                 tt = pq.read_table(
-                    path, columns=cols, filters=[("field", "=", field), ("term", "=", term)]
+                    path,
+                    columns=(
+                        cols if have is None
+                        else [c for c in cols if c in have]
+                    ),
+                    filters=[("field", "=", field), ("term", "=", term)],
                 )
+                if need_boosts and "boosts" not in tt.column_names:
+                    # pre-boosts segment: payload absent -> all-1.0 boosts
+                    tt = tt.append_column(
+                        "boosts", pa.nulls(tt.num_rows, pa.large_binary())
+                    )
                 if tt.num_rows:
                     parts.append(tt)
         t = None
@@ -420,26 +469,35 @@ class SegmentReader:
         idx = np.repeat(plist.block_starts[kept] - seg0, cnts) + np.arange(tot)
         return plist.docs[idx], plist.weights[idx], plist.len_bytes[idx]
 
-    def postings(self, field: str, term: str, need_positions=False, need_chars=False):
-        key = (field, term, need_positions, need_chars)
+    def postings(
+        self, field: str, term: str, need_positions=False, need_chars=False,
+        need_boosts=False,
+    ):
+        key = (field, term, need_positions, need_chars, need_boosts)
         cached = self._postings_cache.get(key)
         if cached is not None:
             self._postings_cache.move_to_end(key)
             return cached
-        if not need_positions and not need_chars and (
-            plist := self._postings_cache.get((field, term, True, False))
+        if not need_positions and not need_chars and not need_boosts and (
+            plist := self._postings_cache.get((field, term, True, False, False))
         ):
-            self._postings_cache.move_to_end((field, term, True, False))
+            self._postings_cache.move_to_end((field, term, True, False, False))
             return plist
-        t = self._read_blocks(field, term, need_positions, need_chars)
+        t = self._read_blocks(field, term, need_positions, need_chars, need_boosts)
         if t is None:
             self._postings_cache[key] = None
             return None
         docs, weights, lens, block_starts, counts = _decode_posting_columns(t)
         pos_blobs = t["positions"].to_pylist() if need_positions else None
         chars_blobs = t["chars"].to_pylist() if need_chars and "chars" in t.column_names else None
+        boosts_blobs = (
+            t["boosts"].to_pylist()
+            if need_boosts and "boosts" in t.column_names
+            else None
+        )
         plist = PostingList(
-            docs, weights, lens, block_starts, counts, pos_blobs, chars_blobs
+            docs, weights, lens, block_starts, counts, pos_blobs, chars_blobs,
+            boosts_blobs,
         )
         self._postings_cache[key] = plist
         if len(self._postings_cache) > self._postings_cache_cap:
@@ -461,6 +519,24 @@ class SegmentReader:
         if plist.chars_blobs[b] is None:
             return empty
         return plist.char_spans_for(i)
+
+    def position_boosts(self, field: str, term: str, docnum: int):
+        """[(position, boost), ...] of ``term``'s occurrences in one doc
+        (reference PositionBoosts/CharacterBoosts decode,
+        formats.py:378-388, 455-470).  Docs without a stored payload
+        answer boost 1.0 per position; empty list when the doc has no
+        posting."""
+        plist = self.postings(field, term, need_positions=True, need_boosts=True)
+        if plist is None:
+            return []
+        i = int(np.searchsorted(plist.docs, np.uint64(docnum)))
+        if i >= plist.docs.size or plist.docs[i] != docnum:
+            return []
+        poss = plist.positions_for(i)
+        boosts = plist.position_boosts_for(i)
+        if boosts is None:
+            boosts = np.ones(poss.size, dtype=np.float64)
+        return [(int(p), float(b)) for p, b in zip(poss, boosts)]
 
     # ---- columnar fields --------------------------------------------------
 

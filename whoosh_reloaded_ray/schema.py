@@ -38,6 +38,12 @@ class FieldSpec:
     # Characters format, formats.py:344-409; whoosh TEXT(chars=True)) —
     # enables char-accurate highlighting without re-analysis
     chars: bool = False
+    # store per-position boost payloads (reference PositionBoosts /
+    # CharacterBoosts formats, formats.py:345-470; combined with ``chars``
+    # this is the CharacterBoosts layout).  Token boosts come from a
+    # ``delimited_attribute`` post filter; term weight is the SUMMED boost
+    # either way, so this flag only controls payload round-trip.
+    boosts: bool = False
     boost: float = 1.0
     # index the UNSTEMMED word forms into a parallel "spell_<name>" field
     # for spelling suggestions (reference TEXT(spelling=True) +

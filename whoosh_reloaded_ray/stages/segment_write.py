@@ -186,6 +186,10 @@ class ShardSegmentWriter:
             chars_col = blockify_blobs(posts["chars"].chunk(0))
         else:  # postings produced by a pre-chars tokenizer
             chars_col = pa.nulls(n_blocks, pa.large_binary())
+        if "boosts" in posts.column_names:
+            boosts_col = blockify_blobs(posts["boosts"].chunk(0))
+        else:  # postings produced by a pre-boosts tokenizer
+            boosts_col = pa.nulls(n_blocks, pa.large_binary())
 
         # --- per-block stats
         blk_max_w = np.maximum.reduceat(weights, block_starts)
@@ -205,6 +209,7 @@ class ShardSegmentWriter:
                 "lens": len_col,
                 "positions": pos_col,
                 "chars": chars_col,
+                "boosts": boosts_col,
             }
         )
         _atomic_write(blk, os.path.join(self.seg_dir, POSTINGS_FILE.format(shard=shard)))

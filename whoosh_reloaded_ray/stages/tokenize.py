@@ -55,6 +55,11 @@ POSTING_SCHEMA = pa.schema(
         # formats.py:344-409): varint stream [count, s1, e1-s1, s2-e1,
         # e2-s2, ...] per posting; null unless the field spec sets chars
         ("chars", pa.binary()),
+        # optional per-position boost payload (reference PositionBoosts /
+        # CharacterBoosts formats, formats.py:345-470): varint stream
+        # [count, f32bits(b1), f32bits(b2), ...] per posting; null unless
+        # the field spec sets boosts (missing payload decodes as all-1.0)
+        ("boosts", pa.binary()),
         ("len_byte", pa.uint8()),
         ("shard", pa.int32()),
     ]
@@ -103,6 +108,11 @@ class Tokenizer:
         self.chars_fields = {
             f.name for f in schema.indexed_fields if getattr(f, "chars", False)
         }
+        # fields storing per-position boost payloads (reference
+        # PositionBoosts/CharacterBoosts formats)
+        self.boosts_fields = {
+            f.name for f in schema.indexed_fields if getattr(f, "boosts", False)
+        }
         self.analyzers = [
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
             for f in schema.indexed_fields
@@ -147,6 +157,25 @@ class Tokenizer:
             return doc
         fld = batch[key].to_numpy(zero_copy_only=False).astype(np.float64)
         return np.where(np.isnan(fld), doc, fld)
+
+    @staticmethod
+    def _delim_kw(aspec):
+        """kwargs of a single trailing ``delimited_attribute`` post filter
+        (the boost-payload source), or None for any other chain."""
+        pf = getattr(aspec, "post_filters", None) or []
+        if len(pf) == 1 and pf[0][0] == "delimited_attribute":
+            return dict(pf[0][1])
+        return None
+
+    @staticmethod
+    def _encode_boosts(blist) -> bytes:
+        """Per-posting boost payload: varint stream
+        [count, f32bits(b1), ...] — float32 precision, matching the
+        stored weight column's precision."""
+        arr = np.empty(len(blist) + 1, dtype=np.uint64)
+        arr[0] = len(blist)
+        arr[1:] = np.asarray(blist, dtype=np.float32).view(np.uint32).astype(np.uint64)
+        return encode_varints(arr)
 
     # ---- vectorized standard/simple path ---------------------------------
 
@@ -292,6 +321,7 @@ class Tokenizer:
         out["weight"].append(pa.array(w.astype(np.float32), pa.float32()))
         out["positions"].append(pos_col)
         out["chars"].append(pa.nulls(len(gstart), pa.binary()))
+        out["boosts"].append(pa.nulls(len(gstart), pa.binary()))
         out["len_byte"].append(pa.array(g_lb, pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -305,6 +335,7 @@ class Tokenizer:
             out["weight"].append(pa.array(survivors_per_row[v].astype(np.float32), pa.float32()))
             out["positions"].append(pa.nulls(v.size, pa.binary()))
             out["chars"].append(pa.nulls(v.size, pa.binary()))
+            out["boosts"].append(pa.nulls(v.size, pa.binary()))
             out["len_byte"].append(pa.array(lb_rows[v], pa.uint8()))
             out["shard"].append(pa.array((docnums[v] % R).astype(np.int32), pa.int32()))
 
@@ -366,6 +397,7 @@ class Tokenizer:
         else:
             out["positions"].append(pa.nulls(idx.size, pa.binary()))
         out["chars"].append(pa.nulls(idx.size, pa.binary()))
+        out["boosts"].append(pa.nulls(idx.size, pa.binary()))
         out["len_byte"].append(pa.array(np.zeros(idx.size, dtype=np.uint8), pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -375,7 +407,7 @@ class Tokenizer:
             k: []
             for k in (
                 "field", "term", "docnum", "weight", "positions", "chars",
-                "len_byte", "shard",
+                "boosts", "len_byte", "shard",
             )
         }
         for i, spec_tuple in enumerate(self.specs):
@@ -384,7 +416,7 @@ class Tokenizer:
                 continue
             if fname in self.chars_fields and aspec is not None and aspec.kind in (
                 "standard", "simple", "stemming",
-            ) and not aspec.post_filters:
+            ) and (not aspec.post_filters or self._delim_kw(aspec) is not None):
                 self._chars_field(fname, spec_tuple, batch, docnums, out)
             elif (
                 aspec is not None
@@ -444,12 +476,24 @@ class Tokenizer:
         from ..functions.analysis import charmap_table
 
         cmap = charmap_table(aspec.charmap) if aspec.charmap else None
+        # CharacterBoosts mode: a trailing delimited_attribute filter
+        # supplies per-token boosts; the span is trimmed to exclude the
+        # delimiter + payload, like the reference (filters.py:473-477)
+        dk = self._delim_kw(aspec)
+        delim = dk.get("delimiter", "^") if dk is not None else None
+        ddefault = dk.get("default", 1.0) if dk is not None else 1.0
+        from ..functions.analysis import resolve_delim_typ
+
+        dtyp = resolve_delim_typ(dk.get("typ", float)) if dk is not None else float
+        want_boosts = fname in self.boosts_fields
         R = self.num_shards
         salted = self.salted
         doc_lo, doc_n = self.doc_range
 
         fields_out, terms_out, docs_out = [], [], []
-        weights_out, pos_out, chars_out, lens_out, shard_out = [], [], [], [], []
+        weights_out, pos_out, chars_out, boosts_out, lens_out, shard_out = (
+            [], [], [], [], [], []
+        )
         rb = self._row_boosts(fname, batch)
         for i, text in enumerate(batch[fname].to_pylist()):
             if text is None:
@@ -461,6 +505,12 @@ class Tokenizer:
             pos = None
             for idx, m in enumerate(pat.finditer(text)):
                 t = m.group(0)
+                end = m.end()
+                tb = ddefault
+                if delim is not None and (di := t.find(delim)) >= 0:
+                    tb = dtyp(t[di + len(delim):])
+                    end -= len(t) - di
+                    t = t[:di]
                 if lower:
                     t = t.lower()
                 if cmap is not None:
@@ -475,23 +525,24 @@ class Tokenizer:
                         t = stem(t)
                     if renumber:
                         pos = idx if pos is None else pos + 1
-                        surv.append((t, pos, m.start(), m.end()))
+                        surv.append((t, pos, m.start(), end, tb))
                     else:
-                        surv.append((t, idx, m.start(), m.end()))
+                        surv.append((t, idx, m.start(), end, tb))
             if not surv and not scorable:
                 continue
             agg: dict = {}
             eff_boost = boost if rb is None else boost * rb[i]
-            for t, p, s, e in surv:
+            for t, p, s, e, tb in surv:
                 entry = agg.get(t)
                 if entry is None:
-                    agg[t] = entry = [0.0, [], []]
-                entry[0] += eff_boost
+                    agg[t] = entry = [0.0, [], [], []]
+                entry[0] += eff_boost * tb
                 entry[1].append(p)
                 entry[2].append((s, e))
+                entry[3].append(tb)
             length = len(surv)
             lb = length_to_byte(length) if scorable else 0
-            for term, (w, poss, spans) in agg.items():
+            for term, (w, poss, spans, tboosts) in agg.items():
                 fields_out.append(fname)
                 terms_out.append(term)
                 docs_out.append(docnum)
@@ -514,6 +565,7 @@ class Tokenizer:
                     cstream[2 + 2 * k] = e - s
                     prev = e
                 chars_out.append(encode_varints(cstream))
+                boosts_out.append(self._encode_boosts(tboosts) if want_boosts else None)
                 lens_out.append(lb)
                 n_salts = salted.get((fname, term))
                 if n_salts:
@@ -528,6 +580,7 @@ class Tokenizer:
                 weights_out.append(float(length))
                 pos_out.append(None)
                 chars_out.append(None)
+                boosts_out.append(None)
                 lens_out.append(lb)
                 shard_out.append(docnum % R)
 
@@ -537,6 +590,7 @@ class Tokenizer:
         out["weight"].append(pa.array(weights_out, type=pa.float32()))
         out["positions"].append(pa.array(pos_out, type=pa.binary()))
         out["chars"].append(pa.array(chars_out, type=pa.binary()))
+        out["boosts"].append(pa.array(boosts_out, type=pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))
 
@@ -547,9 +601,10 @@ class Tokenizer:
         salted = self.salted
         doc_lo, doc_n = self.doc_range
         fields_out, terms_out, docs_out = [], [], []
-        weights_out, pos_out, lens_out, shard_out = [], [], [], []
+        weights_out, pos_out, boosts_out, lens_out, shard_out = [], [], [], [], []
 
         for fname, analyze, scorable, keep_pos, boost in [analyzer_tuple]:
+            want_boosts = fname in self.boosts_fields
             col = batch[fname].to_pylist()
             rb = self._row_boosts(fname, batch)
             for i, text in enumerate(col):
@@ -561,17 +616,23 @@ class Tokenizer:
                 docnum = int(docnums[i])
                 eff_boost = boost if rb is None else boost * rb[i]
                 # aggregate per (doc, term): weight = sum of boosts,
-                # positions = renumbered post-filter positions
+                # positions = renumbered post-filter positions; a
+                # delimited_attribute filter yields (term, pos, boost)
+                # 3-tuples (reference PositionBoosts word_values,
+                # formats.py:352-366: weight = summed token boost)
                 agg: dict = {}
-                for term, pos in toks:
+                for tok in toks:
+                    term, pos = tok[0], tok[1]
+                    tb = tok[2] if len(tok) > 2 else 1.0
                     e = agg.get(term)
                     if e is None:
-                        agg[term] = e = [0.0, []]
-                    e[0] += eff_boost
+                        agg[term] = e = [0.0, [], []]
+                    e[0] += eff_boost * tb
                     e[1].append(pos)
+                    e[2].append(tb)
                 length = len(toks)
                 lb = length_to_byte(length) if scorable else 0
-                for term, (w, poss) in agg.items():
+                for term, (w, poss, tboosts) in agg.items():
                     fields_out.append(fname)
                     terms_out.append(term)
                     docs_out.append(docnum)
@@ -586,6 +647,9 @@ class Tokenizer:
                         pos_out.append(encode_varints(stream))
                     else:
                         pos_out.append(None)
+                    boosts_out.append(
+                        self._encode_boosts(tboosts) if want_boosts else None
+                    )
                     lens_out.append(lb)
                     n_salts = salted.get((fname, term))
                     if n_salts:
@@ -600,6 +664,7 @@ class Tokenizer:
                     docs_out.append(docnum)
                     weights_out.append(float(length))
                     pos_out.append(None)
+                    boosts_out.append(None)
                     lens_out.append(lb)
                     shard_out.append(docnum % R)
 
@@ -609,5 +674,6 @@ class Tokenizer:
         out["weight"].append(pa.array(weights_out, type=pa.float32()))
         out["positions"].append(pa.array(pos_out, type=pa.binary()))
         out["chars"].append(pa.nulls(len(fields_out), pa.binary()))
+        out["boosts"].append(pa.array(boosts_out, type=pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))

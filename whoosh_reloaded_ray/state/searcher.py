@@ -534,6 +534,17 @@ class IndexSearcher:
                 return int(BYTE_TO_LENGTH[int(lens[i])])
         return default
 
+    def position_boosts(self, docnum: int, fieldname: str, term: str) -> list:
+        """[(position, boost), ...] for one doc/term from the
+        PositionBoosts/CharacterBoosts payload (reference
+        formats.py:378-388); boosts default to 1.0 when the field stores
+        no payload."""
+        for r in self._local_worker().readers:
+            seg = r.seg
+            if seg.doc_base <= docnum < seg.doc_base + seg.doc_count:
+                return r.position_boosts(fieldname, term, docnum)
+        return []
+
     def doc_count_all(self) -> int:
         return self.manifest.doc_count
 
