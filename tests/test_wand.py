@@ -96,19 +96,132 @@ def test_wand_single_hot_term(index):
     np.testing.assert_allclose(res["score"].to_numpy(), fscores, atol=0)
 
 
-def test_dismax_not_wand_routed(index):
-    """DisMax keeps the full evaluator (the reference's cursor-quirk
-    scoring is not block-max prunable); results must match full eval."""
+def test_dismax_routed_exact(index):
+    """DisMax routes to the conservative tail-prune path (topk_dismax);
+    cold start decodes everything, so results must match the full
+    cursor-quirk evaluator exactly."""
     from whoosh_reloaded_ray.query import DisMax
-    from whoosh_reloaded_ray.query.wand import wandable_terms
+    from whoosh_reloaded_ray.query.wand import wandable_dismax, wandable_terms
 
     vocab = _vocab_by_df(index)
     q = DisMax([Term("text", vocab[0]), Term("text", vocab[100])])
     assert wandable_terms(q) is None
+    assert wandable_dismax(q) is not None
     res = index.search(q, limit=10)
     fdocs, fscores = _full_topk(index, q, 10)
     np.testing.assert_array_equal(res["docnum"].to_numpy(), fdocs)
     np.testing.assert_allclose(res["score"].to_numpy(), fscores, atol=0)
+
+
+def test_dismax_hot_theta_exact_fuzz(index):
+    """With a hot theta (phase-2 of the global-threshold protocol), the
+    DisMax tail prune must return the exact top-k of the full
+    cursor-quirk evaluator (on a uniform corpus it rarely SKIPS — the
+    qualifying blocks span the doc range — so this fuzz checks only
+    exactness; the skip behavior is exercised on a skewed corpus below)."""
+    from whoosh_reloaded_ray.query import DisMax
+    from whoosh_reloaded_ray.query.wand import topk_dismax, wandable_dismax
+
+    vocab = _vocab_by_df(index)
+    rng = np.random.default_rng(11)
+    reader = index.local.readers[0]
+    for trial in range(20):
+        n = int(rng.integers(2, 5))
+        terms = list(rng.choice(vocab[: min(len(vocab), 400)], size=n, replace=False))
+        boosts = rng.choice([1.0, 1.0, 2.0, 0.5], size=n)
+        q = DisMax([Term("text", t, boost=float(b)) for t, b in zip(terms, boosts)])
+        k = int(rng.integers(1, 10))
+        fdocs, fscores = _full_topk(index, q, k)
+        if fscores.size < k:
+            continue
+        theta = float(fscores[-1])  # exact kth-best: valid lower bound
+        ctx = index._context(q)
+        st: dict = {}
+        docs, scores = topk_dismax(
+            reader, wandable_dismax(q), ctx, k,
+            initial_theta=theta, stats_out=st,
+        )
+        # topk_dismax returns doc-sorted (like topk_wand); rank for compare
+        o = np.lexsort((docs, -scores))
+        np.testing.assert_array_equal(docs[o], fdocs)
+        np.testing.assert_allclose(scores[o], fscores, atol=0)
+
+
+def test_dismax_tail_prune_skips_on_skew(ray_session, tmp_path_factory):
+    """Tail pruning bites when the high-IDF child's postings END EARLY in
+    doc order (the impact-ordered layout a static-rank sort produces): the
+    rare term drives theta above every later block's bound, so the hot
+    term's tail blocks are skipped — and the result still matches the
+    full evaluator exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.query import DisMax
+    from whoosh_reloaded_ray.query.wand import topk_dismax, wandable_dismax
+
+    n = 4000
+    texts = [
+        ("zzzrare filler alpha beta" if i < n // 8 else "common filler alpha beta")
+        for i in range(n)
+    ]
+    d = tmp_path_factory.mktemp("dmskew")
+    path = str(d / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(n)]),
+                "turn_idx": pa.array(list(range(n)), pa.int64()),
+                "role": pa.array(["user"] * n),
+                "text": pa.array(texts),
+            }
+        ),
+        path,
+    )
+    idx = str(tmp_path_factory.mktemp("dmskewidx"))
+    build_index([path], idx, num_shards=2, partition_rows=4000)
+    s = IndexSearcher(idx)
+    q = DisMax([Term("text", "zzzrare"), Term("text", "common")])
+    k = 5
+    fdocs, fscores = _full_topk(s, q, k)
+    theta = float(fscores[-1])
+    ctx = s._context(q)
+    st: dict = {}
+    docs, scores = topk_dismax(
+        s.local.readers[0], wandable_dismax(q), ctx, k,
+        initial_theta=theta, stats_out=st,
+    )
+    o = np.lexsort((docs, -scores))
+    np.testing.assert_array_equal(docs[o], fdocs)
+    np.testing.assert_allclose(scores[o], fscores, atol=0)
+    assert st["blocks_total"] > 10
+    assert st["blocks_decoded"] < st["blocks_total"] // 2, st
+
+
+def test_dismax_theta_threading_multisegment(ray_session, tmp_path_factory):
+    """DisMax through the full search path on a multi-segment index:
+    segment-to-segment theta threading must not change results."""
+    from whoosh_reloaded_ray.pipelines.build import build_index
+    from whoosh_reloaded_ray.query import DisMax
+    from whoosh_reloaded_ray.sources.corpus import generate_transcripts
+
+    d = tmp_path_factory.mktemp("dmthetacorpus")
+    path = str(d / "t.parquet")
+    generate_transcripts(path, n_turns=2000, avg_turn_words=25, seed=29, rows_per_file=250)
+    idx = str(tmp_path_factory.mktemp("dmthetaidx"))
+    build_index([path], idx, num_shards=4, partition_rows=250, rows_per_segment=500)
+    s = IndexSearcher(idx)
+    assert len(s.manifest.segments) >= 3
+    vocab = _vocab_by_df(s)
+    rng = np.random.default_rng(31)
+    for trial in range(10):
+        n = int(rng.integers(2, 4))
+        terms = list(rng.choice(vocab[: min(len(vocab), 300)], size=n, replace=False))
+        q = DisMax([Term("text", t) for t in terms])
+        pruned = s.search(q, limit=10)
+        fdocs, fscores = _full_topk_multiseg(s, q, 10)
+        np.testing.assert_array_equal(pruned["docnum"].to_numpy(), fdocs)
+        np.testing.assert_allclose(pruned["score"].to_numpy(), fscores, atol=0)
 
 
 def test_theta_threading_multisegment(ray_session, tmp_path_factory):

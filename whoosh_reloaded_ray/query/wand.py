@@ -38,12 +38,11 @@ EMPTY = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64))
 def wandable_terms(q: ast.Query):
     """Return (mode, [(field, term, boost)]) if q is Term / Or-of-Terms
     (mode="sum"), else None.  The compound's own boost multiplies each
-    child.  NB: DisMax is NOT routed here even though a max-mode prune
-    would be sound for clean max semantics — the reference's
-    DisjunctionMaxMatcher scores with a cursor quirk (it maxes the
-    still-active subqueries' CURSOR scores without doc alignment,
-    matching/binary.py:367-374), which our full evaluator replicates and a
-    block-max prune cannot."""
+    child.  NB: DisMax takes the separate conservative tail-prune path
+    (``topk_dismax``) — the reference's DisjunctionMaxMatcher scores with
+    a cursor quirk (it maxes the still-active subqueries' CURSOR scores
+    without doc alignment, matching/binary.py:367-374) that rules out
+    per-block max pruning but not tail pruning."""
     if isinstance(q, ast.Term):
         return ("sum", [(q.field, q.text, q.boost)])
     if isinstance(q, ast.Or):
@@ -63,6 +62,20 @@ def wandable_terms(q: ast.Query):
             return None
         return ("sum", [(f, t, b) for (f, t), b in merged.items()])
     return None
+
+
+def wandable_dismax(q: ast.Query):
+    """[(field, term, boost)] if q is DisMax-of-Terms with tiebreak 0
+    (the pruned path), else None.  q.boost folds into each child (max
+    scales linearly)."""
+    if not isinstance(q, ast.DisMax) or q.tiebreak:
+        return None
+    out = []
+    for s in q.subqueries:
+        if not isinstance(s, ast.Term):
+            return None
+        out.append((s.field, s.text, s.boost * q.boost))
+    return out or None
 
 
 WAND_MODELS = ("bm25f", "tfidf", "frequency")
@@ -207,3 +220,115 @@ def topk_wand(
     order = np.lexsort((pdocs, -pscores))[:k]
     order.sort()  # return doc-sorted like the full evaluator
     return pdocs[order], pscores[order]
+
+
+def topk_dismax(
+    reader,
+    terms: list,
+    ctx,
+    k: int,
+    stats_out: dict | None = None,
+    excluded=None,
+    allowed=None,
+    initial_theta: float = -np.inf,
+):
+    """Conservative block-max pruning for DisMax-of-Terms — exact under
+    the reference DisjunctionMaxMatcher's CURSOR-quirk scoring (see
+    exec._eval_dismax): at doc d each still-active child contributes the
+    score at its first posting >= d, so a posting's score 'leaks' to
+    EARLIER docs but never later ones.  Mid-list blocks therefore can't be
+    dropped (an earlier doc may inherit a later block's score); what CAN
+    be dropped is the common TAIL:
+
+        d* = max{ block.doc_max : ub(block) >= theta } over all children.
+
+    Every doc d > d* only receives contributions from blocks whose
+    doc_max > d* — all of which have ub < theta by construction of d* —
+    so no doc past d* can reach the top-k, and every block with
+    doc_min > d* is skipped for every child.  Decoded blocks then form a
+    doc-order PREFIX per child: a cursor lookup on the prefix either finds
+    the true cursor posting, or finds nothing exactly when the true
+    cursor lies in the skipped tail (whose contribution is provably
+    < theta and can't be the max of any surviving top-k doc).  With
+    theta = -inf (cold start) nothing is skipped — the hot path is
+    phase 2 of the two-phase global-threshold protocol, where theta
+    arrives pre-seeded from the other segments."""
+    from .exec import score_postings
+
+    infos = []
+    for f, t, b in terms:
+        meta = reader.block_meta(f, t)
+        if meta is None:
+            continue
+        idf = ctx.idf.get((f, t), 1.0)
+        ub = _block_ub(meta, idf, ctx.avgfl.get(f), b, ctx, f)
+        infos.append((f, t, b, meta, ub))
+    blocks_total = sum(i[4].size for i in infos)
+
+    def _stats(decoded, theta):
+        if stats_out is not None:
+            stats_out["blocks_total"] = stats_out.get("blocks_total", 0) + blocks_total
+            stats_out["blocks_decoded"] = stats_out.get("blocks_decoded", 0) + decoded
+            stats_out["theta"] = theta
+
+    if not infos:
+        _stats(0, initial_theta)
+        return EMPTY
+    d_star = None
+    if np.isfinite(initial_theta):
+        qual_max = [
+            meta["doc_max"][ub >= initial_theta] for _, _, _, meta, ub in infos
+        ]
+        qual_max = [m for m in qual_max if m.size]
+        if not qual_max:
+            _stats(0, initial_theta)
+            return EMPTY
+        d_star = max(int(m.max()) for m in qual_max)
+
+    blocks_decoded = 0
+    results = []
+    for f, t, b, meta, ub in infos:
+        keep = (
+            np.ones(ub.size, dtype=bool)
+            if d_star is None
+            else meta["doc_min"] <= d_star
+        )
+        if not keep.any():
+            continue
+        blocks_decoded += int(keep.sum())
+        docs, weights, lens = reader.decode_blocks(f, t, keep)
+        s = score_postings(docs, weights, lens, f, t, ctx)
+        if b != 1.0:
+            s = s * b
+        results.append((docs, s))
+    if not results:
+        _stats(blocks_decoded, initial_theta)
+        return EMPTY
+    union = np.unique(np.concatenate([r[0] for r in results]))
+    best = np.full(union.size, -np.inf)
+    for docs, s in results:
+        ia = np.searchsorted(docs, union, side="left")
+        active = ia < docs.size
+        val = np.full(union.size, -np.inf)
+        val[active] = s[ia[active]]
+        np.maximum(best, val, out=best)
+    # tombstones / filter queries drop CANDIDATES only — their postings
+    # still feed cursor contributions, matching the full evaluator (the
+    # reference filters deletes at the collector, matchers see them)
+    if excluded is not None and union.size:
+        m = ~np.isin(union, excluded)
+        union, best = union[m], best[m]
+    if allowed is not None and union.size:
+        m = np.isin(union, allowed)
+        union, best = union[m], best[m]
+    theta = initial_theta
+    if best.size >= k:
+        theta = max(
+            theta, float(np.partition(best, best.size - k)[best.size - k])
+        )
+    _stats(blocks_decoded, theta)
+    if union.size == 0:
+        return EMPTY
+    order = np.lexsort((union, -best))[:k]
+    order.sort()
+    return union[order], best[order]

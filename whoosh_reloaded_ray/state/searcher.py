@@ -354,18 +354,20 @@ class _SegmentWorker:
         ``initial_theta`` seeds the WAND threshold (a global lower bound on
         the final kth-best score); ``return_theta`` appends the worker's
         final threshold to the return tuple."""
-        from ..query.wand import WAND_MODELS, topk_wand, wandable_terms
+        from ..query.wand import (
+            WAND_MODELS, topk_dismax, topk_wand, wandable_dismax, wandable_terms,
+        )
 
-        wand_terms = (
-            wandable_terms(q)
-            if (
-                scored
-                and limit is not None
-                and ctx.model in WAND_MODELS
-                and not ctx.field_models
-                and not ctx.reverse
-            )
-            else None
+        can_wand = (
+            scored
+            and limit is not None
+            and ctx.model in WAND_MODELS
+            and not ctx.field_models
+            and not ctx.reverse
+        )
+        wand_terms = wandable_terms(q) if can_wand else None
+        dismax_terms = (
+            wandable_dismax(q) if can_wand and wand_terms is None else None
         )
         docs_all, scores_all = [], []
         excluded = self.excluded if self.excluded.size else None
@@ -386,6 +388,13 @@ class _SegmentWorker:
                 docs, scores = topk_wand(
                     r, tlist, ctx, limit, excluded=excluded, allowed=allowed,
                     mode=mode, initial_theta=theta, stats_out=st,
+                )
+                theta = max(theta, st.get("theta", -np.inf))
+            elif dismax_terms:
+                st = {}
+                docs, scores = topk_dismax(
+                    r, dismax_terms, ctx, limit, excluded=excluded,
+                    allowed=allowed, initial_theta=theta, stats_out=st,
                 )
                 theta = max(theta, st.get("theta", -np.inf))
             else:
@@ -978,7 +987,7 @@ class IndexSearcher:
         sequential per-segment loop (collectors.py:139-146, 376-420).
         Exact: phase-2 pruning only drops docs provably below the final
         kth-best."""
-        from ..query.wand import WAND_MODELS, wandable_terms
+        from ..query.wand import WAND_MODELS, wandable_dismax, wandable_terms
 
         two_phase = (
             scored
@@ -986,7 +995,7 @@ class IndexSearcher:
             and ctx.model in WAND_MODELS
             and not ctx.field_models
             and not ctx.reverse
-            and wandable_terms(q) is not None
+            and (wandable_terms(q) is not None or wandable_dismax(q) is not None)
             and any(n > 1 for n in self._group_sizes)
         )
         if not two_phase:
