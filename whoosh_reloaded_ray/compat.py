@@ -271,15 +271,39 @@ class StopFilter(_AnalysisComponent):
 
 class StemFilter(_AnalysisComponent):
     """Porter by default; ``lang=`` picks the snowball/ISRI family
-    like the reference's PyStemmer-backed path."""
+    like the reference's PyStemmer-backed path.  ``stemfn=`` accepts the
+    named stemmer functions this package ships (reference
+    ``StemFilter(stemfn=lovins.stem)`` etc.): porter, porter2, lovins,
+    paicehusk — passed as the function or its name string."""
 
-    def __init__(self, lang=None, ignore=None, cachesize=50000):
+    _FN_NAMES = {
+        "porter": "porter", "porter2": "porter2", "lovins": "lovins",
+        "paicehusk": "paicehusk",
+        "lovins_stem": "lovins", "lovins_stem_cached": "lovins",
+        "paicehusk_stem": "paicehusk", "paicehusk_stem_cached": "paicehusk",
+        "stem": "porter",
+    }
+
+    def __init__(self, stemfn=None, lang=None, ignore=None, cachesize=50000):
         self.lang = lang
+        if stemfn is None:
+            self.stemfn = None
+        else:
+            name = stemfn if isinstance(stemfn, str) else getattr(stemfn, "__name__", "")
+            try:
+                self.stemfn = self._FN_NAMES[name]
+            except KeyError:
+                raise ValueError(
+                    f"unknown stemfn {stemfn!r}; use one of "
+                    f"{sorted(set(self._FN_NAMES.values()))}"
+                ) from None
 
     def _apply(self, spec):
         from dataclasses import replace
 
-        if self.lang is None:
+        if self.stemfn is not None:
+            stemmer = self.stemfn
+        elif self.lang is None:
             stemmer = "porter"
         else:
             la = language_analyzer(self.lang)

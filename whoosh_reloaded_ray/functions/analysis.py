@@ -293,6 +293,14 @@ def resolve_stemmer(spec: "AnalyzerSpec"):
         from .isri import isri_stem_cached
 
         return isri_stem_cached
+    if spec.stemmer == "lovins":
+        from .lovins import lovins_stem_cached
+
+        return lovins_stem_cached
+    if spec.stemmer == "paicehusk":
+        from .paicehusk import paicehusk_stem_cached
+
+        return paicehusk_stem_cached
     return _porter_stem_cached()
 
 
