@@ -370,10 +370,10 @@ class Variations(Query):
     query/terms.py:522-560 Variations): candidate variant strings are
     generated algorithmically, filtered to terms that EXIST in the index,
     and evaluated as a scored Or of Terms (ExpandingTerm semantics:
-    constantscore=False).  Our variation generator
-    (:func:`whoosh_reloaded_ray.query.variations.variations`) is a
-    from-scratch suffix toolkit, not the reference's morph_en rule table —
-    same operator, independent candidate algorithm."""
+    constantscore=False).  The candidate generator is morph_en-exact
+    (clean-room LiteMorph_en, functions/morph_en.py, equality-fuzzed vs
+    the reference); the original suffix toolkit remains as
+    ``toolkit_variations``."""
 
     field: str = "text"
     text: str = ""

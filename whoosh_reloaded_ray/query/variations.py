@@ -1,15 +1,14 @@
 """English morphological variation candidates for the Variations query.
 
 The reference (query/terms.py:522-560) calls ``whoosh.lang.morph_en
-.variations()``, a large table of suffix-rewriting rules that deliberately
+.variations()``, the LiteMorph_en exception+rule table that deliberately
 OVER-generates (e.g. ``pull -> pullment``) and relies on the index
-vocabulary to filter to real terms.  This module is an independent,
-compact suffix toolkit with the same contract: given a word, return a
-superset of its plausible inflections/derivations; the caller keeps only
-candidates that exist in the index.  It is NOT a port of the morph_en rule
-table — outputs differ from the reference on derivational edge cases, and
-that is documented (TODO.md); agreement on common inflections (plural,
-past, progressive, comparative, adverb) is covered by tests.
+vocabulary to filter to real terms.  ``variations()`` here is backed by
+the clean-room LiteMorph implementation
+(:mod:`whoosh_reloaded_ray.functions.morph_en`, candidate-set equality
+fuzzed vs the reference on 8k+ words); the original compact suffix
+toolkit remains available as :func:`toolkit_variations` (fallback /
+comparison path).
 """
 
 from __future__ import annotations
@@ -71,9 +70,9 @@ def _attach(stem: str, suf: str) -> list:
     return forms
 
 
-def variations(word: str) -> set:
-    """Candidate morphological variations of ``word`` (always includes the
-    word itself).  Over-generates by design; filter against the index."""
+def toolkit_variations(word: str) -> set:
+    """Original compact-toolkit candidate generator (kept as the
+    non-English / fallback path; over-generates by design)."""
     word = word.lower()
     out = {word}
     if not word.isalpha() or len(word) < 3:
@@ -83,4 +82,14 @@ def variations(word: str) -> set:
             for form in _attach(stem, suf):
                 if len(form) >= 2:
                     out.add(form)
+    return out
+
+
+def variations(word: str) -> set:
+    """Candidate variations of ``word`` — morph_en-exact (reference
+    lang/morph_en.py semantics), always including the word itself."""
+    from ..functions.morph_en import variations_set
+
+    out = set(variations_set(word.lower()))
+    out.add(word.lower())
     return out
