@@ -96,6 +96,15 @@ class _SegmentWorker:
         # result set at evaluation time)
         self.excluded = man.load_tombstones(index_dir)
 
+    def node_id(self) -> str:
+        """Ray node this worker landed on (placement probes)."""
+        try:
+            import ray
+
+            return ray.get_runtime_context().get_node_id()
+        except Exception:
+            return "local"
+
     def doc_freqs(self, terms: list) -> dict:
         out = {}
         for r in self.readers:
@@ -470,6 +479,7 @@ class IndexSearcher:
         weighting_fn=None,
         field_weighting: dict | None = None,
         reverse_weighting: bool = False,
+        scheduling_strategy: str | None = None,
     ):
         """``weighting``: "bm25f" (default) | "tfidf" | "frequency" |
         "dfree" | "pl2" | "fn" (with ``weighting_fn(field, term, docnum,
@@ -499,6 +509,10 @@ class IndexSearcher:
                 num_actors = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
             num_actors = min(num_actors, max(n_seg, 1))
             Actor = ray.remote(_SegmentWorker)
+            if scheduling_strategy is not None:
+                # e.g. "SPREAD": place segment actors across nodes so a
+                # multi-node cluster's aggregate cache/IO is used
+                Actor = Actor.options(scheduling_strategy=scheduling_strategy)
             mdict = self.manifest.to_dict()
             groups = [list(range(i, n_seg, num_actors)) for i in range(num_actors)]
             groups = [g for g in groups if g]
