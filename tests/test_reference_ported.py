@@ -1061,3 +1061,75 @@ def test_translate_facet_groupedby(ray_session, tmp_path_factory):
         tf = wrr.TranslateFacet(lambda a: a // 50, wrr.FieldFacet("a"))
         groups = s.search(Every(), limit=None, groupedby=tf, maptype="count")
         assert groups.groups() == {2: 1, 0: 3, 1: 2}
+
+
+def test_buffered_search(ray_session, tmp_path_factory):
+    # ref test_writing.py:135-157 (BufferedWriter quasi-real-time search)
+    schema = wrr.Schema(id=wrr.NUMERIC(stored=True), text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("bufsearch"))
+    ix = wrr.create_in(d, schema)
+    w = wrr.BufferedWriter(ix, period=None, limit=5,
+                           writerargs=dict(num_shards=2, partition_rows=64))
+    w.add_document(id=1, text="alfa bravo charlie")
+    w.add_document(id=2, text="bravo tango delta")
+    w.add_document(id=3, text="tango delta echo")
+    w.add_document(id=4, text="charlie delta echo")
+
+    with w.searcher() as s:
+        r = s.search(Term("text", "tango"), limit=None)
+        assert sorted(h["id"] for h in r) == [2, 3]
+
+    w.add_document(id=5, text="foxtrot golf hotel")
+    w.add_document(id=6, text="india tango juliet")
+    w.add_document(id=7, text="tango kilo lima")
+    w.add_document(id=8, text="mike november echo")
+
+    with w.searcher() as s:
+        r = s.search(Term("text", "tango"), limit=None)
+        assert sorted(h["id"] for h in r) == [2, 3, 6, 7]
+
+    w.close()
+
+
+def test_buffered_update(ray_session, tmp_path_factory):
+    # ref test_writing.py:160-181: update_document sees SAME-BUFFER adds
+    schema = wrr.Schema(id=wrr.ID(stored=True, unique=True),
+                        payload=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("bufupdate"))
+    ix = wrr.create_in(d, schema)
+    w = wrr.BufferedWriter(ix, period=None, limit=5,
+                           writerargs=dict(num_shards=2, partition_rows=64))
+    for i in range(4):
+        for char in "abc":
+            w.update_document(id=char, payload=str(i) + char)
+
+    with w.reader() as r:
+        sfs = sorted((sf for _, sf in r.iter_docs()), key=lambda x: x["id"])
+        assert sfs == [
+            {"id": "a", "payload": "3a"},
+            {"id": "b", "payload": "3b"},
+            {"id": "c", "payload": "3c"},
+        ]
+        assert r.doc_count() == 3
+    w.close()
+
+
+def test_writer_update_document(ray_session, tmp_path_factory):
+    # ref IndexWriter.update_document (writing.py:439-502): committed
+    # docs matching a unique field are replaced
+    schema = wrr.Schema(key=wrr.ID(stored=True, unique=True),
+                        text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("wupdate"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(key="x", text="old x words")
+    w.add_document(key="y", text="keep y words")
+    w.commit()
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.update_document(key="x", text="new x words")
+    w.commit()
+    with ix.searcher() as s:
+        assert len(s.search(Term("text", "old"), limit=None)) == 0
+        assert len(s.search(Term("text", "new"), limit=None)) == 1
+        rows = {h["key"]: h["text"] for h in s.search(Every(), limit=None)}
+        assert rows == {"x": "new x words", "y": "keep y words"}

@@ -534,17 +534,18 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
 
 
 def ID(stored=True, unique=False):
-    return ("id", {"stored": stored})
+    return ("id", {"stored": stored, "unique": unique})
 
 
 def KEYWORD(stored=True, lowercase=False, commas=False):
     return ("keyword", {"stored": stored, "lowercase": lowercase, "commas": commas})
 
 
-def NUMERIC(numtype=int, stored=True):
+def NUMERIC(numtype=int, stored=True, unique=False):
     return (
         "numeric",
-        {"stored": stored, "numtype": "float" if numtype is float else "int"},
+        {"stored": stored, "numtype": "float" if numtype is float else "int",
+         "unique": unique},
     )
 
 
@@ -668,7 +669,7 @@ class Schema:
                     )
                 )
             elif kind == "id":
-                specs.append(id_field(name))
+                specs.append(id_field(name, unique=opts.get("unique", False)))
             elif kind == "keyword":
                 specs.append(
                     FieldSpec(
@@ -684,7 +685,10 @@ class Schema:
                 )
             elif kind == "numeric":
                 specs.append(
-                    numeric_field(name, numtype=opts.get("numtype", "int"))
+                    numeric_field(
+                        name, numtype=opts.get("numtype", "int"),
+                        unique=opts.get("unique", False),
+                    )
                 )
             elif kind == "datetime":
                 specs.append(numeric_field(name, kind="datetime"))
@@ -956,6 +960,14 @@ class Index:
         maybe_merge(self.dirname, optimize=True)
 
     def doc_count(self) -> int:
+        """UNDELETED doc count (reference Index.doc_count)."""
+        man = load_manifest(self.dirname)
+        if man is None:
+            return 0
+        return man.doc_count - int(man.load_tombstones(self.dirname).size)
+
+    def doc_count_all(self) -> int:
+        """Total docs including deleted (reference doc_count_all)."""
         man = load_manifest(self.dirname)
         return man.doc_count if man else 0
 
@@ -1062,6 +1074,26 @@ class Writer:
 
         return delete_by_term(self.index.dirname, fieldname, text)
 
+    def update_document(self, **fields):
+        """Reference IndexWriter.update_document (writing.py:439-502):
+        delete every COMMITTED doc matching any given unique field's
+        value, then buffer the add.  Like the reference, docs added
+        earlier to this same uncommitted writer are not seen by the
+        delete — BufferedWriter covers that case."""
+        schema = self.index.index_schema
+        uniques = [
+            f for f in schema.fields
+            if getattr(f, "unique", False) and fields.get(f.name) is not None
+        ]
+        if not uniques:
+            raise ValueError(
+                "update_document requires a value for at least one unique field"
+            )
+        if load_manifest(self.index.dirname) is not None:
+            for f in uniques:
+                self.delete_by_term(f.name, str(fields[f.name]))
+        self.add_document(**fields)
+
     def __enter__(self):
         return self
 
@@ -1126,7 +1158,108 @@ class AsyncWriter(Writer):
     with no file locks, so it IS the plain writer."""
 
 
-BatchWriter = AsyncWriter  # reference's deprecated alias
+class BufferedWriter:
+    """Reference writing.BufferedWriter (writing.py:1149-1326): buffers
+    add/update calls, auto-flushing every ``limit`` docs or ``period``
+    seconds; ``searcher()``/``reader()`` see buffered docs immediately
+    (quasi-real-time), and ``update_document`` DOES see docs added
+    earlier to the same buffer.
+
+    DESIGN DEVIATION (declared, TODO.md): the reference keeps buffered
+    docs in a RAM codec segment and unions readers without committing;
+    here a flush IS a (tiny) durable segment append + fib merge — the
+    micro-segment is this engine's RAM-segment equivalent.  Observable
+    search results match; the difference is durability/IO profile
+    (buffered docs become durable once flushed or searched)."""
+
+    def __init__(self, index, period=60, limit=10, writerargs=None,
+                 commitargs=None):
+        import threading
+
+        self.index = index
+        self.period = period
+        self.limit = limit
+        self.writerargs = writerargs or {}
+        self.commitargs = commitargs or {}
+        self.lock = threading.RLock()
+        self._threading = threading
+        self._buf: list = []
+        self._timer = None
+        self._start_timer()
+
+    def _start_timer(self):
+        if self.period:
+            self._timer = self._threading.Timer(self.period, self.commit)
+            self._timer.daemon = True
+            self._timer.start()
+
+    @property
+    def schema(self):
+        return self.index.index_schema
+
+    @property
+    def bufferedcount(self) -> int:
+        return len(self._buf)
+
+    def add_document(self, **fields):
+        with self.lock:
+            self._buf.append(("add", fields))
+            if len(self._buf) >= self.limit:
+                self.commit()
+
+    def update_document(self, **fields):
+        with self.lock:
+            self._buf.append(("update", fields))
+            if len(self._buf) >= self.limit:
+                self.commit()
+
+    def delete_by_term(self, fieldname, text) -> int:
+        # flush so the delete sees buffered docs too
+        self.commit()
+        w = self.index.writer(**self.writerargs)
+        return w.delete_by_term(fieldname, text)
+
+    def commit(self, restart: bool = True):
+        with self.lock:
+            if self._timer is not None:
+                self._timer.cancel()
+            buf, self._buf = self._buf, []
+            if buf:
+                w = self.index.writer(**self.writerargs)
+                for op, fields in buf:
+                    if op == "update":
+                        # make earlier SAME-BUFFER adds visible to the
+                        # unique-key delete (the reference's RAM segment
+                        # gives BufferedWriter exactly this property)
+                        if w.rows:
+                            w.commit(**self.commitargs)
+                            w = self.index.writer(**self.writerargs)
+                        w.update_document(**fields)
+                    else:
+                        w.add_document(**fields)
+                w.commit(**self.commitargs)
+            if restart:
+                self._start_timer()
+
+    def reader(self, **kwargs):
+        self.commit()
+        return self.index.reader()
+
+    def searcher(self, **kwargs):
+        self.commit()
+        return self.index.searcher(**kwargs)
+
+    def close(self):
+        self.commit(restart=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+BatchWriter = BufferedWriter  # reference's deprecated alias (writing.py:1326)
 
 
 class Hit:
@@ -2009,13 +2142,48 @@ class Reader:
 
     # -- documents --
     def stored_fields(self, docnum: int) -> dict:
-        return self._s.stored_fields(docnum)
+        """Stored fields from the source parquet (incl. ``_stored_<f>``
+        display overrides) — same path as the searcher veneer."""
+        from .sources.corpus import fetch_rows
+
+        schema = self._s.manifest.schema
+        stored = [f.name for f in schema.fields if f.stored]
+        parts = self._s.manifest.partitions
+        src_cols = set()
+        if parts:
+            src_cols = set(pq.ParquetFile(parts[0].path).schema_arrow.names)
+        overrides = [f"_stored_{n}" for n in stored if f"_stored_{n}" in src_cols]
+        rows = fetch_rows(parts, [docnum], columns=stored + overrides).to_pylist()
+        if not rows:
+            raise KeyError(docnum)
+        r = rows[0]
+        d = {
+            k: v for k, v in r.items()
+            if k != "docnum" and not k.startswith("_stored_")
+        }
+        for ov in overrides:
+            if r.get(ov) is not None:
+                d[ov[len("_stored_"):]] = r[ov]
+        return d
 
     def all_doc_ids(self):
         excluded = set(self._tombstones().tolist())
         for d in range(self._s.doc_count_all()):
             if d not in excluded:
                 yield d
+
+    def iter_docs(self):
+        """(docnum, stored_fields) pairs for all live docs (reference
+        reading.IndexReader.iter_docs)."""
+        for d in self.all_doc_ids():
+            yield d, self.stored_fields(d)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def all_stored_fields(self):
         for d in self.all_doc_ids():

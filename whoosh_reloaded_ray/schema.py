@@ -44,6 +44,9 @@ class FieldSpec:
     # ``delimited_attribute`` post filter; term weight is the SUMMED boost
     # either way, so this flag only controls payload round-trip.
     boosts: bool = False
+    # unique key field (reference fields' unique=True): update_document
+    # deletes committed docs matching this field's value before adding
+    unique: bool = False
     boost: float = 1.0
     # index the UNSTEMMED word forms into a parallel "spell_<name>" field
     # for spelling suggestions (reference TEXT(spelling=True) +
