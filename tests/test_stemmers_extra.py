@@ -166,3 +166,32 @@ def test_stemfilter_lovins_paicehusk(ray_session, tmp_path_factory):
         )
         with ix.searcher() as s:
             assert len(s.search(Term("text", stem), limit=None)) == 2, name
+
+
+def test_lang_registry_parity(whoosh):
+    """whoosh_reloaded_ray.lang mirrors the reference whoosh.lang API:
+    same language/alias resolution, same stemmer/stopword availability,
+    agreeing stemmer outputs on common words."""
+    import whoosh.lang as ref
+
+    from whoosh_reloaded_ray import lang as mine
+
+    assert mine.languages == ref.languages
+    assert mine.aliases == ref.aliases
+    for name in list(ref.aliases) + list(ref.languages) + ["xx"]:
+        assert mine.two_letter_code(name) == ref.two_letter_code(name), name
+    for lc in ref.languages:
+        assert mine.has_stemmer(lc) == ref.has_stemmer(lc), lc
+        assert mine.has_stopwords(lc) == ref.has_stopwords(lc), lc
+        if not ref.has_stemmer(lc):
+            continue
+        rs, ms = ref.stemmer_for_language(lc), mine.stemmer_for_language(lc)
+        for w in ("national", "running", "universal"):
+            assert ms(w) == rs(w), (lc, w)
+    # porter alias path
+    assert (mine.stemmer_for_language("en_porter")("relational")
+            == ref.stemmer_for_language("en_porter")("relational"))
+    import pytest as _pytest
+
+    with _pytest.raises(mine.NoStemmer):
+        mine.stemmer_for_language("klingon")
