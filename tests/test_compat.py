@@ -245,7 +245,8 @@ def test_incremental_write_and_delete(ix):
     n = w.delete_by_term("key", "F")
     assert n == 1
     assert _keys(ix, Term("name", "yellow")) == ["A", "E"]
-    assert ix.doc_count() == 6  # tombstoned doc still counted (reference doc_count_all)
+    assert ix.doc_count() == 5  # undeleted count (reference Index.doc_count)
+    assert ix.doc_count_all() == 6  # deleted doc still in the total
 
 
 def test_open_dir_roundtrip(ix):

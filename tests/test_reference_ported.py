@@ -1133,3 +1133,114 @@ def test_writer_update_document(ray_session, tmp_path_factory):
         assert len(s.search(Term("text", "new"), limit=None)) == 1
         rows = {h["key"]: h["text"] for h in s.search(Every(), limit=None)}
         assert rows == {"x": "new x words", "y": "keep y words"}
+
+
+def test_nested_parent_block_join(ray_session, tmp_path_factory):
+    # ref test_nested.py:6-40 (test_nested_parent)
+    from whoosh_reloaded_ray.query import NestedParent
+
+    schema = wrr.Schema(name=wrr.ID(stored=True), type=wrr.ID(),
+                        part=wrr.ID(), price=wrr.NUMERIC(stored=True))
+    d = str(tmp_path_factory.mktemp("nestedp"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        with w.group():
+            w.add_document(name="iPad", type="product")
+            w.add_document(part="screen", price=100)
+            w.add_document(part="battery", price=50)
+            w.add_document(part="case", price=20)
+        with w.group():
+            w.add_document(name="iPhone", type="product")
+            w.add_document(part="screen", price=60)
+            w.add_document(part="battery", price=30)
+            w.add_document(part="case", price=10)
+        with w.group():
+            w.add_document(name="Mac mini", type="product")
+            w.add_document(part="hard drive", price=50)
+            w.add_document(part="case", price=50)
+    with ix.searcher() as s:
+        q = NestedParent(Term("type", "product"), Term("price", 50))
+        r = s.search(q)
+        assert sorted(hit["name"] for hit in r) == ["Mac mini", "iPad"]
+
+
+def test_nested_parent_score_fn(ray_session, tmp_path_factory):
+    # ref test_nested.py:283-319 (test_parent_score_fn): score_fn=max/min
+    # with Frequency weighting
+    from whoosh_reloaded_ray import scoring
+    from whoosh_reloaded_ray.query import NestedParent
+
+    schema = wrr.Schema(name=wrr.ID(stored=True), keys=wrr.TEXT(stored=True),
+                        type=wrr.ID())
+    d = str(tmp_path_factory.mktemp("nestedscore"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(name="p1", type="parent")
+        w.add_document(name="c1.1", type="child", keys="key key")
+        w.add_document(name="c1.2", type="child", keys="key key key")
+        w.add_document(name="c1.3", type="child", keys="key key")
+        w.add_document(name="p2", type="parent")
+        w.add_document(name="c2.1", type="child", keys="")
+        w.add_document(name="c2.2", type="child", keys="key key key key")
+        w.add_document(name="c2.3", type="child", keys="key")
+    with ix.searcher(weighting=scoring.Frequency()) as s:
+        parents = Term("type", "parent")
+        children = Term("keys", "key")
+        q = NestedParent(parents, children, score_fn=max)
+        r = s.search(q)
+        assert r.scored_length() == 2
+        assert r[0]["name"] == "p2" and r[0].score == 4
+        assert r[1]["name"] == "p1" and r[1].score == 3
+
+        q = NestedParent(parents, children, score_fn=min)
+        r = s.search(q)
+        assert r.scored_length() == 2
+        assert r[0]["name"] == "p1" and r[0].score == 2
+        assert r[1]["name"] == "p2" and r[1].score == 1
+
+
+def test_nested_children_query(ray_session, tmp_path_factory):
+    # ref test_nested.py:322-368 (test_nested_children)
+    from whoosh_reloaded_ray.query import NestedChildren
+
+    schema = wrr.Schema(t=wrr.ID(stored=True), track=wrr.NUMERIC(stored=True),
+                        album_name=wrr.TEXT(stored=True),
+                        song_name=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("nestedc"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        with w.group():
+            w.add_document(t="album", album_name="alfa bravo charlie")
+            w.add_document(t="track", track=1, song_name="delta echo foxtrot")
+            w.add_document(t="track", track=2, song_name="golf hotel india")
+            w.add_document(t="track", track=3, song_name="juliet kilo lima")
+        with w.group():
+            w.add_document(t="album", album_name="mike november oskar")
+            w.add_document(t="track", track=1, song_name="papa quebec romeo")
+            w.add_document(t="track", track=2, song_name="sierra tango ultra")
+            w.add_document(t="track", track=3, song_name="victor whiskey xray")
+        with w.group():
+            w.add_document(t="album", album_name="yankee zulu one")
+            w.add_document(t="track", track=1, song_name="two three four")
+            w.add_document(t="track", track=2, song_name="five six seven")
+            w.add_document(t="track", track=3, song_name="eight nine ten")
+    with ix.searcher() as s:
+        pq = Term("t", "album")
+        aq = Term("album_name", "november")
+
+        r = s.search(NestedChildren(pq, pq), limit=None)
+        assert len(r) == 9
+        assert [hit["t"] for hit in r] == ["track"] * 9
+
+        ncq = NestedChildren(pq, aq)
+        assert sorted(ncq.docs(s)) == [5, 6, 7]
+        r = s.search(ncq, limit=None)
+        assert len(r) == 3
+        assert sorted(hit["song_name"] for hit in r) == [
+            "papa quebec romeo", "sierra tango ultra", "victor whiskey xray",
+        ]
+
+        zq = NestedChildren(pq, Term("album_name", "zulu"))
+        f = wrr.StoredFieldFacet("song_name")
+        r = s.search(zq, sortedby=f)
+        assert [hit["track"] for hit in r] == [3, 2, 1]

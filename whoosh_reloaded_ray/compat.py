@@ -537,8 +537,11 @@ def ID(stored=True, unique=False):
     return ("id", {"stored": stored, "unique": unique})
 
 
-def KEYWORD(stored=True, lowercase=False, commas=False):
-    return ("keyword", {"stored": stored, "lowercase": lowercase, "commas": commas})
+def KEYWORD(stored=True, lowercase=False, commas=False, scorable=False,
+            unique=False, field_boost=1.0):
+    return ("keyword", {"stored": stored, "lowercase": lowercase,
+                        "commas": commas, "scorable": scorable,
+                        "unique": unique, "field_boost": field_boost})
 
 
 def NUMERIC(numtype=int, stored=True, unique=False):
@@ -679,8 +682,10 @@ class Schema:
                             lowercase=opts.get("lowercase", False),
                             commas=opts.get("commas", False),
                         ),
-                        scorable=False,
+                        scorable=opts.get("scorable", False),
                         positions=False,
+                        unique=opts.get("unique", False),
+                        boost=opts.get("field_boost", 1.0),
                     )
                 )
             elif kind == "numeric":
@@ -1068,6 +1073,20 @@ class Writer:
             maybe_merge(self.index.dirname, optimize=True)
         elif mergetype is MERGE_SMALL:
             maybe_merge(self.index.dirname)
+
+    def group(self):
+        """Reference IndexWriter.group() (writing.py:240-278): docs added
+        inside the block get CONTIGUOUS docnums, the contract NestedParent
+        /NestedChildren block joins rely on.  This writer assigns docnums
+        in add order within a commit, so contiguity holds by construction
+        — the context manager documents (and scopes) the intent."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _grp():
+            yield self
+
+        return _grp()
 
     def delete_by_term(self, fieldname: str, text: str) -> int:
         from .pipelines.write_ops import delete_by_term
@@ -1590,7 +1609,7 @@ class CompatSearcher:
             elif isinstance(v, (set, frozenset, list)):
                 kw[key] = _docset_query(v)
         stored = [f.name for f in self._schema.fields if f.stored]
-        if isinstance(sortedby, (FunctionFacet, TranslateFacet)):
+        if isinstance(sortedby, (FunctionFacet, TranslateFacet, StoredFieldFacet)):
             return self._search_sorted_by_keys(
                 q, sortedby, limit, reverse, groupedby, maptype
             )
@@ -1646,6 +1665,9 @@ class CompatSearcher:
         if isinstance(facet, MultiFacet):
             cols = [self._facet_keys(f, sorted_docs) for f in facet.facets]
             return list(zip(*cols))
+        if isinstance(facet, StoredFieldFacet):
+            rows = self.stored_fields_many([int(d) for d in sorted_docs])
+            return [(row or {}).get(facet.fieldname) for row in rows]
         raise TypeError(f"unsupported facet for key computation: {facet!r}")
 
     def _search_sorted_by_keys(self, q, facet, limit, reverse, groupedby, maptype):

@@ -35,6 +35,12 @@ class Query:
                 for w in leaf.words:
                     yield (leaf.field, w)
 
+    def docs(self, searcher):
+        """Docnums matching this query (reference Query.docs(searcher)).
+        Accepts the compat Searcher or an IndexSearcher."""
+        s = getattr(searcher, "_s", searcher)
+        return iter(s.search(self, limit=None, scored=False)["docnum"].to_pylist())
+
 
 @dataclass(frozen=True)
 class Term(Query):
@@ -432,6 +438,10 @@ class NestedParent(Query):
         object.__setattr__(self, "parents", parents)
         object.__setattr__(self, "child", child)
         object.__setattr__(self, "per_parent_limit", per_parent_limit)
+        # the reference passes the builtins (score_fn=sum/max/min)
+        score_fn = {sum: "sum", max: "max", min: "min"}.get(score_fn, score_fn)
+        if score_fn not in ("sum", "max", "min", "mean"):
+            raise ValueError(f"unsupported score_fn {score_fn!r}")
         object.__setattr__(self, "score_fn", score_fn)
         object.__setattr__(self, "boost", boost)
 

@@ -739,6 +739,25 @@ class IndexSearcher:
 
         from ..query.exec import _wildcard_to_regex
 
+        if isinstance(q, ast.Term):
+            # Term over a COLUMNAR field (reference fields convert the
+            # value to sortable terms; our columnar layout answers it as
+            # an equality predicate): Term("price", 50) etc.
+            spec = self.manifest.schema.by_name.get(q.field)
+            if spec is not None and not spec.indexed:
+                if spec.kind == "numeric":
+                    v = (
+                        float(q.text)
+                        if getattr(spec, "numtype", "int") == "float"
+                        else int(q.text)
+                    )
+                    return ast.NumericRange(q.field, v, v, boost=q.boost)
+                if spec.kind == "boolean":
+                    t = q.text
+                    if isinstance(t, str):
+                        t = t.lower() in ("true", "yes", "t", "1", "on")
+                    return ast.ColumnQuery(q.field, bool(t), boost=q.boost)
+            return q
         if isinstance(q, ast.Prefix):
             spec = (q.field, q.text, q.text + "￿", False, False)
             terms = self._expand([spec])[spec]
@@ -883,6 +902,8 @@ class IndexSearcher:
             starts = np.flatnonzero(np.r_[True, pidx[1:] != pidx[:-1]])
         if q.score_fn == "max":
             pscores = np.maximum.reduceat(scores, starts)
+        elif q.score_fn == "min":
+            pscores = np.minimum.reduceat(scores, starts)
         elif q.score_fn == "mean":
             counts = np.diff(np.r_[starts, pidx.size])
             pscores = np.add.reduceat(scores, starts) / counts
