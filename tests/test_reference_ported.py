@@ -1244,3 +1244,124 @@ def test_nested_children_query(ray_session, tmp_path_factory):
         f = wrr.StoredFieldFacet("song_name")
         r = s.search(zq, sortedby=f)
         assert [hit["track"] for hit in r] == [3, 2, 1]
+
+
+def test_query_replace(ray_session):
+    # ref test_queries.py:103-117
+    from whoosh_reloaded_ray.query import Or, Term, Variations
+
+    q = wrr_and = None
+    from whoosh_reloaded_ray.query import And
+
+    q = And([
+        Or([Term("a", "b"), Term("b", "c")], boost=1.2),
+        Variations("a", "b", boost=2.0),
+    ])
+    q = q.replace("a", "b", "BB")
+    assert q == And([
+        Or([Term("a", "BB"), Term("b", "c")], boost=1.2),
+        Variations("a", "BB", boost=2.0),
+    ])
+
+
+def test_query_apply(ray_session):
+    # ref test_queries.py:119-145 (immutability-adapted: our transforms
+    # RETURN new trees; the reference mutates in place)
+    from whoosh_reloaded_ray.query import And, Not, Or, Term, Variations
+
+    def term2var(q):
+        if isinstance(q, Term):
+            return Variations(q.field, q.text)
+        return q.apply(term2var)
+
+    q = And([Term("f", "alfa"), Or([Term("f", "bravo"), Not(Term("f", "charlie"))])])
+    q = term2var(q)
+    assert q == And([
+        Variations("f", "alfa"),
+        Or([Variations("f", "bravo"), Not(Variations("f", "charlie"))]),
+    ])
+
+
+def test_query_accept(ray_session):
+    # ref test_queries.py:148-173
+    from whoosh_reloaded_ray.query import And, Or, Phrase, Term
+
+    def boost_phrases(q):
+        if isinstance(q, Phrase):
+            import copy
+
+            q2 = copy.copy(q)
+            object.__setattr__(q2, "boost", q.boost * 2.0)
+            return q2
+        return q
+
+    before = And([
+        Term("a", "b"),
+        Or([Term("c", "d"), Phrase("a", ["e", "f"])]),
+        Phrase("a", ["g", "h"], boost=0.25),
+    ])
+    after = before.accept(boost_phrases)
+    assert after == And([
+        Term("a", "b"),
+        Or([Term("c", "d"), Phrase("a", ["e", "f"], boost=2.0)]),
+        Phrase("a", ["g", "h"], boost=0.5),
+    ])
+
+
+def test_query_requires(ray_session):
+    # ref test_queries.py:387-394
+    from whoosh_reloaded_ray.query import And, AndMaybe, Or, Term
+
+    a, b = Term("f", "a"), Term("f", "b")
+    assert And([a, b]).requires() == {a, b}
+    assert Or([a, b]).requires() == set()
+    assert AndMaybe(a, b).requires() == {a}
+    assert a.requires() == {a}
+
+
+def test_query_simplify(ray_session, tmp_path_factory):
+    # ref test_queries.py:175-198
+    from whoosh_reloaded_ray.query import And, Or, Prefix, Term
+
+    schema = wrr.Schema(k=wrr.ID(stored=True), v=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("simplify"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(k="1", v="aardvark apple allan alfa bear bee")
+    w.add_document(k="2", v="brie glue geewhiz goop julia")
+    w.commit()
+    r = ix.reader()
+    q1 = And([Prefix("v", "b", boost=2.0), Term("v", "juliet")])
+    q2 = And([
+        Or([
+            Term("v", "bear", boost=2.0),
+            Term("v", "bee", boost=2.0),
+            Term("v", "brie", boost=2.0),
+        ]),
+        Term("v", "juliet"),
+    ])
+    assert q1.simplify(r) == q2
+
+
+def test_query_existing_terms(ray_session, tmp_path_factory):
+    # ref test_queries.py:43-100 (existing_terms + wildcard expand)
+    from whoosh_reloaded_ray.query import And, Or, Prefix, Term
+
+    schema = wrr.Schema(key=wrr.ID(stored=True), value=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("existing"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(key="a", value="alfa bravo charlie delta echo")
+    w.add_document(key="b", value="foxtrot golf hotel india juliet")
+    w.commit()
+    r = ix.reader()
+    q = And([Term("value", "alfa"), Term("value", "nonexistent"),
+             Or([Term("value", "golf"), Term("key", "zzz")])])
+    assert q.existing_terms(r) == {("value", "alfa"), ("value", "golf")}
+    assert q.all_terms() == {
+        ("value", "alfa"), ("value", "nonexistent"),
+        ("value", "golf"), ("key", "zzz"),
+    }
+    # expand: Prefix leaf expands against the vocabulary
+    q2 = Prefix("value", "g")
+    assert q2.existing_terms(r, expand=True) == {("value", "golf")}

@@ -41,6 +41,113 @@ class Query:
         s = getattr(searcher, "_s", searcher)
         return iter(s.search(self, limit=None, scored=False)["docnum"].to_pylist())
 
+    # ---- tree-transform API (reference qcore.Query:243-340) -------------
+    # Nodes here are IMMUTABLE, so apply/accept/replace RETURN transformed
+    # trees instead of mutating in place (the reference documents the same
+    # copy-before-mutate contract for accept()).
+
+    def is_leaf(self) -> bool:
+        return not self.children()
+
+    def apply(self, fn):
+        """New copy of this node with ``fn`` applied to each child; a leaf
+        returns itself (reference Query.apply)."""
+        if self.is_leaf():
+            return self
+        import copy as _copy
+
+        new = _copy.copy(self)
+        for name, v in list(self.__dict__.items()):
+            if isinstance(v, Query):
+                object.__setattr__(new, name, fn(v))
+            elif (
+                isinstance(v, (list, tuple))
+                and v
+                and all(isinstance(x, Query) for x in v)
+            ):
+                object.__setattr__(new, name, type(v)(fn(x) for x in v))
+        return new
+
+    def accept(self, fn):
+        """Apply ``fn`` bottom-up to every node, returning the new tree
+        (reference Query.accept — implemented via apply, like the
+        reference)."""
+
+        def wrap(q):
+            return fn(q.apply(wrap))
+
+        return wrap(self)
+
+    def replace(self, fieldname: str, oldtext, newtext):
+        """Copy of this tree with ``oldtext`` replaced by ``newtext`` in
+        every leaf targeting ``fieldname`` (reference Query.replace)."""
+        if self.is_leaf():
+            if (
+                getattr(self, "field", None) == fieldname
+                and getattr(self, "text", None) == oldtext
+            ):
+                import copy as _copy
+
+                new = _copy.copy(self)
+                object.__setattr__(new, "text", newtext)
+                return new
+            return self
+        from operator import methodcaller
+
+        return self.apply(methodcaller("replace", fieldname, oldtext, newtext))
+
+    def copy(self):
+        import copy as _copy
+
+        return _copy.deepcopy(self)
+
+    def all_terms(self, phrases: bool = True) -> set:
+        """Set of (field, text) pairs in the tree (reference
+        Query.all_terms)."""
+        out = set()
+        for leaf in self.leaves():
+            if isinstance(leaf, Term):
+                out.add((leaf.field, leaf.text))
+            elif phrases and isinstance(leaf, Phrase):
+                out.update((leaf.field, w) for w in leaf.words)
+        return out
+
+    def existing_terms(self, ixreader, phrases: bool = True, expand: bool = False,
+                       fieldname: str | None = None) -> set:
+        """The subset of all_terms that EXIST in the index (reference
+        Query.existing_terms); accepts a compat Reader/Searcher or an
+        IndexSearcher.  ``expand`` additionally expands multiterm leaves
+        (Prefix/Wildcard/Variations) against the vocabulary."""
+        s = getattr(ixreader, "_s", ixreader)
+        cands = self.all_terms(phrases=phrases)
+        if expand:
+            for leaf in self.leaves():
+                sub = leaf.simplify(ixreader)
+                if sub is not leaf:
+                    cands |= sub.all_terms(phrases=phrases)
+        out = set()
+        for f, t in cands:
+            if fieldname and f != fieldname:
+                continue
+            if s.doc_frequency(f, t) > 0:
+                out.add((f, t))
+        return out
+
+    def requires(self) -> set:
+        """Queries statically known to be required for a match (reference
+        Query.requires; leaf default = itself)."""
+        return {self}
+
+    def simplify(self, ixreader):
+        """Recursively rewrite second-order leaves (Prefix/Wildcard/
+        Variations) into Or-of-existing-Terms (reference Query.simplify /
+        MultiTerm.simplify: each expanded Term keeps the leaf's boost)."""
+        if self.is_leaf():
+            return self
+        from operator import methodcaller
+
+        return self.apply(methodcaller("simplify", ixreader))
+
 
 @dataclass(frozen=True)
 class Term(Query):
@@ -57,6 +164,14 @@ class _Compound(Query):
     def children(self) -> tuple:
         return tuple(self.subqueries)
 
+    def requires(self) -> set:
+        # Or/DisMax default (reference compound.py:323,469): only a
+        # single-child disjunction is required; And overrides with the
+        # union of its children's requirements
+        if len(self.subqueries) == 1:
+            return self.subqueries[0].requires()
+        return set()
+
 
 @dataclass(frozen=True)
 class And(_Compound):
@@ -65,6 +180,12 @@ class And(_Compound):
     def __init__(self, subqueries, boost=1.0):
         object.__setattr__(self, "subqueries", tuple(subqueries))
         object.__setattr__(self, "boost", boost)
+
+    def requires(self) -> set:
+        out = set()
+        for q in self.subqueries:
+            out |= q.requires()
+        return out
 
 
 @dataclass(frozen=True)
@@ -115,6 +236,9 @@ class Not(Query):
     def children(self) -> tuple:
         return (self.subquery,)
 
+    def requires(self) -> set:
+        return set()
+
 
 @dataclass(frozen=True)
 class _Binary(Query):
@@ -133,13 +257,22 @@ class _Binary(Query):
 class AndNot(_Binary):
     """Docs matching a but not b; scores from a."""
 
+    def requires(self) -> set:
+        return self.a.requires()
+
 
 class AndMaybe(_Binary):
     """Docs matching a; b's score added where it also matches."""
 
+    def requires(self) -> set:
+        return self.a.requires()
+
 
 class Require(_Binary):
     """Docs matching both; scores from a only."""
+
+    def requires(self) -> set:
+        return self.a.requires() | self.b.requires()
 
 
 class Otherwise(_Binary):
@@ -390,6 +523,16 @@ class Variations(Query):
         object.__setattr__(self, "boost", boost)
 
 
+    def simplify(self, ixreader):
+        from .variations import variations as _vars
+
+        s = getattr(ixreader, "_s", ixreader)
+        return _simplified_terms(
+            self.field,
+            (t for t in _vars(self.text) if s.doc_frequency(self.field, t) > 0),
+            self.boost,
+        )
+
 @dataclass(frozen=True)
 class DocSet(Query):
     """Pre-resolved sorted docnum array with constant score 1.0·boost —
@@ -479,6 +622,12 @@ class Prefix(Query):
         object.__setattr__(self, "boost", boost)
 
 
+    def simplify(self, ixreader):
+        s = getattr(ixreader, "_s", ixreader)
+        return _simplified_terms(
+            self.field, s.lexicon(self.field, prefix=self.text), self.boost
+        )
+
 @dataclass(frozen=True)
 class Wildcard(Query):
     field: str = "text"
@@ -489,6 +638,19 @@ class Wildcard(Query):
         object.__setattr__(self, "pattern", pattern)
         object.__setattr__(self, "boost", boost)
 
+
+    def simplify(self, ixreader):
+        import re as _re
+
+        from .exec import _wildcard_to_regex
+
+        s = getattr(ixreader, "_s", ixreader)
+        m = _re.match(r"[^*?\[]*", self.pattern)
+        cands = s.lexicon(self.field, prefix=m.group(0))
+        rex = _re.compile(_wildcard_to_regex(self.pattern))
+        return _simplified_terms(
+            self.field, (t for t in cands if rex.fullmatch(t)), self.boost
+        )
 
 @dataclass(frozen=True)
 class Regex(Query):
@@ -523,6 +685,18 @@ class TermRange(Query):
         object.__setattr__(self, "startexcl", startexcl)
         object.__setattr__(self, "endexcl", endexcl)
         object.__setattr__(self, "boost", boost)
+
+
+def _simplified_terms(field: str, terms, boost: float):
+    """MultiTerm.simplify result shape (reference terms.py:182-200):
+    no existing terms -> NullQuery; one -> that Term (with the leaf's
+    boost); many -> plain Or of boosted Terms."""
+    terms = sorted(set(terms))
+    if not terms:
+        return _NullQuery()
+    if len(terms) == 1:
+        return Term(field, terms[0], boost=boost)
+    return Or([Term(field, t, boost=boost) for t in terms])
 
 
 class QueryError(Exception):
