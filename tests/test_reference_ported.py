@@ -1365,3 +1365,26 @@ def test_query_existing_terms(ray_session, tmp_path_factory):
     # expand: Prefix leaf expands against the vocabulary
     q2 = Prefix("value", "g")
     assert q2.existing_terms(r, expand=True) == {("value", "golf")}
+
+
+def test_reader_corrector(ray_session, tmp_path_factory):
+    # ref test_spelling.py:56-72 (ReaderCorrector over field vocabulary)
+    from whoosh_reloaded_ray.spelling import ReaderCorrector
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("readercorr"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(text="render zorro kaori postal")
+    w.add_document(text="reader zebra koala pastry")
+    w.add_document(text="leader libra oola paster")
+    w.add_document(text="feeder lorry zoala baster")
+    w.commit()
+    with ix.reader() as r:
+        sp = ReaderCorrector(r, "text")
+        assert sp.suggest("koala", maxdist=1) == ["koala", "zoala"]
+        assert sp.suggest("kaola", maxdist=2) == ["kaori", "koala", "oola"]
+        # reader.terms_within: lexicon-order terms within edit distance
+        assert r.terms_within("text", "kaola", 2) == ["kaori", "koala", "oola"]
+        # reader.corrector returns a ReaderCorrector (reference API)
+        assert r.corrector("text").suggest("koala", maxdist=1) == ["koala", "zoala"]

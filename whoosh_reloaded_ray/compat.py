@@ -2216,9 +2216,21 @@ class Reader:
         return self._s.vector(docnum, fieldname)
 
     def corrector(self, fieldname: str):
-        from .query.suggest import ListCorrector
+        from .query.suggest import ReaderCorrector
 
-        return ListCorrector(self._s.lexicon(fieldname))
+        return ReaderCorrector(self._s, fieldname)
+
+    def terms_within(self, fieldname: str, text: str, maxdist: int,
+                     prefix: int = 0):
+        """Field terms within ``maxdist`` edits of ``text``, in lexicon
+        order (reference reading.IndexReader.terms_within)."""
+        from .query.suggest import levenshtein_within
+
+        pre = text[:prefix] if prefix else ""
+        return [
+            t for t in self._s.lexicon(fieldname, prefix=pre)
+            if levenshtein_within(text, t, maxdist)
+        ]
 
     def close(self):
         pass

@@ -253,3 +253,56 @@ def correct_query(
                 tokens.append(Token(new, 0, m.start(), m.end(), matched=True))
         tokens.sort(key=lambda t: t.startchar)
     return Correction(q, qstring, corr_q, tokens)
+
+
+class ReaderCorrector:
+    """Suggestions from a field's indexed vocabulary (reference
+    spelling.ReaderCorrector, spelling.py:89-115): candidates come from
+    the field's spelling vocabulary (``spell_<field>`` when the field
+    separates spelling), scored ``-(maxdist + 0.5/frequency)`` — so
+    ranking is frequency desc, ties alphabetical.  Unlike
+    ``Searcher.suggest``, the checked word itself IS eligible (the
+    reference class does not exclude it)."""
+
+    def __init__(self, reader, fieldname: str, fieldobj=None):
+        # accepts the compat Reader / Searcher or an IndexSearcher
+        self._s = getattr(reader, "_s", reader)
+        self.fieldname = fieldname
+
+    def _suggestions(self, text: str, maxdist: int, prefix: int):
+        s = self._s
+        sugfield = (
+            s.spelling_fieldname(self.fieldname)
+            if hasattr(s, "spelling_fieldname")
+            else self.fieldname
+        )
+        cands = [
+            t
+            for t in s.lexicon(sugfield, prefix=text[:prefix] if prefix else "")
+            if levenshtein_within(text, t, maxdist)
+        ]
+        freqs = s.frequencies([(self.fieldname, t) for t in cands])
+        for t in cands:
+            f = freqs.get((self.fieldname, t), 0) or 1
+            yield (-(maxdist + 0.5 / f), t)
+
+    def suggest(self, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0):
+        return _rank(self._suggestions(text, maxdist, prefix), limit)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance (reference support/levenshtein.py)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * lb
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[lb]
