@@ -1388,3 +1388,53 @@ def test_reader_corrector(ray_session, tmp_path_factory):
         assert r.terms_within("text", "kaola", 2) == ["kaori", "koala", "oola"]
         # reader.corrector returns a ReaderCorrector (reference API)
         assert r.corrector("text").suggest("koala", maxdist=1) == ["koala", "zoala"]
+
+
+def test_addfield(ray_session, tmp_path_factory):
+    # ref test_flexible.py:5-24 (test_addfield)
+    schema = wrr.Schema(id=wrr.ID(stored=True), content=wrr.TEXT(stored=False))
+    d = str(tmp_path_factory.mktemp("addfield"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(id="a", content="alfa")
+    w.add_document(id="b", content="bravo")
+    w.add_document(id="c", content="charlie")
+    w.commit()
+
+    ix.add_field("added", wrr.KEYWORD(stored=True))
+
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(id="d", content="delta", added="fourth")
+    w.add_document(id="e", content="echo", added="fifth")
+    w.commit(mergetype=wrr.NO_MERGE)
+
+    with ix.searcher() as s:
+        assert ("id", "d") in s.reader()
+        assert s.document(id="d") == {"id": "d", "added": "fourth"}
+        got = s.document(id="b")
+        assert got.get("id") == "b" and not got.get("added")
+
+
+def test_removefield(ray_session, tmp_path_factory):
+    # ref test_flexible.py:49-75 (test_removefield)
+    schema = wrr.Schema(id=wrr.ID(stored=True), content=wrr.TEXT(stored=False),
+                        city=wrr.KEYWORD(stored=True))
+    d = str(tmp_path_factory.mktemp("removefield"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(id="b", content="bravo", city="baghdad")
+    w.add_document(id="c", content="charlie", city="cairo")
+    w.add_document(id="d", content="delta", city="dakar")
+    w.commit()
+
+    with ix.searcher() as s:
+        assert s.document(id="c") == {"id": "c", "city": "cairo"}
+
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.remove_field("content")
+    w.remove_field("city")
+    w.commit()
+
+    with ix.searcher() as s:
+        assert ("content", b"charlie") not in s.reader()
+        assert s.document(id="c") == {"id": "c"}

@@ -669,10 +669,12 @@ class Schema:
                         spelling=opts.get("spelling", False),
                         chars=opts.get("chars", False),
                         boosts=opts.get("boosts", False),
+                        stored=opts.get("stored", True),
                     )
                 )
             elif kind == "id":
-                specs.append(id_field(name, unique=opts.get("unique", False)))
+                specs.append(id_field(name, unique=opts.get("unique", False),
+                                      stored=opts.get("stored", True)))
             elif kind == "keyword":
                 specs.append(
                     FieldSpec(
@@ -686,6 +688,7 @@ class Schema:
                         positions=False,
                         unique=opts.get("unique", False),
                         boost=opts.get("field_boost", 1.0),
+                        stored=opts.get("stored", True),
                     )
                 )
             elif kind == "numeric":
@@ -693,6 +696,7 @@ class Schema:
                     numeric_field(
                         name, numtype=opts.get("numtype", "int"),
                         unique=opts.get("unique", False),
+                        stored=opts.get("stored", True),
                     )
                 )
             elif kind == "datetime":
@@ -948,9 +952,13 @@ class Index:
 
     @property
     def index_schema(self) -> IndexSchema:
-        if self._schema is not None:
-            return self._schema.index_schema
-        return load_manifest(self.dirname).schema
+        # prefer the COMMITTED schema: add_field/remove_field between
+        # commits must be visible to later writers (reference
+        # Index.schema reads the current TOC)
+        man = load_manifest(self.dirname)
+        if man is not None:
+            return man.schema
+        return self._schema.index_schema
 
     def writer(self, **kwargs) -> "Writer":
         return Writer(self, **kwargs)
@@ -975,6 +983,21 @@ class Index:
         """Total docs including deleted (reference doc_count_all)."""
         man = load_manifest(self.dirname)
         return man.doc_count if man else 0
+
+    def add_field(self, fieldname: str, fieldtype) -> None:
+        """Add a schema field between commits (reference Index.add_field);
+        indexed only in segments committed afterwards."""
+        from .pipelines.write_ops import add_field as _add
+
+        spec = Schema(**{fieldname: fieldtype}).index_schema.fields[0]
+        _add(self.dirname, spec)
+
+    def remove_field(self, fieldname: str) -> None:
+        """Drop a schema field (reference Index.remove_field): it stops
+        being searchable/stored; postings GC with future merges."""
+        from .pipelines.write_ops import remove_field as _rm
+
+        _rm(self.dirname, fieldname)
 
 
 class Writer:
@@ -1092,6 +1115,14 @@ class Writer:
         from .pipelines.write_ops import delete_by_term
 
         return delete_by_term(self.index.dirname, fieldname, text)
+
+    def add_field(self, fieldname: str, fieldtype) -> None:
+        """Reference IndexWriter.add_field (writing.py:279-287)."""
+        self.index.add_field(fieldname, fieldtype)
+
+    def remove_field(self, fieldname: str) -> None:
+        """Reference IndexWriter.remove_field (writing.py:289-297)."""
+        self.index.remove_field(fieldname)
 
     def update_document(self, **fields):
         """Reference IndexWriter.update_document (writing.py:439-502):
@@ -2193,6 +2224,18 @@ class Reader:
         for d in range(self._s.doc_count_all()):
             if d not in excluded:
                 yield d
+
+    def __contains__(self, term) -> bool:
+        """``("field", "text") in reader`` (reference IndexReader
+        __contains__); accepts bytes text like the reference.  A field
+        removed from the schema answers False even while its postings
+        await merge GC (the reference reader consults its schema)."""
+        f, t = term
+        if f not in self._s.manifest.schema.by_name:
+            return False
+        if isinstance(t, bytes):
+            t = t.decode("utf-8")
+        return self._s.doc_frequency(f, t) > 0
 
     def iter_docs(self):
         """(docnum, stored_fields) pairs for all live docs (reference
