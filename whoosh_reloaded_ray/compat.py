@@ -951,6 +951,11 @@ class Index:
         self._schema = schema
 
     @property
+    def schema(self) -> IndexSchema:
+        """Current schema (reference Index.schema)."""
+        return self.index_schema
+
+    @property
     def index_schema(self) -> IndexSchema:
         # prefer the COMMITTED schema: add_field/remove_field between
         # commits must be visible to later writers (reference
