@@ -1438,3 +1438,84 @@ def test_removefield(ray_session, tmp_path_factory):
     with ix.searcher() as s:
         assert ("content", b"charlie") not in s.reader()
         assert s.document(id="c") == {"id": "c"}
+
+
+def test_update_multiple_unique(ray_session, tmp_path_factory):
+    # ref test_indexing.py:365-385 (test_update): update with multiple
+    # unique keys deletes docs matching ANY given unique value
+    schema = wrr.Schema(id=wrr.ID(unique=True, stored=True),
+                        path=wrr.ID(unique=True, stored=True),
+                        text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("multiunique"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(id="test1", path="/test/1", text="Hello")
+        w.add_document(id="test2", path="/test/2", text="There")
+        w.add_document(id="test3", path="/test/3", text="Reader")
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.update_document(id="test2", path="/test/1", text="Replacement")
+    with ix.searcher() as s:
+        ids = sorted(sf["id"] for _, sf in s.iter_docs())
+        assert ids == ["test2", "test3"]  # test1 (path) and test2 (id) replaced
+
+
+def test_update2_rolling(ray_session, tmp_path_factory):
+    # ref test_indexing.py:388-404 (test_update2), smaller commit count
+    import random as _random
+
+    schema = wrr.Schema(key=wrr.ID(unique=True, stored=True),
+                        p=wrr.ID(stored=True))
+    d = str(tmp_path_factory.mktemp("update2"))
+    ix = wrr.create_in(d, schema)
+    nums = list(range(11))
+    _random.Random(7).shuffle(nums)
+    for i, n in enumerate(nums):
+        w = ix.writer(num_shards=2, partition_rows=64)
+        w.update_document(key=str(n % 10), p=str(i))
+        w.commit()
+    with ix.searcher() as s:
+        results = " ".join(sorted(sf["key"] for _, sf in s.iter_docs()))
+        assert results == "0 1 2 3 4 5 6 7 8 9"
+
+
+def test_update_numeric_unique(ray_session, tmp_path_factory):
+    # ref test_indexing.py:406-421 (test_update_numeric)
+    import random as _random
+
+    schema = wrr.Schema(num=wrr.NUMERIC(unique=True, stored=True),
+                        text=wrr.ID(stored=True))
+    d = str(tmp_path_factory.mktemp("updatenum"))
+    ix = wrr.create_in(d, schema)
+    nums = list(range(5)) * 2
+    _random.Random(9).shuffle(nums)
+    for num in nums:
+        with ix.writer(num_shards=2, partition_rows=64) as w:
+            w.update_document(num=num, text=str(num))
+    with ix.searcher() as s:
+        results = " ".join(sorted(sf["text"] for _, sf in s.iter_docs()))
+        assert results == "0 1 2 3 4"
+
+
+def test_reindex_idempotent(ray_session, tmp_path_factory):
+    # ref test_indexing.py:423-447 (test_reindex)
+    sample_docs = [
+        {"id": "test1", "text": "This is a document. Awesome, is it not?"},
+        {"id": "test2", "text": "Another document. Astounding!"},
+        {"id": "test3",
+         "text": "A fascinating article on the behavior of domestic steak knives."},
+    ]
+    schema = wrr.Schema(text=wrr.TEXT(stored=True),
+                        id=wrr.ID(unique=True, stored=True))
+    d = str(tmp_path_factory.mktemp("reindex"))
+    ix = wrr.create_in(d, schema)
+
+    def reindex():
+        writer = ix.writer(num_shards=2, partition_rows=64)
+        for doc in sample_docs:
+            writer.update_document(**doc)
+        writer.commit()
+
+    reindex()
+    assert ix.doc_count() == 3
+    reindex()
+    assert ix.doc_count() == 3

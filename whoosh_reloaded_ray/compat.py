@@ -1976,6 +1976,10 @@ class CompatSearcher:
     def reader(self) -> "Reader":
         return Reader(self._s)
 
+    def iter_docs(self):
+        """(docnum, stored_fields) pairs (reference Searcher.iter_docs)."""
+        return self.reader().iter_docs()
+
     # -- reference Searcher API fillers (searching.py:60-720) --
     def find(self, defaultfield: str, querystring: str, **kwargs) -> Results:
         """Parse and search in one call (reference Searcher.find)."""
