@@ -1519,3 +1519,37 @@ def test_reindex_idempotent(ray_session, tmp_path_factory):
     assert ix.doc_count() == 3
     reindex()
     assert ix.doc_count() == 3
+
+
+def test_reverse_collapse(ray_session, tmp_path_factory):
+    # ref test_collector.py:126-183 (collapse_order facet)
+    schema = wrr.Schema(
+        title=wrr.TEXT(stored=True), content=wrr.TEXT(stored=False),
+        path=wrr.ID(stored=True), tags=wrr.KEYWORD(stored=False),
+        order=wrr.NUMERIC(stored=True),
+    )
+    d = str(tmp_path_factory.mktemp("revcollapse"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(title="First document", content="This is my document!",
+                       path="/a", tags="first", order=20)
+        w.add_document(title="Second document",
+                       content="This is the second example.", path="/b",
+                       tags="second", order=12)
+        w.add_document(title="Third document", content="Examples are many.",
+                       path="/c", tags="third", order=15)
+        w.add_document(title="Thirdish document",
+                       content="Examples are too many.", path="/d",
+                       tags="third", order=25)
+    with ix.searcher() as s:
+        r = s.search(Every("content"), limit=None)
+        assert sorted(hit["path"] for hit in r) == ["/a", "/b", "/c", "/d"]
+
+        from whoosh_reloaded_ray.query import Or
+
+        q = Or([Term("title", "document"), Term("content", "document"),
+                Term("tags", "document")])
+        cf = wrr.FieldFacet("tags")
+        of = wrr.FieldFacet("order", reverse=True)
+        r = s.search(q, collapse=cf, collapse_order=of)
+        assert [hit["path"] for hit in r] == ["/a", "/b", "/d"]

@@ -1626,6 +1626,7 @@ class CompatSearcher:
         maptype: str = "ordered",
         collapse: str | None = None,
         collapse_limit: int = 1,
+        collapse_order=None,
         **kw,
     ) -> Results:
         """Reference Searcher.search kwargs (searching.py:671-765):
@@ -1675,7 +1676,12 @@ class CompatSearcher:
         if collapse is not None:
             if isinstance(collapse, FieldFacet):
                 collapse = collapse.fieldname
-            res = self._s.search_collapsed(q, collapse, limit=limit, collapse_limit=collapse_limit)
+            if isinstance(collapse_order, FieldFacet):
+                collapse_order = (collapse_order.fieldname, collapse_order.reverse)
+            res = self._s.search_collapsed(
+                q, collapse, limit=limit, collapse_limit=collapse_limit,
+                collapse_order=collapse_order,
+            )
         else:
             res = self._s.search(q, limit=limit, **kw)
         if groupedby is not None:

@@ -276,26 +276,46 @@ class _SegmentWorker:
         return {"docnum": docs[order], **{f: cols[f][order] for f in fieldlist}}
 
     @staticmethod
-    def _collapse_rank_keep(keys, docs, scores, collapse_limit):
+    def _collapse_rank_keep(keys, docs, scores, collapse_limit,
+                            order_vals=None, order_reverse=False):
         """Vectorized per-key rank filter: keep a doc iff its rank within
-        its key (ordered by (-score, docnum)) < collapse_limit."""
-        order = np.lexsort((docs, -scores, keys))
+        its key < collapse_limit.  Default rank = (-score, docnum); with
+        ``order_vals`` (reference collapse_order facet) rank = (value
+        asc — or desc when reverse — then docnum)."""
+        if order_vals is None:
+            order = np.lexsort((docs, -scores, keys))
+        else:
+            # dense ranks make reverse work for ANY value dtype
+            ranks = np.unique(order_vals, return_inverse=True)[1]
+            if order_reverse:
+                ranks = -ranks
+            order = np.lexsort((docs, ranks, keys))
         ks = keys[order]
         starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         rank = np.arange(ks.size) - np.repeat(starts, np.diff(np.r_[starts, ks.size]))
         kept = order[rank < collapse_limit]
         return kept
 
-    def collapse_partial(self, q, ctx, field, collapse_limit) -> dict:
+    def collapse_partial(self, q, ctx, field, collapse_limit,
+                         order_spec=None) -> dict:
         """Per-key top-``collapse_limit`` candidates of this worker's
         matches (associative: re-ranking merged partials gives the global
-        per-key top)."""
-        docs_l, scores_l, keys_l = [], [], []
+        per-key top).  ``order_spec`` = (order_field, reverse) selects the
+        survivor by column value instead of score (reference
+        collapse_order facet)."""
+        docs_l, scores_l, keys_l, ovals_l = [], [], [], []
         for r, docs, scores in self._matches(q, ctx, scored=True):
             if not docs.size:
                 continue
             keys = r.column(field)[r.dense_index(docs)]
-            kept = self._collapse_rank_keep(keys, docs, scores, collapse_limit)
+            if order_spec is not None:
+                ovals = r.column(order_spec[0])[r.dense_index(docs)]
+                kept = self._collapse_rank_keep(
+                    keys, docs, scores, collapse_limit, ovals, order_spec[1]
+                )
+                ovals_l.append(ovals[kept])
+            else:
+                kept = self._collapse_rank_keep(keys, docs, scores, collapse_limit)
             docs_l.append(docs[kept])
             scores_l.append(scores[kept])
             keys_l.append(keys[kept])
@@ -303,6 +323,11 @@ class _SegmentWorker:
             "docnum": np.concatenate(docs_l) if docs_l else np.empty(0, np.uint64),
             "score": np.concatenate(scores_l) if scores_l else np.empty(0, np.float64),
             "key": np.concatenate(keys_l) if keys_l else np.empty(0, object),
+            "oval": (
+                np.concatenate(ovals_l)
+                if ovals_l
+                else (np.empty(0, object) if order_spec is not None else None)
+            ),
         }
 
     def parent_partial(self, q, ctx, parent_field) -> dict:
@@ -1280,7 +1305,8 @@ class IndexSearcher:
         }
 
     def search_collapsed(
-        self, q: ast.Query, collapse: str, limit: int | None = 10, collapse_limit: int = 1
+        self, q: ast.Query, collapse: str, limit: int | None = 10,
+        collapse_limit: int = 1, collapse_order=None,
     ) -> pa.Table:
         """Top-`limit` after keeping at most ``collapse_limit`` best-scoring
         docs per collapse-key (reference CollapseCollector semantics: lower
@@ -1291,11 +1317,19 @@ class IndexSearcher:
         candidates — at most n_keys x collapse_limit x n_workers rows."""
         q = self._rewrite(q)
         ctx = self._context(q)
-        parts = self._partials("collapse_partial", q, ctx, collapse, collapse_limit)
+        parts = self._partials(
+            "collapse_partial", q, ctx, collapse, collapse_limit, collapse_order
+        )
         docs = np.concatenate([p["docnum"] for p in parts])
         scores = np.concatenate([p["score"] for p in parts])
         keys = np.concatenate([p["key"] for p in parts])
-        kept = _SegmentWorker._collapse_rank_keep(keys, docs, scores, collapse_limit)
+        if collapse_order is not None:
+            ovals = np.concatenate([p["oval"] for p in parts])
+            kept = _SegmentWorker._collapse_rank_keep(
+                keys, docs, scores, collapse_limit, ovals, collapse_order[1]
+            )
+        else:
+            kept = _SegmentWorker._collapse_rank_keep(keys, docs, scores, collapse_limit)
         sub_docs, sub_scores = docs[kept], scores[kept]
         order = np.lexsort((sub_docs, -sub_scores))
         if limit is not None:
