@@ -1553,3 +1553,45 @@ def test_reverse_collapse(ray_session, tmp_path_factory):
         of = wrr.FieldFacet("order", reverse=True)
         r = s.search(q, collapse=cf, collapse_order=of)
         assert [hit["path"] for hit in r] == ["/a", "/b", "/d"]
+
+
+def test_termdocs(ray_session, tmp_path_factory):
+    # ref test_collector.py:186-211 (Results.termdocs via terms=True)
+    from whoosh_reloaded_ray.query import And, Prefix
+
+    schema = wrr.Schema(key=wrr.TEXT(stored=True), city=wrr.ID(stored=True))
+    d = str(tmp_path_factory.mktemp("termdocs"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        for key, city in [("ant", "london"), ("anteater", "roma"),
+                          ("bear", "london"), ("bees", "roma"),
+                          ("anorak", "london"), ("antimatter", "roma"),
+                          ("angora", "london"), ("angels", "roma")]:
+            w.add_document(key=key, city=city)
+    with ix.searcher() as s:
+        q = And([Term("city", "london"), Prefix("key", "an")]).normalize()
+        r = s.search(q, limit=None, terms=True)
+        terms = [t for fieldname, t in r.termdocs if fieldname == "key"]
+        assert sorted(terms) == ["angora", "anorak", "ant"]
+
+
+def test_termdocs2(ray_session, tmp_path_factory):
+    # ref test_collector.py:214-246 (manual prefix-expansion walk)
+    schema = wrr.Schema(key=wrr.TEXT(stored=True), city=wrr.ID(stored=True))
+    d = str(tmp_path_factory.mktemp("termdocs2"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        for key, city in [("ant", "london"), ("anteater", "roma"),
+                          ("bear", "london"), ("bees", "roma"),
+                          ("anorak", "london"), ("antimatter", "roma"),
+                          ("angora", "london"), ("angels", "roma")]:
+            w.add_document(key=key, city=city)
+    with ix.searcher() as s:
+        cond_docnums = set(Term("city", "london").docs(s))
+        terms = []
+        for term in s.reader().expand_prefix("key", "an"):
+            for docnum in s.document_numbers(key=term):
+                if docnum in cond_docnums:
+                    terms.append(term)
+                    break
+        assert terms == ["angora", "anorak", "ant"]

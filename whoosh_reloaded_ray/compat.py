@@ -1523,6 +1523,28 @@ class Results:
     def has_matched_terms(self) -> bool:
         return any(h._matched_terms is not None for h in self.hits)
 
+    @property
+    def termdocs(self) -> dict:
+        """{(field, term): [docnum, ...]} over the collected hits for
+        search(terms=True) (reference TermsCollector.termdocs)."""
+        from collections import defaultdict
+
+        out = defaultdict(list)
+        for h in self.hits:
+            for ft in (h._matched_terms or ()):
+                out[ft].append(h.docnum)
+        return dict(out)
+
+    @property
+    def docterms(self) -> dict:
+        """{docnum: [(field, term), ...]} (reference
+        TermsCollector.docterms)."""
+        return {
+            h.docnum: sorted(h._matched_terms)
+            for h in self.hits
+            if h._matched_terms is not None
+        }
+
     def matched_terms(self) -> set:
         out: set = set()
         for h in self.hits:

@@ -148,6 +148,13 @@ class Query:
 
         return self.apply(methodcaller("simplify", ixreader))
 
+    def normalize(self):
+        """Parse-time normal form (reference Query.normalize): flatten,
+        merge ranges, dedup, absorb Every, unwrap singletons."""
+        from .normalize import normalize as _norm
+
+        return _norm(self)
+
 
 @dataclass(frozen=True)
 class Term(Query):
