@@ -155,6 +155,29 @@ class Query:
 
         return _norm(self)
 
+    def estimate_size(self, ixreader) -> int:
+        """Overestimate of potentially matching docs (reference
+        Query.estimate_size: Term = doc frequency, compounds combine;
+        unknown node types answer the whole doc count — permissibly
+        over, never under)."""
+        s = getattr(ixreader, "_s", ixreader)
+        if isinstance(self, Term):
+            return s.doc_frequency(self.field, self.text)
+        kids = self.children()
+        if isinstance(self, And) and kids:
+            return min(q.estimate_size(ixreader) for q in kids)
+        if isinstance(self, (Or, DisMax)) and kids:
+            est = sum(q.estimate_size(ixreader) for q in kids)
+            return min(est, s.doc_count_all())
+        if isinstance(self, (AndNot, AndMaybe, Require)):
+            return self.a.estimate_size(ixreader)
+        return s.doc_count_all()
+
+    def estimate_min_size(self, ixreader) -> int:
+        """Underestimate of guaranteed matches (reference
+        Query.estimate_min_size; 0 is always safe)."""
+        return 0
+
 
 @dataclass(frozen=True)
 class Term(Query):
