@@ -1595,3 +1595,76 @@ def test_termdocs2(ray_session, tmp_path_factory):
                     terms.append(term)
                     break
         assert terms == ["angora", "anorak", "ant"]
+
+
+def test_open_date_ranges(ray_session, tmp_path_factory):
+    # ref test_searching.py:362-411 (open-ended date ranges, with and
+    # without the date parser; tz-naive datetimes — our DATETIME column
+    # is a naive timestamp[us])
+    from datetime import datetime, timedelta
+
+    from whoosh_reloaded_ray.query.parser import QueryParser
+
+    basedate = datetime(2011, 1, 24, 6, 25, 0, 0)
+    domain = [basedate + timedelta(days=n) for n in range(-20, 20)]
+    schema = wrr.Schema(date=wrr.DATETIME(stored=True))
+    d = str(tmp_path_factory.mktemp("opendates"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    for dt in domain:
+        w.add_document(date=dt)
+    w.commit()
+
+    with ix.searcher() as s:
+        qp = QueryParser("date", s._schema)
+        q = qp.parse("[2011-01-10 to]")
+        r = [hit["date"] for hit in s.search(q, limit=None, sortedby="date")]
+        assert r and r == sorted(dt for dt in domain
+                                 if dt >= datetime(2011, 1, 10, 6, 25))
+
+        q = qp.parse("[to 2011-01-30]")
+        r = [hit["date"] for hit in s.search(q, limit=None, sortedby="date")]
+        assert r and r == sorted(dt for dt in domain
+                                 if dt <= datetime(2011, 1, 30, 6, 25))
+
+        # with the natural-language date parser (basedate-seeded)
+        qp = QueryParser("date", s._schema, dateparse_basedate=basedate)
+        q = qp.parse("[10 jan 2011 to]")
+        r = [hit["date"] for hit in s.search(q, limit=None, sortedby="date")]
+        assert r and r == sorted(dt for dt in domain
+                                 if dt >= datetime(2011, 1, 10, 6, 25))
+
+        q = qp.parse("[to 30 jan 2011]")
+        r = [hit["date"] for hit in s.search(q, limit=None, sortedby="date")]
+        assert r and r == sorted(dt for dt in domain
+                                 if dt <= datetime(2011, 1, 30, 6, 25))
+
+
+def test_finalweighting(ray_session, tmp_path_factory):
+    # ref test_searching.py:858-885 (use_final score adjustment)
+    from whoosh_reloaded_ray import scoring
+
+    schema = wrr.Schema(id=wrr.ID(stored=True), summary=wrr.TEXT(stored=False),
+                        n_comments=wrr.NUMERIC(stored=True))
+    d = str(tmp_path_factory.mktemp("finalw"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(id="1", summary="alfa bravo", n_comments=5)
+    w.add_document(id="2", summary="alfa", n_comments=12)
+    w.add_document(id="3", summary="bravo", n_comments=2)
+    w.add_document(id="4", summary="bravo bravo", n_comments=7)
+    w.commit()
+
+    class CommentWeighting(scoring.Frequency):
+        use_final = True
+
+        def final(self, searcher, docnum, score):
+            return searcher.stored_fields(docnum).get("n_comments", 0)
+
+    with ix.searcher(weighting=CommentWeighting()) as s:
+        from whoosh_reloaded_ray.query import Or
+
+        q = Or([Term("summary", "alfa"), Term("summary", "bravo")])
+        r = s.search(q)
+        ids = [fs["id"] for fs in r]
+        assert ids == ["2", "4", "1", "3"]

@@ -1620,6 +1620,14 @@ class CompatSearcher:
         )
         self._schema = self._s.manifest.schema
         self._parser = None
+        # reference use_final hook (scoring.WeightingModel.final,
+        # scoring.py: collectors call final(searcher, docnum, score) per
+        # collected doc and rank by the ADJUSTED score)
+        w = weighting() if isinstance(weighting, type) else weighting
+        self._final = (
+            w.final if w is not None and getattr(w, "use_final", False) else None
+        )
+        self.weighting = w
 
     # context manager like the reference's `with ix.searcher() as s:`
     def __enter__(self):
@@ -1703,6 +1711,29 @@ class CompatSearcher:
             res = self._s.search_collapsed(
                 q, collapse, limit=limit, collapse_limit=collapse_limit,
                 collapse_order=collapse_order,
+            )
+        elif self._final is not None:
+            # rank by final()-adjusted scores: evaluate unlimited, adjust
+            # per doc on the driver (the reference's collector is equally
+            # per-doc), re-rank, truncate
+            res = self._s.search(q, limit=None, **kw)
+            docs = res["docnum"].to_numpy()
+            scores = np.fromiter(
+                (
+                    float(self._final(self, int(d), float(s0)))
+                    for d, s0 in zip(docs, res["score"].to_numpy())
+                ),
+                dtype=np.float64,
+                count=docs.size,
+            )
+            order = np.lexsort((docs, -scores))
+            if limit is not None:
+                order = order[:limit]
+            res = pa.table(
+                {
+                    "docnum": pa.array(docs[order], pa.uint64()),
+                    "score": pa.array(scores[order], pa.float64()),
+                }
             )
         else:
             res = self._s.search(q, limit=limit, **kw)
