@@ -1668,3 +1668,23 @@ def test_finalweighting(ray_session, tmp_path_factory):
         r = s.search(q)
         ids = [fs["id"] for fs in r]
         assert ids == ["2", "4", "1", "3"]
+
+
+def test_highlight_wildcards(ray_session, tmp_path_factory):
+    # ref test_highlighting.py:293-306: wildcard-matched terms highlight
+    from whoosh_reloaded_ray.highlight import UppercaseFormatter
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("hlwild"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(text="alfa bravo charlie delta cookie echo")
+    with ix.searcher() as s:
+        qp = QueryParser("text", s._schema)
+        q = qp.parse("c*")
+        r = s.search(q)
+        assert r.scored_length() == 1
+        r.formatter = UppercaseFormatter()
+        hit = r[0]
+        assert hit.highlights("text") == "alfa bravo CHARLIE delta COOKIE echo"

@@ -399,7 +399,16 @@ def highlight_hit(searcher, docnum: int, fieldname: str, q, **kwargs) -> str:
 
     rows = fetch_rows(searcher.manifest.partitions, [docnum], columns=[fieldname])
     text = rows[fieldname][0].as_py() or ""
-    terms = {t for (f, t) in q.terms() if f == fieldname}
+    # multiterm leaves (Prefix/Wildcard/Regex/Fuzzy/Variations) highlight
+    # their EXPANDED terms (reference Hit.highlights runs expanded_terms);
+    # the searcher rewrite exposes them as Term / ConstantTerms leaves
+    from . import ast as _ast
+
+    rq = searcher._rewrite(q)
+    terms = {t for (f, t) in rq.terms() if f == fieldname}
+    for leaf in rq.leaves():
+        if isinstance(leaf, _ast.ConstantTerms) and leaf.field == fieldname:
+            terms.update(leaf.termlist)
     fspec = next(f for f in searcher.manifest.schema.fields if f.name == fieldname)
     if getattr(fspec, "chars", False) and getattr(searcher, "executor", "local") == "local":
         spans = payload_spans(searcher, docnum, fieldname, terms)
