@@ -50,3 +50,8 @@ from .parser import MultifieldParser, QueryParser  # noqa: F401
 # The reference's SpanNear2 (ordered window chain over a list of queries,
 # spans.py:530-700) is exactly our Sequence node.
 SpanNear2 = Sequence
+# reference parser-internal Or variants (qparser uses DefaultOr etc.);
+# functionally identical to Or on this engine
+from .ast import Or as DefaultOr  # noqa: F401,E402
+from .ast import Or as PreloadedOr  # noqa: F401,E402
+from .ast import Or as SplitOr  # noqa: F401,E402
