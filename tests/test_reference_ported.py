@@ -1688,3 +1688,44 @@ def test_highlight_wildcards(ray_session, tmp_path_factory):
         r.formatter = UppercaseFormatter()
         hit = r[0]
         assert hit.highlights("text") == "alfa bravo CHARLIE delta COOKIE echo"
+
+
+def test_highlight_ngrams(ray_session, tmp_path_factory, whoosh):
+    # ref test_highlighting.py:309-324: NGRAMWORDS highlights matched
+    # gram SPANS; oracle = the live reference's own output for the same
+    # schema/doc/query
+    import tempfile
+
+    from whoosh import fields as wf
+    from whoosh import highlight as wh
+    from whoosh import index as windex
+    from whoosh import qparser as wqp
+
+    text = "Multiplication and subtraction are good"
+    with tempfile.TemporaryDirectory() as wd:
+        wix = windex.create_in(wd, wf.Schema(text=wf.NGRAMWORDS(stored=True)))
+        with wix.writer() as w:
+            w.add_document(text=text)
+        with wix.searcher() as s:
+            q = wqp.QueryParser("text", wix.schema).parse("multiplication")
+            r = s.search(q)
+            r.fragmenter = wh.SentenceFragmenter()
+            r.formatter = wh.UppercaseFormatter()
+            expected = r[0].highlights("text")
+    assert expected  # the reference produces a non-empty snippet
+
+    from whoosh_reloaded_ray.highlight import SentenceFragmenter, UppercaseFormatter
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(text=wrr.NGRAMWORDS(stored=True))
+    d = str(tmp_path_factory.mktemp("hlngram"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(text=text)
+    with ix.searcher() as s:
+        q = QueryParser("text", s._schema).parse("multiplication")
+        r = s.search(q)
+        assert r.scored_length() == 1
+        r.fragmenter = SentenceFragmenter()
+        r.formatter = UppercaseFormatter()
+        assert r[0].highlights("text") == expected

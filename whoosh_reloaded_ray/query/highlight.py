@@ -49,6 +49,44 @@ def analyze_with_chars(spec, text: str):
     from ..functions.analysis import charmap_table, resolve_stemmer
 
     pat = re.compile(spec.pattern, re.UNICODE)
+    if spec.kind == "ngramwords":
+        # gram tokens with char spans INSIDE each word (reference NGRAMWORDS
+        # highlighting uppercases the matched gram spans, test_highlighting
+        # test_highlight_ngrams); index-mode gram set
+        gmin, gmax, at = spec.ngram_min, spec.ngram_max, spec.ngram_at
+        toks = []
+        for pos, m in enumerate(pat.finditer(text)):
+            w = m.group(0).lower()
+            base = m.start()
+            if len(w) < gmin:
+                continue
+            if at == "start":
+                for size in range(gmin, min(gmax, len(w)) + 1):
+                    toks.append(Token(w[:size], pos, base, base + size))
+            elif at == "end":
+                for i in range(max(0, len(w) - gmax), len(w) - gmin + 1):
+                    toks.append(Token(w[i:], pos, base + i, base + len(w)))
+            else:
+                for start in range(0, len(w) - gmin + 1):
+                    for size in range(gmin, gmax + 1):
+                        if start + size <= len(w):
+                            toks.append(
+                                Token(w[start : start + size], pos,
+                                      base + start, base + start + size)
+                            )
+        return toks
+    if spec.kind == "ngram":
+        # char grams over the raw lowered text
+        gmin, gmax = spec.ngram_min, spec.ngram_max
+        low = text.lower()
+        toks = []
+        pos = 0
+        for start in range(0, max(0, len(low) - gmin + 1)):
+            for size in range(gmin, gmax + 1):
+                if start + size <= len(low):
+                    toks.append(Token(low[start : start + size], pos, start, start + size))
+                    pos += 1
+        return toks
     stem = resolve_stemmer(spec) if spec.kind == "stemming" else None
     cmap = (
         charmap_table(spec.charmap) if getattr(spec, "charmap", None) else None
