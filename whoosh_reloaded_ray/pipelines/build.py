@@ -230,10 +230,16 @@ def _build_segment(
         .to_pandas()
     )
 
-    # field totals for avgfl come from the doclens sentinel rows, which we
-    # re-aggregate cheaply from the written doclens parquet (small: one row
-    # per doc per scorable field)
-    field_lengths = _field_lengths_from_doclens(seg_dir)
+    # field totals for avgfl: each shard reducer pre-aggregates its doclen
+    # sentinel rows and ships the per-field sums back in its summary row —
+    # no second driver pass over the doclens parquet
+    import json as _json
+
+    field_lengths: dict = {}
+    if len(summary):
+        for s in summary["field_lengths_json"]:
+            for f, v in _json.loads(s).items():
+                field_lengths[f] = field_lengths.get(f, 0) + int(v)
 
     salted_serial: dict = {}
     for (f, t), n in (salted_terms or {}).items():
@@ -320,16 +326,3 @@ def estimate_hot_terms(
     return hot
 
 
-def _field_lengths_from_doclens(seg_dir: str) -> dict:
-    import glob
-
-    import duckdb
-
-    files = glob.glob(os.path.join(seg_dir, "doclens-*.parquet"))
-    if not files:
-        return {}
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT field, CAST(SUM(length) AS BIGINT) FROM read_parquet({files!r}) GROUP BY field"
-    ).fetchall()
-    return {f: int(s) for f, s in rows}

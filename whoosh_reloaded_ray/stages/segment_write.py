@@ -32,6 +32,7 @@ ranges) — the layout already supports multiple parquet files per shard.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -77,7 +78,7 @@ class ShardSegmentWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return _summary_table([])
+            return _summary_table(-1, None, "{}")
         shard = int(group["shard"][0].as_py())
         group = group.combine_chunks()
 
@@ -86,6 +87,9 @@ class ShardSegmentWriter:
         doclens = group.filter(is_len)
         posts = group.filter(pc.invert(is_len))
 
+        # per-field length sums ride back in the summary row so the driver
+        # never has to re-scan the doclens parquet for avgfl totals
+        fl_json = "{}"
         if doclens.num_rows:
             dl_sort = pc.sort_indices(
                 doclens, sort_keys=[("docnum", "ascending"), ("field", "ascending")]
@@ -100,11 +104,19 @@ class ShardSegmentWriter:
                 }
             )
             _atomic_write(dl_tbl, os.path.join(self.seg_dir, DOCLENS_FILE.format(shard=shard)))
+            agg = dl_tbl.group_by("field").aggregate([("length", "sum")])
+            fl_json = json.dumps(
+                {
+                    f: int(s)
+                    for f, s in zip(
+                        agg["field"].to_pylist(), agg["length_sum"].to_pylist()
+                    )
+                },
+                sort_keys=True,
+            )
 
-        summaries = []
-        if posts.num_rows:
-            summaries.append(self._write_postings(shard, posts))
-        return _summary_table(summaries)
+        result = self._write_postings(shard, posts) if posts.num_rows else None
+        return _summary_table(shard, result, fl_json)
 
     def _write_postings(self, shard: int, posts: pa.Table) -> ShardWriteResult:
         order = pc.sort_indices(
@@ -234,11 +246,24 @@ class ShardSegmentWriter:
         return ShardWriteResult(shard=shard, n_terms=n_terms, n_postings=n)
 
 
-def _summary_table(results) -> pa.Table:
+def _summary_table(
+    shard: int, result: ShardWriteResult | None, fl_json: str
+) -> pa.Table:
+    # one row per non-empty shard (postings and/or doclens); empty groups
+    # return a zero-row table with the same schema
+    empty = result is None and fl_json == "{}"
+    rows = [] if empty else [0]
     return pa.table(
         {
-            "shard": pa.array([r.shard for r in results], type=pa.int32()),
-            "n_terms": pa.array([r.n_terms for r in results], type=pa.int64()),
-            "n_postings": pa.array([r.n_postings for r in results], type=pa.int64()),
+            "shard": pa.array([shard for _ in rows], type=pa.int32()),
+            "n_terms": pa.array(
+                [result.n_terms if result else 0 for _ in rows], type=pa.int64()
+            ),
+            "n_postings": pa.array(
+                [result.n_postings if result else 0 for _ in rows], type=pa.int64()
+            ),
+            "field_lengths_json": pa.array(
+                [fl_json for _ in rows], type=pa.string()
+            ),
         }
     )
