@@ -232,6 +232,17 @@ def test_embedding_lsh_recall(ray_session):
         assert abs(em[(x, y)] - s) < 1e-9
 
 
+def test_embedding_pairs_size_gate(ray_session):
+    """Above exact_max_rows the exact path auto-routes to the LSH-bucketed
+    scale mode (same schema, exact-verified subset of the exact pairs)."""
+    from whoosh_reloaded_ray.pipelines import ann
+
+    routed = ann.neardup_embedding_pairs(SF, exact_max_rows=1).to_pandas()
+    lsh = ann.neardup_embedding_pairs_lsh(SF).to_pandas()
+    assert list(routed.columns) == ["a", "b", "sim_r"]
+    assert routed.equals(lsh)
+
+
 def test_filter_quality(ray_session, con):
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 

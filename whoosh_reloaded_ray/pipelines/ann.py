@@ -169,19 +169,31 @@ ORDER BY qid, rank
 """
 
 
-def neardup_embedding_pairs(sf_dir: str, tau: float = 0.4) -> pa.Table:
-    """All pairs with cosine >= tau — exact blocked matmul: the full
-    normalized matrix is broadcast once (fits while one 10^9-vector shard
-    per task does at 100 TB you'd LSH-bucket first; see ann_ivf for the
-    bucketing machinery) and each task emits only its rows' qualifying
-    pairs."""
+def neardup_embedding_pairs(
+    sf_dir: str, tau: float = 0.4, exact_max_rows: int = 100_000
+) -> pa.Table:
+    """All pairs with cosine >= tau.
+
+    SIZE-GATED: at or below ``exact_max_rows`` (counted from parquet
+    metadata, no data read) this runs the exact blocked matmul — the full
+    normalized matrix broadcast once via ray.put, each task emitting only
+    its rows' qualifying pairs.  ABOVE the gate it auto-routes to the
+    LSH-bucketed verify (``neardup_embedding_pairs_lsh``) — the declared
+    scale mode: band buckets co-locate candidates, verification is a small
+    in-bucket matmul, no O(N^2) pass and no full-matrix broadcast.  Exact
+    mode is retained under the gate as the small-N oracle path (the DuckDB
+    gate runs at sf<=0.1, well below it)."""
     import ray
     import pyarrow.compute as pc
 
     import pyarrow.parquet as pq
 
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if pq.ParquetFile(emb_path).metadata.num_rows > exact_max_rows:
+        return neardup_embedding_pairs_lsh(sf_dir, tau=tau)
+
     full = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        emb_path, columns=["vec_id", "embedding"]
     ).sort_by("vec_id")
     all_ids = full["vec_id"].to_numpy()
     X = _emb_matrix(full["embedding"])
