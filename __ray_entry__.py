@@ -162,7 +162,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann.oracle_ann_cosine_topk(),
         "neardup_embedding_pairs": ann.oracle_neardup_embedding_pairs(),
         "multimodal_meta": g.multimodal_meta()[1],
-        # sketches_approx / simhash_all / bpe_token_counts / ann_approx_topk /
-        # neardup_embedding_lsh: rows-only (approximate or bit-level ops that
+        # round 4: simhash is now fully SQL-expressible (md5-derived word
+        # hash == DuckDB md5_number_lower; banded pair search has recall 1.0
+        # by pigeonhole so the all-pairs xor/bit_count oracle matches exactly)
+        "simhash_all": g.simhash_all()[1],
+        # sketches_approx / bpe_token_counts / ann_approx_topk /
+        # neardup_embedding_lsh: rows-only (approximate or iterative ops that
         # aren't sane SQL); each has accuracy/parity tests under tests/.
     }

@@ -136,6 +136,22 @@ def test_simhash_pairs_symmetric(ray_session):
         assert (a < b).all()
 
 
+def test_simhash_sql_oracle(ray_session, con):
+    """The md5-derived SimHash spec is SQL-reproducible end to end: both
+    the fingerprints and the banded pair search (recall 1.0 by pigeonhole)
+    match the DuckDB oracle exactly."""
+    from whoosh_reloaded_ray.pipelines import corpus_ops as co
+
+    _assert_match(
+        co.simhash_fingerprints(SF), con, co.oracle_simhash_fingerprints()
+    )
+    _assert_match(
+        co.simhash_neardup_pairs(SF, max_hamming=8),
+        con,
+        co.oracle_simhash_neardup_pairs(8),
+    )
+
+
 def test_ann_brute_force(ray_session, con):
     from whoosh_reloaded_ray.pipelines import ann
 

@@ -1031,7 +1031,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """Stateless vectorized map_batches stage: documents batch ->
     (doc_id, simhash).  64-bit SimHash over word features (weight = term
-    frequency): blake2b per UNIQUE word, per-token +-1 bit contributions
+    frequency): md5-derived hash per UNIQUE word, per-token +-1 bit contributions
     accumulated per doc with one ``np.add.at`` — bit-identical to the
     per-doc Counter formulation."""
     n_docs = len(batch)
@@ -1039,9 +1039,11 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     denc = pc.dictionary_encode(flat)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uwords = denc.dictionary.to_pylist()
+    # word hash = upper 8 md5 bytes little-endian == DuckDB md5_number_lower,
+    # so the whole fingerprint is SQL-reproducible (oracle below)
     uh = np.array(
         [
-            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
             for w in uwords
         ],
         dtype=np.uint64,
@@ -1193,6 +1195,54 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     return t.select(["a", "b", "hamming"]).sort_by(
         [("a", "ascending"), ("b", "ascending")]
     )
+
+
+_SIMHASH_FP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(w) AS h FROM toks),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << i
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                 THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT)
+         AS simhash
+FROM fp
+"""
+
+
+def oracle_simhash_fingerprints() -> str:
+    """The SimHash spec is fully SQL-reproducible: the word hash is the
+    upper 8 md5 bytes little-endian == DuckDB ``md5_number_lower``, the
+    tokenization is ``lower().split(' ')`` == ``string_split(lower(text))``,
+    and the bit vote / two's-complement packing are plain integer ops."""
+    return f"{_SIMHASH_FP_SQL} ORDER BY doc_id"
+
+
+def oracle_simhash_neardup_pairs(max_hamming: int = 8) -> str:
+    """All-pairs xor+popcount over the SQL-computed fingerprints.  The
+    pigeonhole banding in ``simhash_neardup_pairs`` has recall 1.0 by
+    construction, so the naive oracle matches exactly."""
+    return f"""
+WITH f AS ({_SIMHASH_FP_SQL})
+SELECT a.doc_id a, b.doc_id b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY a, b
+"""
 
 
 # ---------------------------------------------------------------------------

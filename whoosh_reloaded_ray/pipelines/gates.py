@@ -262,14 +262,29 @@ def sketches_approx():
 
 
 def simhash_all():
-    """SimHash fingerprints + Hamming<=8 near-dup pairs (rows-only: bit ops)."""
+    """SimHash fingerprints + Hamming<=8 near-dup pairs.  FULLY oracle-
+    verified as of round 4: the word hash is md5-derived (== DuckDB
+    ``md5_number_lower``) so the fingerprints, and the all-pairs
+    xor/bit_count oracle for the banded pair search (recall 1.0 by
+    pigeonhole), are SQL-expressible."""
     from whoosh_reloaded_ray.pipelines import corpus_ops as co
 
     cases = [
         ("simhash_fingerprints", co.simhash_fingerprints),
         ("simhash_neardup_pairs", lambda sf: co.simhash_neardup_pairs(sf, max_hamming=8)),
     ]
-    return fold_queries(cases, ["doc_id", "simhash", "a", "b", "hamming"]), None
+    typed = [("doc_id", "BIGINT"), ("simhash", "BIGINT"), ("a", "BIGINT"),
+             ("b", "BIGINT"), ("hamming", "BIGINT")]
+    sql = fold_sql(
+        [
+            ("simhash_fingerprints", co.oracle_simhash_fingerprints(),
+             {"a": None, "b": None, "hamming": None}),
+            ("simhash_neardup_pairs", co.oracle_simhash_neardup_pairs(8),
+             {"doc_id": None, "simhash": None}),
+        ],
+        typed,
+    )
+    return fold_queries(cases, ["doc_id", "simhash", "a", "b", "hamming"]), sql
 
 
 def ann_approx_topk():
