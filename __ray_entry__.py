@@ -166,7 +166,12 @@ def oracle_sql() -> dict[str, str]:
         # hash == DuckDB md5_number_lower; banded pair search has recall 1.0
         # by pigeonhole so the all-pairs xor/bit_count oracle matches exactly)
         "simhash_all": g.simhash_all()[1],
-        # sketches_approx / bpe_token_counts / ann_approx_topk /
-        # neardup_embedding_lsh: rows-only (approximate or iterative ops that
-        # aren't sane SQL); each has accuracy/parity tests under tests/.
+        # round 4: fixture oracles for the non-SQL-expressible iterative /
+        # seeded ops — committed parquet generated by independent naive
+        # single-process implementations (scripts/gen_gate_fixtures.py),
+        # freshness-guarded by tests/test_gate_fixtures.py
+        "bpe_token_counts": bpe.oracle_bpe_token_counts(),
+        "neardup_embedding_lsh": ann.oracle_neardup_embedding_pairs_lsh(),
+        # sketches_approx / ann_approx_topk: rows-only (approximate sketches
+        # and graph-order-dependent ANN); accuracy/parity tests under tests/.
     }

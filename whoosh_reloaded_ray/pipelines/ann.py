@@ -246,6 +246,23 @@ ORDER BY a, b
 """
 
 
+def oracle_neardup_embedding_pairs_lsh() -> str:
+    """Fixture oracle: the seeded random-hyperplane selection is not
+    SQL-expressible, so the oracle reads a COMMITTED parquet generated by
+    an independent naive single-process implementation of the same LSH
+    spec (scripts/gen_gate_fixtures.py: per-band python-dict buckets,
+    in-bucket exact cosine).  Valid at the driver's gate scale (sf0.01);
+    tests/test_gate_fixtures.py regenerates the naive result each round so
+    the fixture cannot go stale."""
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+        "neardup_embedding_lsh_sf0.01.parquet",
+    )
+    return f"SELECT a, b, sim_r FROM read_parquet('{fix}') ORDER BY a, b"
+
+
 def neardup_embedding_pairs_lsh(
     sf_dir: str,
     tau: float = 0.4,
