@@ -172,6 +172,9 @@ def oracle_sql() -> dict[str, str]:
         # freshness-guarded by tests/test_gate_fixtures.py
         "bpe_token_counts": bpe.oracle_bpe_token_counts(),
         "neardup_embedding_lsh": ann.oracle_neardup_embedding_pairs_lsh(),
-        # sketches_approx / ann_approx_topk: rows-only (approximate sketches
-        # and graph-order-dependent ANN); accuracy/parity tests under tests/.
+        "sketches_approx": g.sketches_approx()[1],
+        # ann_approx_topk: the one remaining rows-only gate — approximate
+        # graph/cluster ANN whose construction order a naive oracle would
+        # have to replicate line-for-line; recall vs exact is tested in
+        # tests/test_corpus_ops.py instead.
     }

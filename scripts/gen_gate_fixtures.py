@@ -156,14 +156,107 @@ def gen_neardup_embedding_lsh(
 
 
 # ---------------------------------------------------------------------------
-# naive sketches: HyperLogLog distinct users + Count-Min heavy hitters
-# (parameters/specs must mirror whoosh_reloaded_ray/pipelines/sketches.py)
+# naive sketches: HyperLogLog distinct users + Count-Min heavy hitters.
+# Pure-Python int/hashlib reimplementations of the published specs
+# (Flajolet et al. 2007; Cormode-Muthukrishnan 2005) with the same
+# parameters as the library (p=12; d=4, w=2048) — no numpy vector paths.
 # ---------------------------------------------------------------------------
 
+_M64 = (1 << 64) - 1
 
-def _h64(s: str, salt: bytes = b"") -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8, key=salt or None).digest(), "little"
+
+def _splitmix_hash(uid: int) -> int:
+    h = ((uid * 0x9E3779B97F4A7C15) & _M64) ^ 0xBF58476D1CE4E5B9
+    h ^= h >> 31
+    h = (h * 0x94D049BB133111EB) & _M64
+    h ^= h >> 29
+    return h
+
+
+def gen_events_hll_users(sf_dir: str, p: int = 12) -> pa.Table:
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    m = 1 << p
+    regs: dict = {}
+    for uid, et in zip(ev["user_id"].to_pylist(), ev["event_type"].to_pylist()):
+        h = _splitmix_hash(int(uid))
+        idx = h >> (64 - p)
+        rest = ((h << p) & _M64) | (1 << (p - 1))
+        rank = (64 - rest.bit_length()) + 1
+        r = regs.setdefault(et, [0] * m)
+        if rank > r[idx]:
+            r[idx] = rank
+    rows = []
+    for et in sorted(regs):
+        r = regs[et]
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / sum(2.0 ** -x for x in r)
+        zeros = r.count(0)
+        if est <= 2.5 * m and zeros:
+            import math
+
+            est = m * math.log(m / zeros)
+        rows.append((et, int(round(est))))
+    return pa.table(
+        {
+            "event_type": pa.array([t for t, _ in rows], pa.string()),
+            "approx_users": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def gen_heavy_hitters_cms(
+    sf_dir: str, k: int = 10, d: int = 4, w: int = 2048, n_cand: int = 64
+) -> pa.Table:
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    counts: dict = {}  # insertion order = first appearance, like value_counts
+    for t in docs["text"].to_pylist():
+        for word in (t or "").lower().split(" "):
+            counts[word] = counts.get(word, 0) + 1
+    terms = list(counts)
+
+    def cms_col(term: str, r: int) -> int:
+        h = hashlib.blake2b(term.encode(), digest_size=8, salt=bytes([r])).digest()
+        return int.from_bytes(h, "little") % w
+
+    sk = [[0] * w for _ in range(d)]
+    for t, n in counts.items():
+        for r in range(d):
+            sk[r][cms_col(t, r)] += n
+    # per-batch candidate rule at gate scale (whole corpus = one batch):
+    # stable sort by -count over first-appearance order, top n_cand
+    cands = sorted(
+        sorted(range(len(terms)), key=lambda i: -counts[terms[i]])[:n_cand],
+        key=lambda i: terms[i],
+    )
+    scored = []
+    for i in cands:
+        t = terms[i]
+        scored.append((t, min(sk[r][cms_col(t, r)] for r in range(d))))
+    top = sorted(scored, key=lambda te: (-te[1], te[0]))[:k]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in top], pa.string()),
+            "est_count": pa.array([n for _, n in top], pa.int64()),
+        }
+    )
+
+
+def gen_sketches_approx(sf_dir: str) -> pa.Table:
+    """The folded ``sketches_approx`` gate shape: which/key/n union of the
+    HLL distinct-users and CMS heavy-hitter results."""
+    import pandas as pd
+
+    hll = gen_events_hll_users(sf_dir).to_pandas()
+    hll.columns = ["key", "n"]
+    hll.insert(0, "which", "events_hll_users")
+    cms = gen_heavy_hitters_cms(sf_dir).to_pandas()
+    cms.columns = ["key", "n"]
+    cms.insert(0, "which", "heavy_hitters_cms")
+    return pa.Table.from_pandas(
+        pd.concat([hll, cms], ignore_index=True), preserve_index=False
     )
 
 
@@ -175,6 +268,9 @@ def gen_fixtures(sf_dir: str, tag: str) -> None:
     t = gen_neardup_embedding_lsh(sf_dir)
     pq.write_table(t, os.path.join(FIXDIR, f"neardup_embedding_lsh_{tag}.parquet"))
     print(f"neardup_embedding_lsh_{tag}: {t.num_rows} rows")
+    t = gen_sketches_approx(sf_dir)
+    pq.write_table(t, os.path.join(FIXDIR, f"sketches_approx_{tag}.parquet"))
+    print(f"sketches_approx_{tag}: {t.num_rows} rows")
 
 
 if __name__ == "__main__":

@@ -246,7 +246,15 @@ def multimodal_meta():
 
 
 def sketches_approx():
-    """Approximate sketches (rows-only): HLL distinct users + CMS heavy hitters."""
+    """Approximate sketches: HLL distinct users + CMS heavy hitters.
+
+    Oracle-verified as of round 4 via a COMMITTED fixture generated by
+    independent pure-Python reimplementations of the HLL/CMS specs
+    (scripts/gen_gate_fixtures.py — both sketches are deterministic given
+    the input, so the naive single-process result is exact).  Freshness
+    guarded by tests/test_gate_fixtures.py."""
+    import os
+
     from whoosh_reloaded_ray.pipelines import events_index as ev
     from whoosh_reloaded_ray.pipelines.sketches import heavy_hitters_cms
 
@@ -258,7 +266,14 @@ def sketches_approx():
         "events_hll_users": {"event_type": "key", "approx_users": "n"},
         "heavy_hitters_cms": {"term": "key", "est_count": "n"},
     }
-    return fold_queries(cases, ["key", "n"], renames=renames), None
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+        "sketches_approx_sf0.01.parquet",
+    )
+    sql = f"SELECT which, key, n FROM read_parquet('{fix}') ORDER BY which, key"
+    return fold_queries(cases, ["key", "n"], renames=renames), sql
 
 
 def simhash_all():
