@@ -73,6 +73,55 @@ _TOKEN_RE_REGEX = re.compile(
     re.VERBOSE,
 )
 
+# dynamic token-regex builder: one alternation per ACTIVE built-in plugin
+# (same alternative order as _TOKEN_BODY); cached per feature tuple
+_TOKEN_RE_CACHE: dict = {}
+
+
+def _build_token_re(
+    group_on: bool,
+    regex_on: bool,
+    fields_on: bool,
+    phrase_on: bool,
+    squote_on: bool,
+    range_on: bool,
+    boost_on: bool,
+    word_on: bool = True,
+):
+    key = (group_on, regex_on, fields_on, phrase_on, squote_on, range_on, boost_on, word_on)
+    pat = _TOKEN_RE_CACHE.get(key)
+    if pat is not None:
+        return pat
+    parts = []
+    if group_on:
+        parts += [r"(?P<lparen>\()", r"(?P<rparen>\))"]
+    if regex_on:
+        if fields_on:
+            parts.append(r'(?P<fregex>(?P<frxf>\w+):r"(?P<frxtext>[^"]*)")')
+        parts.append(r'(?P<regex>r"(?P<rxtext>[^"]*)")')
+    if phrase_on:
+        if fields_on:
+            parts.append(
+                r'(?P<fphrase>(?P<fpf>\w+):"(?P<fptext>[^"]*)"(?:~(?P<fpslop>\d+))?)'
+            )
+        parts.append(r'(?P<phrase>"(?P<phtext>[^"]*)"(?:~(?P<slop>\d+))?)')
+    if squote_on:
+        if fields_on:
+            parts.append(r"(?P<fsquote>(?P<fsf>\w+):'(?P<fstext>[^']*)')")
+        parts.append(r"(?P<squote>'(?P<sqtext>[^']*)')")
+    if range_on:
+        if fields_on:
+            parts.append(r"(?P<frange>(?P<frf>\w+):(?P<frbody>[\[{][^\]}]*[\]}]))")
+        parts.append(r"(?P<range>[\[{](?P<rbody>[^\]}]*)[\]}])")
+    if boost_on:
+        parts.append(r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?))")
+    if word_on:
+        excl = r"\s" + ("()" if group_on else "") + (r"\^" if boost_on else "")
+        parts.append(rf"(?P<word>[^{excl}]+)")
+    pat = re.compile("|".join(parts) if parts else r"(?!x)x")
+    _TOKEN_RE_CACHE[key] = pat
+    return pat
+
 # TO is case-insensitive and may touch the brackets ("[b TO]",
 # "[TO e]", "[1 to 10]" — reference RangePlugin behaviors)
 _RANGE_RE = re.compile(
@@ -92,15 +141,22 @@ class _Group(list):
 
 
 class QueryParser:
-    """``QueryParser("text", schema).parse("hello AND field:world^2")``."""
+    """``QueryParser("text", schema).parse("hello AND field:world^2")``.
+
+    Extensible through the reference's Plugin API (see
+    ``query/plugins.py``): ``add_plugin`` / ``remove_plugin_class`` /
+    ``replace_plugin`` change the syntax the parser understands; the
+    legacy keyword flags (``gtlt=True`` etc.) are sugar that appends the
+    matching optional plugin."""
 
     OPERATORS = ("NOT", "AND", "OR", "ANDNOT", "ANDMAYBE", "REQUIRE")
 
     def __init__(
         self,
         default_field: str,
-        schema: IndexSchema,
+        schema: IndexSchema | None,
         group: str = "and",
+        plugins: list | None = None,
         gtlt: bool = False,
         regex: bool = False,
         fuzzy: bool = False,
@@ -114,74 +170,305 @@ class QueryParser:
         default plugin set.  ``fuzzy`` gates the ``term~n/m`` syntax
         (reference FuzzyTermPlugin — opt-in there too, so the default-off
         here matches the default plugin set: a bare ``term~`` parses
-        as a plain term)."""
+        as a plain term).  ``plugins`` overrides the default plugin list
+        (WhitespacePlugin is added implicitly, like reference
+        default.py:87-94); ``schema=None`` parses without analysis and
+        treats every ``field:`` prefix as a real field, like the
+        reference."""
+        from . import plugins as plg
+
         self.default_field = default_field
         self.schema = schema
         self.group_cls = ast.And if group == "and" else ast.Or
-        self.gtlt = gtlt
-        self.fuzzy = fuzzy
-        # RegexPlugin analog: opt-in r"pattern" term syntax
-        self.regex = regex
-        # DateParserPlugin analog (qparser/dateparse.py): when a basedate
-        # is given, datetime fields accept natural-language datestrings
-        # (today / yesterday / 'next friday' / '25 may 2026' / '-3 weeks')
-        self.dateparse_basedate = dateparse_basedate
-        self.fields = {f.name: f for f in schema.fields}
-        # FieldAliasPlugin (plugins.py:1205-1238): alias -> real field name
-        self.aliases: dict = {}
+        self.fields = {} if schema is None else {f.name: f for f in schema.fields}
+        self.plugins: list = []
+        if plugins is None:
+            self.add_plugins(plg.default_set())
+        else:
+            self.add_plugin(plg.WhitespacePlugin())
+            self.add_plugins(plugins)
+        # legacy keyword sugar -> optional plugins
+        if gtlt:
+            self.add_plugin(plg.GtLtPlugin())
+        if regex:
+            self.add_plugin(plg.RegexPlugin())
+        if fuzzy:
+            self.add_plugin(plg.FuzzyTermPlugin())
         if fieldaliases:
-            for real, alist in fieldaliases.items():
-                for alias in alist:
-                    self.aliases[alias] = real
-        # CopyFieldPlugin (plugins.py:1241-1296): fielded term/phrase nodes
-        # are expanded to Or(original, same-text node in the mapped field)
-        self.copyfields = dict(copyfields) if copyfields else {}
+            self.add_plugin(plg.FieldAliasPlugin(fieldaliases))
+        if copyfields:
+            self.add_plugin(plg.CopyFieldPlugin(copyfields))
+        if dateparse_basedate is not None:
+            self.add_plugin(plg.DateParserPlugin(dateparse_basedate))
+
+    # -- plugin management (reference default.py:113-170) ------------------
+
+    def add_plugin(self, pin):
+        """Adds the given plugin (instance or class) to this parser."""
+        if isinstance(pin, type):
+            pin = pin()
+        self.plugins.append(pin)
+
+    def add_plugins(self, pins):
+        for pin in pins:
+            self.add_plugin(pin)
+
+    def remove_plugin(self, pi):
+        """Removes the given plugin OBJECT from this parser."""
+        self.plugins.remove(pi)
+
+    def remove_plugin_class(self, cls):
+        """Removes any plugins of the given class from this parser."""
+        self.plugins = [pi for pi in self.plugins if not isinstance(pi, cls)]
+
+    def replace_plugin(self, plugin):
+        """Removes plugins of the given plugin's class, then adds it."""
+        self.remove_plugin_class(plugin.__class__)
+        self.add_plugin(plugin)
+
+    def has_plugin(self, cls) -> bool:
+        return any(isinstance(pi, cls) for pi in self.plugins)
+
+    def get_plugin(self, cls):
+        for pi in self.plugins:
+            if isinstance(pi, cls):
+                return pi
+        return None
+
+    def _priorized(self, methodname):
+        """Priorized list of tagger objects or filter functions from all
+        plugins (reference default.py:158-170; lower priority first,
+        stable for ties)."""
+        items = []
+        for plugin in self.plugins:
+            items.extend(getattr(plugin, methodname)(self))
+        items.sort(key=lambda x: x[1])
+        return [item for item, _ in items]
+
+    def taggers(self):
+        return self._priorized("taggers")
+
+    def filters(self):
+        return self._priorized("filters")
+
+    # -- feature switches derived from the plugin list ---------------------
+
+    @property
+    def gtlt(self) -> bool:
+        from . import plugins as plg
+
+        return self.has_plugin(plg.GtLtPlugin)
+
+    @property
+    def regex(self) -> bool:
+        from . import plugins as plg
+
+        return self.has_plugin(plg.RegexPlugin)
+
+    @property
+    def fuzzy(self) -> bool:
+        from . import plugins as plg
+
+        return self.has_plugin(plg.FuzzyTermPlugin)
+
+    @property
+    def dateparse_basedate(self):
+        from . import plugins as plg
+
+        p = self.get_plugin(plg.DateParserPlugin)
+        return p.basedate if p is not None else None
+
+    @property
+    def aliases(self) -> dict:
+        """alias -> real field name, merged over FieldAliasPlugins."""
+        from . import plugins as plg
+
+        out: dict = {}
+        for pi in self.plugins:
+            if isinstance(pi, plg.FieldAliasPlugin):
+                out.update(pi.reverse)
+        return out
+
+    @property
+    def copyfields(self) -> dict:
+        """src field -> dst field for GROUPED copies (legacy Or shape);
+        see ``_copyfield_specs`` for the full (map, group) list."""
+        out: dict = {}
+        for m, g in self._copyfield_specs:
+            if g is not None:
+                out.update(m)
+        return out
+
+    @property
+    def _copyfield_specs(self) -> list:
+        from . import plugins as plg
+
+        return [
+            (pi.map, pi.group)
+            for pi in self.plugins
+            if isinstance(pi, plg.CopyFieldPlugin)
+        ]
+
+    @property
+    def pseudofields(self) -> dict:
+        from . import plugins as plg
+
+        out: dict = {}
+        for pi in self.plugins:
+            if isinstance(pi, plg.PseudoFieldPlugin):
+                out.update(pi.xform_map)
+        return out
+
+    @property
+    def _ops_plugin(self):
+        from . import plugins as plg
+
+        return self.get_plugin(plg.OperatorsPlugin)
+
+    def _custom_taggers(self):
+        """(tagger, priority) pairs from NON-builtin plugins (everything a
+        plugin's taggers() reports except OperatorsPlugin's op taggers,
+        which the tokenizer handles specially)."""
+        from . import plugins as plg
+
+        items = []
+        for plugin in self.plugins:
+            if isinstance(plugin, plg.OperatorsPlugin):
+                continue
+            items.extend(plugin.taggers(self))
+        items.sort(key=lambda x: x[1])
+        return items
 
     # -- tokenize ----------------------------------------------------------
 
+    def _active_token_re(self, word_on: bool = True):
+        from . import plugins as plg
+
+        return _build_token_re(
+            group_on=self.has_plugin(plg.GroupPlugin),
+            regex_on=self.has_plugin(plg.RegexPlugin),
+            fields_on=self.has_plugin(plg.FieldsPlugin),
+            phrase_on=self.has_plugin(plg.PhrasePlugin),
+            squote_on=self.has_plugin(plg.SingleQuotePlugin),
+            range_on=self.has_plugin(plg.RangePlugin),
+            boost_on=self.has_plugin(plg.BoostPlugin),
+            word_on=word_on,
+        )
+
+    def _token_from_match(self, m, text: str):
+        """One (kind, value) token from a token-regex match."""
+        gd = m.groupdict()
+        if gd.get("lparen"):
+            return ("(", None)
+        if gd.get("rparen"):
+            return (")", None)
+        if gd.get("fregex") is not None:
+            return ("fregex", (m.group("frxf"), m.group("frxtext")))
+        if gd.get("regex") is not None:
+            return ("regex", m.group("rxtext"))
+        if gd.get("fphrase") is not None:
+            return (
+                "fphrase",
+                (m.group("fpf"), m.group("fptext"), int(m.group("fpslop") or 1)),
+            )
+        if gd.get("phrase") is not None:
+            return ("phrase", (m.group("phtext"), int(m.group("slop") or 1)))
+        if gd.get("fsquote") is not None:
+            return ("fsquote", (m.group("fsf"), m.group("fstext")))
+        if gd.get("squote") is not None:
+            # bare 'quoted text' is ONE atomic operand (reference
+            # SingleQuotePlugin): analyzed later, possibly into a
+            # default group, but never split across operators
+            return ("squote", m.group("sqtext"))
+        if gd.get("frange") is not None:
+            return ("frange", (m.group("frf"), m.group("frbody")))
+        if gd.get("range") is not None:
+            return ("range", m.group(0))
+        if gd.get("boost") is not None:
+            return ("boost", float(m.group("bval")))
+        w = gd.get("word")
+        if w is None:  # scanner-mode regex has no word alternative
+            return ("word", m.group(0))
+        opp = self._ops_plugin
+        if (
+            opp is not None
+            and w in self.OPERATORS
+            and self._op_context_ok(w, text, m.start("word"), m.end("word"))
+        ):
+            return ("op", w)
+        return ("word", w)
+
     def _tokens(self, text: str):
+        opp = self._ops_plugin
+        custom = self._custom_taggers()
+        if custom or (opp is not None and not opp.is_default):
+            return self._scan_tokens(text, custom)
         out = []
-        pos = 0
-        token_re = _TOKEN_RE_REGEX if self.regex else _TOKEN_RE
-        for m in token_re.finditer(text):
+        for m in self._active_token_re().finditer(text):
             if m.lastgroup is None:
                 continue
-            if m.group("lparen"):
-                out.append(("(", None))
-            elif m.group("rparen"):
-                out.append((")", None))
-            elif self.regex and m.group("fregex") is not None:
-                out.append(("fregex", (m.group("frxf"), m.group("frxtext"))))
-            elif self.regex and m.group("regex") is not None:
-                out.append(("regex", m.group("rxtext")))
-            elif m.group("fphrase") is not None:
-                out.append(
-                    ("fphrase", (m.group("fpf"), m.group("fptext"), int(m.group("fpslop") or 1)))
-                )
-            elif m.group("phrase") is not None:
-                out.append(("phrase", (m.group("phtext"), int(m.group("slop") or 1))))
-            elif m.group("fsquote") is not None:
-                out.append(("fsquote", (m.group("fsf"), m.group("fstext"))))
-            elif m.group("squote") is not None:
-                # bare 'quoted text' is ONE atomic operand (reference
-                # SingleQuotePlugin): analyzed later, possibly into a
-                # default group, but never split across operators
-                out.append(("squote", m.group("sqtext")))
-            elif m.group("frange") is not None:
-                out.append(("frange", (m.group("frf"), m.group("frbody"))))
-            elif m.group("range") is not None:
-                out.append(("range", m.group(0)))
-            elif m.group("boost") is not None:
-                out.append(("boost", float(m.group("bval"))))
-            elif m.group("word") is not None:
-                w = m.group("word")
-                if w in self.OPERATORS and self._op_context_ok(
-                    w, text, m.start("word"), m.end("word")
-                ):
-                    out.append(("op", w))
+            out.append(self._token_from_match(m, text))
+        return out
+
+    def _scan_tokens(self, text: str, custom):
+        """Reference-faithful per-position scan (default.py:264-324), used
+        when custom taggers or custom operator syntax are registered:
+        negative-priority taggers are tried before the built-in syntax,
+        non-negative after; unmatched stretches become word tokens."""
+        from . import plugins as plg
+
+        opp = self._ops_plugin
+        matchers = list(custom)
+        if opp is not None:
+            matchers.extend(opp.ops)
+        matchers.sort(key=lambda x: x[1])
+        pre = [t for t, p in matchers if p < 0]
+        post = [t for t, p in matchers if p >= 0]
+        token_re = self._active_token_re(word_on=False)
+
+        out: list = []
+        pos, n = 0, len(text)
+        wstart = None
+
+        def flush(end):
+            nonlocal wstart
+            if wstart is not None and wstart < end:
+                out.append(("word", text[wstart:end]))
+            wstart = None
+
+        while pos < n:
+            if text[pos].isspace():
+                flush(pos)
+                pos += 1
+                continue
+            node = None
+            for tagger in pre:
+                node = tagger.match(self, text, pos)
+                if node is not None:
+                    break
+            if node is None:
+                m = token_re.match(text, pos)
+                if m is not None and m.end() > pos:
+                    flush(pos)
+                    out.append(self._token_from_match(m, text))
+                    pos = m.end()
+                    continue
+                for tagger in post:
+                    node = tagger.match(self, text, pos)
+                    if node is not None:
+                        break
+            if node is not None and node.endchar is not None and node.endchar > pos:
+                flush(pos)
+                if isinstance(node, plg._OpNode):
+                    out.append(("op", node.opname))
                 else:
-                    out.append(("word", w))
-            pos = m.end()
+                    out.append(("node", node))
+                pos = node.endchar
+                continue
+            if wstart is None:
+                wstart = pos
+            pos += 1
+        flush(n)
         return out
 
     @staticmethod
@@ -206,6 +493,15 @@ class QueryParser:
     def parse(self, text: str) -> ast.Query:
         tokens = self._tokens(text)
         group, _, _ = self._build_group(tokens, 0, top=True)
+        # custom plugin filters run over the built group before operator
+        # resolution (reference filterize, default.py:326-342; built-in
+        # filter behaviors — fieldnames at 100, operators at 600 — are
+        # native, so a custom filter sees the pre-resolution group like a
+        # reference filter with priority < 600 would)
+        for f in self.filters():
+            group = f(self, group)
+            if group is None:
+                raise Exception(f"Filter {f!r} did not return anything")
         q = self._resolve(group)
         if q is None:
             return ast.Or([])
@@ -250,14 +546,12 @@ class QueryParser:
                 field_ctx = None
             elif kind == "fregex":
                 f, text = val
-                f = self.aliases.get(f, f)
-                f = f if f in self.fields else self.default_field
+                f = self._field_or_default(f)
                 nodes.append(_RegexNode(f, text))
                 field_ctx = None
             elif kind == "fphrase":
                 f, text, slop = val
-                f = self.aliases.get(f, f)
-                f = f if f in self.fields else self.default_field
+                f = self._field_or_default(f)
                 nodes.append(_PhraseNode(f, text, slop))
                 field_ctx = None
             elif kind == "range":
@@ -265,8 +559,7 @@ class QueryParser:
                 field_ctx = None
             elif kind == "fsquote":
                 f, text = val
-                f = self.aliases.get(f, f)
-                f = f if f in self.fields else self.default_field
+                f = self._field_or_default(f)
                 nodes.append(_WordNode(f, text))
                 field_ctx = None
             elif kind == "squote":
@@ -274,33 +567,81 @@ class QueryParser:
                 field_ctx = None
             elif kind == "frange":
                 f, body = val
-                f = self.aliases.get(f, f)
-                f = f if f in self.fields else self.default_field
+                f = self._field_or_default(f)
                 nodes.append(_RangeNode(f, body))
+                field_ctx = None
+            elif kind == "node":
+                # custom-tagger syntax node (query(parser) protocol)
+                nodes.append(val)
                 field_ctx = None
             elif kind == "word":
                 w = val
-                fm = re.match(r"^(\w+):(.*)$", w, re.UNICODE)
-                if fm and self.aliases.get(fm.group(1), fm.group(1)) in self.fields:
-                    fname = self.aliases.get(fm.group(1), fm.group(1))
-                    if fm.group(2) == "":
+                fm = self._match_field_prefix(w)
+                pseudo = self.pseudofields.get(fm[0]) if fm is not None else None
+                if pseudo is not None:
+                    # PseudoFieldPlugin: run the user transform on the node
+                    # written in the pseudo-field (fieldname stripped)
+                    if fm[1] != "":
+                        xnode = pseudo(_WordNode(None, fm[1]))
+                        if xnode is not None:
+                            nodes.append(xnode)
+                    field_ctx = None
+                elif fm is not None and self._known_field(fm[0]):
+                    fname = self.aliases.get(fm[0], fm[0])
+                    if fm[1] == "":
                         field_ctx = fname  # "field:(...)" / "field:[..]"
                         i += 1
                         continue
                     gm = (
-                        re.match(r"^(<=|>=|=<|=>|<|>)(.+)$", fm.group(2))
+                        re.match(r"^(<=|>=|=<|=>|<|>)(.+)$", fm[1])
                         if self.gtlt
                         else None
                     )
                     if gm:
                         nodes.append(_GtLtNode(fname, gm.group(1), gm.group(2)))
                     else:
-                        nodes.append(_WordNode(fname, fm.group(2)))
+                        nodes.append(_WordNode(fname, fm[1]))
                 else:
                     nodes.append(_WordNode(field_ctx or self.default_field, w))
                 field_ctx = None
             i += 1
         return nodes, i, top
+
+    def _field_or_default(self, f: str) -> str:
+        """Alias-resolve a field prefix; unknown names fall back to the
+        default field (with schema=None every name is a field)."""
+        f = self.aliases.get(f, f)
+        if self.schema is None or f in self.fields:
+            return f
+        return self.default_field
+
+    def _match_field_prefix(self, w: str):
+        """(fieldname, rest) when the word starts with the FieldsPlugin
+        field expr, else None.  Uses the active plugin instance's pattern
+        so ``replace_plugin(FieldsPlugin(expr))`` changes the syntax."""
+        from . import plugins as plg
+
+        fp = self.get_plugin(plg.FieldsPlugin)
+        if fp is None:
+            return None
+        m = fp.pattern.match(w)
+        if m is None or not m.group("text"):
+            return None
+        return (m.group("text"), w[m.end() :])
+
+    def _known_field(self, name: str) -> bool:
+        """Unknown field names revert to plain text when a schema is
+        present and the FieldsPlugin has remove_unknown=True (the
+        defaults); with schema=None every prefix is a field, like the
+        reference."""
+        from . import plugins as plg
+
+        if self.schema is None:
+            return True
+        if self.aliases.get(name, name) in self.fields:
+            return True
+        fp = self.get_plugin(plg.FieldsPlugin)
+        return fp is not None and not fp.remove_unknown
 
     def _with_field(self, node, field):
         if field is None:
@@ -316,6 +657,7 @@ class QueryParser:
     # -- operator resolution (reference pass order) ------------------------
 
     def _resolve(self, group: _Group):
+        group = self._splice_inline_copies(group)
         nodes = []
         for n in group:
             if isinstance(n, _Group):
@@ -345,14 +687,23 @@ class QueryParser:
             else:
                 i += 1
 
-        # passes 2+: infix ops in reference order
-        for opname, builder in (
-            ("AND", lambda l, r: _flatten("AND", l, r)),
-            ("OR", lambda l, r: _flatten("OR", l, r)),
-            ("ANDNOT", lambda l, r: _BinNode("ANDNOT", l, r)),
-            ("ANDMAYBE", lambda l, r: _BinNode("ANDMAYBE", l, r)),
-            ("REQUIRE", lambda l, r: _BinNode("REQUIRE", l, r)),
-        ):
+        # passes 2+: infix ops in the ops-list order (reference
+        # do_operators iterates the plugin's ops in order; the default
+        # list yields AND, OR, ANDNOT, ANDMAYBE, REQUIRE)
+        builders = {
+            "AND": lambda l, r: _flatten("AND", l, r),
+            "OR": lambda l, r: _flatten("OR", l, r),
+            "ANDNOT": lambda l, r: _BinNode("ANDNOT", l, r),
+            "ANDMAYBE": lambda l, r: _BinNode("ANDMAYBE", l, r),
+            "REQUIRE": lambda l, r: _BinNode("REQUIRE", l, r),
+        }
+        opp = self._ops_plugin
+        order = (
+            [k for k in opp.resolve_order() if k != "NOT"]
+            if opp is not None
+            else ["AND", "OR", "ANDNOT", "ANDMAYBE", "REQUIRE"]
+        )
+        for opname, builder in ((k, builders[k]) for k in order if k in builders):
             i = 0
             while i < len(nodes):
                 n = nodes[i]
@@ -425,32 +776,88 @@ class QueryParser:
                 q = _apply_boost(q, node.boost)
             return q
         if isinstance(node, _PhraseNode):
-            q = self._phrase_query(node.field, node.text, node.slop)
-            to = self.copyfields.get(node.field)
-            if to is not None:
-                q = self._copy_or(q, self._phrase_query(to, node.text, node.slop))
-            return q
+            field = node.field or self.default_field
+            return self._with_copies(
+                field, lambda f: self._phrase_query(f, node.text, node.slop)
+            )
         if isinstance(node, _RegexNode):
             # pattern used verbatim (the reference RegexNode does not
             # analyze/lowercase the text)
-            return ast.Regex(node.field, node.text)
+            return ast.Regex(node.field or self.default_field, node.text)
         if isinstance(node, _RangeNode):
+            if node.field is None:
+                node.field = self.default_field
             return self._range_query(node)
         if isinstance(node, _GtLtNode):
             # reference GtLtPlugin.make_range (plugins.py:1144-1160):
             #   <  -> [None TO x}   >  -> {x TO None]
             #   <= -> [None TO x]   >= -> [x TO None]
             rel, text = node.rel, node.text
+            fieldname = node.field or self.default_field
             if rel in ("<", "<=", "=<"):
-                return self._make_range(node.field, None, text, False, rel == "<")
-            return self._make_range(node.field, text, None, rel == ">", False)
+                return self._make_range(fieldname, None, text, False, rel == "<")
+            return self._make_range(fieldname, text, None, rel == ">", False)
         if isinstance(node, _WordNode):
-            q = self._word_query(node.field, node.text)
-            to = self.copyfields.get(node.field)
-            if to is not None:
-                q = self._copy_or(q, self._word_query(to, node.text))
-            return q
+            field = node.field or self.default_field
+            return self._with_copies(field, lambda f: self._word_query(f, node.text))
+        # custom plugin syntax node: the reference SyntaxNode.query protocol
+        make = getattr(node, "query", None)
+        if callable(make):
+            return make(self)
         raise TypeError(f"unknown node {node!r}")
+
+    def _custom_node_query(self, node):
+        """ast.Query for any node — internal or custom-plugin shim (used by
+        the plugins module's GroupNode)."""
+        return self._to_query(node)
+
+    def _with_copies(self, field: str, make):
+        """make(field) plus grouped CopyFieldPlugin copies (reference
+        do_copyfield, plugins.py:1287-1296); inline (group=None) copies
+        are spliced in _resolve instead."""
+        q = make(field)
+        for cmap, gkind in self._copyfield_specs:
+            if gkind is None:
+                continue
+            dst = cmap.get(field)
+            if dst is not None:
+                q = self._copy_combine(q, make(dst), gkind)
+        return q
+
+    def _copy_combine(self, a, b, gkind: str):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if gkind == "and":
+            return ast.And([a, b])
+        if gkind == "andmaybe":
+            return ast.AndMaybe(a, b)
+        if gkind == "require":
+            return ast.Require(a, b)
+        return ast.Or([a, b])
+
+    def _splice_inline_copies(self, group: _Group) -> _Group:
+        """CopyFieldPlugin(group=None): the copy is inserted inline next to
+        the original node instead of in a new group."""
+        specs = [m for m, g in self._copyfield_specs if g is None]
+        if not specs:
+            return group
+        out = _Group()
+        for n in group:
+            out.append(n)
+            if isinstance(n, (_WordNode, _PhraseNode, _RangeNode, _RegexNode)):
+                field = n.field or self.default_field
+                for cmap in specs:
+                    dst = cmap.get(field)
+                    if dst is None:
+                        continue
+                    import copy as _copy
+
+                    dup = _copy.copy(n)
+                    dup.field = dst
+                    out.append(dup)
+        return out
 
     def _phrase_query(self, field, text, slop):
         words = self._analyze(field, text)
@@ -507,8 +914,12 @@ class QueryParser:
             # ambiguous datestring -> inclusive [floor, ceil] range
             # (reference DATETIME.parse_query, fields.py:903-918)
             return ast.NumericRange(field, lo, hi)
+        from . import plugins as plg
+
         is_numeric = spec is not None and spec.kind in ("numeric", "datetime")
-        if text == "*":
+        if text == "*" and (
+            self.has_plugin(plg.WildcardPlugin) or self.has_plugin(plg.EveryPlugin)
+        ):
             return ast.Every(field)
         fm = re.match(r"^(.+?)~(\d*)(?:/(\d+))?$", text)
         if fm and not is_numeric and self.fuzzy:
@@ -523,11 +934,21 @@ class QueryParser:
             return ast.FuzzyTerm(field, words[0], maxdist=maxdist, prefixlength=prefixlength)
         if "*" in text or "?" in text:
             # Wildcard.normalize: plain text -> Term, trailing-* only -> Prefix
-            if not is_numeric:
+            if not is_numeric and self.has_plugin(plg.WildcardPlugin):
                 core = text[:-1]
                 if text.endswith("*") and "*" not in core and "?" not in core:
                     return ast.Prefix(field, core.lower())
                 return ast.Wildcard(field, text.lower())
+            if (
+                not is_numeric
+                and self.has_plugin(plg.PrefixPlugin)
+                and text.endswith("*")
+                and "*" not in text[:-1]
+                and "?" not in text[:-1]
+            ):
+                # PrefixPlugin (reference plugins.py:166-180): only the
+                # whole-token trailing star is special
+                return ast.Prefix(field, text[:-1].lower())
         if is_numeric:
             v = _parse_number(text)
             if v is None:
@@ -704,16 +1125,36 @@ def _flatten(kind, left, right):
     return _GroupNode(kind, [left, right])
 
 
-class _WordNode:
+class _BasicNodeMixin:
+    """Reference SyntaxNode surface for plugin transform functions
+    (PseudoFieldPlugin et al.): has_text / set_fieldname / set_range."""
+
+    __slots__ = ()
+    has_text = False
+    startchar = None
+    endchar = None
+
+    def set_fieldname(self, name, override=False):
+        if self.field is None or override:
+            self.field = name
+        return self
+
+    def set_range(self, startchar, endchar):
+        return self
+
+
+class _WordNode(_BasicNodeMixin):
     __slots__ = ("field", "text")
+    has_text = True
 
     def __init__(self, field, text):
         self.field = field
         self.text = text
 
 
-class _PhraseNode:
+class _PhraseNode(_BasicNodeMixin):
     __slots__ = ("field", "text", "slop")
+    has_text = True
 
     def __init__(self, field, text, slop=1):
         self.field = field
@@ -721,7 +1162,7 @@ class _PhraseNode:
         self.slop = slop
 
 
-class _RangeNode:
+class _RangeNode(_BasicNodeMixin):
     __slots__ = ("field", "text")
 
     def __init__(self, field, text):
@@ -729,8 +1170,9 @@ class _RangeNode:
         self.text = text
 
 
-class _RegexNode:
+class _RegexNode(_BasicNodeMixin):
     __slots__ = ("field", "text")
+    has_text = True
 
     def __init__(self, field, text):
         self.field = field
