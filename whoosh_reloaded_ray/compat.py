@@ -518,7 +518,10 @@ def _coerce_analyzer(analyzer):
 
 
 def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False,
-         chars=False, boosts=False):
+         chars=False, boosts=False, format=None):
+    """``format=`` names a USER-REGISTERED posting Format codec (the
+    reference's custom Format subclass plug point, formats.py:51-135; see
+    whoosh_reloaded_ray/formats.py)."""
     return (
         "text",
         {
@@ -529,6 +532,7 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
             "spelling": spelling,
             "chars": chars,
             "boosts": boosts,
+            "format": format,
         },
     )
 
@@ -669,6 +673,7 @@ class Schema:
                         spelling=opts.get("spelling", False),
                         chars=opts.get("chars", False),
                         boosts=opts.get("boosts", False),
+                        format=opts.get("format"),
                         stored=opts.get("stored", True),
                     )
                 )
@@ -2138,6 +2143,7 @@ def _add_searcher_passthroughs():
         "more_like",
         "vector",
         "position_boosts",
+        "payload",
         "search_with_collector",
         "parent_search",
         "spelling_fieldname",

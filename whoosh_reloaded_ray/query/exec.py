@@ -49,12 +49,13 @@ class PostingList:
     __slots__ = (
         "docs", "weights", "len_bytes", "block_starts", "pos_blobs",
         "block_counts", "_pos_cache", "chars_blobs", "_chars_cache",
-        "boosts_blobs", "_boosts_cache",
+        "boosts_blobs", "_boosts_cache", "payload_blobs", "_payload_cache",
     )
 
     def __init__(
         self, docs, weights, len_bytes, block_starts, block_counts,
         pos_blobs=None, chars_blobs=None, boosts_blobs=None,
+        payload_blobs=None,
     ):
         self.docs = docs  # uint64 sorted
         self.weights = weights  # float64
@@ -64,9 +65,11 @@ class PostingList:
         self.pos_blobs = pos_blobs  # list[bytes] per block (when requested)
         self.chars_blobs = chars_blobs  # list[bytes] per block (when requested)
         self.boosts_blobs = boosts_blobs  # list[bytes] per block (when requested)
+        self.payload_blobs = payload_blobs  # list[bytes] per block (when requested)
         self._pos_cache: dict = {}
         self._chars_cache: dict = {}
         self._boosts_cache: dict = {}
+        self._payload_cache: dict = {}
 
     def _block_positions(self, b: int):
         """Decode one block's interleaved (count, deltas...) stream ONCE,
@@ -147,6 +150,37 @@ class PostingList:
         return (
             vals[i + 1 : i + 1 + cnt].astype(np.uint32).view(np.float32).astype(np.float64)
         )
+
+    def payload_for(self, posting_idx: int) -> bytes | None:
+        """Raw custom-Format payload bytes of one posting (formats.py plug
+        point).  Block blobs concatenate varint-length-framed payloads;
+        the frame walk is done once per block and cached."""
+        if self.payload_blobs is None:
+            return None
+        b = int(np.searchsorted(self.block_starts, posting_idx, side="right") - 1)
+        blob = self.payload_blobs[b]
+        if blob is None:
+            return None
+        cached = self._payload_cache.get(b)
+        if cached is None:
+            nb = int(self.block_counts[b])
+            cached = []  # (start, end) byte bounds per posting
+            i = 0
+            for _ in range(nb):
+                ln = shift = 0
+                while True:
+                    byte = blob[i]
+                    i += 1
+                    ln |= (byte & 0x7F) << shift
+                    if not byte & 0x80:
+                        break
+                    shift += 7
+                cached.append((i, i + ln))
+                i += ln
+            self._payload_cache[b] = cached
+        k = posting_idx - int(self.block_starts[b])
+        lo, hi = cached[k]
+        return bytes(blob[lo:hi])
 
     def positions_bulk(self, posting_idxs: np.ndarray):
         """Positions for MANY postings at once -> (flat uint64 positions,
@@ -381,15 +415,15 @@ class SegmentReader:
 
     def _read_blocks(
         self, field: str, term: str, need_positions=False, need_chars=False,
-        need_boosts=False,
+        need_boosts=False, need_payload=False,
     ):
         """Raw block rows of a term, doc-ordered across (possibly salted)
         shards; cached."""
-        rkey = (field, term, need_positions, need_chars, need_boosts)
+        rkey = (field, term, need_positions, need_chars, need_boosts, need_payload)
         if rkey in self._raw_cache:
             return self._raw_cache[rkey]
-        if not need_positions and not need_chars and not need_boosts and (
-            t := self._raw_cache.get((field, term, True, False, False))
+        if not need_positions and not need_chars and not need_boosts and not need_payload and (
+            t := self._raw_cache.get((field, term, True, False, False, False))
         ) is not None:
             return t
         cols = ["doc_min", "doc_max", "max_weight", "min_len_byte",
@@ -400,11 +434,17 @@ class SegmentReader:
             cols += ["chars"]
         if need_boosts:
             cols += ["boosts"]
+        if need_payload:
+            cols += ["payload"]
         parts = []
         for shard in self._shards_for(field, term):
             path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
             if os.path.exists(path):
-                have = pq.ParquetFile(path).schema_arrow.names if need_boosts else None
+                have = (
+                    pq.ParquetFile(path).schema_arrow.names
+                    if (need_boosts or need_payload)
+                    else None
+                )
                 tt = pq.read_table(
                     path,
                     columns=(
@@ -417,6 +457,11 @@ class SegmentReader:
                     # pre-boosts segment: payload absent -> all-1.0 boosts
                     tt = tt.append_column(
                         "boosts", pa.nulls(tt.num_rows, pa.large_binary())
+                    )
+                if need_payload and "payload" not in tt.column_names:
+                    # pre-payload segment: no custom-format payloads
+                    tt = tt.append_column(
+                        "payload", pa.nulls(tt.num_rows, pa.large_binary())
                     )
                 if tt.num_rows:
                     parts.append(tt)
@@ -471,19 +516,21 @@ class SegmentReader:
 
     def postings(
         self, field: str, term: str, need_positions=False, need_chars=False,
-        need_boosts=False,
+        need_boosts=False, need_payload=False,
     ):
-        key = (field, term, need_positions, need_chars, need_boosts)
+        key = (field, term, need_positions, need_chars, need_boosts, need_payload)
         cached = self._postings_cache.get(key)
         if cached is not None:
             self._postings_cache.move_to_end(key)
             return cached
-        if not need_positions and not need_chars and not need_boosts and (
-            plist := self._postings_cache.get((field, term, True, False, False))
+        if not need_positions and not need_chars and not need_boosts and not need_payload and (
+            plist := self._postings_cache.get((field, term, True, False, False, False))
         ):
-            self._postings_cache.move_to_end((field, term, True, False, False))
+            self._postings_cache.move_to_end((field, term, True, False, False, False))
             return plist
-        t = self._read_blocks(field, term, need_positions, need_chars, need_boosts)
+        t = self._read_blocks(
+            field, term, need_positions, need_chars, need_boosts, need_payload
+        )
         if t is None:
             self._postings_cache[key] = None
             return None
@@ -495,9 +542,14 @@ class SegmentReader:
             if need_boosts and "boosts" in t.column_names
             else None
         )
+        payload_blobs = (
+            t["payload"].to_pylist()
+            if need_payload and "payload" in t.column_names
+            else None
+        )
         plist = PostingList(
             docs, weights, lens, block_starts, counts, pos_blobs, chars_blobs,
-            boosts_blobs,
+            boosts_blobs, payload_blobs,
         )
         self._postings_cache[key] = plist
         if len(self._postings_cache) > self._postings_cache_cap:
@@ -537,6 +589,19 @@ class SegmentReader:
         if boosts is None:
             boosts = np.ones(poss.size, dtype=np.float64)
         return [(int(p), float(b)) for p, b in zip(poss, boosts)]
+
+    def payload(self, field: str, term: str, docnum: int) -> bytes | None:
+        """Raw custom-Format payload of ``term``'s posting in one doc
+        (formats.py plug point); None when the doc has no posting or the
+        field stores no custom payload.  Decode with the registered
+        Format's ``decode``."""
+        plist = self.postings(field, term, need_payload=True)
+        if plist is None:
+            return None
+        i = int(np.searchsorted(plist.docs, np.uint64(docnum)))
+        if i >= plist.docs.size or plist.docs[i] != docnum:
+            return None
+        return plist.payload_for(i)
 
     # ---- columnar fields --------------------------------------------------
 

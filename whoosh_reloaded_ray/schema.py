@@ -59,6 +59,13 @@ class FieldSpec:
     # is analyzed with ``analyzer`` in mode="query" (which only differs
     # for n-gram chains).
     query_analyzer: Optional[AnalyzerSpec] = None
+    # Name of a USER-REGISTERED posting Format codec (see
+    # whoosh_reloaded_ray/formats.py — the reference's custom Format
+    # subclass plug point, formats.py:51-135).  The codec's encode() runs
+    # per (doc, term) in the tokenizer stage, its weight() sets the posting
+    # weight, and the payload rides the shuffle in the generic binary
+    # ``payload`` column; None keeps the native vectorized formats.
+    format: Optional[str] = None
 
     @property
     def indexed(self) -> bool:

@@ -202,6 +202,13 @@ class ShardSegmentWriter:
             boosts_col = blockify_blobs(posts["boosts"].chunk(0))
         else:  # postings produced by a pre-boosts tokenizer
             boosts_col = pa.nulls(n_blocks, pa.large_binary())
+        if "payload" in posts.column_names:
+            # custom-Format payloads (formats.py plug point): each posting's
+            # bytes are varint-length-framed by the tokenizer, so the block
+            # concatenation stays reader-splittable
+            payload_col = blockify_blobs(posts["payload"].chunk(0))
+        else:  # postings produced by a pre-payload tokenizer
+            payload_col = pa.nulls(n_blocks, pa.large_binary())
 
         # --- per-block stats
         blk_max_w = np.maximum.reduceat(weights, block_starts)
@@ -222,6 +229,7 @@ class ShardSegmentWriter:
                 "positions": pos_col,
                 "chars": chars_col,
                 "boosts": boosts_col,
+                "payload": payload_col,
             }
         )
         _atomic_write(blk, os.path.join(self.seg_dir, POSTINGS_FILE.format(shard=shard)))

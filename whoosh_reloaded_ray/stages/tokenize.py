@@ -60,6 +60,12 @@ POSTING_SCHEMA = pa.schema(
         # [count, f32bits(b1), f32bits(b2), ...] per posting; null unless
         # the field spec sets boosts (missing payload decodes as all-1.0)
         ("boosts", pa.binary()),
+        # generic USER-FORMAT payload (whoosh_reloaded_ray/formats.py —
+        # the custom posting Format plug point): varint-length-framed
+        # bytes per posting so per-posting boundaries survive the block
+        # concatenation in the segment writer; null unless the field spec
+        # names a registered format
+        ("payload", pa.binary()),
         ("len_byte", pa.uint8()),
         ("shard", pa.int32()),
     ]
@@ -112,6 +118,16 @@ class Tokenizer:
         # PositionBoosts/CharacterBoosts formats)
         self.boosts_fields = {
             f.name for f in schema.indexed_fields if getattr(f, "boosts", False)
+        }
+        # user-registered posting Format codecs (formats.py plug point):
+        # resolved HERE on the driver so the codec instances ship to the
+        # workers inside the serialized stage
+        from ..formats import get_format
+
+        self.custom_formats = {
+            f.name: get_format(f.format)
+            for f in schema.indexed_fields
+            if getattr(f, "format", None)
         }
         self.analyzers = [
             (f.name, make_analyzer(f.analyzer), f.scorable, f.positions, f.boost)
@@ -322,6 +338,7 @@ class Tokenizer:
         out["positions"].append(pos_col)
         out["chars"].append(pa.nulls(len(gstart), pa.binary()))
         out["boosts"].append(pa.nulls(len(gstart), pa.binary()))
+        out["payload"].append(pa.nulls(len(gstart), pa.binary()))
         out["len_byte"].append(pa.array(g_lb, pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -336,6 +353,7 @@ class Tokenizer:
             out["positions"].append(pa.nulls(v.size, pa.binary()))
             out["chars"].append(pa.nulls(v.size, pa.binary()))
             out["boosts"].append(pa.nulls(v.size, pa.binary()))
+            out["payload"].append(pa.nulls(v.size, pa.binary()))
             out["len_byte"].append(pa.array(lb_rows[v], pa.uint8()))
             out["shard"].append(pa.array((docnums[v] % R).astype(np.int32), pa.int32()))
 
@@ -398,6 +416,7 @@ class Tokenizer:
             out["positions"].append(pa.nulls(idx.size, pa.binary()))
         out["chars"].append(pa.nulls(idx.size, pa.binary()))
         out["boosts"].append(pa.nulls(idx.size, pa.binary()))
+        out["payload"].append(pa.nulls(idx.size, pa.binary()))
         out["len_byte"].append(pa.array(np.zeros(idx.size, dtype=np.uint8), pa.uint8()))
         out["shard"].append(pa.array(shard, pa.int32()))
 
@@ -407,14 +426,17 @@ class Tokenizer:
             k: []
             for k in (
                 "field", "term", "docnum", "weight", "positions", "chars",
-                "boosts", "len_byte", "shard",
+                "boosts", "payload", "len_byte", "shard",
             )
         }
         for i, spec_tuple in enumerate(self.specs):
             fname, aspec, scorable, keep_pos, boost = spec_tuple
             if fname not in batch.column_names:
                 continue
-            if fname in self.chars_fields and aspec is not None and aspec.kind in (
+            if fname in self.custom_formats:
+                # custom Format codec: arbitrary Python encode -> loop path
+                self._loop_field(self.analyzers[i], batch, docnums, out)
+            elif fname in self.chars_fields and aspec is not None and aspec.kind in (
                 "standard", "simple", "stemming",
             ) and (not aspec.post_filters or self._delim_kw(aspec) is not None):
                 self._chars_field(fname, spec_tuple, batch, docnums, out)
@@ -591,6 +613,7 @@ class Tokenizer:
         out["positions"].append(pa.array(pos_out, type=pa.binary()))
         out["chars"].append(pa.array(chars_out, type=pa.binary()))
         out["boosts"].append(pa.array(boosts_out, type=pa.binary()))
+        out["payload"].append(pa.nulls(len(fields_out), pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))
 
@@ -602,9 +625,11 @@ class Tokenizer:
         doc_lo, doc_n = self.doc_range
         fields_out, terms_out, docs_out = [], [], []
         weights_out, pos_out, boosts_out, lens_out, shard_out = [], [], [], [], []
+        payload_out: list = []
 
         for fname, analyze, scorable, keep_pos, boost in [analyzer_tuple]:
             want_boosts = fname in self.boosts_fields
+            fmt = self.custom_formats.get(fname)
             col = batch[fname].to_pylist()
             rb = self._row_boosts(fname, batch)
             for i, text in enumerate(col):
@@ -636,7 +661,29 @@ class Tokenizer:
                     fields_out.append(fname)
                     terms_out.append(term)
                     docs_out.append(docnum)
-                    weights_out.append(w)
+                    if fmt is not None:
+                        # custom Format: the codec owns weight + payload
+                        # (reference word_values, formats.py:84-135); the
+                        # payload is varint-length-framed so per-posting
+                        # boundaries survive block concatenation
+                        from ..formats import Occurrence, _write_varint
+
+                        occs = [
+                            Occurrence(int(p), None, None, float(tb))
+                            for p, tb in zip(poss, tboosts)
+                        ]
+                        weights_out.append(fmt.weight(occs) * eff_boost)
+                        pl = fmt.encode(occs)
+                        if pl is None:
+                            payload_out.append(None)
+                        else:
+                            framed = bytearray()
+                            _write_varint(framed, len(pl))
+                            framed += pl
+                            payload_out.append(bytes(framed))
+                    else:
+                        weights_out.append(w)
+                        payload_out.append(None)
                     if keep_pos:
                         pp = np.asarray(poss, dtype=np.uint64)
                         stream = np.empty(pp.size + 1, dtype=np.uint64)
@@ -665,6 +712,7 @@ class Tokenizer:
                     weights_out.append(float(length))
                     pos_out.append(None)
                     boosts_out.append(None)
+                    payload_out.append(None)
                     lens_out.append(lb)
                     shard_out.append(docnum % R)
 
@@ -675,5 +723,6 @@ class Tokenizer:
         out["positions"].append(pa.array(pos_out, type=pa.binary()))
         out["chars"].append(pa.nulls(len(fields_out), pa.binary()))
         out["boosts"].append(pa.array(boosts_out, type=pa.binary()))
+        out["payload"].append(pa.array(payload_out, type=pa.binary()))
         out["len_byte"].append(pa.array(lens_out, type=pa.uint8()))
         out["shard"].append(pa.array(shard_out, type=pa.int32()))

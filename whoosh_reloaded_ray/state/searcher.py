@@ -593,6 +593,16 @@ class IndexSearcher:
                 return r.position_boosts(fieldname, term, docnum)
         return []
 
+    def payload(self, docnum: int, fieldname: str, term: str) -> bytes | None:
+        """Raw custom-Format posting payload for one doc/term (the
+        formats.py plug point — reference custom Format subclass,
+        formats.py:51-135).  Decode with the registered Format."""
+        for r in self._local_worker().readers:
+            seg = r.seg
+            if seg.doc_base <= docnum < seg.doc_base + seg.doc_count:
+                return r.payload(fieldname, term, docnum)
+        return None
+
     def doc_count_all(self) -> int:
         return self.manifest.doc_count
 
