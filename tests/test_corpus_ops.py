@@ -184,8 +184,10 @@ def test_multimodal_stages(ray_session, con):
 
     _assert_match(mm.decode_image_meta(SF), con, mm.oracle_decode_image_meta())
     _assert_match(mm.frame_sample_meta(SF), con, mm.oracle_frame_sample_meta())
-    with pytest.raises(NotImplementedError):
-        mm._decode_image_real(b"xx")
+    with pytest.raises(ValueError, match="declared scope cut"):
+        mm.ImageDecoder()(
+            __import__("pyarrow").table({"payload": [b"\xff\xd8jpegdata"]})
+        )
 
 
 def test_real_decoders(ray_session, con):
@@ -201,6 +203,95 @@ def test_real_decoders(ray_session, con):
 
     _assert_match(mm.decode_ppm_meta(SF), con, mm.oracle_decode_ppm_meta())
     _assert_match(mm.decode_wav_meta(SF), con, mm.oracle_decode_wav_meta())
+    _assert_match(mm.decode_png_meta(SF), con, mm.oracle_decode_png_meta())
+
+
+def test_png_decoder_kernel():
+    """decode_png against hand-filtered encodings: every scanline filter
+    (None/Sub/Up/Average/Paeth), every supported color type, exact pixel
+    recovery (mean compared to the numpy reference reconstruction)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from whoosh_reloaded_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(7)
+
+    def encode(img, ctype, filters, plte=None):
+        h, w, nch = img.shape
+        stride = w * nch
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        flat = img.reshape(h, stride).astype(np.int32)
+        scan = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = flat[y]
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            else:  # paeth
+                left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                upleft = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]])
+                p = left + prev - upleft
+                pred = np.where(
+                    (np.abs(p - left) <= np.abs(p - prev))
+                    & (np.abs(p - left) <= np.abs(p - upleft)),
+                    left,
+                    np.where(np.abs(p - prev) <= np.abs(p - upleft), prev, upleft),
+                )
+                enc = (cur - pred) & 0xFF
+            scan.append(f)
+            scan += bytes(enc.astype(np.uint8))
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = mm._PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+
+    for ctype, nch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        img = rng.integers(0, 256, size=(7, 5, nch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            blob = encode(img, ctype, filters)
+            w, h, c, mean = mm.decode_png(blob)
+            assert (w, h, c) == (5, 7, nch), (ctype, filters)
+            assert abs(mean - float(img.mean())) < 1e-9, (ctype, filters)
+
+    # palette: indices decode through PLTE to RGB
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(3, 4, 1), dtype=np.uint8)
+    blob = encode(idx, 3, [0, 1, 2], plte=plte)
+    w, h, c, mean = mm.decode_png(blob)
+    assert (w, h, c) == (4, 3, 3)
+    assert abs(mean - float(plte[idx.reshape(-1)].mean())) < 1e-9
+
+    # make_png round-trips for each color-type residue
+    for d in (0, 1, 2, 251, 502):
+        w, h, c, mean = mm.decode_png(mm.make_png(d))
+        assert (w, h) == (d % 5 + 1, d % 4 + 1)
+        assert abs(mean - (d % 251)) < 1e-9
+
+    # declared cuts raise cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_png(b"nope")
 
 
 def test_neardup_hot_bucket_skew(ray_session, tmp_path):

@@ -224,12 +224,14 @@ def multimodal_meta():
     per_case = {
         "decode_image_meta": ["doc_id", "n_bytes", "width", "height", "channels"],
         "decode_ppm_meta": ["doc_id", "width", "height", "channels", "mean_pixel"],
+        "decode_png_meta": ["doc_id", "width", "height", "channels", "mean_pixel"],
         "decode_wav_meta": ["doc_id", "sample_rate", "n_channels", "n_samples", "peak"],
         "frame_sample_meta": ["doc_id", "n_frames", "n_sampled"],
     }
     cases = [
         ("decode_image_meta", mm.decode_image_meta, mm.oracle_decode_image_meta()),
         ("decode_ppm_meta", mm.decode_ppm_meta, mm.oracle_decode_ppm_meta()),
+        ("decode_png_meta", mm.decode_png_meta, mm.oracle_decode_png_meta()),
         ("decode_wav_meta", mm.decode_wav_meta, mm.oracle_decode_wav_meta()),
         ("frame_sample_meta", mm.frame_sample_meta, mm.oracle_frame_sample_meta()),
     ]

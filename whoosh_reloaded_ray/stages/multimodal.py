@@ -1,10 +1,11 @@
 """Multimodal column stages: opaque binary payloads + actor-pool decoders.
 
 Real multimodal corpora carry image/audio/video as opaque ``binary``
-columns with typed metadata.  The image/audio libraries are NOT in this
-container, so the decode kernels are STUBS — ``_decode_image_real`` raises
-``NotImplementedError`` unless PIL is importable, and the deterministic
-fake below stands in — but the Ray-side plumbing is real and tested:
+columns with typed metadata.  PPM(P6), 8-bit PNG (all five scanline
+filters, gray/RGB/palette/alpha — pure numpy + stdlib zlib) and PCM WAV
+decode for REAL; JPEG and other compressed formats are a DECLARED SCOPE
+CUT (no imaging libs in this container; see README).  The Ray-side
+plumbing is identical for any codec:
 
   * payloads are a ``large_binary`` column (here derived deterministically
     from ``text`` so the sandbox tables can exercise the path);
@@ -38,17 +39,130 @@ def attach_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("payload", payload)
 
 
-def _decode_image_real(blob: bytes):
-    """Real image decode — STUB: the imaging libraries are not available in
-    this environment."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, which is not available in "
-            "this container; use FakeImageDecoder for the plumbing path"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the library exists")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(blob: bytes) -> tuple:
+    """REAL pure-Python/numpy PNG decode (stdlib zlib): returns (width,
+    height, channels, mean_pixel).
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette ->
+    decoded to RGB), 4 (gray+alpha), 6 (RGBA), all five scanline filters
+    (None/Sub/Up/Average/Paeth).  DECLARED SCOPE CUT: 1/2/4/16-bit depths
+    and Adam7 interlace raise ValueError (rare in training corpora and a
+    resample-to-8-bit away).  mean_pixel averages the decoded channel
+    bytes (palette images over their RGB expansion)."""
+    import struct
+    import zlib
+
+    if not blob or not blob.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = bitdepth = ctype = interlace = None
+    plte = None
+    while pos + 8 <= len(blob):
+        (ln,), typ = struct.unpack_from(">I", blob, pos), blob[pos + 4 : pos + 8]
+        pos += 8
+        data = blob[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            w, h, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got depth {bitdepth})")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * nch
+    if raw.size != h * (stride + 1):
+        raise ValueError("bad IDAT payload size")
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    img = np.zeros((h, stride), dtype=np.int32)
+    bpp = nch
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = rows[y, 1:].astype(np.int32)
+        f = int(ftypes[y])
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: x-chain -> cumsum per pixel lane, mod 256
+            cur = (line.reshape(w, bpp).cumsum(axis=0) & 0xFF).reshape(stride)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average: sequential in x, vector over channels
+            cur = np.empty(stride, np.int32)
+            left = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                seg = (line[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1)) & 0xFF
+                cur[x : x + bpp] = seg
+                left = seg
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int32)
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                p = left + up - upleft
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc_ = np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, upleft)
+                )
+                seg = (line[x : x + bpp] + pred) & 0xFF
+                cur[x : x + bpp] = seg
+                left, upleft = seg, up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        img[y] = cur
+        prev = cur
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[img.reshape(-1)]
+        return w, h, 3, float(rgb.mean())
+    return w, h, nch, float(img.mean())
+
+
+def make_png(doc_id: int) -> bytes:
+    """Deterministic REAL PNG for a doc (round-trips through decode_png):
+    color type cycles gray/RGB/palette by doc_id%3; width doc_id%5+1,
+    height doc_id%4+1, every sample = doc_id%251 (so mean_pixel ==
+    doc_id%251 in SQL)."""
+    import struct
+    import zlib
+
+    w, h, v = doc_id % 5 + 1, doc_id % 4 + 1, doc_id % 251
+    ctype = (0, 2, 3)[doc_id % 3]
+    nch = 3 if ctype == 2 else 1
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scan = (b"\x00" + bytes([0 if ctype == 3 else v]) * (w * nch)) * h
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += chunk(b"PLTE", bytes([v, v, v]))  # palette index 0 -> (v,v,v)
+    out += chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    return out
 
 
 class FakeImageDecoder:
@@ -231,18 +345,25 @@ def decode_wav(blob: bytes) -> tuple:
 
 
 class ImageDecoder:
-    """Actor-pool image decode: sniffs the magic bytes — PPM(P6) decodes
-    for real (pure numpy); anything else falls to the PIL-gated stub.
-    Same actor shape as FakeImageDecoder (init-once, small batches)."""
+    """Actor-pool image decode: sniffs the magic bytes — PPM(P6) and PNG
+    decode for REAL (pure numpy / stdlib zlib); unsupported formats raise
+    ValueError with the declared scope (JPEG is out of scope in this
+    container: no imaging libs, and a clean-room baseline-JPEG decoder is
+    not worth its maintenance here — README documents the cut).  Same
+    actor shape as FakeImageDecoder (init-once, small batches)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"width": [], "height": [], "channels": [], "mean_pixel": []}
         for blob in batch["payload"].to_pylist():
             if blob and blob.startswith(b"P6"):
                 w, h, c, mean = decode_ppm(blob)
+            elif blob and blob.startswith(_PNG_SIG):
+                w, h, c, mean = decode_png(blob)
             else:
-                _decode_image_real(blob)  # raises NotImplementedError
-                raise AssertionError("unreachable")
+                raise ValueError(
+                    "unsupported image format (PPM P6 and 8-bit PNG decode "
+                    "for real; JPEG et al. are a declared scope cut)"
+                )
             rows["width"].append(w)
             rows["height"].append(h)
             rows["channels"].append(c)
@@ -318,6 +439,24 @@ SELECT doc_id,
        (doc_id % 8 + 1)::BIGINT AS height,
        3::BIGINT AS channels,
        ROUND((doc_id % 256) * 1.0, 6) AS mean_pixel
+FROM documents ORDER BY doc_id
+"""
+
+
+def decode_png_meta(sf_dir: str) -> pa.Table:
+    """Gate query: REAL PNG decode — a deterministic PNG per doc (color
+    type cycling gray/RGB/palette), parsed byte-for-byte in the actor
+    pool."""
+    return _decode_meta_pipeline(sf_dir, make_png, ImageDecoder)
+
+
+def oracle_decode_png_meta() -> str:
+    return """
+SELECT doc_id,
+       (doc_id % 5 + 1)::BIGINT AS width,
+       (doc_id % 4 + 1)::BIGINT AS height,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)::BIGINT AS channels,
+       ROUND((doc_id % 251) * 1.0, 6) AS mean_pixel
 FROM documents ORDER BY doc_id
 """
 
