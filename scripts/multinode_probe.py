@@ -10,9 +10,13 @@ far as a single machine allows:
   (workers import the uploaded copy; the repo path is NOT injected);
 - the full index build pipeline (Ray Data shuffle across both raylets);
 - the ray-executor searcher with segment actors placed on BOTH nodes
-  (SPREAD scheduling), verified against the local executor's results.
+  (SPREAD scheduling), verified against the local executor's results;
+- with --fs-uri, the index lives behind a pyarrow.fs URI (file://<tmp>)
+  instead of a plain path, proving the remote-storage seam
+  (state/storage.py) end to end: manifest commit/read, segment shard
+  writes, and query-side reads all route through pyarrow.fs.
 
-Usage: python scripts/multinode_probe.py
+Usage: python scripts/multinode_probe.py [--fs-uri]
 Prints one JSON line with the measured outcome.
 """
 
@@ -59,7 +63,8 @@ def main():
     corpus = os.path.join(tmp, "t.parquet")
     generate_transcripts(corpus, n_turns=20_000, avg_turn_words=25, seed=41,
                          rows_per_file=2_500)
-    idx = os.path.join(tmp, "idx")
+    use_fs_uri = "--fs-uri" in sys.argv
+    idx = ("file://" + os.path.join(tmp, "idx")) if use_fs_uri else os.path.join(tmp, "idx")
     t0 = time.time()
     build_index([corpus], idx, num_shards=8, partition_rows=2_500,
                 rows_per_segment=5_000)
@@ -93,6 +98,7 @@ def main():
         "turns": 20_000,
         "queries_verified": checked,
         "py_modules_packaged": True,
+        "index_dir_scheme": "file://" if use_fs_uri else "local-path",
     }
     print(json.dumps(out))
     ray.shutdown()

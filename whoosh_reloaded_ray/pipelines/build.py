@@ -183,8 +183,10 @@ def _build_segment(
     salted_terms: dict | None = None,
 ) -> SegmentMeta:
     t0 = time.time()
-    seg_dir = os.path.join(index_dir, name)
-    os.makedirs(seg_dir, exist_ok=True)
+    from ..state import storage
+
+    seg_dir = storage.join(index_dir, name)
+    storage.makedirs(seg_dir)
 
     doc_base = min(p.base for p in spec)
     doc_count = sum(p.rows for p in spec)
@@ -244,10 +246,10 @@ def _build_segment(
     salted_serial: dict = {}
     for (f, t), n in (salted_terms or {}).items():
         salted_serial.setdefault(f, {})[t] = int(n)
-    import glob as _glob
-
     seg_bytes = sum(
-        os.path.getsize(f) for f in _glob.glob(os.path.join(seg_dir, "*.parquet"))
+        storage.getsize(storage.join(seg_dir, f))
+        for f in storage.listdir(seg_dir)
+        if f.endswith(".parquet")
     )
     elapsed = time.time() - t0
     meta = SegmentMeta(

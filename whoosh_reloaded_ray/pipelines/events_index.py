@@ -107,6 +107,14 @@ def get_events_searcher(sf_dir: str) -> IndexSearcher:
 
 
 def _mtime(index_dir: str) -> float:
+    from ..state import storage
+
+    if storage.is_uri(index_dir):
+        # no portable mtime over pyarrow.fs; key the cache on the
+        # manifest generation instead (monotonic per commit)
+        from ..state.manifest import latest_generation
+
+        return float(latest_generation(index_dir))
     import glob
 
     files = glob.glob(os.path.join(index_dir, "manifest-*.json"))

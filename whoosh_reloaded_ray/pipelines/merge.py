@@ -70,28 +70,30 @@ def select_merge_small(segments: list) -> tuple[list, list]:
 def _merge_shard(index_dir: str, seg_names: list, new_name: str, shard: int) -> dict:
     """Merge one shard across victim segments: block-row concat + terminfo
     re-aggregation + doclens concat.  Returns {n_terms, n_postings}."""
-    out_dir = os.path.join(index_dir, new_name)
+    from ..state import storage
+
+    out_dir = storage.join(index_dir, new_name)
 
     def paths(tmpl):
-        ps = [os.path.join(index_dir, s, tmpl.format(shard=shard)) for s in seg_names]
-        return [p for p in ps if os.path.exists(p)]
+        ps = [storage.join(index_dir, s, tmpl.format(shard=shard)) for s in seg_names]
+        return [p for p in ps if storage.exists(p)]
 
     stats = {"n_terms": 0, "n_postings": 0}
 
     post_files = paths(POSTINGS_FILE)
     if post_files:
-        blocks = pa.concat_tables([pq.read_table(p) for p in post_files])
+        blocks = pa.concat_tables([storage.read_parquet(p) for p in post_files])
         order = pc.sort_indices(
             blocks,
             sort_keys=[("field", "ascending"), ("term", "ascending"), ("doc_min", "ascending")],
         )
         blocks = blocks.take(order)
-        _atomic_write(blocks, os.path.join(out_dir, POSTINGS_FILE.format(shard=shard)))
+        _atomic_write(blocks, storage.join(out_dir, POSTINGS_FILE.format(shard=shard)))
         stats["n_postings"] = int(pc.sum(blocks["count"]).as_py() or 0)
 
     ti_files = paths(TERMINFO_FILE)
     if ti_files:
-        ti = pa.concat_tables([pq.read_table(p) for p in ti_files])
+        ti = pa.concat_tables([storage.read_parquet(p) for p in ti_files])
         agg = ti.group_by(["field", "term"]).aggregate(
             [
                 ("doc_freq", "sum"),
@@ -114,16 +116,16 @@ def _merge_shard(index_dir: str, seg_names: list, new_name: str, shard: int) -> 
         agg = agg.take(
             pc.sort_indices(agg, sort_keys=[("field", "ascending"), ("term", "ascending")])
         )
-        _atomic_write(agg, os.path.join(out_dir, TERMINFO_FILE.format(shard=shard)))
+        _atomic_write(agg, storage.join(out_dir, TERMINFO_FILE.format(shard=shard)))
         stats["n_terms"] = agg.num_rows
 
     dl_files = paths(DOCLENS_FILE)
     if dl_files:
-        dl = pa.concat_tables([pq.read_table(p) for p in dl_files])
+        dl = pa.concat_tables([storage.read_parquet(p) for p in dl_files])
         dl = dl.take(
             pc.sort_indices(dl, sort_keys=[("docnum", "ascending"), ("field", "ascending")])
         )
-        _atomic_write(dl, os.path.join(out_dir, DOCLENS_FILE.format(shard=shard)))
+        _atomic_write(dl, storage.join(out_dir, DOCLENS_FILE.format(shard=shard)))
 
     return stats
 
@@ -154,7 +156,9 @@ def merge_segments(index_dir: str, victims: list, new_name: str) -> SegmentMeta:
 
     num_shards = victims[0].num_shards
     assert all(s.num_shards == num_shards for s in victims)
-    os.makedirs(os.path.join(index_dir, new_name), exist_ok=True)
+    from ..state import storage
+
+    storage.makedirs(storage.join(index_dir, new_name))
     names = [s.name for s in victims]
 
     shards = ray.data.from_items([{"shard": i} for i in range(num_shards)])

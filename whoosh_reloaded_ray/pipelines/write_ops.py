@@ -30,9 +30,12 @@ def _write_tombstones(index_dir: str, manifest: Manifest, docnums: np.ndarray) -
     merged = np.union1d(existing, docnums.astype(np.uint64))
     gen = manifest.generation + 1
     fname = f"tombstones-{gen:05d}.parquet"
-    tmp = os.path.join(index_dir, fname + ".tmp")
-    pq.write_table(pa.table({"docnum": pa.array(merged, pa.uint64())}), tmp)
-    os.replace(tmp, os.path.join(index_dir, fname))
+    from ..state import storage
+
+    storage.write_parquet_atomic(
+        pa.table({"docnum": pa.array(merged, pa.uint64())}),
+        storage.join(index_dir, fname),
+    )
     manifest.tombstones = fname
     commit_manifest(index_dir, manifest)
     return manifest

@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..functions.quant import BYTE_TO_LENGTH
 from ..functions.varint import decode_varints
+from ..state import storage
 from ..sources.corpus import read_partition
 from ..stages.segment_write import (
     DOCLENS_FILE,
@@ -279,7 +280,7 @@ class SegmentReader:
 
     def __init__(self, index_dir: str, seg: SegmentMeta):
         self.seg = seg
-        self.dir = os.path.join(index_dir, seg.name)
+        self.dir = storage.join(index_dir, seg.name)
         # bounded LRU: long-lived searcher actors see an open-ended query
         # term stream at scale; decoded posting lists must not accumulate
         self._postings_cache: "OrderedDict" = OrderedDict()
@@ -334,9 +335,9 @@ class SegmentReader:
             return self._terminfo_cache[key]
         parts = []
         for shard in self._shards_for(field, term):
-            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
-            if os.path.exists(path):
-                t = pq.read_table(path, filters=[("field", "=", field), ("term", "=", term)])
+            path = storage.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if storage.exists(path):
+                t = storage.read_parquet(path, filters=[("field", "=", field), ("term", "=", term)])
                 if t.num_rows:
                     parts.append(t)
         info = None
@@ -373,10 +374,10 @@ class SegmentReader:
             filters += [("term", ">=", prefix), ("term", "<", prefix + "￿")]
         out: dict = {}
         for shard in range(self.seg.num_shards):
-            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
-            if not os.path.exists(path):
+            path = storage.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if not storage.exists(path):
                 continue
-            t = pq.read_table(
+            t = storage.read_parquet(
                 path, columns=["term", "weight_sum", "doc_freq"], filters=filters
             )
             for term, w, df in zip(
@@ -402,10 +403,10 @@ class SegmentReader:
             filters.append(("term", "<" if endexcl else "<=", end))
         terms = []
         for shard in range(self.seg.num_shards):
-            path = os.path.join(self.dir, TERMINFO_FILE.format(shard=shard))
-            if not os.path.exists(path):
+            path = storage.join(self.dir, TERMINFO_FILE.format(shard=shard))
+            if not storage.exists(path):
                 continue
-            t = pq.read_table(path, columns=["term"], filters=filters)
+            t = storage.read_parquet(path, columns=["term"], filters=filters)
             terms.extend(t["term"].to_pylist())
         out = sorted(set(terms))
         self._vocab_cache[key] = out
@@ -438,14 +439,14 @@ class SegmentReader:
             cols += ["payload"]
         parts = []
         for shard in self._shards_for(field, term):
-            path = os.path.join(self.dir, POSTINGS_FILE.format(shard=shard))
-            if os.path.exists(path):
+            path = storage.join(self.dir, POSTINGS_FILE.format(shard=shard))
+            if storage.exists(path):
                 have = (
-                    pq.ParquetFile(path).schema_arrow.names
+                    storage.parquet_file(path).schema_arrow.names
                     if (need_boosts or need_payload)
                     else None
                 )
-                tt = pq.read_table(
+                tt = storage.read_parquet(
                     path,
                     columns=(
                         cols if have is None
@@ -632,10 +633,10 @@ class SegmentReader:
         parts = []
         found_doclens = False
         for shard in range(self.seg.num_shards):
-            path = os.path.join(self.dir, DOCLENS_FILE.format(shard=shard))
-            if not os.path.exists(path):
+            path = storage.join(self.dir, DOCLENS_FILE.format(shard=shard))
+            if not storage.exists(path):
                 continue
-            t = pq.read_table(path, columns=["docnum", "field", "length"],
+            t = storage.read_parquet(path, columns=["docnum", "field", "length"],
                               filters=[("field", "=", field)])
             if t.num_rows:
                 found_doclens = True
@@ -662,10 +663,10 @@ class SegmentReader:
         if arr is None:
             arr = np.zeros(self.seg.doc_count, dtype=np.uint8)
             for shard in range(self.seg.num_shards):
-                path = os.path.join(self.dir, DOCLENS_FILE.format(shard=shard))
-                if not os.path.exists(path):
+                path = storage.join(self.dir, DOCLENS_FILE.format(shard=shard))
+                if not storage.exists(path):
                     continue
-                t = pq.read_table(path, filters=[("field", "=", field)])
+                t = storage.read_parquet(path, filters=[("field", "=", field)])
                 idx = t["docnum"].to_numpy() - self.seg.doc_base
                 arr[idx] = t["len_byte"].to_numpy()
             self._column_cache[key] = arr

@@ -55,12 +55,18 @@ DOCLENS_FILE = "doclens-{shard:04d}.parquet"
 
 
 def _atomic_write(tbl: pa.Table, path: str, row_group_size: int = 8192):
-    tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp, row_group_size=row_group_size)
-    os.replace(tmp, path)
+    from ..state import storage
+
+    storage.write_parquet_atomic(tbl, path, row_group_size=row_group_size)
 
 
 _binary_from_offsets = binary_array_from_offsets
+
+
+def _storage_join(base, *parts):
+    from ..state import storage
+
+    return storage.join(base, *parts)
 
 
 @dataclass
@@ -103,7 +109,7 @@ class ShardSegmentWriter:
                     "len_byte": doclens["len_byte"],
                 }
             )
-            _atomic_write(dl_tbl, os.path.join(self.seg_dir, DOCLENS_FILE.format(shard=shard)))
+            _atomic_write(dl_tbl, _storage_join(self.seg_dir, DOCLENS_FILE.format(shard=shard)))
             agg = dl_tbl.group_by("field").aggregate([("length", "sum")])
             fl_json = json.dumps(
                 {
@@ -232,7 +238,7 @@ class ShardSegmentWriter:
                 "payload": payload_col,
             }
         )
-        _atomic_write(blk, os.path.join(self.seg_dir, POSTINGS_FILE.format(shard=shard)))
+        _atomic_write(blk, _storage_join(self.seg_dir, POSTINGS_FILE.format(shard=shard)))
 
         # --- terminfo (per-term stats)
         ti = pa.table(
@@ -250,7 +256,7 @@ class ShardSegmentWriter:
                 "max_len_byte": pa.array(np.maximum.reduceat(lens, term_starts), type=pa.uint8()),
             }
         )
-        _atomic_write(ti, os.path.join(self.seg_dir, TERMINFO_FILE.format(shard=shard)))
+        _atomic_write(ti, _storage_join(self.seg_dir, TERMINFO_FILE.format(shard=shard)))
         return ShardWriteResult(shard=shard, n_terms=n_terms, n_postings=n)
 
 

@@ -133,37 +133,43 @@ class Manifest:
             return np.empty(0, dtype=np.uint64)
         import pyarrow.parquet as pq
 
-        path = os.path.join(index_dir, self.tombstones)
-        return pq.read_table(path)["docnum"].to_numpy().astype(np.uint64)
+        from . import storage
+
+        path = storage.join(index_dir, self.tombstones)
+        return storage.read_parquet(path)["docnum"].to_numpy().astype(np.uint64)
 
 
 def latest_generation(index_dir: str) -> int:
+    from . import storage
+
     gens = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
-        if (m := MANIFEST_RE.search(os.path.basename(p)))
+        for name in storage.listdir(index_dir)
+        if (m := MANIFEST_RE.search(name))
     ]
     return max(gens) if gens else -1
 
 
 def load_manifest(index_dir: str) -> Manifest | None:
+    from . import storage
+
     gen = latest_generation(index_dir)
     if gen < 0:
         return None
-    with open(os.path.join(index_dir, f"manifest-{gen}.json")) as f:
-        return Manifest.from_dict(json.load(f))
+    return Manifest.from_dict(
+        storage.read_json(storage.join(index_dir, f"manifest-{gen}.json"))
+    )
 
 
 def commit_manifest(index_dir: str, manifest: Manifest) -> int:
     """Atomically write the next generation; returns the generation number."""
-    os.makedirs(index_dir, exist_ok=True)
+    from . import storage
+
+    storage.makedirs(index_dir)
     gen = latest_generation(index_dir) + 1
     manifest.generation = gen
-    path = os.path.join(index_dir, f"manifest-{gen}.json")
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest.to_dict(), f, indent=1)
-    os.replace(tmp, path)
+    path = storage.join(index_dir, f"manifest-{gen}.json")
+    storage.write_text_atomic(path, json.dumps(manifest.to_dict(), indent=1))
     return gen
 
 
@@ -171,28 +177,29 @@ def clean_files(index_dir: str, keep_generations: int = 2):
     """GC segment dirs not referenced by the latest manifests (reference
     index.py:373-402 clean_files): old generations' manifests beyond
     ``keep_generations`` are removed, then unreferenced seg-* dirs."""
-    import shutil
+    from . import storage
 
+    names = storage.listdir(index_dir)
     gens = sorted(
-        int(m.group(1))
-        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
-        if (m := MANIFEST_RE.search(os.path.basename(p)))
+        int(m.group(1)) for name in names if (m := MANIFEST_RE.search(name))
     )
     keep = set(gens[-keep_generations:])
     referenced = set()
     live_tombstones = set()
     for g in keep:
-        with open(os.path.join(index_dir, f"manifest-{g}.json")) as f:
-            d = json.load(f)
-            referenced.update(s["name"] for s in d["segments"])
-            if d.get("tombstones"):
-                live_tombstones.add(d["tombstones"])
+        d = storage.read_json(storage.join(index_dir, f"manifest-{g}.json"))
+        referenced.update(s["name"] for s in d["segments"])
+        if d.get("tombstones"):
+            live_tombstones.add(d["tombstones"])
     for g in gens:
         if g not in keep:
-            os.remove(os.path.join(index_dir, f"manifest-{g}.json"))
-    for seg_dir in glob.glob(os.path.join(index_dir, "seg-*")):
-        if os.path.basename(seg_dir) not in referenced:
-            shutil.rmtree(seg_dir, ignore_errors=True)
-    for tf in glob.glob(os.path.join(index_dir, "tombstones-*.parquet")):
-        if os.path.basename(tf) not in live_tombstones:
-            os.remove(tf)
+            storage.remove(storage.join(index_dir, f"manifest-{g}.json"))
+    for name in names:
+        if name.startswith("seg-") and name not in referenced:
+            storage.rmtree(storage.join(index_dir, name))
+        if (
+            name.startswith("tombstones-")
+            and name.endswith(".parquet")
+            and name not in live_tombstones
+        ):
+            storage.remove(storage.join(index_dir, name))
