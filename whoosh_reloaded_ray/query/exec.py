@@ -51,6 +51,7 @@ class PostingList:
         "docs", "weights", "len_bytes", "block_starts", "pos_blobs",
         "block_counts", "_pos_cache", "chars_blobs", "_chars_cache",
         "boosts_blobs", "_boosts_cache", "payload_blobs", "_payload_cache",
+        "_score_cache", "_pos_decoded", "_pos_calls",
     )
 
     def __init__(
@@ -71,6 +72,9 @@ class PostingList:
         self._chars_cache: dict = {}
         self._boosts_cache: dict = {}
         self._payload_cache: dict = {}
+        self._score_cache: dict = {}  # scoring-input tuple -> float64 scores
+        self._pos_decoded = None  # (flat abs positions, offsets, counts)
+        self._pos_calls = 0
 
     def _block_positions(self, b: int):
         """Decode one block's interleaved (count, deltas...) stream ONCE,
@@ -188,11 +192,35 @@ class PostingList:
         counts per posting, in the order given).  Per touched block only
         the cached decode + one start-offset gather run; the segmented
         cumsum is ONE global pass over a concatenated value stream, so
-        per-call numpy overhead no longer scales with block count."""
+        per-call numpy overhead no longer scales with block count.
+
+        From the SECOND call on (a warm searcher re-running phrase /
+        span queries over the same hot term), the WHOLE list's positions
+        are decoded once into a flat cache and every later call is a
+        pure numpy gather — no per-block walk at all.  Memory is bounded
+        by the reader's posting-list LRU (the cache dies with the plist)."""
         pidx = np.asarray(posting_idxs, dtype=np.int64)
         npost = pidx.size
         if npost == 0:
             return np.empty(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+        self._pos_calls += 1
+        if self._pos_decoded is None and self._pos_calls >= 2:
+            n = self.docs.size
+            flat, cnts = self._positions_bulk_cold(np.arange(n, dtype=np.int64))
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(cnts[:-1], out=starts[1:])
+            self._pos_decoded = (flat, starts, cnts)
+        if self._pos_decoded is not None:
+            flat_all, starts_all, cnts_all = self._pos_decoded
+            cnts = cnts_all[pidx]
+            tot = int(cnts.sum())
+            seg0 = np.cumsum(cnts) - cnts
+            gidx = np.repeat(starts_all[pidx] - seg0, cnts) + np.arange(tot)
+            return flat_all[gidx], cnts
+        return self._positions_bulk_cold(pidx)
+
+    def _positions_bulk_cold(self, pidx: np.ndarray):
+        npost = pidx.size
         b_of = np.searchsorted(self.block_starts, pidx, side="right") - 1
         order = np.argsort(b_of, kind="stable")
         b_sorted = b_of[order]
@@ -795,6 +823,44 @@ def _score_postings_fwd(
     raise ValueError(f"unknown scoring model {m!r}")
 
 
+def term_scores(
+    plist: PostingList, field: str, term: str, ctx: ScoreContext
+) -> np.ndarray:
+    """Full-posting-list scores, cached on the PostingList.
+
+    The cache key is every VALUE the formula reads (model, idf, avgfl,
+    B/K1, cf, fl, pl2_c, doc_count) rather than the ctx identity, so any
+    two contexts computing the same numbers share the entry, and a context
+    with different stats (other generation, hand-built) can never collide.
+    User-function models are never cached (the fn isn't value-keyed).
+    Callers must treat the returned array as READ-ONLY; the cache dies
+    with the PostingList (reader posting-cache LRU bounds memory)."""
+    m = ctx.field_models.get(field, ctx.model)
+    if m == "fn":
+        s = _score_postings_fwd(
+            plist.docs, plist.weights, plist.len_bytes, field, term, ctx
+        )
+        return -s if ctx.reverse else s
+    key = (
+        m,
+        ctx.idf.get((field, term), 1.0),
+        ctx.avgfl.get(field),
+        ctx.field_B.get(field, ctx.B),
+        ctx.K1,
+        (ctx.cf or {}).get((field, term), 1.0),
+        (ctx.fl or {}).get(field, 1.0),
+        ctx.pl2_c,
+        ctx.doc_count,
+    )
+    s = plist._score_cache.get(key)
+    if s is None:
+        s = _score_postings_fwd(
+            plist.docs, plist.weights, plist.len_bytes, field, term, ctx
+        )
+        plist._score_cache[key] = s
+    return -s if ctx.reverse else s
+
+
 def evaluate(reader: SegmentReader, q: ast.Query, ctx: ScoreContext, scored=True):
     """Evaluate a query tree on one segment -> (docnums sorted, scores)."""
     return _EVAL[type(q).__name__](reader, q, ctx, scored)
@@ -806,7 +872,7 @@ def _eval_term(reader, q: ast.Term, ctx, scored):
         return EMPTY
     if not scored:
         return plist.docs, np.ones(plist.docs.size)
-    scores = score_postings(plist.docs, plist.weights, plist.len_bytes, q.field, q.text, ctx)
+    scores = term_scores(plist, q.field, q.text, ctx)
     if q.boost != 1.0:
         scores = scores * q.boost
     return plist.docs, scores
@@ -1078,7 +1144,7 @@ def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
     scores = np.zeros(docs.size, dtype=np.float64)
     for t, (p, w) in enumerate(zip(plists, q.words)):
         sub = idxs[t][ok]
-        s = score_postings(p.docs, p.weights, p.len_bytes, q.field, w, ctx)
+        s = term_scores(p, q.field, w, ctx)
         scores += s[sub]
     return _apply_boost((docs, scores), q.boost)
 

@@ -81,6 +81,22 @@ def wandable_dismax(q: ast.Query):
 WAND_MODELS = ("bm25f", "tfidf", "frequency")
 
 
+def _topk_cut(docs: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Doc-sorted indices of the top-k by (-score, doc).  A partition
+    prefilter (keep only scores >= kth-largest — every score-tie at the
+    boundary survives, so doc tie-breaks stay exact) cuts the O(n log n)
+    two-key lexsort down to the ~k candidates."""
+    n = scores.size
+    if n > k:
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.flatnonzero(scores >= kth)
+        order = cand[np.lexsort((docs[cand], -scores[cand]))[:k]]
+    else:
+        order = np.lexsort((docs, -scores))[:k]
+    order.sort()  # return doc-sorted like the full evaluator
+    return order
+
+
 def _block_ub(meta, idf: float, avgfl, boost: float, ctx, _field: str = "") -> np.ndarray:
     """Per-block score upper bound (reference block_quality: BM25F uses
     (block_max_weight, block_min_length); TF_IDF / Frequency use
@@ -174,37 +190,70 @@ def topk_wand(
             best_in = np.zeros(nb)
             if pscores.size:
                 idx = np.flatnonzero(hi > lo)
-                best_in[idx] = [pscores[l:h].max() for l, h in zip(lo[idx], hi[idx])]
+                if idx.size:
+                    # segment maxima in ONE reduceat pass: (lo, hi) pairs
+                    # interleaved, even slots are the [lo, hi) reductions
+                    # (odd slots — the inter-pair gaps — are discarded);
+                    # a 0.0 sentinel keeps every index < len and never
+                    # lands in an even slot since hi <= pscores.size
+                    pairs = np.empty(idx.size * 2, dtype=np.int64)
+                    pairs[0::2] = lo[idx]
+                    pairs[1::2] = hi[idx]
+                    ps_ext = np.append(pscores, 0.0)
+                    best_in[idx] = np.maximum.reduceat(ps_ext, pairs)[0::2]
             keep = best_in + ub + rest >= theta
         else:
             keep = np.ones(nb, dtype=bool)
         if not keep.any():
             continue
         blocks_decoded += int(keep.sum())
-        docs, weights, lens = reader.decode_blocks(info["field"], info["term"], keep)
+        from .exec import score_postings, term_scores
+
+        if keep.all():
+            # full-list decode: per-posting scores are value-cached on the
+            # PostingList (term_scores) — repeat searches on a warm reader
+            # skip the formula entirely
+            plist = reader.postings(info["field"], info["term"])
+            docs = plist.docs
+            s = term_scores(plist, info["field"], info["term"], ctx)
+        else:
+            docs, weights, lens = reader.decode_blocks(
+                info["field"], info["term"], keep
+            )
+            s = score_postings(
+                docs, weights, lens, info["field"], info["term"], ctx
+            )
+        # scores are elementwise in the posting, so candidate filters
+        # commute with scoring (masks copy; the cached array stays intact)
         if excluded is not None and docs.size:
             m = ~np.isin(docs, excluded)
-            docs, weights, lens = docs[m], weights[m], lens[m]
+            docs, s = docs[m], s[m]
         if allowed is not None and docs.size:
             m = np.isin(docs, allowed)
-            docs, weights, lens = docs[m], weights[m], lens[m]
-        from .exec import score_postings
-
-        s = score_postings(docs, weights, lens, info["field"], info["term"], ctx)
+            docs, s = docs[m], s[m]
         if info["boost"] != 1.0:
             s = s * info["boost"]
-        # merge into partials (sorted union)
-        merged = np.union1d(pdocs, docs)
-        if mode == "max":
-            ns = np.full(merged.size, -np.inf)
-            ns[np.searchsorted(merged, pdocs)] = pscores
-            di = np.searchsorted(merged, docs)
-            np.maximum.at(ns, di, s)
-        else:
-            ns = np.zeros(merged.size)
-            ns[np.searchsorted(merged, pdocs)] = pscores
-            np.add.at(ns, np.searchsorted(merged, docs), s)
-        pdocs, pscores = merged, ns
+        # merge into partials: both sides doc-sorted and internally unique,
+        # so one stable sort + run-boundary reduceat replaces
+        # union1d + np.add.at (buffered ufunc.at is the slow path)
+        alld = np.concatenate([pdocs, docs])
+        if alld.size == 0:
+            continue
+        alls = np.concatenate([pscores, s])
+        if pdocs.size and docs.size:
+            order = np.argsort(alld, kind="stable")
+            alld = alld[order]
+            alls = alls[order]
+        newmask = np.empty(alld.size, dtype=bool)
+        newmask[0] = True
+        np.not_equal(alld[1:], alld[:-1], out=newmask[1:])
+        starts = np.flatnonzero(newmask)
+        pdocs = alld[starts]
+        pscores = (
+            np.maximum.reduceat(alls, starts)
+            if mode == "max"
+            else np.add.reduceat(alls, starts)
+        )
         if pscores.size >= k:
             theta = max(
                 theta,
@@ -217,8 +266,7 @@ def topk_wand(
         stats_out["theta"] = theta
     if pdocs.size == 0:
         return EMPTY
-    order = np.lexsort((pdocs, -pscores))[:k]
-    order.sort()  # return doc-sorted like the full evaluator
+    order = _topk_cut(pdocs, pscores, k)
     return pdocs[order], pscores[order]
 
 
@@ -253,7 +301,7 @@ def topk_dismax(
     theta = -inf (cold start) nothing is skipped — the hot path is
     phase 2 of the two-phase global-threshold protocol, where theta
     arrives pre-seeded from the other segments."""
-    from .exec import score_postings
+    from .exec import score_postings, term_scores
 
     infos = []
     for f, t, b in terms:
@@ -296,8 +344,13 @@ def topk_dismax(
         if not keep.any():
             continue
         blocks_decoded += int(keep.sum())
-        docs, weights, lens = reader.decode_blocks(f, t, keep)
-        s = score_postings(docs, weights, lens, f, t, ctx)
+        if keep.all():
+            plist = reader.postings(f, t)
+            docs = plist.docs
+            s = term_scores(plist, f, t, ctx)  # value-cached; read-only
+        else:
+            docs, weights, lens = reader.decode_blocks(f, t, keep)
+            s = score_postings(docs, weights, lens, f, t, ctx)
         if b != 1.0:
             s = s * b
         results.append((docs, s))
@@ -329,6 +382,5 @@ def topk_dismax(
     _stats(blocks_decoded, theta)
     if union.size == 0:
         return EMPTY
-    order = np.lexsort((union, -best))[:k]
-    order.sort()
+    order = _topk_cut(union, best, k)
     return union[order], best[order]

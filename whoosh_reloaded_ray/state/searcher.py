@@ -20,6 +20,7 @@ Two executors:
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -440,8 +441,9 @@ class _SegmentWorker:
                     m = np.isin(docs, allowed)
                     docs, scores = docs[m], scores[m]
                 if limit is not None and docs.size > limit:
-                    top = np.lexsort((docs, -scores))[:limit]
-                    top.sort()
+                    from ..query.wand import _topk_cut
+
+                    top = _topk_cut(docs, scores, limit)
                     docs, scores = docs[top], scores[top]
             docs_all.append(docs)
             scores_all.append(scores)
@@ -521,6 +523,11 @@ class IndexSearcher:
         self.field_weighting = field_weighting or {}
         self.reverse_weighting = reverse_weighting
         self.executor = executor
+        # memoized ScoreContext per term-set: the searcher is a SNAPSHOT
+        # (manifest + weighting config fixed at construction), so global
+        # stats (df/idf/avgfl/cf/fl) for a given term set never change for
+        # this object's lifetime; bounded LRU caps driver memory
+        self._ctx_cache: OrderedDict = OrderedDict()
         n_seg = len(self.manifest.segments)
         if executor == "ray":
             import ray
@@ -970,6 +977,11 @@ class IndexSearcher:
 
     def _context(self, q: ast.Query) -> ScoreContext:
         terms = sorted(set(q.terms()))
+        ckey = tuple(terms)
+        ctx = self._ctx_cache.get(ckey)
+        if ctx is not None:
+            self._ctx_cache.move_to_end(ckey)
+            return ctx
         dfs = self._doc_freqs(terms) if terms else {}
         N = self.doc_count_all()
         idf = {k: math.log(N / (df + 1)) + 1 for k, df in dfs.items()}
@@ -985,12 +997,16 @@ class IndexSearcher:
                 f.name: self.manifest.field_length(f.name)
                 for f in self.manifest.schema.scorable_fields
             }
-        return ScoreContext(
+        ctx = ScoreContext(
             N, avgfl, idf, B=self.B, K1=self.K1, field_B=self.field_B,
             model=self.weighting, cf=cf, fl=fl,
             pl2_c=self.pl2_c, user_fn=self.weighting_fn,
             field_models=self.field_weighting, reverse=self.reverse_weighting,
         )
+        self._ctx_cache[ckey] = ctx
+        if len(self._ctx_cache) > 512:
+            self._ctx_cache.popitem(last=False)
+        return ctx
 
     # ---- search ----------------------------------------------------------
 
@@ -1110,6 +1126,14 @@ class IndexSearcher:
         )
 
     def _format_results(self, docs, scores, limit) -> pa.Table:
+        n = docs.size
+        if limit is not None and n > max(64, 4 * limit):
+            # partition prefilter before the two-key lexsort: every
+            # score-tie at the kth boundary survives, so tie-breaks stay
+            # exact (same trick as wand._topk_cut, but rank-ordered here)
+            kth = np.partition(scores, n - limit)[n - limit]
+            cand = np.flatnonzero(scores >= kth)
+            docs, scores = docs[cand], scores[cand]
         order = np.lexsort((docs, -scores))
         if limit is not None:
             order = order[:limit]
