@@ -924,13 +924,19 @@ def _union(results):
         return EMPTY
     if len(results) == 1:
         return results[0]
-    all_docs = np.concatenate([r[0] for r in results])
-    union = np.unique(all_docs)
-    scores = np.zeros(union.size, dtype=np.float64)
-    for docs, s in results:
-        idx = np.searchsorted(union, docs)
-        np.add.at(scores, idx, s)
-    return union, scores
+    # each input is doc-sorted and internally unique, so one stable sort
+    # over the concatenation + run-boundary add.reduceat sums duplicates
+    # in a single C pass (np.add.at is the buffered-ufunc slow path)
+    alld = np.concatenate([r[0] for r in results])
+    alls = np.concatenate([r[1] for r in results])
+    order = np.argsort(alld, kind="stable")
+    alld = alld[order]
+    alls = alls[order]
+    newmask = np.empty(alld.size, dtype=bool)
+    newmask[0] = True
+    np.not_equal(alld[1:], alld[:-1], out=newmask[1:])
+    starts = np.flatnonzero(newmask)
+    return alld[starts], np.add.reduceat(alls, starts)
 
 
 def _term_leaves(q: ast.Query):
