@@ -270,3 +270,100 @@ def test_characters_payload_stemming(ray_session, whoosh, tmp_path):
     # jump family collapses to one stem covering three raw surface forms
     spans1 = payload_spans(s, 1, "text", {"jump"})
     assert sorted(texts[1][a:b] for a, b in spans1) == ["jumped", "jumping", "jumps"]
+
+
+def _install_fake_genshi(monkeypatch):
+    """Minimal structural genshi stand-in, injected for BOTH engines so the
+    reference GenshiFormatter (which hard-imports genshi.core) and ours see
+    the identical event vocabulary."""
+    import sys
+    import types
+
+    core = types.ModuleType("genshi.core")
+
+    class Attrs(tuple):
+        pass
+
+    class Stream(list):
+        def __init__(self, events):
+            super().__init__(events)
+
+    core.START, core.END, core.TEXT = "START", "END", "TEXT"
+    core.Attrs, core.Stream = Attrs, Stream
+    pkg = types.ModuleType("genshi")
+    pkg.core = core
+    monkeypatch.setitem(sys.modules, "genshi", pkg)
+    monkeypatch.setitem(sys.modules, "genshi.core", core)
+    return core
+
+
+def _norm_genshi_events(events, TEXT):
+    """Streams carry (TEXT, str, pos) events and — via the reference's
+    format_fragment quirk (highlight.py:899) — raw (fragment_text, token,
+    replace) triples; normalize tokens to (startchar, endchar) so the two
+    engines' token classes compare."""
+    out = []
+    for ev in events:
+        if ev[0] == TEXT and isinstance(ev[1], str) and not hasattr(ev[1], "startchar"):
+            out.append(("TEXT", ev[1]))
+        else:
+            text, tok, replace = ev
+            out.append(("RAW", text, tok.startchar, tok.endchar, bool(replace)))
+    return out
+
+
+def test_genshi_formatter_parity(whoosh, texts, monkeypatch):
+    """Event-stream parity incl. the reference's raw-tuple quirk in
+    format_fragment (reference highlight.py:850-914)."""
+    core = _install_fake_genshi(monkeypatch)
+    from whoosh import highlight as wh
+
+    spec = standard_analyzer()
+    checked = 0
+    for text in texts[:12]:
+        words = [w.lower() for w in text.split()[:50] if len(w) >= 4]
+        if len(words) < 2:
+            continue
+        terms = {words[0], words[len(words) // 2]}
+        ours = hl.highlight(
+            text, terms, spec, hl.ContextFragmenter(maxchars=120, surround=15),
+            hl.GenshiFormatter(),
+        )
+        theirs = _whoosh_highlight(
+            whoosh, text, terms, wh.ContextFragmenter(maxchars=120, surround=15),
+            wh.GenshiFormatter(),
+        )
+        assert _norm_genshi_events(ours, core.TEXT) == _norm_genshi_events(
+            theirs, core.TEXT
+        )
+        checked += 1
+    assert checked >= 5
+
+
+def test_genshi_format_token_events(whoosh, monkeypatch):
+    """format_token wraps in START/TEXT/END with the configured QName —
+    compared event-for-event against the reference class."""
+    core = _install_fake_genshi(monkeypatch)
+    from whoosh import highlight as wh
+
+    class Tok:
+        startchar, endchar = 4, 9
+        text = "REPL"
+
+    ours_f = hl.GenshiFormatter(qname="em")
+    ref_f = wh.GenshiFormatter(qname="em")
+    for replace in (False, True):
+        ours = list(ours_f.format_token("the quick fox", Tok(), replace))
+        theirs = list(ref_f.format_token("the quick fox", Tok(), replace))
+        assert ours == theirs
+        assert ours[0][0] == core.START and ours[2][0] == core.END
+        assert ours[1][1] == ("REPL" if replace else "quick")
+
+
+def test_genshi_formatter_without_genshi():
+    """Without genshi installed the formatter still yields the identical
+    event structure via the structural stand-ins."""
+    f = hl.GenshiFormatter()
+    frag = hl.Fragment("alpha beta gamma", [], 0, 16)
+    stream = f.format([frag])
+    assert list(stream) == [("TEXT", "alpha beta gamma", (None, -1, -1))]

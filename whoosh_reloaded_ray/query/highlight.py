@@ -398,6 +398,87 @@ class HtmlFormatter(Formatter):
         self.seen = {}
 
 
+class _GenshiAttrs(tuple):
+    """Structural stand-in for genshi.core.Attrs (a tuple of (QName,
+    value) pairs) when genshi isn't installed."""
+
+
+class _GenshiStream(list):
+    """Structural stand-in for genshi.core.Stream: an iterable event
+    list (supports the ``list += stream`` concatenation the reference's
+    GenshiFormatter.format relies on)."""
+
+
+class GenshiFormatter(Formatter):
+    """Genshi event stream around matched terms (reference
+    highlight.py:850-914).  Imports genshi.core when available; without
+    it, structurally equivalent stand-ins (event kinds as plain strings,
+    Attrs/Stream as tuple/list subclasses) keep the event layout
+    identical — genshi's own kinds are str subclasses, so downstream
+    comparisons behave the same.
+
+    Reference parity notes:
+      * ``format_token`` wraps the token text in START/TEXT/END events;
+      * ``format_fragment`` replicates the reference's quirk of appending
+        the RAW ``(fragment_text, token, replace)`` triple per match
+        (highlight.py:899) rather than the wrapped events — preserved
+        exactly, quirks included;
+      * ``_add_text`` merges adjacent TEXT events;
+      * trailing text is bounded by ``len(text)``, not
+        ``fragment.endchar`` (reference highlight.py:901-903)."""
+
+    def __init__(self, qname="strong", between="..."):
+        self.qname = qname
+        self.between = between
+        try:
+            from genshi.core import END, START, TEXT, Attrs, Stream
+        except ImportError:
+            START, END, TEXT = "START", "END", "TEXT"
+            Attrs, Stream = _GenshiAttrs, _GenshiStream
+        self.START, self.END, self.TEXT = START, END, TEXT
+        self.Attrs, self.Stream = Attrs, Stream
+
+    def _add_text(self, text, output):
+        if output and output[-1][0] == self.TEXT:
+            output[-1] = (self.TEXT, output[-1][1] + text, output[-1][2])
+        else:
+            output.append((self.TEXT, text, (None, -1, -1)))
+
+    def format_token(self, text, token, replace=False):
+        qn = self.qname
+        txt = self._token_text(text, token, replace)
+        return self.Stream(
+            [
+                (self.START, (qn, self.Attrs()), (None, -1, -1)),
+                (self.TEXT, txt, (None, -1, -1)),
+                (self.END, qn, (None, -1, -1)),
+            ]
+        )
+
+    def format_fragment(self, fragment: Fragment, replace=False):
+        output: list = []
+        index = fragment.startchar
+        text = fragment.text
+        for t in fragment.matches:
+            if t.startchar > index:
+                self._add_text(text[index : t.startchar], output)
+            output.append((text, t, replace))
+            index = t.endchar
+        if index < len(text):
+            self._add_text(text[index:], output)
+        return self.Stream(output)
+
+    def format(self, fragments, replace=False):
+        output: list = []
+        first = True
+        for fragment in fragments:
+            if not first:
+                self._add_text(self.between, output)
+            output += self.format_fragment(fragment, replace=replace)
+            first = False
+        return self.Stream(output)
+
+
 # ---- top-level -------------------------------------------------------------
 
 
