@@ -1729,3 +1729,263 @@ def test_highlight_ngrams(ray_session, tmp_path_factory, whoosh):
         r.fragmenter = SentenceFragmenter()
         r.formatter = UppercaseFormatter()
         assert r[0].highlights("text") == expected
+
+
+def test_missing_field_scoring(ray_session, tmp_path_factory):
+    # ref test_searching.py:695-717 (docs missing a field; per-field
+    # lengths stay correct across two commits/segments)
+    from whoosh_reloaded_ray.qparser import MultifieldParser
+
+    schema = wrr.Schema(name=wrr.TEXT(stored=True), hobbies=wrr.TEXT(stored=True))
+    d = str(tmp_path_factory.mktemp("missfield"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(name="Frank", hobbies="baseball, basketball")
+    with ix.reader() as r:
+        assert r.field_length("hobbies") == 2
+        assert r.field_length("name") == 1
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(name="Jonny")
+    w.commit(merge=False)
+    with ix.searcher() as s:
+        assert s.field_length("hobbies") == 2
+        assert s.field_length("name") == 2
+        q = MultifieldParser(["name", "hobbies"], s._schema).parse("baseball")
+        assert s.search(q).scored_length() == 1
+
+
+def test_find_missing(ray_session, tmp_path_factory):
+    # ref test_searching.py:914-932 ("NOT id:*" finds docs missing the field)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.ID(stored=False), text=wrr.KEYWORD(stored=True))
+    d = str(tmp_path_factory.mktemp("findmiss"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(id="1", text="alfa")
+        w.add_document(id="2", text="bravo")
+        w.add_document(text="charlie")
+        w.add_document(id="4", text="delta")
+        w.add_document(text="echo")
+        w.add_document(id="6", text="foxtrot")
+        w.add_document(text="golf")
+    with ix.searcher() as s:
+        q = QueryParser("text", s._schema).parse("NOT id:*")
+        r = s.search(q, limit=None)
+        assert [h["text"] for h in r] == ["charlie", "echo", "golf"]
+
+
+def test_andmaybe_quality(ray_session, tmp_path_factory):
+    # ref test_searching.py:1186-1213 (AndMaybe under limit keeps the
+    # boosted hit in the top slice)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(
+        title=wrr.TEXT(stored=True), year=wrr.NUMERIC(int)
+    )
+    d = str(tmp_path_factory.mktemp("ambq"))
+    ix = wrr.create_in(d, schema)
+    domain = [
+        ("Alpha Bravo Charlie Delta", 2000), ("Echo Bravo Foxtrot", 2000),
+        ("Bravo Golf Hotel", 2002), ("Bravo India", 2002),
+        ("Juliet Kilo Bravo", 2004), ("Lima Bravo Mike", 2004),
+    ]
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        for title, year in domain:
+            w.add_document(title=title, year=year)
+    with ix.searcher() as s:
+        q = QueryParser("title", s._schema).parse("title:bravo ANDMAYBE year:2004")
+        titles = [hit["title"] for hit in s.search(q, limit=None)[:2]]
+        assert "Juliet Kilo Bravo" in titles
+        titles = [hit["title"] for hit in s.search(q, limit=2)]
+        assert "Juliet Kilo Bravo" in titles
+
+
+def test_collect_limit(ray_session, tmp_path_factory):
+    # ref test_searching.py:1216-1249 (limit larger than hits; second
+    # unmerged commit)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    d = str(tmp_path_factory.mktemp("colimit"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(id="a", text="alfa bravo charlie delta echo")
+        w.add_document(id="b", text="bravo charlie delta echo foxtrot")
+        w.add_document(id="c", text="charlie delta echo foxtrot golf")
+        w.add_document(id="d", text="delta echo foxtrot golf hotel")
+        w.add_document(id="e", text="echo foxtrot golf hotel india")
+    with ix.searcher() as s:
+        r = s.search(Term("text", "golf"), limit=10)
+        assert r.scored_length() == 3
+        assert sum(1 for _ in r) == 3
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(id="f", text="foxtrot golf hotel india juliet")
+    w.add_document(id="g", text="golf hotel india juliet kilo")
+    w.add_document(id="h", text="hotel india juliet kilo lima")
+    w.add_document(id="i", text="india juliet kilo lima mike")
+    w.add_document(id="j", text="juliet kilo lima mike november")
+    w.commit(merge=False)
+    with ix.searcher() as s:
+        r = s.search(Term("text", "golf"), limit=20)
+        assert r.scored_length() == 5
+        assert sum(1 for _ in r) == 5
+
+
+def test_coord(ray_session, tmp_path_factory):
+    # ref test_searching.py:1582-1611 (OrGroup.factory scale -> CoordMatcher
+    # ranking; exact hit order ported)
+    from whoosh_reloaded_ray.qparser import OrGroup, QueryParser
+    from whoosh_reloaded_ray.query import Or
+
+    schema = wrr.Schema(id=wrr.STORED(), hits=wrr.STORED(), tags=wrr.KEYWORD())
+    d = str(tmp_path_factory.mktemp("coord"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(id="0", hits="0", tags="blah blah blah blah")
+        w.add_document(id="1", hits="0", tags="echo echo blah blah")
+        w.add_document(id="2", hits="1", tags="bravo charlie delta echo")
+        w.add_document(id="3", hits="2", tags="charlie delta echo foxtrot")
+        w.add_document(id="4", hits="3", tags="delta echo foxtrot golf")
+        w.add_document(id="5", hits="3", tags="echo foxtrot golf hotel")
+        w.add_document(id="6", hits="2", tags="foxtrot golf hotel india")
+        w.add_document(id="7", hits="1", tags="golf hotel india juliet")
+        w.add_document(id="8", hits="0", tags="foxtrot foxtrot foo foo")
+        w.add_document(id="9", hits="0", tags="foo foo foo foo")
+    og = OrGroup.factory(0.99)
+    qp = QueryParser("tags", ix.index_schema, group=og)
+    q = qp.parse("golf foxtrot echo")
+    assert isinstance(q, Or) and q.scale == 0.99
+    with ix.searcher() as s:
+        r = s.search(q, limit=None)
+        assert [hit["id"] for hit in r] == ["4", "5", "3", "6", "1", "8", "2", "7"]
+
+
+def test_groupedby_with_terms(ray_session, tmp_path_factory):
+    # ref test_searching.py:1624-1645 (groupedby + terms=True together;
+    # matched terms are (field, text-str) pairs here vs the reference's
+    # bytes — a documented surface deviation)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(content=wrr.TEXT(), organism=wrr.ID())
+    d = str(tmp_path_factory.mktemp("gbterms"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(
+            organism="mus",
+            content="IPFSTD1 IPFSTD_kdwq134 Kaminski-all Study00:00:00",
+        )
+        w.add_document(
+            organism="mus", content="IPFSTD1 IPFSTD_kdwq134 Kaminski-all Study"
+        )
+        w.add_document(organism="hs", content="This is the first document we've added!")
+    with ix.searcher() as s:
+        q = QueryParser("content", s._schema).parse("IPFSTD1")
+        r = s.search(q, groupedby=["organism"], terms=True)
+        assert r.scored_length() == 2
+        assert r.groups("organism") == {"mus": [1, 0]}
+        assert r.has_matched_terms()
+        assert r.matched_terms() == {("content", "ipfstd1")}
+
+
+def test_terms_with_filter(ray_session, tmp_path_factory):
+    # ref test_searching.py:1691-1711 (search_page with a plain docnum-set
+    # filter + terms=True)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT())
+    d = str(tmp_path_factory.mktemp("twfilter"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(text="alfa bravo charlie delta")
+        w.add_document(text="bravo charlie delta echo")
+        w.add_document(text="charlie delta echo foxtrot")
+        w.add_document(text="delta echo foxtrot golf")
+        w.add_document(text="echo foxtrot golf hotel")
+        w.add_document(text="foxtrot golf hotel alfa")
+        w.add_document(text="golf hotel alfa bravo")
+        w.add_document(text="hotel alfa bravo charlie")
+    with ix.searcher() as s:
+        r = s.search_page(
+            Term("text", "foxtrot"), pagenum=1, pagelen=5, terms=True,
+            filter={1, 2, 3},
+        )
+        assert r.scored_length() == 2
+        assert [hit.docnum for hit in r] == [2, 3]
+
+
+def test_terms_to_bytes(ray_session, tmp_path_factory):
+    # ref test_searching.py:1713-1727 (numeric Term value conversion
+    # inside And)
+    from whoosh_reloaded_ray.query import And, Term
+
+    schema = wrr.Schema(a=wrr.TEXT(), b=wrr.NUMERIC(int), id=wrr.STORED())
+    d = str(tmp_path_factory.mktemp("t2b"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(id="0", a="alfa bravo", b=100)
+        w.add_document(id="1", a="bravo charlie", b=200)
+        w.add_document(id="2", a="charlie delta", b=100)
+        w.add_document(id="3", a="delta echo", b=200)
+    with ix.searcher() as s:
+        r = s.search(And([Term("b", 200), Term("a", "bravo")]))
+        assert [hit["id"] for hit in r] == ["1"]
+
+
+def test_limit_scores(ray_session, tmp_path_factory):
+    # ref test_searching.py:1796-1820 (limited and unlimited searches
+    # score identically)
+    from whoosh_reloaded_ray.query import And, Term
+
+    domain = "alfa bravo charlie delta echo foxtrot golf".split()
+    schema = wrr.Schema(desc=wrr.TEXT(), parent=wrr.KEYWORD(stored=True))
+    d = str(tmp_path_factory.mktemp("limsc"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=4096) as w:
+        count = 0
+        for words in permutations(domain, 4):
+            count += 1
+            w.add_document(desc=" ".join(words), parent=str(count))
+    with ix.searcher() as s:
+        q = And([Term("desc", "delta", boost=30.0), Term("parent", "545")])
+        r = s.search(q, limit=500)
+        assert r.scored_length() == 1
+        limited_score = r[0].score
+        r = s.search(q, limit=None)
+        assert r.scored_length() == 1
+        assert r[0].score == limited_score
+
+
+def test_find_decimals(ray_session, tmp_path_factory):
+    # ref test_searching.py:1770-1793 (NUMERIC(Decimal, decimal_places));
+    # deviation: our schema-aware parser resolves "num:3.0" straight to a
+    # columnar equality range instead of the reference's numeric Term —
+    # same matches
+    from decimal import Decimal
+
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(
+        name=wrr.KEYWORD(stored=True),
+        num=wrr.NUMERIC(Decimal, decimal_places=5),
+    )
+    d = str(tmp_path_factory.mktemp("decim"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(name="alfa", num=Decimal("1.5"))
+        w.add_document(name="bravo", num=Decimal("2.1"))
+        w.add_document(name="charlie", num=Decimal("5.3"))
+        w.add_document(name="delta", num=Decimal(3))
+        w.add_document(name="echo", num=Decimal("3.00001"))
+        w.add_document(name="foxtrot", num=Decimal("3"))
+    with ix.searcher() as s:
+        q = QueryParser("name", s._schema).parse("num:3.0")
+        r = s.search(q)
+        assert " ".join(sorted(hit["name"] for hit in r)) == "delta foxtrot"
+        # stored readback descales to Decimal
+        assert s.document(name="echo")["num"] == Decimal("3.00001")
+        # user-built range queries scale the same way
+        from whoosh_reloaded_ray.query import NumericRange
+
+        r2 = s.search(NumericRange("num", Decimal("2"), Decimal("3")), limit=None)
+        assert sorted(h["name"] for h in r2) == ["bravo", "delta", "foxtrot"]

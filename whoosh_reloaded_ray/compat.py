@@ -548,7 +548,21 @@ def KEYWORD(stored=True, lowercase=False, commas=False, scorable=False,
                         "unique": unique, "field_boost": field_boost})
 
 
-def NUMERIC(numtype=int, stored=True, unique=False):
+def NUMERIC(numtype=int, stored=True, unique=False, decimal_places=0,
+            bits=64, signed=True):
+    """Reference fields.NUMERIC: ``numtype`` may be int, float, or
+    decimal.Decimal (with ``decimal_places``) — Decimal values are stored
+    as value*10^places int64 and descaled on readback.  ``bits``/``signed``
+    are accepted for signature parity (storage is always int64/float64
+    Parquet columns)."""
+    import decimal as _decimal
+
+    if numtype is _decimal.Decimal:
+        return (
+            "numeric",
+            {"stored": stored, "numtype": "int", "unique": unique,
+             "decimal_places": int(decimal_places)},
+        )
     return (
         "numeric",
         {"stored": stored, "numtype": "float" if numtype is float else "int",
@@ -702,6 +716,7 @@ class Schema:
                         name, numtype=opts.get("numtype", "int"),
                         unique=opts.get("unique", False),
                         stored=opts.get("stored", True),
+                        decimal_places=opts.get("decimal_places", 0),
                     )
                 )
             elif kind == "datetime":
@@ -1038,11 +1053,15 @@ class Writer:
             raise ValueError(f"unknown fields {sorted(unknown)}")
         self.rows.append(fields)
 
-    def commit(self, optimize: bool = False, mergetype=None):
+    def commit(self, optimize: bool = False, mergetype=None, merge: bool = True):
         """``mergetype`` accepts the reference writing-module policies:
         NO_MERGE (skip the post-commit merge pass), MERGE_SMALL (the
         default fib-heuristic pass), OPTIMIZE (full merge), CLEAR
-        (drop the existing index before committing the buffer)."""
+        (drop the existing index before committing the buffer).
+        ``merge=False`` is the reference's commit(merge=False) shorthand
+        for NO_MERGE (writing.py IndexWriter.commit)."""
+        if not merge and mergetype is None:
+            mergetype = NO_MERGE
         if mergetype is CLEAR:
             import shutil as _shutil
 
@@ -1056,6 +1075,14 @@ class Writer:
             for f in schema.fields:
                 vals = [r.get(f.name) for r in self.rows]
                 if f.kind == "numeric":
+                    if getattr(f, "decimal_places", 0):
+                        from .schema import decimal_to_sortable
+
+                        vals = [
+                            None if v is None
+                            else decimal_to_sortable(v, f.decimal_places)
+                            for v in vals
+                        ]
                     cols[f.name] = pa.array(
                         vals,
                         pa.float64() if f.numtype == "float" else pa.int64(),
@@ -2107,12 +2134,22 @@ class CompatSearcher:
             src_cols = set(pq.ParquetFile(parts[0].path).schema_arrow.names)
         overrides = [f"_stored_{n}" for n in stored if f"_stored_{n}" in src_cols]
         rows = fetch_rows(parts, docnums, columns=stored + overrides)
+        decimal_fields = {
+            f.name: f.decimal_places
+            for f in self._schema.fields
+            if f.kind == "numeric" and getattr(f, "decimal_places", 0)
+        }
         by_doc = {}
         for r in rows.to_pylist():
             d = {k: v for k, v in r.items() if k != "docnum" and not k.startswith("_stored_")}
             for ov in overrides:
                 if r.get(ov) is not None:
                     d[ov[len("_stored_"):]] = r[ov]
+            for name, places in decimal_fields.items():
+                if d.get(name) is not None:
+                    from .schema import sortable_to_decimal
+
+                    d[name] = sortable_to_decimal(d[name], places)
             by_doc[r["docnum"]] = d
         return [by_doc[d] for d in docnums if d in by_doc]
 

@@ -179,6 +179,13 @@ class QueryParser:
 
         self.default_field = default_field
         self.schema = schema
+        # ``group`` accepts "and"/"or" strings or the reference's syntax
+        # group classes (plugins.AndGroup / OrGroup / OrGroup.factory(s) —
+        # the factory product carries a coordination ``scale``)
+        self.group_scale = None
+        if group is not None and not isinstance(group, str):
+            self.group_scale = getattr(group, "scale", None)
+            group = "and" if getattr(group, "kindname", "or") == "and" else "or"
         self.group_cls = ast.And if group == "and" else ast.Or
         self.fields = {} if schema is None else {f.name: f for f in schema.fields}
         self.plugins: list = []
@@ -731,13 +738,20 @@ class QueryParser:
             if type(q) is self.group_cls and q.boost != 1.0:
                 import dataclasses as _dc
 
-                return self.group_cls(
+                return self._make_group(
                     [
                         _dc.replace(s, boost=s.boost * q.boost)
                         for s in q.subqueries
                     ]
                 )
             return q
+        return self._make_group(queries)
+
+    def _make_group(self, queries):
+        """Top-level/implicit group constructor: applies the
+        OrGroup.factory coordination scale when configured."""
+        if self.group_cls is ast.Or and self.group_scale:
+            return ast.Or(queries, scale=self.group_scale)
         return self.group_cls(queries)
 
     # -- node -> ast.Query -------------------------------------------------

@@ -449,6 +449,20 @@ class AndGroup(GroupNode):
 
 class OrGroup(GroupNode):
     kindname = "or"
+    scale = None  # coordination-bonus scale set by factory()
+
+    @classmethod
+    def factory(cls, scale=1.0):
+        """Reference qparser.syntax.OrGroup.factory: an OrGroup subclass
+        whose queries carry a coordination-bonus ``scale`` (the
+        CoordMatcher wrap — see exec._eval_or).  Pass the result as
+        ``QueryParser(group=...)``."""
+
+        class ScaledOrGroup(cls):
+            pass
+
+        ScaledOrGroup.scale = scale
+        return ScaledOrGroup
 
 
 class AndMaybeGroup(GroupNode):

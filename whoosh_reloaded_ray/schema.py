@@ -31,6 +31,11 @@ class FieldSpec:
     # reference's NUMERIC(numtype=...); the columnar evaluator and
     # sort/facet readers are type-generic
     numtype: str = "int"
+    # reference NUMERIC(Decimal, decimal_places=n) (fields.py NUMERIC):
+    # values are stored as value*10^n int64; query values are scaled the
+    # same way at rewrite time and stored-field readback descales back to
+    # Decimal.  0 = plain numeric.
+    decimal_places: int = 0
     scorable: bool = False  # record lengths + BM25 length normalization
     stored: bool = True  # returned with hits (fetched from source parquet)
     positions: bool = True  # index positions (needed for phrase queries)
@@ -115,6 +120,23 @@ def id_field(name: str, **kw) -> FieldSpec:
         positions=kw.pop("positions", False),
         **kw,
     )
+
+
+def decimal_to_sortable(v, places: int) -> int:
+    """Scale a user Decimal/str/float/int value into the stored int64
+    domain of a NUMERIC(Decimal, decimal_places=places) field (reference
+    NUMERIC.prepare_number: value * 10^places).  Goes through
+    Decimal(str(v)) so float reprs like 2.1 stay exact."""
+    from decimal import Decimal
+
+    return int(Decimal(str(v)).scaleb(places))
+
+
+def sortable_to_decimal(v: int, places: int):
+    """Inverse of :func:`decimal_to_sortable` for stored-field readback."""
+    from decimal import Decimal
+
+    return Decimal(int(v)).scaleb(-places)
 
 
 def numeric_field(name: str, kind: str = "numeric", **kw) -> FieldSpec:

@@ -788,11 +788,15 @@ class IndexSearcher:
             spec = self.manifest.schema.by_name.get(q.field)
             if spec is not None and not spec.indexed:
                 if spec.kind == "numeric":
-                    v = (
-                        float(q.text)
-                        if getattr(spec, "numtype", "int") == "float"
-                        else int(q.text)
-                    )
+                    dp = getattr(spec, "decimal_places", 0)
+                    if dp:
+                        from ..schema import decimal_to_sortable
+
+                        v = decimal_to_sortable(q.text, dp)
+                    elif getattr(spec, "numtype", "int") == "float":
+                        v = float(q.text)
+                    else:
+                        v = int(q.text)
                     return ast.NumericRange(q.field, v, v, boost=q.boost)
                 if spec.kind == "boolean":
                     t = q.text
@@ -862,6 +866,24 @@ class IndexSearcher:
             if len(terms) == 1:
                 return ast.Term(q.field, terms[0])
             return ast.Or([ast.Term(q.field, t) for t in terms], boost=q.boost)
+        if isinstance(q, ast.NumericRange):
+            # NUMERIC(Decimal, decimal_places=n): every user/parser value
+            # enters the stored int64 domain scaled by 10^n (the reference
+            # converts all query values through NUMERIC.to_bytes)
+            spec = self.manifest.schema.by_name.get(q.field)
+            dp = getattr(spec, "decimal_places", 0) if spec is not None else 0
+            if dp and spec.kind == "numeric":
+                from ..schema import decimal_to_sortable
+
+                return ast.NumericRange(
+                    q.field,
+                    None if q.start is None else decimal_to_sortable(q.start, dp),
+                    None if q.end is None else decimal_to_sortable(q.end, dp),
+                    startexcl=q.startexcl,
+                    endexcl=q.endexcl,
+                    boost=q.boost,
+                )
+            return q
         if isinstance(q, ast.NestedChildren):
             return self._rewrite_nested_children(q)
         if isinstance(q, ast.NestedParent):
