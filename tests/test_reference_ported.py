@@ -1989,3 +1989,130 @@ def test_find_decimals(ray_session, tmp_path_factory):
 
         r2 = s.search(NumericRange("num", Decimal("2"), Decimal("3")), limit=None)
         assert sorted(h["name"] for h in r2) == ["bravo", "delta", "foxtrot"]
+
+
+def test_resultcopy(ray_session, tmp_path_factory):
+    # ref test_results.py:37-53
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(a=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"a": "alfa bravo charlie"}, {"a": "bravo charlie delta"},
+        {"a": "charlie delta echo"}, {"a": "delta echo foxtrot"},
+    ])
+    with ix.searcher() as s:
+        r = s.search(QueryParser("a", None).parse("charlie"))
+        assert len(r) == 3
+        rcopy = r.copy()
+        assert r.top_n == rcopy.top_n
+
+
+def test_results_filter(ray_session, tmp_path_factory):
+    # ref test_results.py:111-132 (in-place Results.filter)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(id=wrr.STORED(), words=wrr.KEYWORD(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1", "words": "bravo top"}, {"id": "2", "words": "alfa top"},
+        {"id": "3", "words": "alfa top"}, {"id": "4", "words": "alfa bottom"},
+        {"id": "5", "words": "bravo bottom"}, {"id": "6", "words": "charlie bottom"},
+        {"id": "7", "words": "charlie bottom"},
+    ])
+    with ix.searcher() as s:
+        r = s.search(Term("words", "alfa"))
+        r.filter(s.search(Term("words", "bottom")))
+        assert "".join(s.stored_fields(d)["id"] for d in r.docs()) == "4"
+
+
+def test_pages_with_filter(ray_session, tmp_path_factory):
+    # ref test_results.py:260-281 (filter query + paging, Frequency model)
+    from whoosh_reloaded_ray import scoring
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(id=wrr.ID(stored=True), type=wrr.TEXT(), c=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1", "type": "odd", "c": "alfa alfa alfa alfa alfa alfa"},
+        {"id": "2", "type": "even", "c": "alfa alfa alfa alfa alfa"},
+        {"id": "3", "type": "odd", "c": "alfa alfa alfa alfa"},
+        {"id": "4", "type": "even", "c": "alfa alfa alfa"},
+        {"id": "5", "type": "odd", "c": "alfa alfa"},
+        {"id": "6", "type": "even", "c": "alfa"},
+    ])
+    with ix.searcher(weighting=scoring.Frequency) as s:
+        q = Term("c", "alfa")
+        filterq = Term("type", "even")
+        r = s.search(q, filter=filterq)
+        assert [d["id"] for d in r] == ["2", "4", "6"]
+        r = s.search_page(q, 2, pagelen=2, filter=filterq)
+        assert [d["id"] for d in r] == ["6"]
+
+
+def test_extra_slice(ray_session, tmp_path_factory):
+    # ref test_results.py:284-295 (slice past the collected hits)
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(key=wrr.ID(stored=True))
+    ix = _mk(
+        tmp_path_factory, schema, [{"key": ch} for ch in "abcdefghijklmnopqrstuvwxyz"]
+    )
+    with ix.searcher() as s:
+        r = s.search(Every(), limit=5)
+        assert r[6:7] == []
+
+
+def test_highlight_setters(ray_session, tmp_path_factory):
+    # ref test_results.py:376-388 (Results.formatter forwards to the
+    # attached Highlighter)
+    from whoosh_reloaded_ray import highlight as hl
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [{"text": "Hello"}])
+    r = ix.searcher().search(Term("text", "hello"))
+    h = hl.Highlighter()
+    ucf = hl.UppercaseFormatter()
+    r.highlighter = h
+    r.formatter = ucf
+    assert h.formatter is ucf
+
+
+def test_hit_column(ray_session, tmp_path_factory):
+    # ref test_results.py:556-580 (unstored field raises KeyError;
+    # sortable=True keeps the value readable)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=False))
+    ix = _mk(tmp_path_factory, schema, [{"text": "alfa bravo charlie"}])
+    with ix.searcher() as s:
+        r = s.search(Term("text", "alfa"))
+        assert r.scored_length() == 1
+        with pytest.raises(KeyError):
+            _ = r[0]["text"]
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=False, sortable=True))
+    ix = _mk(tmp_path_factory, schema, [{"text": "alfa bravo charlie"}])
+    with ix.searcher() as s:
+        r = s.search(Term("text", "alfa"))
+        assert r.scored_length() == 1
+        assert r[0]["text"] == "alfa bravo charlie"
+
+
+def test_paged_highlights(ray_session, tmp_path_factory):
+    # ref test_results.py:617-636 (highlight config through ResultsPage)
+    from whoosh_reloaded_ray import highlight as hl
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"text": "alfa bravo charlie delta echo foxtrot"},
+        {"text": "bravo charlie delta echo foxtrot golf"},
+        {"text": "charlie delta echo foxtrot golf hotel"},
+        {"text": "delta echo foxtrot golf hotel india"},
+        {"text": "echo foxtrot golf hotel india juliet"},
+        {"text": "foxtrot golf hotel india juliet kilo"},
+    ])
+    with ix.searcher() as s:
+        page = s.search_page(Term("text", "alfa"), 1, pagelen=3)
+        page.results.fragmenter = hl.WholeFragmenter()
+        page.results.formatter = hl.UppercaseFormatter()
+        assert page[0].highlights("text") == "ALFA bravo charlie delta echo foxtrot"

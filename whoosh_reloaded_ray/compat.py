@@ -518,15 +518,18 @@ def _coerce_analyzer(analyzer):
 
 
 def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False,
-         chars=False, boosts=False, format=None):
+         chars=False, boosts=False, format=None, sortable=False):
     """``format=`` names a USER-REGISTERED posting Format codec (the
     reference's custom Format subclass plug point, formats.py:51-135; see
-    whoosh_reloaded_ray/formats.py)."""
+    whoosh_reloaded_ray/formats.py).  ``sortable=True`` keeps the original
+    value readable per document (the reference adds a codec column; here
+    every value is already a native Parquet column, so it simply marks the
+    field stored-for-readback)."""
     return (
         "text",
         {
             "analyzer": analyzer,
-            "stored": stored,
+            "stored": stored or sortable,
             "positions": phrase,
             "field_boost": field_boost,
             "spelling": spelling,
@@ -542,8 +545,8 @@ def ID(stored=True, unique=False):
 
 
 def KEYWORD(stored=True, lowercase=False, commas=False, scorable=False,
-            unique=False, field_boost=1.0):
-    return ("keyword", {"stored": stored, "lowercase": lowercase,
+            unique=False, field_boost=1.0, sortable=False):
+    return ("keyword", {"stored": stored or sortable, "lowercase": lowercase,
                         "commas": commas, "scorable": scorable,
                         "unique": unique, "field_boost": field_boost})
 
@@ -1466,12 +1469,64 @@ class Results:
         self._total_fn = total_fn
         self._groups = None
 
-    # highlight configuration consumed by Hit.highlights (reference
-    # Results.fragmenter/formatter/scorer/order setters)
-    fragmenter = None
-    formatter = None
-    scorer = None
-    order = None
+    # highlight configuration consumed by Hit.highlights — reference-style
+    # Results.highlighter object with fragmenter/formatter/scorer/order
+    # property forwarding (searching.py Results highlight setters).  The
+    # Highlighter is created lazily with unset (None) pieces so an
+    # untouched Results keeps the engine's own highlight defaults.
+    _highlighter = None
+
+    @property
+    def highlighter(self):
+        if self._highlighter is None:
+            from .query.highlight import Highlighter
+
+            hl = Highlighter()
+            hl.fragmenter = hl.formatter = hl.scorer = hl.order = None
+            self._highlighter = hl
+        return self._highlighter
+
+    @highlighter.setter
+    def highlighter(self, hl):
+        self._highlighter = hl
+
+    @property
+    def fragmenter(self):
+        return self._highlighter.fragmenter if self._highlighter else None
+
+    @fragmenter.setter
+    def fragmenter(self, v):
+        self.highlighter.fragmenter = v
+
+    @property
+    def formatter(self):
+        return self._highlighter.formatter if self._highlighter else None
+
+    @formatter.setter
+    def formatter(self, v):
+        self.highlighter.formatter = v
+
+    @property
+    def scorer(self):
+        return self._highlighter.scorer if self._highlighter else None
+
+    @scorer.setter
+    def scorer(self, v):
+        self.highlighter.scorer = v
+
+    @property
+    def order(self):
+        return self._highlighter.order if self._highlighter else None
+
+    @order.setter
+    def order(self, v):
+        self.highlighter.order = v
+
+    @property
+    def top_n(self) -> list:
+        """(score, docnum) pairs of the collected hits (reference
+        Results.top_n)."""
+        return [(h.score, h.docnum) for h in self.hits]
 
     @property
     def total(self):
@@ -1543,6 +1598,7 @@ class Results:
         out._groups = self._groups
         out._searcher = getattr(self, "_searcher", None)
         out._q = getattr(self, "_q", None)
+        out._highlighter = self._highlighter
         return out
 
     def facet_names(self):
