@@ -571,3 +571,19 @@ def test_lazy_collect_false_writes_parquet(ray_session, tmp_path, con):
     written = pq.read_table(out).sort_by("doc_id")
     collected = co.text_stats(SF)
     assert written.equals(collected.select(written.column_names).sort_by("doc_id"))
+
+
+def test_ann_ivf_distributed_refinement(ray_session):
+    """Distributed Lloyd refinement (per-block partial sums, no driver
+    vector materialization) keeps full-probe exactness and plausible
+    partial-probe recall."""
+    from whoosh_reloaded_ray.pipelines import ann
+
+    bf = ann.ann_cosine_topk(SF).to_pandas()
+    bfset = set(map(tuple, bf[["qid", "vec_id"]].values))
+    # full probe stays exact regardless of centroid quality
+    full = ann.ann_ivf_topk(SF, n_clusters=8, nprobe=8, refine_iters=2).to_pandas()
+    assert set(map(tuple, full[["qid", "vec_id"]].values)) == bfset
+    part = ann.ann_ivf_topk(SF, n_clusters=8, nprobe=3, refine_iters=3).to_pandas()
+    recall = len(set(map(tuple, part[["qid", "vec_id"]].values)) & bfset) / len(bf)
+    assert recall >= 0.3

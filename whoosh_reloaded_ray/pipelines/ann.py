@@ -462,12 +462,68 @@ def _train_centroids(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int 
     return C
 
 
+def _refine_centroids_distributed(ds, C: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Lloyd refinement over the WHOLE embedding stream (the scale path the
+    sample-seeded trainer was missing): each iteration is one map_batches
+    pass emitting per-cluster partial (sum, count) rows; the driver reduces
+    n_clusters x dim floats per block — never the vectors themselves.  At
+    10^12 vectors each pass streams with backpressure and the driver-side
+    reduce stays O(blocks * n_clusters * dim)."""
+    import ray
+
+    n_clusters, dim = C.shape
+    for _ in range(iters):
+        bc = ray.put(C)
+
+        def partial(batch: pa.Table, _bc=bc, _nc=n_clusters) -> pa.Table:
+            C_ = ray.get(_bc)
+            X = _emb_matrix(batch["embedding"])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            assign = np.argmax(Xn @ C_.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            a_sorted = assign[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
+            )
+            clusters = a_sorted[starts]
+            sums = np.add.reduceat(Xn[order], starts, axis=0)
+            counts = np.diff(np.append(starts, a_sorted.size))
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters.astype(np.int64)),
+                    "count": pa.array(counts.astype(np.int64)),
+                    "sum": pa.array([s.tobytes() for s in sums], pa.binary()),
+                }
+            )
+
+        acc = np.zeros((n_clusters, dim))
+        cnt = np.zeros(n_clusters, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            cl = b["cluster"].to_numpy()
+            cn = b["count"].to_numpy()
+            sm = np.stack(
+                [np.frombuffer(s, dtype=np.float64) for s in b["sum"].to_pylist()]
+            )
+            np.add.at(acc, cl, sm)
+            np.add.at(cnt, cl, cn)
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = acc[nz] / cnt[nz, None]
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = C / norms
+    return C
+
+
 def ann_ivf_topk(
     sf_dir: str,
     n_queries: int = 5,
     k: int = 10,
     n_clusters: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 2,
 ) -> pa.Table:
     """IVF approximate top-k: coarse-quantize every vector to its nearest
     centroid (stateless map over broadcast centroids), then score queries
@@ -476,13 +532,18 @@ def ann_ivf_topk(
     probe reads ~nprobe/n_clusters of the data."""
     import ray
 
-    # train on a bounded SAMPLE (first train_sample rows of the stream) —
-    # never a full-table driver read; at 10^12 vectors the sample is the
-    # only thing that crosses to the driver
+    # SEED on a bounded sample (first train_sample rows of the stream) —
+    # never a full-table driver read; then ``refine_iters`` distributed
+    # Lloyd passes over the whole stream tighten the centroids without any
+    # vector ever crossing to the driver (only per-block cluster sums do)
     train_sample = max(4096, 64 * n_clusters)
     sample = _read_embeddings(sf_dir, ["embedding"]).limit(train_sample).take_all()
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _train_centroids(X, n_clusters)
+    if refine_iters:
+        C = _refine_centroids_distributed(
+            _read_embeddings(sf_dir, ["embedding"]), C, iters=refine_iters
+        )
     qids, Q = _query_matrix(sf_dir, n_queries)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
