@@ -634,12 +634,74 @@ def _train_pq_codebooks(X: np.ndarray, m_sub: int, n_codes: int, iters: int = 10
     return np.stack(books)  # (m_sub, K, ds_)
 
 
+def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> np.ndarray:
+    """Distributed Lloyd refinement of PQ codebooks over the WHOLE stream
+    (same shape as :func:`_refine_centroids_distributed`): each pass emits
+    per-(subspace, code) partial sums from map_batches; the driver reduces
+    m_sub * K * dsub floats per block and never sees a vector."""
+    import ray
+
+    m_sub, K, dsub = books.shape
+    for _ in range(iters):
+        bc = ray.put(books)
+
+        def partial(batch: pa.Table, _bc=bc) -> pa.Table:
+            B = ray.get(_bc)
+            msub, nk, dsub_ = B.shape
+            X = _emb_matrix(batch["embedding"])
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            subs = Xn.reshape(len(Xn), msub, dsub_)
+            rows_m, rows_c, rows_n, rows_s = [], [], [], []
+            for m in range(msub):
+                d2 = ((subs[:, m, None, :] - B[None, m]) ** 2).sum(-1)
+                a = np.argmin(d2, axis=1)
+                order = np.argsort(a, kind="stable")
+                a_sorted = a[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
+                )
+                sums = np.add.reduceat(subs[order, m], starts, axis=0)
+                counts = np.diff(np.append(starts, a_sorted.size))
+                codes = a_sorted[starts]
+                rows_m.extend([m] * codes.size)
+                rows_c.extend(codes.tolist())
+                rows_n.extend(counts.tolist())
+                rows_s.extend(s.tobytes() for s in sums)
+            return pa.table(
+                {
+                    "sub": pa.array(rows_m, pa.int64()),
+                    "code": pa.array(rows_c, pa.int64()),
+                    "count": pa.array(rows_n, pa.int64()),
+                    "sum": pa.array(rows_s, pa.binary()),
+                }
+            )
+
+        acc = np.zeros((m_sub, K, dsub))
+        cnt = np.zeros((m_sub, K), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            sub = b["sub"].to_numpy()
+            code = b["code"].to_numpy()
+            cn = b["count"].to_numpy()
+            sm = np.stack(
+                [np.frombuffer(s, dtype=np.float64) for s in b["sum"].to_pylist()]
+            )
+            np.add.at(acc, (sub, code), sm)
+            np.add.at(cnt, (sub, code), cn)
+        books = books.copy()
+        nz = cnt > 0
+        books[nz] = acc[nz] / cnt[nz][:, None]
+    return books
+
+
 def ann_pq_topk(
     sf_dir: str,
     n_queries: int = 5,
     k: int = 10,
     m_sub: int = 8,
     n_codes: int = 64,
+    refine_iters: int = 1,
 ) -> pa.Table:
     """PQ approximate top-k: codebooks train on a bounded sample, every
     vector encodes to ``m_sub`` uint8 codes in a stateless map (broadcast
@@ -655,6 +717,10 @@ def ann_pq_topk(
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     books = _train_pq_codebooks(Xn, m_sub, n_codes)
+    if refine_iters:
+        books = _refine_pq_codebooks_distributed(
+            _read_embeddings(sf_dir, ["embedding"]), books, iters=refine_iters
+        )
     qids, Q = _query_matrix(sf_dir, n_queries)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     ds_ = Xn.shape[1] // m_sub
