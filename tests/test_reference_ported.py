@@ -2116,3 +2116,118 @@ def test_paged_highlights(ray_session, tmp_path_factory):
         page.results.fragmenter = hl.WholeFragmenter()
         page.results.formatter = hl.UppercaseFormatter()
         assert page[0].highlights("text") == "ALFA bravo charlie delta echo foxtrot"
+
+
+def test_frequency_keyword(ray_session, tmp_path_factory):
+    # ref test_indexing.py:231-267 (reader term stats + full terminfo
+    # iteration; our terms are str, not the reference's utf-8 bytes)
+    schema = wrr.Schema(content=wrr.KEYWORD())
+    ix = _mk(tmp_path_factory, schema, [
+        {"content": "A B C D E"}, {"content": "B B B B C D D"},
+        {"content": "D E F"},
+    ])
+    with ix.reader() as tr:
+        assert tr.doc_frequency("content", "B") == 2
+        assert tr.frequency("content", "B") == 5
+        assert tr.doc_frequency("content", "E") == 2
+        assert tr.frequency("content", "E") == 2
+        assert tr.doc_frequency("content", "A") == 1
+        assert tr.frequency("content", "A") == 1
+        assert tr.doc_frequency("content", "D") == 3
+        assert tr.frequency("content", "D") == 4
+        assert tr.doc_frequency("content", "F") == 1
+        assert tr.frequency("content", "F") == 1
+        assert tr.doc_frequency("content", "Z") == 0
+        assert tr.frequency("content", "Z") == 0
+        stats = [
+            (fname, text, ti.doc_frequency(), ti.weight())
+            for (fname, text), ti in tr
+        ]
+        assert stats == [
+            ("content", "A", 1, 1), ("content", "B", 2, 5),
+            ("content", "C", 2, 2), ("content", "D", 3, 4),
+            ("content", "E", 2, 2), ("content", "F", 1, 1),
+        ]
+
+
+def test_frequency_text(ray_session, tmp_path_factory):
+    # ref test_indexing.py:270-306
+    schema = wrr.Schema(content=wrr.KEYWORD())
+    ix = _mk(tmp_path_factory, schema, [
+        {"content": "alfa bravo charlie delta echo"},
+        {"content": "bravo bravo bravo bravo charlie delta delta"},
+        {"content": "delta echo foxtrot"},
+    ])
+    with ix.reader() as tr:
+        assert tr.doc_frequency("content", "bravo") == 2
+        assert tr.frequency("content", "bravo") == 5
+        assert tr.doc_frequency("content", "zulu") == 0
+        assert tr.frequency("content", "zulu") == 0
+        stats = [
+            (fname, text, ti.doc_frequency(), ti.weight())
+            for (fname, text), ti in tr
+        ]
+        assert stats == [
+            ("content", "alfa", 1, 1), ("content", "bravo", 2, 5),
+            ("content", "charlie", 2, 2), ("content", "delta", 3, 4),
+            ("content", "echo", 2, 2), ("content", "foxtrot", 1, 1),
+        ]
+
+
+def test_simple_stored(ray_session, tmp_path_factory):
+    # ref test_indexing.py:568-575 (unstored fields absent from
+    # stored_fields)
+    schema = wrr.Schema(a=wrr.ID(stored=True), b=wrr.ID(stored=False))
+    ix = _mk(tmp_path_factory, schema, [{"a": "alfa", "b": "bravo"}])
+    with ix.searcher() as s:
+        assert s.stored_fields(0) == {"a": "alfa"}
+
+
+def test_single_doc(ray_session, tmp_path_factory):
+    # ref test_indexing.py:578-590 (reader __contains__, documents())
+    schema = wrr.Schema(id=wrr.ID(stored=True), text=wrr.TEXT(stored=False))
+    ix = _mk(tmp_path_factory, schema, [{"id": "1", "text": "alfa"}])
+    with ix.searcher() as s:
+        assert ("text", "alfa") in s.reader()
+        assert list(s.documents(id="1")) == [{"id": "1"}]
+        assert list(s.documents(text="alfa")) == [{"id": "1"}]
+        assert list(s.reader().all_stored_fields()) == [{"id": "1"}]
+
+
+def test_indentical_fields(ray_session, tmp_path_factory):
+    # ref test_indexing.py:592-608 (same value in three fields stays
+    # per-field separated)
+    schema = wrr.Schema(
+        id=wrr.STORED(), f1=wrr.TEXT(stored=False), f2=wrr.TEXT(stored=False),
+        f3=wrr.TEXT(stored=False),
+    )
+    ix = _mk(tmp_path_factory, schema, [{"id": "1", "f1": "alfa", "f2": "alfa", "f3": "alfa"}])
+    with ix.searcher() as s:
+        assert list(s.lexicon("f1")) == ["alfa"]
+        assert list(s.lexicon("f2")) == ["alfa"]
+        assert list(s.lexicon("f3")) == ["alfa"]
+        assert list(s.documents(f1="alfa")) == [{"id": "1"}]
+        assert list(s.documents(f2="alfa")) == [{"id": "1"}]
+        assert list(s.documents(f3="alfa")) == [{"id": "1"}]
+
+
+def test_index_decimals(ray_session, tmp_path_factory):
+    # ref test_indexing.py:771-787 (Decimal rejected without
+    # decimal_places; accepted with)
+    from decimal import Decimal
+
+    schema = wrr.Schema(name=wrr.KEYWORD(stored=True), num=wrr.NUMERIC(int))
+    d = str(tmp_path_factory.mktemp("idec1"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    with pytest.raises(TypeError):
+        w.add_document(name="hello", num=Decimal("3.2"))
+    w.cancel()
+
+    schema = wrr.Schema(
+        name=wrr.KEYWORD(stored=True), num=wrr.NUMERIC(Decimal, decimal_places=5)
+    )
+    d = str(tmp_path_factory.mktemp("idec2"))
+    ix = wrr.create_in(d, schema)
+    with ix.writer(num_shards=2, partition_rows=64) as w:
+        w.add_document(name="hello", num=Decimal("3.2"))

@@ -524,7 +524,16 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
     whoosh_reloaded_ray/formats.py).  ``sortable=True`` keeps the original
     value readable per document (the reference adds a codec column; here
     every value is already a native Parquet column, so it simply marks the
-    field stored-for-readback)."""
+    field stored-for-readback).
+
+    Deliberate deviation: ``stored`` defaults True (the reference defaults
+    False because storing large text costs codec space; here every value
+    already lives in the source Parquet, so readback is free).  The
+    reference's FIRST positional arg is ``analyzer`` — a non-bool first
+    positional (``TEXT(StemmingAnalyzer())``) is therefore accepted as the
+    analyzer for drop-in compatibility."""
+    if stored is not True and stored is not False and not isinstance(stored, int):
+        stored, analyzer = True, stored
     return (
         "text",
         {
@@ -1038,6 +1047,11 @@ class Writer:
         self.partition_rows = partition_rows
         self.rows: list = []
 
+    def cancel(self):
+        """Discard buffered (uncommitted) documents (reference
+        IndexWriter.cancel)."""
+        self.rows = []
+
     def add_document(self, **fields):
         """Reference IndexWriter.add_document (writing.py:388-402),
         including the ``_boost`` (whole-doc) and ``_<fieldname>_boost``
@@ -1054,6 +1068,20 @@ class Writer:
         }
         if unknown:
             raise ValueError(f"unknown fields {sorted(unknown)}")
+        import decimal as _decimal
+
+        for f in schema.fields:
+            v = fields.get(f.name)
+            if (
+                isinstance(v, _decimal.Decimal)
+                and f.kind == "numeric"
+                and not getattr(f, "decimal_places", 0)
+            ):
+                # reference NUMERIC.prepare_number (fields.py:706-712)
+                raise TypeError(
+                    "Can't index a Decimal object unless you specified "
+                    "decimal_places on the field"
+                )
         self.rows.append(fields)
 
     def commit(self, optimize: bool = False, mergetype=None, merge: bool = True):
@@ -2339,6 +2367,15 @@ class Reader:
             if f.kind in ("text", "id", "keyword", "ngram"):
                 for t in self._s.lexicon(f.name):
                     yield f.name, t
+
+    def __iter__(self):
+        """((fieldname, text), TermInfo) over every indexed term in field
+        then term order — the reference IndexReader.__iter__ surface (our
+        terms are str, not the reference's utf-8 bytes)."""
+        for f in self._s.manifest.schema.fields:
+            if f.kind in ("text", "id", "keyword", "ngram"):
+                for term, ti in self.iter_field(f.name):
+                    yield (f.name, term), ti
 
     def indexed_field_names(self):
         return [
