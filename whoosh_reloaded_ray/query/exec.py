@@ -1133,7 +1133,13 @@ def _eval_phrase(reader, q: ast.Phrase, ctx, scored):
 
     reach = _keys(0)
     for t in range(1, len(plists)):
-        nxt = np.sort(_keys(t))
+        # keys are built sorted (docs ascend across postings, positions
+        # ascend within one) — verify cheaply instead of re-sorting; the
+        # guard survives exotic analyzers that could emit out-of-order
+        # duplicate positions
+        nxt = _keys(t)
+        if nxt.size > 1 and not (nxt[1:] >= nxt[:-1]).all():
+            nxt = np.sort(nxt)
         hits = []
         for d in range(1, slop + 1):
             cand = reach + np.uint64(d)
@@ -1284,10 +1290,17 @@ def _sort_spans(sk, ek):
 
 
 def _unique_spans(sk, ek):
-    pairs = np.empty(sk.size, dtype=[("s", np.uint64), ("e", np.uint64)])
-    pairs["s"], pairs["e"] = sk, ek
-    u = np.unique(pairs)
-    return u["s"], u["e"]
+    """Sort by (skey, ekey) and drop duplicate pairs — one lexsort + a
+    boundary mask instead of np.unique over a structured dtype (the
+    composite-compare sort is ~3x slower).  Output is span-sorted."""
+    if sk.size == 0:
+        return sk, ek
+    order = np.lexsort((ek, sk))
+    sk, ek = sk[order], ek[order]
+    keep = np.empty(sk.size, dtype=bool)
+    keep[0] = True
+    np.logical_or(sk[1:] != sk[:-1], ek[1:] != ek[:-1], out=keep[1:])
+    return sk[keep], ek[keep]
 
 
 def _sequence_spans(reader, q) -> tuple:
@@ -1316,8 +1329,10 @@ def _sequence_spans(reader, q) -> tuple:
         starts, ends = np.concatenate(cs), np.concatenate(ce)
         if not q.ordered:  # unordered steps can move left of the start
             starts, ends = np.minimum(starts, ends), np.maximum(starts, ends)
-        starts, ends = _unique_spans(starts, ends)
-    return _sort_spans(starts, ends)
+        starts, ends = _unique_spans(starts, ends)  # span-sorted output
+    # already span-sorted: single child = sorted unique keys; multi-child =
+    # the last _unique_spans output
+    return starts, ends
 
 
 def _merge_spans(sk, ek) -> tuple:
