@@ -2231,3 +2231,297 @@ def test_index_decimals(ray_session, tmp_path_factory):
     ix = wrr.create_in(d, schema)
     with ix.writer(num_shards=2, partition_rows=64) as w:
         w.add_document(name="hello", num=Decimal("3.2"))
+
+
+def test_all_terms_parse(whoosh):
+    # ref test_queries.py:35-40
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    q = QueryParser("a", None).parse('hello b:there c:"my friend"')
+    assert sorted(q.all_terms(phrases=False)) == [("a", "hello"), ("b", "there")]
+    assert sorted(q.all_terms(phrases=True)) == [
+        ("a", "hello"), ("b", "there"), ("c", "friend"), ("c", "my")
+    ]
+
+
+def test_merge_ranges(whoosh):
+    # ref test_queries.py:201-238 (normalize range merging / Every
+    # absorption)
+    from whoosh_reloaded_ray.query import (
+        And, Every, NumericRange, Or, Term, TermRange, Variations,
+    )
+
+    q = And([TermRange("f1", "a", None), TermRange("f1", None, "z")])
+    assert q.normalize() == TermRange("f1", "a", "z")
+    q = And([NumericRange("f1", None, "aaaaa"), NumericRange("f1", "zzzzz", None)])
+    assert q.normalize() == q
+    q = And([TermRange("f1", "a", "z"), TermRange("f1", "b", "x")])
+    assert q.normalize() == TermRange("f1", "a", "z")
+    q = And([TermRange("f1", "a", "m"), TermRange("f1", "f", "q")])
+    assert q.normalize() == TermRange("f1", "f", "m")
+    q = Or([TermRange("f1", "a", "m"), TermRange("f1", "f", "q")])
+    assert q.normalize() == TermRange("f1", "a", "q")
+    q = Or([TermRange("f1", "m", None), TermRange("f1", None, "n")])
+    assert q.normalize() == Every("f1")
+    q = And([Every("f1"), Term("f1", "a"), Variations("f1", "b")])
+    assert q.normalize() == Every("f1")
+    q = Or([Term("f1", "q"), TermRange("f1", "m", None), TermRange("f1", None, "n")])
+    assert q.normalize() == Every("f1")
+    q = And([Or([Term("f1", "a"), Term("f1", "b")]), Every("f1")])
+    assert q.normalize() == Every("f1")
+    q = And([Term("f1", "a"), And([Or([Every("f1")])])])
+    assert q.normalize() == Every("f1")
+
+
+def test_normalize_compound(whoosh):
+    # ref test_queries.py:239-251 (deep same-class flattening)
+    from whoosh_reloaded_ray.query import Or, Term
+
+    def oq():
+        return Or([Term("a", "a"), Term("a", "b")])
+
+    def nq(level):
+        if level == 0:
+            return oq()
+        return Or([nq(level - 1), nq(level - 1), nq(level - 1)])
+
+    assert nq(5).normalize() == Or([Term("a", "a"), Term("a", "b")])
+
+
+def test_duplicates_normalize(whoosh):
+    # ref test_queries.py:254-272
+    from whoosh_reloaded_ray.query import And, Prefix, Term, Variations, Wildcard
+
+    q = And([Term("a", "b"), Term("a", "b")])
+    assert q.normalize() == Term("a", "b")
+    q = And([Prefix("a", "b"), Prefix("a", "b")])
+    assert q.normalize() == Prefix("a", "b")
+    q = And([Variations("a", "b"), And([Variations("a", "b"), Term("a", "b")])])
+    assert q.normalize() == And([Variations("a", "b"), Term("a", "b")])
+    q = And([Term("a", "b"), Prefix("a", "b"), Term("a", "b", boost=1.1)])
+    assert q.normalize() == q
+    q = And([Wildcard("a", "b"), And([Wildcard("a", "b"), Term("a", "b")])])
+    assert q.normalize() == Term("a", "b")
+
+
+def test_query_copy_hash(whoosh):
+    # ref test_queries.py:275-387, adapted to our constructor signatures
+    # (SpanNear here is binary a/b like the reference's pre-SpanNear2 form)
+    import copy
+
+    from whoosh_reloaded_ray.query import (
+        And, ConstantScoreQuery, DisjunctionMax, Every, FuzzyTerm, Not,
+        NullQuery, NumericRange, Or, Phrase, Prefix, Require, SpanContains,
+        SpanFirst, SpanNear, SpanNot, SpanOr, Term, TermRange, Variations,
+        Wildcard,
+    )
+
+    def do(q1, q2):
+        q1a = copy.deepcopy(q1)
+        assert q1 == q1a
+        assert hash(q1) == hash(q1a)
+        assert q1 != q2
+
+    do(Term("a", "b", boost=1.1), Term("a", "b", boost=1.5))
+    do(And([Term("a", "b"), Term("c", "d")], boost=1.1),
+       And([Term("a", "b"), Term("c", "d")], boost=1.5))
+    do(Or([Term("a", "b", boost=1.1), Term("c", "d")]),
+       Or([Term("a", "b", boost=1.8), Term("c", "d")], boost=1.5))
+    do(DisjunctionMax([Term("a", "b", boost=1.8), Term("c", "d")]),
+       DisjunctionMax([Term("a", "b", boost=1.1), Term("c", "d")], boost=1.5))
+    do(Not(Term("a", "b", boost=1.1)), Not(Term("a", "b", boost=1.5)))
+    do(Prefix("a", "b", boost=1.1), Prefix("a", "b", boost=1.5))
+    do(Wildcard("a", "b*x?", boost=1.1), Wildcard("a", "b*x?", boost=1.5))
+    do(FuzzyTerm("a", "b", constantscore=True),
+       FuzzyTerm("a", "b", constantscore=False))
+    do(FuzzyTerm("a", "b", boost=1.1), FuzzyTerm("a", "b", boost=1.5))
+    do(TermRange("a", "b", "c"), TermRange("a", "b", "d"))
+    do(TermRange("a", None, "c"), TermRange("a", None, None))
+    do(TermRange("a", "b", "c", boost=1.1), TermRange("a", "b", "c", boost=1.5))
+    do(TermRange("a", "b", "c", constantscore=True),
+       TermRange("a", "b", "c", constantscore=False))
+    do(NumericRange("a", 1, 5), NumericRange("a", 1, 6))
+    do(NumericRange("a", None, 5), NumericRange("a", None, None))
+    do(NumericRange("a", 3, 6, boost=1.1), NumericRange("a", 3, 6, boost=1.5))
+    do(NumericRange("a", 3, 6, constantscore=True),
+       NumericRange("a", 3, 6, constantscore=False))
+    do(Variations("a", "render"), Variations("a", "renders"))
+    do(Phrase("a", ["b", "c", "d"]), Phrase("a", ["b", "c", "e"]))
+    do(Phrase("a", ["b", "c", "d"], boost=1.1), Phrase("a", ["b", "c", "d"], boost=1.5))
+    do(Phrase("a", ["b", "c", "d"], slop=1), Phrase("a", ["b", "c", "d"], slop=2))
+    do(Every(), Every("a"))
+    do(Every("a"), Every("b"))
+    do(Every("a", boost=1.1), Every("a", boost=1.5))
+    do(NullQuery, Term("a", "b"))
+    do(ConstantScoreQuery(Term("a", "b")), ConstantScoreQuery(Term("a", "c")))
+    do(Require(Term("a", "b"), Term("c", "d")),
+       Require(Term("a", "b", boost=1.1), Term("c", "d")))
+    do(SpanFirst(Term("a", "b"), limit=1), SpanFirst(Term("a", "b"), limit=2))
+    do(SpanNear(Term("a", "b"), Term("c", "d")),
+       SpanNear(Term("a", "b"), Term("c", "e")))
+    do(SpanNear(Term("a", "b"), Term("c", "d"), slop=1),
+       SpanNear(Term("a", "b"), Term("c", "d"), slop=2))
+    do(SpanNear(Term("a", "b"), Term("c", "d"), mindist=1),
+       SpanNear(Term("a", "b"), Term("c", "d"), mindist=2))
+    do(SpanNear(Term("a", "b"), Term("c", "d"), ordered=True),
+       SpanNear(Term("a", "b"), Term("c", "d"), ordered=False))
+    do(SpanNot(Term("a", "b"), Term("a", "c")),
+       SpanNot(Term("a", "b"), Term("a", "d")))
+    do(SpanOr([Term("a", "b"), Term("a", "c"), Term("a", "d")]),
+       SpanOr([Term("a", "b"), Term("a", "c"), Term("a", "e")]))
+    do(SpanContains(Term("a", "b"), Term("a", "c")),
+       SpanContains(Term("a", "b"), Term("a", "d")))
+
+
+def test_none_in_compounds(whoosh):
+    # ref test_queries.py:561-563
+    from whoosh_reloaded_ray.query import And, QueryError, Term
+
+    with pytest.raises(QueryError):
+        And([Term("a", "b"), None, Term("c", "d")])
+
+
+def test_or_nots1(ray_session, tmp_path_factory):
+    # ref test_queries.py:482-503 (issue #285)
+    from whoosh_reloaded_ray.query import And, Not, Or, Term
+
+    schema = wrr.Schema(a=wrr.KEYWORD(stored=True), b=wrr.KEYWORD(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"a": "alfa", "b": "charlie"}])
+    with ix.searcher() as s:
+        q = And([
+            Term("a", "alfa"),
+            Or([Not(Term("b", "bravo")), Not(Term("b", "charlie"))]),
+        ])
+        assert s.search(q).scored_length() == 1
+
+
+def test_or_nots2(ray_session, tmp_path_factory):
+    # ref test_queries.py:506-517 (issue #286)
+    from whoosh_reloaded_ray.query import Not, Or, Term
+
+    schema = wrr.Schema(a=wrr.KEYWORD(stored=True), b=wrr.KEYWORD(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"b": "bravo"}])
+    with ix.searcher() as s:
+        q = Or([Term("a", "alfa"), Not(Term("b", "alfa"))])
+        assert s.search(q).scored_length() == 1
+
+
+def test_or_nots3(ray_session, tmp_path_factory):
+    # ref test_queries.py:520-535
+    from whoosh_reloaded_ray.query import Not, Or, Term
+
+    schema = wrr.Schema(title=wrr.TEXT(stored=True), itemtype=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"title": "a1", "itemtype": "a"}, {"title": "a2", "itemtype": "a"},
+        {"title": "b1", "itemtype": "b"},
+    ])
+    q = Or([Term("itemtype", "a"), Not(Term("itemtype", "a"))])
+    with ix.searcher() as s:
+        r = " ".join(hit["title"] for hit in s.search(q))
+        assert r == "a1 a2 b1"
+
+
+def test_ornot_andnot(ray_session, tmp_path_factory):
+    # ref test_queries.py:538-558
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.NUMERIC(int), a=wrr.KEYWORD())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": 0, "a": "word1 word1"}, {"id": 1, "a": "word1 word2"},
+        {"id": 2, "a": "word1 foo"}, {"id": 3, "a": "foo word2"},
+        {"id": 4, "a": "foo bar"},
+    ])
+    with ix.searcher() as s:
+        qp = QueryParser("a", s._schema)
+        q1 = qp.parse("NOT word1 NOT word2")
+        q2 = qp.parse("NOT (word1 OR word2)")
+        r1 = [hit["id"] for hit in s.search(q1, sortedby="id")]
+        r2 = [hit["id"] for hit in s.search(q2, sortedby="id")]
+        assert r1 == r2 == [4]
+
+
+def test_issue_355(ray_session, tmp_path_factory):
+    # ref test_queries.py:566-587 (unparseable / out-of-range numeric Term
+    # values match nothing instead of raising)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(seats=wrr.NUMERIC(int, stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"seats": 0}, {"seats": 10}, {"seats": 20}])
+    with ix.searcher() as s:
+        r1 = [hit["seats"] for hit in s.search(Term("seats", b"maker"), limit=5)]
+        r2 = [hit["seats"] for hit in s.search(Term("seats", "maker"), limit=5)]
+        r3 = [hit["seats"] for hit in s.search(Term("seats", 260), limit=5)]
+        assert r1 == r2 == []
+        # our NUMERIC is int64, so 260 is in range and simply matches no doc
+        assert r3 == []
+
+
+def test_sequence_in_and(ray_session, tmp_path_factory):
+    # ref test_queries.py:590-606
+    from whoosh_reloaded_ray.query import And, Sequence, Term
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "0", "text": "alfa bravo charlie delta echo"},
+        {"id": "1", "text": "bravo charlie delta echo alfa"},
+        {"id": "2", "text": "charlie delta echo bravo"},
+        {"id": "3", "text": "delta echo charlie"},
+        {"id": "4", "text": "echo delta"},
+    ])
+    with ix.searcher() as s:
+        seq = Sequence([Term("text", "echo"), Term("text", "alfa")])
+        q = And([Term("text", "bravo"), seq])
+        r = s.search(q, limit=4)
+        assert r.scored_length() == 1
+        assert r[0]["id"] == "1"
+
+
+def test_andmaybe_parse(ray_session, tmp_path_factory):
+    # ref test_queries.py:609-625
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "0", "text": "alfa bravo charlie delta echo"},
+        {"id": "1", "text": "bravo charlie delta echo alfa"},
+        {"id": "2", "text": "charlie delta echo bravo"},
+        {"id": "3", "text": "delta echo charlie"},
+        {"id": "4", "text": "echo delta"},
+    ])
+    with ix.searcher() as s:
+        q = QueryParser("text", s._schema).parse('bravo ANDMAYBE "echo alfa"')
+        r = s.search(q)
+        assert r.scored_length() == 3
+        assert [hit["id"] for hit in r] == ["1", "2", "0"]
+
+
+def test_numeric_filter(ray_session, tmp_path_factory):
+    # ref test_queries.py:628-649
+    from whoosh_reloaded_ray.query import NumericRange, Term
+
+    schema = wrr.Schema(status=wrr.NUMERIC(int), tags=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [{"status": -2, "tags": "alfa bravo"}])
+    with ix.searcher() as s:
+        fq = NumericRange("status", 0, 2)
+        assert s.search(fq).scored_length() == 0
+        assert s.search(Term("tags", "alfa")).scored_length() == 1
+        assert s.search(Term("tags", "alfa"), filter=fq).scored_length() == 0
+
+
+def test_andnot_reverse(ray_session, tmp_path_factory):
+    # ref test_queries.py:652-676 (bitbucket issue 419: AndNot result is
+    # insertion-order independent)
+    from whoosh_reloaded_ray.query import AndNot, Term
+
+    docs = ["ruby", "sapphire", "ruby + sapphire"]
+    q = AndNot(Term("name", "ruby"), Term("name", "sapphire"))
+    schema = wrr.Schema(name=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"name": n} for n in docs])
+    with ix.searcher() as s:
+        names_fw = [hit["name"] for hit in s.search(q, limit=None)]
+    schema = wrr.Schema(name=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"name": n} for n in reversed(docs)])
+    with ix.searcher() as s:
+        names_rv = [hit["name"] for hit in s.search(q, limit=None)]
+    assert len(names_fw) == len(names_rv) == 1
+    assert names_fw == names_rv

@@ -208,7 +208,11 @@ class And(_Compound):
     subqueries: tuple = ()
 
     def __init__(self, subqueries, boost=1.0):
-        object.__setattr__(self, "subqueries", tuple(subqueries))
+        subqueries = tuple(subqueries)
+        if any(s is None for s in subqueries):
+            # reference qcore.py compound __init__ rejects None children
+            raise QueryError("None in compound query")
+        object.__setattr__(self, "subqueries", subqueries)
         object.__setattr__(self, "boost", boost)
 
     def requires(self) -> set:
@@ -238,7 +242,11 @@ class Or(_Compound):
     minmatch: int = 0
 
     def __init__(self, subqueries, boost=1.0, scale=None, minmatch=0):
-        object.__setattr__(self, "subqueries", tuple(subqueries))
+        subqueries = tuple(subqueries)
+        if any(s is None for s in subqueries):
+            # reference qcore.py compound __init__ rejects None children
+            raise QueryError("None in compound query")
+        object.__setattr__(self, "subqueries", subqueries)
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "scale", scale)
         object.__setattr__(self, "minmatch", minmatch)
@@ -250,7 +258,11 @@ class DisMax(_Compound):
     tiebreak: float = 0.0
 
     def __init__(self, subqueries, boost=1.0, tiebreak=0.0):
-        object.__setattr__(self, "subqueries", tuple(subqueries))
+        subqueries = tuple(subqueries)
+        if any(s is None for s in subqueries):
+            # reference qcore.py compound __init__ rejects None children
+            raise QueryError("None in compound query")
+        object.__setattr__(self, "subqueries", subqueries)
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "tiebreak", tiebreak)
 
@@ -632,12 +644,17 @@ class FuzzyTerm(Query):
     text: str = ""
     maxdist: int = 1
     prefixlength: int = 1
+    # participates in equality/hash like the reference's attribute; the
+    # executor picks scored-vs-constant expansion by clause count either way
+    constantscore: bool = True
 
-    def __init__(self, field, text, maxdist=1, prefixlength=1, boost=1.0):
+    def __init__(self, field, text, maxdist=1, prefixlength=1, boost=1.0,
+                 constantscore=True):
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "text", text)
         object.__setattr__(self, "maxdist", maxdist)
         object.__setattr__(self, "prefixlength", prefixlength)
+        object.__setattr__(self, "constantscore", constantscore)
         object.__setattr__(self, "boost", boost)
 
 
@@ -707,14 +724,17 @@ class TermRange(Query):
     end: Optional[str] = None
     startexcl: bool = False
     endexcl: bool = False
+    constantscore: bool = True  # equality/hash parity with the reference
 
-    def __init__(self, field, start, end, startexcl=False, endexcl=False, boost=1.0):
+    def __init__(self, field, start, end, startexcl=False, endexcl=False,
+                 boost=1.0, constantscore=True):
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "start", start)
         object.__setattr__(self, "end", end)
         object.__setattr__(self, "startexcl", startexcl)
         object.__setattr__(self, "endexcl", endexcl)
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "constantscore", constantscore)
 
 
 def _simplified_terms(field: str, terms, boost: float):
@@ -772,8 +792,11 @@ class NumericRange(Query):
     end: object = None
     startexcl: bool = False
     endexcl: bool = False
+    constantscore: bool = True  # equality/hash parity with the reference
 
-    def __init__(self, field, start, end, startexcl=False, endexcl=False, boost=1.0):
+    def __init__(self, field, start, end, startexcl=False, endexcl=False,
+                 boost=1.0, constantscore=True):
+        object.__setattr__(self, "constantscore", constantscore)
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "start", start)
         object.__setattr__(self, "end", end)

@@ -125,6 +125,13 @@ def normalize(q: ast.Query) -> ast.Query:
                         r = _merge_ranges(r, other, intersect=isinstance(q, ast.And))
                     else:
                         j += 1
+                # a fully open merged range matches every doc with the
+                # field (reference TermRange.normalize, ranges.py)
+                if (
+                    r.start is None and r.end is None
+                    and not r.startexcl and not r.endexcl
+                ):
+                    r = ast.Every(r.field, boost=r.boost)
                 flat[i] = r
             i += 1
         # Every absorption (reference compound.py:133-170): an unfielded
@@ -198,6 +205,22 @@ def normalize(q: ast.Query) -> ast.Query:
             if eb:
                 return a
         return type(q)(a, b, boost=q.boost)
+    if isinstance(q, ast.Wildcard):
+        # reference Wildcard.normalize (terms.py): no wildcard chars ->
+        # plain Term; single trailing star -> Prefix
+        if "*" not in q.pattern and "?" not in q.pattern:
+            return ast.Term(q.field, q.pattern, boost=q.boost)
+        core = q.pattern[:-1]
+        if q.pattern.endswith("*") and "*" not in core and "?" not in core:
+            return ast.Prefix(q.field, core, boost=q.boost)
+        return q
+    if isinstance(q, ast.TermRange):
+        if (
+            q.start is None and q.end is None
+            and not q.startexcl and not q.endexcl
+        ):
+            return ast.Every(q.field, boost=q.boost)
+        return q
     return q
 
 

@@ -874,7 +874,13 @@ class QueryParser:
         return out
 
     def _phrase_query(self, field, text, slop):
-        words = self._analyze(field, text)
+        spec = self.fields.get(field)
+        if spec is None or spec.analyzer is None:
+            # unknown/analyzer-less field (incl. schema=None parsing): the
+            # reference PhraseNode splits the quoted text on spaces
+            words = [w for w in text.split(" ") if w]
+        else:
+            words = self._analyze(field, text)
         if not words:
             return None
         if len(words) == 1:

@@ -788,15 +788,24 @@ class IndexSearcher:
             spec = self.manifest.schema.by_name.get(q.field)
             if spec is not None and not spec.indexed:
                 if spec.kind == "numeric":
-                    dp = getattr(spec, "decimal_places", 0)
-                    if dp:
-                        from ..schema import decimal_to_sortable
+                    text = q.text
+                    if isinstance(text, bytes):
+                        text = text.decode("utf-8", "replace")
+                    try:
+                        dp = getattr(spec, "decimal_places", 0)
+                        if dp:
+                            from ..schema import decimal_to_sortable
 
-                        v = decimal_to_sortable(q.text, dp)
-                    elif getattr(spec, "numtype", "int") == "float":
-                        v = float(q.text)
-                    else:
-                        v = int(q.text)
+                            v = decimal_to_sortable(text, dp)
+                        elif getattr(spec, "numtype", "int") == "float":
+                            v = float(text)
+                        else:
+                            v = int(text)
+                    except (ValueError, ArithmeticError):
+                        # unparseable numeric value matches nothing — the
+                        # reference's to_bytes failure yields a NullMatcher
+                        # (ref tests/test_queries.py test_issue_355)
+                        return ast.Or([])
                     return ast.NumericRange(q.field, v, v, boost=q.boost)
                 if spec.kind == "boolean":
                     t = q.text
