@@ -2525,3 +2525,55 @@ def test_andnot_reverse(ray_session, tmp_path_factory):
         names_rv = [hit["name"] for hit in s.search(q, limit=None)]
     assert len(names_fw) == len(names_rv) == 1
     assert names_fw == names_rv
+
+
+def test_collector_add(ray_session, tmp_path_factory):
+    # ref test_collector.py:7-21
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1", "text": "alfa bravo charlie"},
+        {"id": "2", "text": "alfa bravo delta"},
+        {"id": "3", "text": "alfa charlie echo"},
+    ])
+    with ix.searcher() as s:
+        assert s.doc_frequency("text", "charlie") == 2
+        r = s.search(Term("text", "charlie"))
+        assert [hit["id"] for hit in r] == ["1", "3"]
+        assert len(r) == 2
+
+
+def test_filter_that_matches_no_document(ray_session, tmp_path_factory):
+    # ref test_collector.py:23-34
+    from whoosh_reloaded_ray.query import Every, Term
+
+    schema = wrr.Schema(id=wrr.STORED(), text=wrr.TEXT())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1", "text": "alfa bravo charlie"},
+        {"id": "2", "text": "alfa bravo delta"},
+    ])
+    with ix.searcher() as s:
+        r = s.search(Every(), filter=Term("text", "echo"))
+        assert [hit["id"] for hit in r] == []
+        assert len(r) == 0
+
+
+def test_filter_results_count(ray_session, tmp_path_factory):
+    # ref test_collector.py:249-267 (len() of a limit-truncated filtered
+    # search is the EXACT match count)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(
+        id=wrr.STORED(), django_ct=wrr.ID(stored=True), text=wrr.TEXT()
+    )
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1", "django_ct": "app.model1", "text": "alfa bravo charlie"},
+        {"id": "2", "django_ct": "app.model1", "text": "alfa bravo delta"},
+        {"id": "3", "django_ct": "app.model2", "text": "alfa charlie echo"},
+    ])
+    with ix.searcher() as s:
+        r1 = s.search(Term("django_ct", "app.model1"), limit=None)
+        assert len(r1) == 2
+        r2 = s.search(Term("text", "alfa"), filter=r1, limit=1)
+        assert len(r2) == 2

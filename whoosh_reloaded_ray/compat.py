@@ -1791,6 +1791,17 @@ class CompatSearcher:
                 kw[key] = _docset_query(d for d in v.docs())
             elif isinstance(v, (set, frozenset, list)):
                 kw[key] = _docset_query(v)
+        # the EXACT len(Results) count must respect filter/mask — compose
+        # them into the lazily-counted query (reference counts collected
+        # docs, which the collector filter already restricted)
+        from .query.ast import AndNot as _AndNot
+        from .query.ast import Require as _Require
+
+        count_q = q
+        if kw.get("filter") is not None:
+            count_q = _Require(count_q, kw["filter"])
+        if kw.get("mask") is not None:
+            count_q = _AndNot(count_q, kw["mask"])
         stored = [f.name for f in self._schema.fields if f.stored]
         if isinstance(sortedby, (FunctionFacet, TranslateFacet, StoredFieldFacet)):
             return self._search_sorted_by_keys(
@@ -1808,7 +1819,7 @@ class CompatSearcher:
                 out = Results(
                     hits,
                     total_fn=lambda: self._s.search_with_collector(
-                        q, CountCollector()
+                        count_q, CountCollector()
                     ),
                 )
             else:
@@ -1855,12 +1866,13 @@ class CompatSearcher:
             res = self._s.search(q, limit=limit, **kw)
         if groupedby is not None:
             out = self._hits_to_results(
-                res, stored, q, terms, truncated=limit is not None
+                res, stored, q, terms, truncated=limit is not None,
+                count_q=count_q,
             )
             out._groups = self._groups_for(q, groupedby, limit, maptype)
             return out
         return self._hits_to_results(
-            res, stored, q, terms, truncated=limit is not None
+            res, stored, q, terms, truncated=limit is not None, count_q=count_q
         )
 
     def _facet_keys(self, facet, sorted_docs) -> list:
@@ -2059,14 +2071,17 @@ class CompatSearcher:
         return groups
 
     def _hits_to_results(self, res, stored, q, terms: bool,
-                         truncated: bool = False) -> Results:
+                         truncated: bool = False, count_q=None) -> Results:
         if truncated:
             # the reference's len(Results) is the EXACT hit count even
-            # when limit pruned collection; count lazily on demand
+            # when limit pruned collection; count lazily on demand.
+            # ``count_q`` carries filter/mask composed in (they restrict
+            # the reference collector's count too)
             from .query.collectors import CountCollector
 
+            cq = count_q if count_q is not None else q
             total, total_fn = None, (
-                lambda: self._s.search_with_collector(q, CountCollector())
+                lambda: self._s.search_with_collector(cq, CountCollector())
             )
         else:
             total, total_fn = res.num_rows, None
@@ -2163,6 +2178,14 @@ class CompatSearcher:
 
     def doc_count(self) -> int:
         return self.reader().doc_count()
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        """Reference Searcher.doc_frequency (delegates to the reader)."""
+        return self._s.doc_frequency(fieldname, text)
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        """Reference Searcher.frequency (total term weight)."""
+        return self._s.frequencies([(fieldname, text)]).get((fieldname, text), 0)
 
     def doc_count_all(self) -> int:
         return self._s.doc_count_all()
