@@ -2577,3 +2577,31 @@ def test_filter_results_count(ray_session, tmp_path_factory):
         assert len(r1) == 2
         r2 = s.search(Term("text", "alfa"), filter=r1, limit=1)
         assert len(r2) == 2
+
+
+def test_overlapping_lists(ray_session, tmp_path_factory):
+    # ref test_sorting.py:541-575 (allow_overlap FieldFacet: a doc lands
+    # in a group per token)
+    from whoosh_reloaded_ray.compat import Facets, FieldFacet
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(id=wrr.STORED(), tags=wrr.KEYWORD())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "0", "tags": "alfa bravo charlie"},
+        {"id": "1", "tags": "bravo charlie delta"},
+        {"id": "2", "tags": "charlie delta echo"},
+        {"id": "3", "tags": "delta echo alfa"},
+        {"id": "4", "tags": "echo alfa bravo"},
+    ])
+    expected = {
+        "alfa": [0, 3, 4], "bravo": [0, 1, 4], "charlie": [0, 1, 2],
+        "delta": [1, 2, 3], "echo": [2, 3, 4],
+    }
+    with ix.searcher() as s:
+        of = FieldFacet("tags", allow_overlap=True)
+        r = s.search(Every(), groupedby={"tags": of})
+        assert {k: sorted(v) for k, v in r.groups("tags").items()} == expected
+        fcts = Facets()
+        fcts.add_field("tags", allow_overlap=True)
+        r = s.search(Every(), groupedby=fcts)
+        assert {k: sorted(v) for k, v in r.groups("tags").items()} == expected

@@ -772,11 +772,16 @@ def _docset_query(docnums):
 
 class FieldFacet:
     """Sort/group by a field's native column value (reference
-    sorting.FieldFacet, sorting.py:190)."""
+    sorting.FieldFacet, sorting.py:190).  ``allow_overlap=True`` groups a
+    doc under EVERY token of its field value (reference overlapping
+    categorizers)."""
 
-    def __init__(self, fieldname: str, reverse: bool = False):
+    def __init__(self, fieldname: str, reverse: bool = False,
+                 allow_overlap: bool = False, maptype=None):
         self.fieldname = fieldname
         self.reverse = reverse
+        self.allow_overlap = allow_overlap
+        self.maptype = maptype
 
 
 class ScoreFacet:
@@ -879,7 +884,7 @@ class Facets:
         self.facets = dict(x) if x else {}
 
     def add_field(self, fieldname, allow_overlap=False):
-        self.facets[fieldname] = FieldFacet(fieldname)
+        self.facets[fieldname] = FieldFacet(fieldname, allow_overlap=allow_overlap)
         return self
 
     def add_query(self, name, querydict, **kwargs):
@@ -1974,10 +1979,43 @@ class CompatSearcher:
                 )
             return self._range_facet_groups(q, groupedby, maptype)
         if isinstance(groupedby, FieldFacet):
+            if groupedby.allow_overlap:
+                return self._overlap_field_groups(q, groupedby, maptype)
             groupedby = groupedby.fieldname
         elif isinstance(groupedby, MultiFacet):
             groupedby = groupedby.fieldnames()
         return self._s.search_grouped(q, groupedby, limit=limit, maptype=maptype)
+
+    def _overlap_field_groups(self, q, facet: FieldFacet, maptype):
+        """FieldFacet(allow_overlap=True): one group per TOKEN of the
+        doc's field value (reference sorting.py overlapping categorizer);
+        docs listed in score order like the plain grouped map."""
+        from .functions.analysis import make_analyzer
+
+        res = self._s.search(q, limit=None)
+        docs = res["docnum"].to_pylist()
+        sorted_docs = np.sort(np.array(docs, dtype=np.uint64))
+        vals = self._s._doc_values(facet.fieldname, sorted_docs)
+        val_of = dict(zip(sorted_docs.tolist(), list(vals)))
+        spec = self._s.manifest.schema.by_name.get(facet.fieldname)
+
+        def toks(v):
+            if v is None:
+                return []
+            if spec is not None and spec.analyzer is not None:
+                return [t for t, _ in make_analyzer(spec.analyzer)(str(v))]
+            return str(v).split()
+
+        groups: dict = {}
+        for d in docs:  # score order
+            for t in toks(val_of.get(d)):
+                if maptype == "count":
+                    groups[t] = groups.get(t, 0) + 1
+                elif maptype == "best":
+                    groups.setdefault(t, d)
+                else:
+                    groups.setdefault(t, []).append(d)
+        return groups
 
     def _range_facet_groups(self, q, rf: RangeFacet, maptype):
         """Reference RangeFacet map semantics: doc lists in score order
