@@ -2605,3 +2605,57 @@ def test_overlapping_lists(ray_session, tmp_path_factory):
         fcts.add_field("tags", allow_overlap=True)
         r = s.search(Every(), groupedby=fcts)
         assert {k: sorted(v) for k, v in r.groups("tags").items()} == expected
+
+
+def test_sorted_groups(ray_session, tmp_path_factory):
+    # ref test_sorting.py:760-777 (group doc lists in score order)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(a=wrr.STORED(), b=wrr.TEXT(), c=wrr.ID())
+    ix = _mk(tmp_path_factory, schema, [
+        {"a": "0", "b": "blah", "c": "apple"},
+        {"a": "1", "b": "blah blah", "c": "bear"},
+        {"a": "2", "b": "blah blah blah", "c": "apple"},
+        {"a": "3", "b": "blah blah blah blah", "c": "bear"},
+        {"a": "4", "b": "blah blah blah blah blah", "c": "apple"},
+        {"a": "5", "b": "blah blah blah blah blah blah", "c": "bear"},
+    ])
+    with ix.searcher() as s:
+        gs = s.search(Term("b", "blah"), groupedby="c").groups("c")
+        assert gs["apple"] == [4, 2, 0]
+        assert gs["bear"] == [5, 3, 1]
+
+
+def test_group_types(ray_session, tmp_path_factory):
+    # ref test_sorting.py:779-816 (UnorderedList / Count / Best maptypes,
+    # facet-level and search-level)
+    from whoosh_reloaded_ray import sorting
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(a=wrr.STORED(), b=wrr.TEXT(), c=wrr.ID())
+    ix = _mk(tmp_path_factory, schema, [
+        {"a": "0", "b": "blah", "c": "apple"},
+        {"a": "1", "b": "blah blah", "c": "bear"},
+        {"a": "2", "b": "blah blah blah", "c": "apple"},
+        {"a": "3", "b": "blah blah blah blah", "c": "bear"},
+        {"a": "4", "b": "blah blah blah blah blah", "c": "apple"},
+        {"a": "5", "b": "blah blah blah blah blah blah", "c": "bear"},
+        {"a": "6", "b": "blah blah blah blah blah blah blah", "c": "apple"},
+    ])
+    with ix.searcher() as s:
+        q = Term("b", "blah")
+        f = sorting.FieldFacet("c", maptype=sorting.UnorderedList)
+        gs = s.search(q, groupedby=f).groups()
+        assert gs["apple"] == [0, 2, 4, 6]
+        assert gs["bear"] == [1, 3, 5]
+        f = sorting.FieldFacet("c", maptype=sorting.Count)
+        gs = s.search(q, groupedby=f).groups()
+        assert gs["apple"] == 4
+        assert gs["bear"] == 3
+        gs = s.search(q, groupedby="c", maptype=sorting.Count).groups()
+        assert gs["apple"] == 4
+        assert gs["bear"] == 3
+        f = sorting.FieldFacet("c", maptype=sorting.Best)
+        gs = s.search(q, groupedby=f).groups()
+        assert gs["apple"] == 6
+        assert gs["bear"] == 5

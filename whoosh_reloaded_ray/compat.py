@@ -770,6 +770,40 @@ def _docset_query(docnums):
     return DocSet(_np.array(sorted(int(d) for d in docnums), dtype=_np.uint64))
 
 
+class FacetMap:
+    """Marker base for group-map types (reference sorting.FacetMap)."""
+
+
+class OrderedList(FacetMap):
+    """Docnums per key in score order (the default map)."""
+
+
+class UnorderedList(FacetMap):
+    """Docnums per key in docnum order."""
+
+
+class Count(FacetMap):
+    """Match count per key."""
+
+
+class Best(FacetMap):
+    """Highest-scoring docnum per key."""
+
+
+def _maptype_name(mt):
+    """Normalize a maptype spec (string | FacetMap class | instance |
+    None) to the engine's string form."""
+    if mt is None or isinstance(mt, str):
+        return mt
+    cls = mt if isinstance(mt, type) else type(mt)
+    return {
+        "OrderedList": "ordered",
+        "UnorderedList": "unordered",
+        "Count": "count",
+        "Best": "best",
+    }.get(cls.__name__, "ordered")
+
+
 class FieldFacet:
     """Sort/group by a field's native column value (reference
     sorting.FieldFacet, sorting.py:190).  ``allow_overlap=True`` groups a
@@ -1947,7 +1981,22 @@ class CompatSearcher:
     def _groups_for(self, q, groupedby, limit, maptype):
         """groupedby spec -> group map: field name(s) via the distributed
         grouped search; Range/DateRange facets via segment-side bucket
-        counts ({(lo, hi): n}, the Count map)."""
+        counts ({(lo, hi): n}, the Count map).  A facet's own ``maptype``
+        overrides the search-level argument (reference FacetType.maptype);
+        UnorderedList re-sorts each group's doc list by docnum."""
+        fmt = getattr(groupedby, "maptype", None)
+        if fmt is not None:
+            maptype = fmt
+        maptype = _maptype_name(maptype)
+        unordered = maptype == "unordered"
+        if unordered:
+            maptype = "ordered"
+        g = self._groups_for_inner(q, groupedby, limit, maptype)
+        if unordered and isinstance(g, dict) and not g.get("__facets__"):
+            g = {k: sorted(v) for k, v in g.items()}
+        return g
+
+    def _groups_for_inner(self, q, groupedby, limit, maptype):
         if isinstance(groupedby, dict):
             # the reference accepts {"name": facet} dicts
             fs = Facets()

@@ -1,5 +1,6 @@
 """Alias module (reference import path whoosh.sorting)."""
 from .compat import (  # noqa: F401
-    DateRangeFacet, Facets, FieldFacet, FunctionFacet, MultiFacet,
-    QueryFacet, RangeFacet, ScoreFacet, StoredFieldFacet, TranslateFacet,
+    Best, Count, DateRangeFacet, FacetMap, Facets, FieldFacet,
+    FunctionFacet, MultiFacet, OrderedList, QueryFacet, RangeFacet,
+    ScoreFacet, StoredFieldFacet, TranslateFacet, UnorderedList,
 )
