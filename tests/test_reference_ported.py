@@ -2659,3 +2659,75 @@ def test_group_types(ray_session, tmp_path_factory):
         gs = s.search(q, groupedby=f).groups()
         assert gs["apple"] == 6
         assert gs["bear"] == 5
+
+
+def test_compound_sort(ray_session, tmp_path_factory):
+    # ref test_sorting.py:1086-1121 (mixed-direction multi-key sort)
+    from whoosh_reloaded_ray.compat import FieldFacet
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(
+        a=wrr.KEYWORD(stored=True), b=wrr.KEYWORD(stored=True),
+        c=wrr.KEYWORD(stored=True),
+    )
+    alist = "alfa bravo alfa bravo alfa bravo alfa bravo alfa bravo".split()
+    blist = "alfa bravo charlie alfa bravo charlie alfa bravo charlie alfa".split()
+    clist = "alfa bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    ix = _mk(tmp_path_factory, schema, [
+        {"a": alist[i], "b": blist[i], "c": clist[i]} for i in range(10)
+    ])
+    with ix.searcher() as s:
+        sortedby = [
+            FieldFacet("a"), FieldFacet("b", reverse=True), FieldFacet("c"),
+        ]
+        r = s.search(Every(), sortedby=sortedby)
+        output = [" ".join((hit["a"], hit["b"], hit["c"])) for hit in r]
+        assert output == [
+            "alfa charlie charlie", "alfa charlie india", "alfa bravo echo",
+            "alfa alfa alfa", "alfa alfa golf", "bravo charlie foxtrot",
+            "bravo bravo bravo", "bravo bravo hotel", "bravo alfa delta",
+            "bravo alfa juliet",
+        ]
+
+
+def test_sort_filter(ray_session, tmp_path_factory):
+    # ref test_sorting.py:621-676 (sortedby + filter across multiple
+    # segments, before and after optimize)
+    import random as _random
+
+    from whoosh_reloaded_ray.query import Every, Term
+
+    schema = wrr.Schema(group=wrr.ID(stored=True), key=wrr.ID(stored=True))
+    groups = "alfa bravo charlie".split()
+    keys = "abcdefghijklmnopqrstuvwxyz"
+    source = [
+        {"key": keys[i % len(keys)], "group": groups[i % len(groups)]}
+        for i in range(100)
+    ]
+    source.sort(key=lambda x: (x["key"], x["group"]))
+    sample = list(source)
+    _random.Random(42).shuffle(sample)
+
+    d = str(tmp_path_factory.mktemp("sortfilter"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    for i, fs in enumerate(sample, 1):
+        w.add_document(**fs)
+        if not i % 26:
+            w.commit(merge=False)
+            w = ix.writer(num_shards=2, partition_rows=64)
+    w.commit()
+
+    expected = [dd for dd in source if dd["group"] == "bravo"]
+    fq = Term("group", "bravo")
+    with ix.searcher() as s:
+        r = s.search(Every(), sortedby=("key", "group"), filter=fq, limit=20)
+        assert [h.fields() for h in r] == expected[:20]
+        r = s.search(Every(), sortedby=("key", "group"), filter=fq, limit=None)
+        assert [h.fields() for h in r] == expected
+    ix.optimize()
+    with ix.searcher() as s:
+        r = s.search(Every(), sortedby=("key", "group"), filter=fq, limit=20)
+        assert [h.fields() for h in r] == expected[:20]
+        r = s.search(Every(), sortedby=("key", "group"), filter=fq, limit=None)
+        assert [h.fields() for h in r] == expected

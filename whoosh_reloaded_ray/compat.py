@@ -1842,13 +1842,17 @@ class CompatSearcher:
         if kw.get("mask") is not None:
             count_q = _AndNot(count_q, kw["mask"])
         stored = [f.name for f in self._schema.fields if f.stored]
+        # every DERIVED search below (sorted / collapsed / group maps /
+        # key-facet sorts) evaluates count_q — the query with filter/mask
+        # composed in — because the reference applies filter at the
+        # collector, which all of those paths share
         if isinstance(sortedby, (FunctionFacet, TranslateFacet, StoredFieldFacet)):
             return self._search_sorted_by_keys(
-                q, sortedby, limit, reverse, groupedby, maptype
+                count_q, sortedby, limit, reverse, groupedby, maptype
             )
         if sortedby is not None and not isinstance(sortedby, ScoreFacet):
             pairs = _sortedby_fields(sortedby)
-            t = self._s.search_sorted(q, pairs, limit=limit, reverse=reverse)
+            t = self._s.search_sorted(count_q, pairs, limit=limit, reverse=reverse)
             docnums = t["docnum"].to_pylist()
             rows = self.stored_fields_many(docnums) if docnums else []
             hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
@@ -1867,7 +1871,7 @@ class CompatSearcher:
             for h in hits:
                 h._searcher, h._q, h._results = self._s, q, out
             if groupedby is not None:
-                out._groups = self._groups_for(q, groupedby, limit, maptype)
+                out._groups = self._groups_for(count_q, groupedby, limit, maptype)
             return out
         if collapse is not None:
             if isinstance(collapse, FieldFacet):
@@ -1875,7 +1879,7 @@ class CompatSearcher:
             if isinstance(collapse_order, FieldFacet):
                 collapse_order = (collapse_order.fieldname, collapse_order.reverse)
             res = self._s.search_collapsed(
-                q, collapse, limit=limit, collapse_limit=collapse_limit,
+                count_q, collapse, limit=limit, collapse_limit=collapse_limit,
                 collapse_order=collapse_order,
             )
         elif self._final is not None:
@@ -1908,7 +1912,7 @@ class CompatSearcher:
                 res, stored, q, terms, truncated=limit is not None,
                 count_q=count_q,
             )
-            out._groups = self._groups_for(q, groupedby, limit, maptype)
+            out._groups = self._groups_for(count_q, groupedby, limit, maptype)
             return out
         return self._hits_to_results(
             res, stored, q, terms, truncated=limit is not None, count_q=count_q
