@@ -2731,3 +2731,25 @@ def test_sort_filter(ray_session, tmp_path_factory):
         assert [h.fields() for h in r] == expected[:20]
         r = s.search(Every(), sortedby=("key", "group"), filter=fq, limit=None)
         assert [h.fields() for h in r] == expected
+
+
+def test_groups_ignore_limit(ray_session, tmp_path_factory):
+    """Reference facet-collector semantics: group maps cover EVERY matched
+    doc; the search limit only truncates the hit list (verified against
+    live whoosh: 30 docs, limit=10 default -> groups of 15/15)."""
+    from whoosh_reloaded_ray.query import Every, Term
+
+    schema = wrr.Schema(g=wrr.ID(stored=True), k=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"g": "even" if i % 2 == 0 else "odd", "k": chr(97 + i % 26)}
+        for i in range(30)
+    ])
+    with ix.searcher() as s:
+        r = s.search(Every(), groupedby="g")  # default limit=10
+        assert r.scored_length() == 10
+        assert {kk: len(v) for kk, v in r.groups("g").items()} == {
+            "even": 15, "odd": 15
+        }
+        g = s.search(Every(), groupedby="g", filter=Term("g", "even"),
+                     maptype="count").groups("g")
+        assert g == {"even": 15}

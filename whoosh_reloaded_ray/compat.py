@@ -1995,7 +1995,10 @@ class CompatSearcher:
         unordered = maptype == "unordered"
         if unordered:
             maptype = "ordered"
-        g = self._groups_for_inner(q, groupedby, limit, maptype)
+        # group maps cover EVERY matched doc — the reference's facet
+        # collector observes all matches; the search limit only truncates
+        # the returned top-n hit list
+        g = self._groups_for_inner(q, groupedby, None, maptype)
         if unordered and isinstance(g, dict) and not g.get("__facets__"):
             g = {k: sorted(v) for k, v in g.items()}
         return g
