@@ -2753,3 +2753,66 @@ def test_groups_ignore_limit(ray_session, tmp_path_factory):
         g = s.search(Every(), groupedby="g", filter=Term("g", "even"),
                      maptype="count").groups("g")
         assert g == {"even": 15}
+
+
+def test_query_facet_overlap(ray_session, tmp_path_factory):
+    # ref test_sorting.py:251-277 (QueryFacet allow_overlap)
+    from whoosh_reloaded_ray.compat import Facets
+    from whoosh_reloaded_ray.query import Every, TermRange
+
+    domain = "abcdefghi"
+    schema = wrr.Schema(v=wrr.KEYWORD(stored=True), num=wrr.NUMERIC(int, stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"num": i, "v": f"{ltr} {domain[8 - i]}"} for i, ltr in enumerate(domain)
+    ])
+    with ix.searcher() as s:
+        facets = Facets()
+        facets.add_query(
+            "myfacet",
+            {"a-c": TermRange("v", "a", "c"), "d-f": TermRange("v", "d", "f"),
+             "g-i": TermRange("v", "g", "i")},
+            allow_overlap=True,
+        )
+        gr = s.search(Every(), groupedby=facets).groups("myfacet")
+        assert {k: sorted(v) for k, v in gr.items()} == {
+            "a-c": [0, 1, 2, 6, 7, 8],
+            "d-f": [3, 4, 5],
+            "g-i": [0, 1, 2, 6, 7, 8],
+        }
+
+
+def test_missing_overlap(ray_session, tmp_path_factory):
+    # ref test_sorting.py:312-326 (overlap facet None bucket for docs
+    # missing the field)
+    from whoosh_reloaded_ray.compat import FieldFacet
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(a=wrr.NUMERIC(int, stored=True), b=wrr.KEYWORD(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"a": 0, "b": "one two"}, {"a": 1}, {"a": 2, "b": "two three"},
+        {"a": 3}, {"a": 4, "b": "three four"},
+    ])
+    with ix.searcher() as s:
+        facet = FieldFacet("b", allow_overlap=True)
+        r = s.search(Every(), groupedby=facet)
+        assert {k: sorted(v) for k, v in r.groups().items()} == {
+            "one": [0], "two": [0, 2], "three": [2, 4], "four": [4],
+            None: [1, 3],
+        }
+
+
+def test_filtered_grouped(ray_session, tmp_path_factory):
+    # ref test_sorting.py:978-991 (filter + groupedby + exact len)
+    from whoosh_reloaded_ray.query import And, Every, Term
+
+    domain = "alfa bravo charlie delta echo foxtrot".split()
+    schema = wrr.Schema(tag=wrr.ID(stored=False), text=wrr.TEXT(stored=True))
+    rows = [
+        {"tag": str(i % 3), "text": " ".join(ls)}
+        for i, ls in enumerate(permutations(domain, 3))
+    ]
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        f = And([Term("text", "charlie"), Term("text", "delta")])
+        r = s.search(Every(), filter=f, groupedby="tag", limit=None)
+        assert len(r) == 24

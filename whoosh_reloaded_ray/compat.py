@@ -2057,7 +2057,7 @@ class CompatSearcher:
 
         def toks(v):
             if v is None:
-                return []
+                return [None]  # missing bucket (reference overlap facets)
             if spec is not None and spec.analyzer is not None:
                 return [t for t, _ in make_analyzer(spec.analyzer)(str(v))]
             return str(v).split()
@@ -2120,8 +2120,12 @@ class CompatSearcher:
         prior: list = []
 
         def one(key, bucket_q):
+            # allow_overlap: a doc may land in EVERY bucket it matches
+            # (reference QueryFacet(allow_overlap=True)); default is
+            # first-match via prior-bucket exclusion
+            excl = [] if qf.allow_overlap else [_Not(p) for p in prior]
             sub = _And([q] + ([bucket_q] if bucket_q is not None else [])
-                       + [_Not(p) for p in prior])
+                       + excl)
             if maptype == "count":
                 n = self._s.search_with_collector(sub, CountCollector())
                 if n:
