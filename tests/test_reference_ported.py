@@ -2816,3 +2816,156 @@ def test_filtered_grouped(ray_session, tmp_path_factory):
         f = And([Term("text", "charlie"), Term("text", "delta")])
         r = s.search(Every(), filter=f, groupedby="tag", limit=None)
         assert len(r) == 24
+
+
+def test_daterange_facet(ray_session, tmp_path_factory):
+    # ref test_sorting.py:395-430 (timedelta buckets, (start,end) keys,
+    # None bucket; naive datetimes here — our columns are tz-naive micros)
+    from datetime import datetime as dt
+    from datetime import timedelta
+
+    from whoosh_reloaded_ray.compat import DateRangeFacet
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(id=wrr.STORED(), date=wrr.DATETIME())
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "0", "date": dt(2001, 1, 15)},
+        {"id": "1", "date": dt(2001, 1, 10)},
+        {"id": "2"},
+        {"id": "3", "date": dt(2001, 1, 3)},
+        {"id": "4", "date": dt(2001, 1, 8)},
+        {"id": "5", "date": dt(2001, 1, 6)},
+    ])
+    with ix.searcher() as s:
+        rf = DateRangeFacet("date", dt(2001, 1, 1), dt(2001, 1, 20), timedelta(days=5))
+        r = s.search(Every(), groupedby={"date": rf})
+        g = {k: sorted(v) for k, v in r.groups("date").items()}
+        assert g == {
+            (dt(2001, 1, 1), dt(2001, 1, 6)): [3],
+            (dt(2001, 1, 6), dt(2001, 1, 11)): [1, 4, 5],
+            (dt(2001, 1, 11), dt(2001, 1, 16)): [0],
+            None: [2],
+        }
+
+
+def test_relative_daterange(ray_session, tmp_path_factory):
+    # ref test_sorting.py:433-502 (month-granular relativedelta gap)
+    from datetime import datetime as dt
+    from datetime import timedelta
+
+    from dateutil.relativedelta import relativedelta
+
+    from whoosh_reloaded_ray.compat import DateRangeFacet
+    from whoosh_reloaded_ray.query import Every
+
+    rows = []
+    basedate, count = dt(2001, 1, 1), 0
+    while basedate < dt(2001, 12, 1):
+        rows.append({"id": str(count), "date": basedate})
+        basedate += timedelta(days=14, hours=16)
+        count += 1
+    schema = wrr.Schema(id=wrr.STORED(), date=wrr.DATETIME())
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        rf = DateRangeFacet("date", dt(2001, 1, 1), dt(2001, 12, 31),
+                            relativedelta(months=1))
+        g = {
+            k: sorted(v)
+            for k, v in s.search(Every(), groupedby={"date": rf}).groups("date").items()
+        }
+        assert g == {
+            (dt(2001, 1, 1), dt(2001, 2, 1)): [0, 1, 2],
+            (dt(2001, 2, 1), dt(2001, 3, 1)): [3, 4],
+            (dt(2001, 3, 1), dt(2001, 4, 1)): [5, 6],
+            (dt(2001, 4, 1), dt(2001, 5, 1)): [7, 8],
+            (dt(2001, 5, 1), dt(2001, 6, 1)): [9, 10],
+            (dt(2001, 6, 1), dt(2001, 7, 1)): [11, 12],
+            (dt(2001, 7, 1), dt(2001, 8, 1)): [13, 14],
+            (dt(2001, 8, 1), dt(2001, 9, 1)): [15, 16],
+            (dt(2001, 9, 1), dt(2001, 10, 1)): [17, 18],
+            (dt(2001, 10, 1), dt(2001, 11, 1)): [19, 20],
+            (dt(2001, 11, 1), dt(2001, 12, 1)): [21, 22],
+        }
+
+
+def test_groupby_phrase(ray_session, tmp_path_factory):
+    # ref test_sorting.py:884-911
+    from whoosh_reloaded_ray.compat import StoredFieldFacet
+    from whoosh_reloaded_ray.query import Term
+
+    domain = {
+        "Alan Ball": "Tel Aviv", "Alan Charles": "San Francisco",
+        "Alan Darwin": "London", "Alan Eames": "Paris",
+    }
+    schema = wrr.Schema(
+        name=wrr.TEXT(stored=True), city=wrr.TEXT(stored=True),
+        city_g=wrr.ID(stored=True),
+    )
+    ix = _mk(tmp_path_factory, schema, [
+        {"name": n, "city": c, "city_g": c} for n, c in domain.items()
+    ])
+    with ix.searcher() as s:
+        r = s.search(Term("name", "alan"), groupedby="city_g")
+        assert sorted(r.groups().keys()) == [
+            "London", "Paris", "San Francisco", "Tel Aviv"
+        ]
+        r = s.search(Term("name", "alan"), groupedby=StoredFieldFacet("city"))
+        assert sorted(r.groups().keys()) == [
+            "London", "Paris", "San Francisco", "Tel Aviv"
+        ]
+
+
+def test_sort_text_field(ray_session, tmp_path_factory):
+    # ref test_sorting.py:914-975 (sortable TEXT column, reverse, mixed
+    # multi-key; single- and multi-segment)
+    from whoosh_reloaded_ray.compat import FieldFacet, MultiFacet
+    from whoosh_reloaded_ray.query import Every
+
+    domain = (
+        ("Visual Display of Quantitative Information, The", 10),
+        ("Envisioning Information", 10),
+        ("Visual Explanations", 10),
+        ("Beautiful Evidence", -10),
+        ("Visual and Statistical Thinking", -10),
+        ("Cognitive Style of Powerpoint", -10),
+    )
+    sorted_titles = sorted(d[0] for d in domain)
+    schema = wrr.Schema(
+        title=wrr.TEXT(stored=True, sortable=True),
+        num=wrr.NUMERIC(int, sortable=True),
+    )
+
+    def check(ix):
+        with ix.searcher() as s:
+            r = s.search(Every(), sortedby="title")
+            assert [hit["title"] for hit in r] == sorted_titles
+            r = s.search(Every(), sortedby=FieldFacet("title", reverse=True))
+            assert [hit["title"] for hit in r] == list(reversed(sorted_titles))
+            facet = MultiFacet()
+            facet.add_field("num")
+            facet.add_field("title", reverse=True)
+            r = s.search(Every(), sortedby=facet)
+            assert [hit["title"] for hit in r] == [
+                "Visual and Statistical Thinking",
+                "Cognitive Style of Powerpoint",
+                "Beautiful Evidence",
+                "Visual Explanations",
+                "Visual Display of Quantitative Information, The",
+                "Envisioning Information",
+            ]
+
+    check(_mk(tmp_path_factory, schema, [
+        {"title": t, "num": n} for t, n in domain
+    ]))
+    # multisegment
+    d = str(tmp_path_factory.mktemp("stf2"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    for t, n in domain[:3]:
+        w.add_document(title=t, num=n)
+    w.commit(merge=False)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    for t, n in domain[3:]:
+        w.add_document(title=t, num=n)
+    w.commit(merge=False)
+    check(ix)

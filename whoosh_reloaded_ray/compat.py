@@ -561,7 +561,7 @@ def KEYWORD(stored=True, lowercase=False, commas=False, scorable=False,
 
 
 def NUMERIC(numtype=int, stored=True, unique=False, decimal_places=0,
-            bits=64, signed=True):
+            bits=64, signed=True, sortable=False):
     """Reference fields.NUMERIC: ``numtype`` may be int, float, or
     decimal.Decimal (with ``decimal_places``) — Decimal values are stored
     as value*10^places int64 and descaled on readback.  ``bits``/``signed``
@@ -2085,15 +2085,46 @@ class CompatSearcher:
         gaps = (
             list(rf.gap) if isinstance(rf.gap, (list, tuple)) else [rf.gap]
         )
+        import datetime as _dt
+
+        def _advance(lo, g):
+            # month/year-granular gaps (reference DateRangeFacet accepts
+            # relativedelta): duck-typed on .months/.years/.days
+            months = getattr(g, "months", None)
+            years = getattr(g, "years", None)
+            if months is not None or years is not None:
+                m = lo.month - 1 + (months or 0) + 12 * (years or 0)
+                y = lo.year + m // 12
+                return lo.replace(year=y, month=m % 12 + 1) + _dt.timedelta(
+                    days=getattr(g, "days", 0) or 0
+                )
+            return lo + g
+
         edges = []
         lo, gi = rf.start, 0
         while lo < rf.end:
             g = gaps[min(gi, len(gaps) - 1)]
-            edges.append((lo, lo + g))
-            lo, gi = lo + g, gi + 1
+            hi_edge = _advance(lo, g)
+            edges.append((lo, hi_edge))
+            lo, gi = hi_edge, gi + 1
+        is_dt = isinstance(rf.start, _dt.datetime)
+
+        def _as_dt(v):
+            # datetime columns surface as int64 micros / np.datetime64 —
+            # align to python datetime for the bucket comparison
+            if isinstance(v, _dt.datetime):
+                return v
+            if isinstance(v, (int, np.integer)):
+                return np.datetime64(int(v), "us").item()
+            if isinstance(v, np.datetime64):
+                return v.astype("datetime64[us]").item()
+            return v
+
         groups: dict = {}
         for d in docs:  # score order
             v = val_of.get(d)
+            if v is not None and is_dt:
+                v = _as_dt(v)
             key = None
             if v is not None and not (isinstance(v, float) and v != v):
                 for a, b in edges:
