@@ -2969,3 +2969,24 @@ def test_sort_text_field(ray_session, tmp_path_factory):
         w.add_document(title=t, num=n)
     w.commit(merge=False)
     check(ix)
+
+
+def test_query_terms_iter(whoosh):
+    # ref test_spelling.py:124-147 (iter_all_terms + all_tokens boosts);
+    # deviation: our parse trees carry no source char offsets, so tokens
+    # have startchar/endchar None (correct_query locates by word match)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    qp = QueryParser("a", None)
+    q = qp.parse("alfa b:(bravo OR c:charlie) delta")
+    assert sorted(q.iter_all_terms()) == [
+        ("a", "alfa"), ("a", "delta"), ("b", "bravo"), ("c", "charlie"),
+    ]
+    q = qp.parse("alfa brav*")
+    assert sorted(q.iter_all_terms()) == [("a", "alfa")]
+    q = qp.parse('a b:("b c" d)^2 e')
+    tokens = [(t.fieldname, t.text, t.boost) for t in q.all_tokens()]
+    assert tokens == [
+        ("a", "a", 1.0), ("b", "b", 2.0), ("b", "c", 2.0), ("b", "d", 2.0),
+        ("a", "e", 1.0),
+    ]

@@ -112,6 +112,44 @@ class Query:
                 out.update((leaf.field, w) for w in leaf.words)
         return out
 
+    def iter_all_terms(self, phrases: bool = True):
+        """Iterator of (field, text) pairs over the tree in leaf order
+        (reference Query.iter_all_terms, qcore.py:413-436); multiterm
+        leaves (Prefix/Wildcard/...) contribute nothing, Phrase words are
+        included when ``phrases``."""
+        for leaf in self.leaves():
+            if isinstance(leaf, Term):
+                yield (leaf.field, leaf.text)
+            elif phrases and isinstance(leaf, Phrase):
+                for w in leaf.words:
+                    yield (leaf.field, w)
+
+    def all_tokens(self, boost: float = 1.0):
+        """Token objects (fieldname/text/boost) for every term in the
+        tree, compound boosts multiplied down (reference Query.all_tokens,
+        qcore.py:438-452).  Deviation: our parse trees carry no source
+        char offsets, so ``startchar``/``endchar`` are None (the
+        correct_query path locates occurrences by whole-word match
+        instead)."""
+        from .highlight import Token
+
+        boost *= self.boost
+        if isinstance(self, Term):
+            yield Token(
+                text=self.text, pos=-1, startchar=None, endchar=None,
+                fieldname=self.field, boost=boost,
+            )
+            return
+        if isinstance(self, Phrase):
+            for w in self.words:
+                yield Token(
+                    text=w, pos=-1, startchar=None, endchar=None,
+                    fieldname=self.field, boost=boost,
+                )
+            return
+        for c in self.children():
+            yield from c.all_tokens(boost)
+
     def existing_terms(self, ixreader, phrases: bool = True, expand: bool = False,
                        fieldname: str | None = None) -> set:
         """The subset of all_terms that EXIST in the index (reference

@@ -23,6 +23,7 @@ class Token:
     endchar: int
     matched: bool = False
     boost: float = 1.0
+    fieldname: str | None = None  # set by Query.all_tokens
 
 
 @dataclass

@@ -546,7 +546,8 @@ class QueryParser:
                 if nodes and not isinstance(nodes[-1], _Op):
                     nodes[-1] = _Boosted(nodes[-1], val)
             elif kind == "phrase":
-                nodes.append(_PhraseNode(field_ctx or self.default_field, *val))
+                nodes.append(_PhraseNode(field_ctx or self.default_field, *val,
+                                         explicit=field_ctx is not None))
                 field_ctx = None
             elif kind == "regex":
                 nodes.append(_RegexNode(field_ctx or self.default_field, val))
@@ -559,23 +560,25 @@ class QueryParser:
             elif kind == "fphrase":
                 f, text, slop = val
                 f = self._field_or_default(f)
-                nodes.append(_PhraseNode(f, text, slop))
+                nodes.append(_PhraseNode(f, text, slop, explicit=True))
                 field_ctx = None
             elif kind == "range":
-                nodes.append(_RangeNode(field_ctx or self.default_field, val))
+                nodes.append(_RangeNode(field_ctx or self.default_field, val,
+                                        explicit=field_ctx is not None))
                 field_ctx = None
             elif kind == "fsquote":
                 f, text = val
                 f = self._field_or_default(f)
-                nodes.append(_WordNode(f, text))
+                nodes.append(_WordNode(f, text, explicit=True))
                 field_ctx = None
             elif kind == "squote":
-                nodes.append(_WordNode(field_ctx or self.default_field, val))
+                nodes.append(_WordNode(field_ctx or self.default_field, val,
+                                        explicit=field_ctx is not None))
                 field_ctx = None
             elif kind == "frange":
                 f, body = val
                 f = self._field_or_default(f)
-                nodes.append(_RangeNode(f, body))
+                nodes.append(_RangeNode(f, body, explicit=True))
                 field_ctx = None
             elif kind == "node":
                 # custom-tagger syntax node (query(parser) protocol)
@@ -607,9 +610,10 @@ class QueryParser:
                     if gm:
                         nodes.append(_GtLtNode(fname, gm.group(1), gm.group(2)))
                     else:
-                        nodes.append(_WordNode(fname, fm[1]))
+                        nodes.append(_WordNode(fname, fm[1], explicit=True))
                 else:
-                    nodes.append(_WordNode(field_ctx or self.default_field, w))
+                    nodes.append(_WordNode(field_ctx or self.default_field, w,
+                                            explicit=field_ctx is not None))
                 field_ctx = None
             i += 1
         return nodes, i, top
@@ -656,7 +660,9 @@ class QueryParser:
         if isinstance(node, _Group):
             return _Group(self._with_field(n, field) for n in node)
         if isinstance(node, (_WordNode, _PhraseNode, _RangeNode)):
-            node.field = field
+            if not getattr(node, "explicit", False):
+                node.field = field
+                node.explicit = True
         if isinstance(node, _Boosted):
             node.node = self._with_field(node.node, field)
         return node
@@ -1164,30 +1170,35 @@ class _BasicNodeMixin:
 
 
 class _WordNode(_BasicNodeMixin):
-    __slots__ = ("field", "text")
+    __slots__ = ("field", "text", "explicit")
     has_text = True
 
-    def __init__(self, field, text):
+    def __init__(self, field, text, explicit=False):
         self.field = field
         self.text = text
+        # carries its own "field:" prefix — an enclosing "field:(...)"
+        # prefix must NOT override it (reference: innermost field wins)
+        self.explicit = explicit
 
 
 class _PhraseNode(_BasicNodeMixin):
-    __slots__ = ("field", "text", "slop")
+    __slots__ = ("field", "text", "slop", "explicit")
     has_text = True
 
-    def __init__(self, field, text, slop=1):
+    def __init__(self, field, text, slop=1, explicit=False):
         self.field = field
         self.text = text
         self.slop = slop
+        self.explicit = explicit
 
 
 class _RangeNode(_BasicNodeMixin):
-    __slots__ = ("field", "text")
+    __slots__ = ("field", "text", "explicit")
 
-    def __init__(self, field, text):
+    def __init__(self, field, text, explicit=False):
         self.field = field
         self.text = text
+        self.explicit = explicit
 
 
 class _RegexNode(_BasicNodeMixin):
