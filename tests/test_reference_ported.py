@@ -2990,3 +2990,82 @@ def test_query_terms_iter(whoosh):
         ("a", "a", 1.0), ("b", "b", 2.0), ("b", "c", 2.0), ("b", "d", 2.0),
         ("a", "e", 1.0),
     ]
+
+
+def test_decimal_numeric(ray_session, tmp_path_factory):
+    # ref test_fields.py:196-221
+    from decimal import Decimal
+
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(
+        id=wrr.ID(stored=True), deci=wrr.NUMERIC(Decimal, decimal_places=4)
+    )
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "a", "deci": Decimal("123.56")},
+        {"id": "b", "deci": Decimal("0.5362")},
+        {"id": "c", "deci": Decimal("2.5255")},
+        {"id": "d", "deci": Decimal("58")},
+    ])
+    with ix.searcher() as s:
+        qp = QueryParser("deci", s._schema)
+        r = s.search(qp.parse("123.56"))
+        assert len(r) == 1 and r[0]["id"] == "a"
+        r = s.search(qp.parse("0.5362"))
+        assert len(r) == 1 and r[0]["id"] == "b"
+
+
+def test_numeric_ranges(ray_session, tmp_path_factory):
+    # ref test_fields.py:247-272 (inclusive/exclusive numeric range syntax)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.STORED(), num=wrr.NUMERIC(int))
+    ix = _mk(
+        tmp_path_factory, schema, [{"id": str(i), "num": i} for i in range(400)]
+    )
+    with ix.searcher() as s:
+        qp = QueryParser("num", s._schema)
+
+        def check(qs, target):
+            q = qp.parse(qs)
+            result = [int(s.stored_fields(d)["id"]) for d in q.docs(s)]
+            assert result == target, qs
+
+        check("[10 to 390]", list(range(10, 391)))
+        check("[100 to]", list(range(100, 400)))
+        check("[to 350]", list(range(0, 351)))
+        check("[16 to 255]", list(range(16, 256)))
+        check("{10 to 390]", list(range(11, 391)))
+        check("[10 to 390}", list(range(10, 390)))
+        check("{10 to 390}", list(range(11, 390)))
+        check("{16 to 255}", list(range(17, 255)))
+
+
+def test_decimal_ranges(ray_session, tmp_path_factory):
+    # ref test_fields.py:291-323 (decimal_places ranges through the parser)
+    from decimal import Decimal
+
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.STORED(), num=wrr.NUMERIC(int, decimal_places=2))
+    rows, count, inc = [], Decimal("0.0"), Decimal("0.2")
+    for _ in range(500):
+        rows.append({"id": str(count), "num": count})
+        count += inc
+    ix = _mk(tmp_path_factory, schema, rows)
+    with ix.searcher() as s:
+        qp = QueryParser("num", s._schema)
+
+        def check(qs, start, end):
+            q = qp.parse(qs)
+            result = [s.stored_fields(d)["id"] for d in q.docs(s)]
+            target, c, lim = [], Decimal(start), Decimal(end)
+            while c <= lim:
+                target.append(str(c))
+                c += inc
+            assert result == target, qs
+
+        check("[10.2 to 80.8]", "10.2", "80.8")
+        check("{10.2 to 80.8]", "10.4", "80.8")
+        check("[10.2 to 80.8}", "10.2", "80.6")
+        check("{10.2 to 80.8}", "10.4", "80.6")

@@ -578,7 +578,9 @@ def NUMERIC(numtype=int, stored=True, unique=False, decimal_places=0,
     return (
         "numeric",
         {"stored": stored, "numtype": "float" if numtype is float else "int",
-         "unique": unique},
+         "unique": unique,
+         # the reference also accepts NUMERIC(int, decimal_places=n)
+         "decimal_places": int(decimal_places)},
     )
 
 
