@@ -3069,3 +3069,81 @@ def test_decimal_ranges(ray_session, tmp_path_factory):
         check("{10.2 to 80.8]", "10.4", "80.8")
         check("[10.2 to 80.8}", "10.2", "80.6")
         check("{10.2 to 80.8}", "10.4", "80.6")
+
+
+def test_boolean_strings(ray_session, tmp_path_factory):
+    # ref test_fields.py:493-521 (string values at add_document; t/f query
+    # words)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(i=wrr.STORED(), b=wrr.BOOLEAN(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"i": str(n), "b": v}
+        for n, v in enumerate(
+            ["true", "True", "false", "False", "true", "True", "false", "False"]
+        )
+    ])
+    with ix.searcher() as s:
+        qp = QueryParser("b", s._schema)
+
+        def check(qs, nums):
+            r = s.search(qp.parse(qs), limit=None)
+            assert [int(hit["i"]) for hit in r] == nums, qs
+
+        trues, falses = [0, 1, 4, 5], [2, 3, 6, 7]
+        check("true", trues)
+        check("True", trues)
+        check("false", falses)
+        check("False", falses)
+        check("t", trues)
+        check("f", falses)
+
+
+def test_boolean_find_deleted(ray_session, tmp_path_factory):
+    # ref test_fields.py:524-572 (delete by boolean term across segments;
+    # Every / Not never see deleted docs)
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    domain = "1110001010001110010101000101001011101010001011111101000101010101"
+    schema = wrr.Schema(i=wrr.STORED(), b=wrr.BOOLEAN(stored=True))
+    d = str(tmp_path_factory.mktemp("bfd"))
+    ix = wrr.create_in(d, schema)
+    count = 0
+    for _ in range(3):
+        w = ix.writer(num_shards=2, partition_rows=64)
+        for c in domain:
+            w.add_document(i=str(count), b=(c == "1"))
+            count += 1
+        w.commit(merge=False)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.delete_by_term("b", "t")
+    with ix.searcher() as s:
+        reader = s.reader()
+        for docnum in range(s.doc_count_all()):
+            assert s.stored_fields(docnum)["b"] == reader.is_deleted(docnum)
+        qp = QueryParser("b", s._schema)
+        assert s.search(qp.parse("b:t"), limit=None).scored_length() == 0
+        for qs in ("*", "*:*", "NOT b:t"):
+            r = s.search(qp.parse(qs), limit=None)
+            assert not any(hit["b"] for hit in r), qs
+            assert not any(reader.is_deleted(hit.docnum) for hit in r), qs
+        r = s.search(qp.parse("NOT b:t"), limit=5)
+        assert not any(hit["b"] for hit in r)
+
+
+def test_boolean_multifield(ray_session, tmp_path_factory):
+    # ref test_fields.py:575-593 (non-boolean word over a boolean field in
+    # a MultifieldParser coerces bool("boop") == True — reference quirk)
+    from whoosh_reloaded_ray.qparser import MultifieldParser
+
+    schema = wrr.Schema(name=wrr.TEXT(stored=True), bit=wrr.BOOLEAN(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"name": "audi", "bit": True}, {"name": "vw", "bit": False},
+        {"name": "porsche", "bit": False}, {"name": "ferrari", "bit": True},
+        {"name": "citroen", "bit": False},
+    ])
+    with ix.searcher() as s:
+        q = MultifieldParser(["name", "bit"], s._schema).parse("boop")
+        r = s.search(q)
+        assert sorted(hit["name"] for hit in r) == ["audi", "ferrari"]
+        assert len(r) == 2

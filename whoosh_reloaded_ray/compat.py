@@ -1160,6 +1160,14 @@ class Writer:
                         pa.float64() if f.numtype == "float" else pa.int64(),
                     )
                 elif f.kind == "boolean":
+                    # the reference BOOLEAN accepts "true"/"yes"/"1"-style
+                    # strings at add_document (fields.py BOOLEAN.index)
+                    trues = {"t", "true", "yes", "1"}
+                    vals = [
+                        None if v is None
+                        else (v.lower() in trues if isinstance(v, str) else bool(v))
+                        for v in vals
+                    ]
                     cols[f.name] = pa.array(vals, pa.bool_())
                 elif f.kind == "datetime":
                     cols[f.name] = pa.array(vals, pa.timestamp("us"))

@@ -929,7 +929,9 @@ class QueryParser:
                 return ast.ColumnQuery(field, True)
             if low in self.BOOL_FALSES:
                 return ast.ColumnQuery(field, False)
-            return None
+            # reference BOOLEAN._obj_to_bool: anything else is bool(x) —
+            # a non-empty string queries True (fields.py:963-974)
+            return ast.ColumnQuery(field, bool(text))
         if spec is not None and spec.kind == "datetime" and text != "*":
             bounds = _datetime_bounds(text)
             if bounds is None and self.dateparse_basedate is not None:
