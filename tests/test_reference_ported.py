@@ -3147,3 +3147,52 @@ def test_boolean_multifield(ray_session, tmp_path_factory):
         r = s.search(q)
         assert sorted(hit["name"] for hit in r) == ["audi", "ferrari"]
         assert len(r) == 2
+
+
+def test_nontext_document(ray_session, tmp_path_factory):
+    # ref test_fields.py:336-357 (documents() lookups over numeric /
+    # datetime / boolean fields; tz-naive datetimes here)
+    from datetime import datetime, timedelta
+
+    schema = wrr.Schema(
+        id=wrr.STORED(), num=wrr.NUMERIC(int), date=wrr.DATETIME(),
+        even=wrr.BOOLEAN(),
+    )
+    dt = datetime(2020, 3, 1, 12, 30)
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": str(i), "num": i, "date": dt + timedelta(days=i),
+         "even": not (i % 2)}
+        for i in range(50)
+    ])
+    with ix.searcher() as s:
+        def check(kwargs, target):
+            assert [int(d["id"]) for d in s.documents(**kwargs)] == target
+
+        check({"num": 49}, [49])
+        check({"date": dt + timedelta(days=30)}, [30])
+        check({"even": True}, list(range(0, 50, 2)))
+
+
+def test_idlist_search(ray_session, tmp_path_factory):
+    # ref test_fields.py:596-610
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(paths=wrr.IDLIST(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"paths": "here there everywhere"}, {"paths": "here"},
+        {"paths": "there"},
+    ])
+    with ix.searcher() as s:
+        r = s.search(QueryParser("paths", s._schema).parse("here"))
+        assert sorted(hit["paths"] for hit in r) == [
+            "here", "here there everywhere"
+        ]
+
+
+def test_missing_field_lookup(ray_session, tmp_path_factory):
+    # ref test_fields.py:613-619 (unknown field raises KeyError)
+    schema = wrr.Schema(a=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"a": "x"}])
+    with ix.searcher() as s:
+        with pytest.raises(KeyError):
+            s.document_numbers(id="test")

@@ -2279,6 +2279,10 @@ class CompatSearcher:
         text for analyzed fields."""
         from .query import ast
 
+        known = {f.name for f in self._schema.fields}
+        for k in kw:
+            if k not in known:
+                raise KeyError(k)  # reference raises for unknown fields
         q = ast.And([ast.Term(k, v) for k, v in kw.items()]) if kw else ast.Every()
         res = self._s.search(q, limit=None, scored=False)
         return res["docnum"].to_pylist()

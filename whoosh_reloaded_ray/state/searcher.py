@@ -807,6 +807,20 @@ class IndexSearcher:
                         # (ref tests/test_queries.py test_issue_355)
                         return ast.Or([])
                     return ast.NumericRange(q.field, v, v, boost=q.boost)
+                if spec.kind == "datetime":
+                    v = q.text
+                    if isinstance(v, str):
+                        from ..query.parser import _datetime_bounds
+
+                        b = _datetime_bounds(v)
+                        if b is None:
+                            return ast.Or([])
+                        return ast.NumericRange(
+                            q.field, b[0], b[1], boost=q.boost
+                        )
+                    # datetime object equality (reference DATETIME
+                    # to_bytes on the value): exact-µs range
+                    return ast.NumericRange(q.field, v, v, boost=q.boost)
                 if spec.kind == "boolean":
                     t = q.text
                     if isinstance(t, str):
