@@ -3196,3 +3196,102 @@ def test_missing_field_lookup(ray_session, tmp_path_factory):
     with ix.searcher() as s:
         with pytest.raises(KeyError):
             s.document_numbers(id="test")
+
+
+def test_phrase_strict(ray_session, tmp_path_factory):
+    # ref test_highlighting.py:27-83 (strict_phrase=True highlights only
+    # phrase-chain occurrences; exact reference outputs)
+    from whoosh_reloaded_ray import highlight as hl
+    from whoosh_reloaded_ray.qparser import QueryParser
+
+    schema = wrr.Schema(id=wrr.ID(stored=True), title=wrr.TEXT(stored=True))
+    ix = _mk(tmp_path_factory, schema, [
+        {"id": "1",
+         "title": "strict phrase highlights phrase terms but not individual terms"},
+    ])
+
+    def search(s, query_string):
+        q = QueryParser("title", s._schema).parse(query_string)
+        r = s.search(q, terms=True)
+        r.fragmenter = hl.ContextFragmenter()
+        r.formatter = hl.UppercaseFormatter()
+        return r
+
+    with ix.searcher() as s:
+        r = search(s, '"phrase terms"')
+        assert [h.highlights("title", strict_phrase=False) for h in r] == [
+            "strict PHRASE highlights PHRASE TERMS but not individual...TERMS"
+        ]
+        assert [h.highlights("title", strict_phrase=True) for h in r] == [
+            "phrase highlights PHRASE TERMS but not individual"
+        ]
+
+        r = search(s, '"strict highlights terms"~2')
+        assert [h.highlights("title", strict_phrase=False) for h in r] == [
+            "STRICT phrase HIGHLIGHTS phrase TERMS but not individual...TERMS"
+        ]
+        assert [h.highlights("title", strict_phrase=True) for h in r] == [
+            "STRICT phrase HIGHLIGHTS phrase TERMS but not individual"
+        ]
+
+        r = search(s, 'individual AND "phrase terms"')
+        assert [h.highlights("title", strict_phrase=False) for h in r] == [
+            "strict PHRASE highlights PHRASE TERMS but not INDIVIDUAL TERMS"
+        ]
+        assert [h.highlights("title", strict_phrase=True) for h in r] == [
+            "phrase highlights PHRASE TERMS but not INDIVIDUAL terms"
+        ]
+
+
+def test_unstored_highlight(ray_session, tmp_path_factory):
+    # ref test_highlighting.py:225-234 (highlights on an unstored field
+    # raises KeyError)
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=False), tags=wrr.KEYWORD(stored=False))
+    ix = _mk(tmp_path_factory, schema, [
+        {"text": "alfa bravo charlie", "tags": "delta echo"}
+    ])
+    hit = ix.searcher().search(Term("text", "bravo"))[0]
+    with pytest.raises(KeyError):
+        hit.highlights("tags")
+
+
+def test_issue324_highlight(whoosh):
+    # ref test_highlighting.py:327-336
+    from whoosh_reloaded_ray import highlight as hl
+    from whoosh_reloaded_ray.functions.analysis import stemming_analyzer
+
+    result = hl.highlight(
+        "Indexed!\n1", ["index"], stemming_analyzer(),
+        fragmenter=hl.ContextFragmenter(), formatter=hl.UppercaseFormatter(),
+    )
+    assert result == "INDEXED!\n1"
+
+
+def test_whole_noterms(ray_session, tmp_path_factory):
+    # ref test_highlighting.py:339-363 (WholeFragmenter with a query on a
+    # different field: empty at minscore=1, whole text at minscore=0)
+    from whoosh_reloaded_ray import highlight as hl
+    from whoosh_reloaded_ray.query import Term
+
+    schema = wrr.Schema(text=wrr.TEXT(stored=True), tag=wrr.KEYWORD(stored=False))
+    ix = _mk(tmp_path_factory, schema, [
+        {"text": "alfa bravo charlie delta echo foxtrot golf", "tag": "foo"}
+    ])
+    with ix.searcher() as s:
+        r = s.search(Term("text", "delta"))
+        assert r.scored_length() == 1
+        r.fragmenter = hl.WholeFragmenter()
+        r.formatter = hl.UppercaseFormatter()
+        assert r[0].highlights("text") == "alfa bravo charlie DELTA echo foxtrot golf"
+
+        r = s.search(Term("tag", "foo"))
+        assert r.scored_length() == 1
+        r.fragmenter = hl.WholeFragmenter()
+        r.formatter = hl.UppercaseFormatter()
+        assert r[0].highlights("text") == ""
+        assert (
+            r[0].highlights("text", minscore=0)
+            == "alfa bravo charlie delta echo foxtrot golf"
+        )

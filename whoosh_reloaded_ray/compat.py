@@ -1492,6 +1492,7 @@ class Hit:
         formatter=None,
         scorer=None,
         order=None,
+        strict_phrase: bool = False,
     ) -> str:
         """Highlighted snippets of this hit for the search's query terms
         (reference Hit.highlights, searching.py:1232-1283).  ``text``
@@ -1503,6 +1504,8 @@ class Hit:
 
         res = getattr(self, "_results", None)
         kw = {"top": top, "minscore": minscore}
+        if strict_phrase:
+            kw["strict_phrase"] = True
         for name, override in (
             ("fragmenter", fragmenter), ("formatter", formatter),
             ("scorer", scorer), ("order", order),
@@ -1517,7 +1520,15 @@ class Hit:
             fspec = next(
                 f for f in self._searcher.manifest.schema.fields if f.name == fieldname
             )
+            if kw.pop("strict_phrase", False):
+                kw["strict_phrase_q"] = self._q
             return highlight(text, terms, fspec.analyzer, **kw)
+        spec = self._searcher.manifest.schema.by_name.get(fieldname)
+        if spec is not None and not spec.stored:
+            # reference Highlighter.highlight_hit contract: unstored field
+            # without a ``text=`` override raises (our source parquet could
+            # serve it, but drop-in callers rely on the KeyError)
+            raise KeyError(f"Field {fieldname!r} is not stored.")
         return highlight_hit(self._searcher, self.docnum, fieldname, self._q, **kw)
 
     def __getitem__(self, k):

@@ -112,6 +112,24 @@ class Query:
                 out.update((leaf.field, w) for w in leaf.words)
         return out
 
+    def phrases(self):
+        """(term leaves, phrase nodes) of the tree (reference
+        Query.phrases, qcore.py:379-400 — used by strict-phrase
+        highlighting)."""
+        terms: list = []
+        phrs: list = []
+        if isinstance(self, Phrase):
+            phrs.append(self)
+        else:
+            for sub in self.children():
+                if isinstance(sub, Term):
+                    terms.append(sub)
+                else:
+                    t, p = sub.phrases()
+                    terms.extend(t)
+                    phrs.extend(p)
+        return terms, phrs
+
     def iter_all_terms(self, phrases: bool = True):
         """Iterator of (field, text) pairs over the tree in leaf order
         (reference Query.iter_all_terms, qcore.py:413-436); multiterm

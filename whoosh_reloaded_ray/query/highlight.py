@@ -483,6 +483,63 @@ class GenshiFormatter(Formatter):
 # ---- top-level -------------------------------------------------------------
 
 
+def _phrase_matched_indices(words: list, phrases) -> set:
+    """Whitespace-word indices covered by strict phrase matches —
+    replicates the reference set_matched_filter_phrases scan
+    (highlight.py:179-266) including its raw ``text.split()`` alignment
+    and the last-occurrence slop walk."""
+    matches: set = set()
+    for ph in phrases:
+        pw = list(ph.words)
+        n, slop = len(pw), ph.slop
+        i = 0
+        while i < len(words):
+            if pw[0] != words[i]:
+                i += 1
+                continue
+            if slop == 1:
+                if words[i + 1 : i + n] == pw[1:]:
+                    matches.update(range(i, i + n))
+                    i += n  # skip past the match (overlaps ignored, like
+                    # the reference)
+                else:
+                    i += 1
+                continue
+            # slop walk: take the LAST occurrence of each next word inside
+            # the slop window so later words stay reachable
+            cur = last = i
+            chain = [i]
+            ok = True
+            for w in pw[1:]:
+                sub = words[cur + 1 : cur + 1 + slop][::-1]
+                if w not in sub:
+                    i += 1
+                    ok = False
+                    break
+                nxt = len(sub) - sub.index(w) - 1
+                last = cur + nxt + 1
+                chain.append(last)
+                cur = last
+            if ok:
+                i = last
+                matches.update(chain)
+    return matches
+
+
+def _strict_phrase_matches(raw_text: str, q) -> set:
+    """Matched whitespace-word indices for strict-phrase highlighting:
+    phrase chains plus individual term words (reference quirk kept: the
+    scan is over ``text.split()`` and is field-agnostic)."""
+    terms, phrases = q.phrases()
+    words = raw_text.split()
+    matches = _phrase_matched_indices(words, phrases)
+    termtexts = {t.text for t in terms}
+    for i, w in enumerate(words):
+        if w in termtexts:
+            matches.add(i)
+    return matches
+
+
 def highlight(
     text: str,
     terms,
@@ -493,14 +550,23 @@ def highlight(
     scorer=basic_fragment_score,
     minscore=1,
     order=FIRST,
+    strict_phrase_q=None,
 ):
-    """Reference highlight() pipeline over a text + query term set."""
+    """Reference highlight() pipeline over a text + query term set.
+    ``strict_phrase_q``: mark matches with the reference's strict-phrase
+    token filter over this query's phrases instead of the plain term-set
+    membership (Hit.highlights(strict_phrase=True))."""
     fragmenter = fragmenter or ContextFragmenter()
     formatter = formatter or UppercaseFormatter()
     termset = frozenset(terms)
     tokens = analyze_with_chars(spec, text)
-    for t in tokens:
-        t.matched = t.text in termset
+    if strict_phrase_q is not None:
+        matches = _strict_phrase_matches(text, strict_phrase_q)
+        for i, t in enumerate(tokens):
+            t.matched = i in matches
+    else:
+        for t in tokens:
+            t.matched = t.text in termset
     fragments = fragmenter.fragment_tokens(text, tokens)
     fragments = top_fragments(fragments, top, scorer, order, minscore)
     return formatter.format(fragments)
@@ -530,6 +596,11 @@ def highlight_hit(searcher, docnum: int, fieldname: str, q, **kwargs) -> str:
         if isinstance(leaf, _ast.ConstantTerms) and leaf.field == fieldname:
             terms.update(leaf.termlist)
     fspec = next(f for f in searcher.manifest.schema.fields if f.name == fieldname)
+    strict = kwargs.pop("strict_phrase", False)
+    if strict:
+        # strict phrase mode always retokenizes (the reference's strict
+        # branch bypasses pinpoint char payloads too)
+        return highlight(text, terms, fspec.analyzer, strict_phrase_q=q, **kwargs)
     if getattr(fspec, "chars", False) and getattr(searcher, "executor", "local") == "local":
         spans = payload_spans(searcher, docnum, fieldname, terms)
         if spans is not None:
