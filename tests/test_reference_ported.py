@@ -3295,3 +3295,103 @@ def test_whole_noterms(ray_session, tmp_path_factory):
             r[0].highlights("text", minscore=0)
             == "alfa bravo charlie delta echo foxtrot golf"
         )
+
+
+def test_fractional_weights(ray_session, tmp_path_factory):
+    # ref test_writing.py:209-238 (DelimitedAttributeFilter boosts become
+    # posting weights; Positions and Frequency formats)
+    from whoosh_reloaded_ray.analysis import (
+        DelimitedAttributeFilter, RegexTokenizer,
+    )
+
+    for phrase in (True, False):
+        ana = RegexTokenizer(r"\S+") | DelimitedAttributeFilter()
+        schema = wrr.Schema(f=wrr.TEXT(analyzer=ana, phrase=phrase))
+        ix = _mk(tmp_path_factory, schema, [
+            {"f": "alfa^0.5 bravo^1.5 charlie^2.0 delta^1.5"}
+        ])
+        with ix.searcher() as s:
+            wts = [s.postings("f", w).weight() for w in s.lexicon("f")]
+            assert wts == [0.5, 1.5, 2.0, 1.5], f"phrase={phrase}"
+
+
+def test_score_length(ray_session, tmp_path_factory):
+    # ref test_searching.py:1664-1689 (postings cursor scores across
+    # segments where a field is missing from some docs)
+    schema = wrr.Schema(a=wrr.TEXT(), b=wrr.TEXT())
+    d = str(tmp_path_factory.mktemp("scorelen"))
+    ix = wrr.create_in(d, schema)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(a="alfa bravo charlie")
+    w.add_document(b="delta echo foxtrot")
+    w.add_document(a="golf hotel india")
+    w.commit(merge=False)
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.add_document(b="juliet kilo lima")
+    w.add_document(a="mike november oskar")
+    w.add_document(b="papa quebec romeo")
+    w.commit(merge=False)
+    with ix.searcher() as s:
+        p = s.postings("a", "mike")
+        seen = 0
+        while p.is_active():
+            assert isinstance(p.id(), int)
+            assert p.score() > 0
+            p.next()
+            seen += 1
+        assert seen == 1
+
+
+def test_cancel_delete(ray_session, tmp_path_factory):
+    # ref test_writing.py:241-281 (cancelled deletes never apply; single-
+    # and multi-segment)
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    for multi in (False, True):
+        d = str(tmp_path_factory.mktemp(f"cdel{multi}"))
+        ix = wrr.create_in(d, schema)
+        if multi:
+            for ch in "ABCD":
+                w = ix.writer(num_shards=2, partition_rows=64)
+                w.add_document(id=ch)
+                w.commit(merge=False)
+        else:
+            w = ix.writer(num_shards=2, partition_rows=64)
+            for ch in "ABCD":
+                w.add_document(id=ch)
+            w.commit()
+        with ix.reader() as r:
+            assert not r.has_deletions()
+        w = ix.writer(num_shards=2, partition_rows=64)
+        w.delete_document(2)
+        w.delete_document(3)
+        w.cancel()
+        with ix.reader() as r:
+            assert not r.has_deletions()
+            assert not r.is_deleted(2)
+            assert not r.is_deleted(3)
+
+
+def test_delete_nonexistant(ray_session, tmp_path_factory):
+    # ref test_writing.py:284-314 (deleting a missing docnum raises)
+    from whoosh_reloaded_ray.compat import IndexingError
+
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"id": ch} for ch in "ABC"])
+    w = ix.writer(num_shards=2, partition_rows=64)
+    with pytest.raises(IndexingError):
+        w.delete_document(5)
+    w.cancel()
+
+
+def test_delete_document_applies(ray_session, tmp_path_factory):
+    # companion check (reference delete_document semantics): committed
+    # deletes ARE applied
+    from whoosh_reloaded_ray.query import Every
+
+    schema = wrr.Schema(id=wrr.ID(stored=True))
+    ix = _mk(tmp_path_factory, schema, [{"id": ch} for ch in "ABCD"])
+    w = ix.writer(num_shards=2, partition_rows=64)
+    w.delete_document(1)
+    w.commit()
+    with ix.searcher() as s:
+        assert sorted(h["id"] for h in s.search(Every(), limit=None)) == ["A", "C", "D"]

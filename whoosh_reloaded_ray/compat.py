@@ -1089,9 +1089,24 @@ class Writer:
         self.rows: list = []
 
     def cancel(self):
-        """Discard buffered (uncommitted) documents (reference
+        """Discard buffered (uncommitted) documents and deletes (reference
         IndexWriter.cancel)."""
         self.rows = []
+        self._deletes = []
+
+    def delete_document(self, docnum: int):
+        """Buffer a by-docnum delete, applied at commit (reference
+        IndexWriter.delete_document; raises IndexingError for a docnum
+        outside the committed index, like the reference)."""
+        from .state.manifest import load_manifest
+
+        man = load_manifest(self.index.dirname)
+        total = man.doc_count if man else 0
+        if not (0 <= int(docnum) < total):
+            raise IndexingError(f"No document ID {docnum} in this index")
+        if not hasattr(self, "_deletes"):
+            self._deletes = []
+        self._deletes.append(int(docnum))
 
     def add_document(self, **fields):
         """Reference IndexWriter.add_document (writing.py:388-402),
@@ -1134,6 +1149,17 @@ class Writer:
         for NO_MERGE (writing.py IndexWriter.commit)."""
         if not merge and mergetype is None:
             mergetype = NO_MERGE
+        if getattr(self, "_deletes", None):
+            import numpy as _np
+
+            from .pipelines.write_ops import delete_by_query
+            from .query.ast import DocSet as _DocSet
+
+            delete_by_query(
+                self.index.dirname,
+                _DocSet(_np.array(sorted(set(self._deletes)), dtype=_np.uint64)),
+            )
+            self._deletes = []
         if mergetype is CLEAR:
             import shutil as _shutil
 
@@ -2337,6 +2363,12 @@ class CompatSearcher:
         """Reference Searcher.doc_frequency (delegates to the reader)."""
         return self._s.doc_frequency(fieldname, text)
 
+    def postings(self, fieldname: str, text: str) -> "PostingReader":
+        """Matcher-style cursor over one term's merged postings
+        (reference Searcher.postings): id()/weight()/score()/next()/
+        is_active()/all_ids()."""
+        return PostingReader(self._s, fieldname, text)
+
     def frequency(self, fieldname: str, text: str) -> float:
         """Reference Searcher.frequency (total term weight)."""
         return self._s.frequencies([(fieldname, text)]).get((fieldname, text), 0)
@@ -2461,6 +2493,58 @@ _add_searcher_passthroughs()
 
 
 # ---- IndexReader veneer (reference reading.py surface) ----------------------
+
+
+class PostingReader:
+    """Minimal cursor over one term's postings across every segment,
+    doc-sorted (the reference's LeafMatcher surface used by
+    Searcher.postings): exact BM25 scores come from the same per-posting
+    scorer as search."""
+
+    def __init__(self, s, fieldname: str, text: str):
+        import numpy as _np
+
+        from .query import ast as _ast
+        from .query.exec import term_scores
+
+        ctx = s._context(_ast.Term(fieldname, text))
+        docs, weights, scores = [], [], []
+        for r in s._local_worker().readers:
+            pl = r.postings(fieldname, text)
+            if pl is None:
+                continue
+            docs.append(pl.docs)
+            weights.append(pl.weights)
+            scores.append(term_scores(pl, fieldname, text, ctx))
+        if docs:
+            d = _np.concatenate(docs)
+            order = _np.argsort(d, kind="stable")
+            self._docs = d[order]
+            self._weights = _np.concatenate(weights)[order]
+            self._scores = _np.concatenate(scores)[order]
+        else:
+            self._docs = _np.empty(0, _np.uint64)
+            self._weights = _np.empty(0, _np.float64)
+            self._scores = _np.empty(0, _np.float64)
+        self._i = 0
+
+    def is_active(self) -> bool:
+        return self._i < self._docs.size
+
+    def id(self) -> int:
+        return int(self._docs[self._i])
+
+    def weight(self) -> float:
+        return float(self._weights[self._i])
+
+    def score(self) -> float:
+        return float(self._scores[self._i])
+
+    def next(self):
+        self._i += 1
+
+    def all_ids(self):
+        yield from (int(d) for d in self._docs)
 
 
 class TermInfo:
