@@ -98,15 +98,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (embeddings table)
         "ann_cosine_topk": ann.ann_cosine_topk,
         "neardup_embedding_pairs": ann.neardup_embedding_pairs,
-        # multimodal: REAL PPM/WAV decode (pure numpy/stdlib) + stubbed
-        # compressed-format decode with real actor-pool plumbing
+        # multimodal: REAL PNG/PPM/WAV decode (pure numpy/stdlib; JPEG is a
+        # declared scope cut) through actor-pool map_batches stages
         "multimodal_meta": g.multimodal_meta()[0],
-        # rows-only gates last (approximate / non-SQL-expressible)
+        # seeded / iterative gates last (fixture-oracle verified)
         "sketches_approx": g.sketches_approx()[0],
         "simhash_all": g.simhash_all()[0],
-        "bpe_token_counts": bpe.bpe_token_counts,  # rows-only (BPE not SQL-expressible)
-        "ann_approx_topk": g.ann_approx_topk()[0],  # rows-only (approximate)
-        "neardup_embedding_lsh": ann.neardup_embedding_pairs_lsh,  # rows-only (approx scale mode)
+        "bpe_token_counts": bpe.bpe_token_counts,
+        "ann_approx_topk": g.ann_approx_topk()[0],
+        "neardup_embedding_lsh": ann.neardup_embedding_pairs_lsh,
     }
 
 
@@ -173,8 +173,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": bpe.oracle_bpe_token_counts(),
         "neardup_embedding_lsh": ann.oracle_neardup_embedding_pairs_lsh(),
         "sketches_approx": g.sketches_approx()[1],
-        # ann_approx_topk: the one remaining rows-only gate — approximate
-        # graph/cluster ANN whose construction order a naive oracle would
-        # have to replicate line-for-line; recall vs exact is tested in
-        # tests/test_corpus_ops.py instead.
+        # round 5: ann_approx_topk joins the fixture oracles — the IVF / PQ
+        # Lloyd refinement now uses fixed-point (associative) partial sums
+        # and HNSW shards by splitmix64(vec_id), so all three algorithms are
+        # bit-deterministic under any Ray blocking and an independent naive
+        # single-process implementation reproduces every row.
+        "ann_approx_topk": g.ann_approx_topk()[1],
     }

@@ -260,6 +260,317 @@ def gen_sketches_approx(sf_dir: str) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# naive approximate-ANN top-k (IVF / PQ / HNSW) — single-process, no Ray.
+#
+# Each follows the published algorithm (IVF/PQ: Jegou-Douze-Schmid 2011;
+# HNSW: Malkov-Yashunin 2016) with the library's fixed seeds and parameter
+# choices, over the table read in plain file order.  Where the library's
+# distributed machinery shuffles or batches (per-block partial sums for the
+# Lloyd refinement, per-shard graphs keyed by splitmix64(vec_id)), the naive
+# code computes the SAME mathematical quantity in one process, which is what
+# makes the compare a genuine cross-check of the Ray plumbing.  Determinism
+# notes: all inner products are float64 and the outputs round similarities to
+# 4 decimals, so blockwise-vs-whole float accumulation differences (~1e-15)
+# cannot move a result; assignment argmax/argmin ties cannot occur with the
+# continuous synthetic embeddings.
+# ---------------------------------------------------------------------------
+
+
+def _naive_read_emb(sf_dir: str):
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return ids, Xn
+
+
+def _naive_queries(ids: np.ndarray, Xn: np.ndarray, n_queries: int):
+    """Query set = the n smallest vec_ids, embeddings sorted by vec_id."""
+    order = np.argsort(ids, kind="stable")[:n_queries]
+    qids = ids[order].tolist()
+    return qids, Xn[order]
+
+
+def _naive_topk_table(per_query: dict, qids: list, k: int, raw: bool = False) -> list:
+    """Global merge: per qid, lexsort by (-sim, vec_id) — rounded to 4
+    decimals for the shard-deterministic HNSW merge, RAW float64 for the
+    batching-invariant IVF merge — then top k, sim_r rounded on output."""
+    rows = []
+    for qid in qids:
+        v, s = per_query.get(qid, (np.empty(0, np.int64), np.empty(0)))
+        key = s if raw else np.round(s, 4)
+        order = np.lexsort((v, -key))[:k]
+        for rank, i in enumerate(order, 1):
+            rows.append((qid, int(v[i]), round(float(s[i]), 4), rank))
+    return rows
+
+
+def _naive_kmeans_cosine(Xn, n_clusters, iters=10, seed=13):
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[c] = v / (np.linalg.norm(v) or 1.0)
+    return C
+
+
+_FIXQ = 1 << 40  # the library's fixed-point Lloyd quantum (associative sums)
+
+
+def _naive_lloyd_refine(Xn, C, iters):
+    """Full-stream Lloyd passes in the library's fixed-point arithmetic:
+    coordinates quantize to round(x * 2^40) int64, per-cluster sums are
+    exact integers, and each centroid cell is one correctly-rounded
+    int/int float division — so the single-process result is bit-identical
+    to the distributed per-block partial-sum reduce under any blocking."""
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        order = np.argsort(assign, kind="stable")
+        a_sorted = assign[order]
+        starts = np.flatnonzero(np.concatenate(([True], a_sorted[1:] != a_sorted[:-1])))
+        Q = np.round(Xn * _FIXQ).astype(np.int64)
+        sums = np.add.reduceat(Q[order], starts, axis=0)
+        counts = np.diff(np.append(starts, a_sorted.size))
+        C = C.copy()
+        for cl, srow, n in zip(a_sorted[starts], sums, counts):
+            den = int(n) * _FIXQ
+            C[cl] = [int(v) / den for v in srow]
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = C / norms
+    return C
+
+
+def gen_ann_ivf_topk(
+    sf_dir, n_queries=5, k=10, n_clusters=16, nprobe=4, refine_iters=2
+):
+    ids, Xn = _naive_read_emb(sf_dir)
+    train_sample = max(4096, 64 * n_clusters)
+    C = _naive_kmeans_cosine(Xn[:train_sample], n_clusters)
+    C = _naive_lloyd_refine(Xn, C, refine_iters)
+    qids, Qn = _naive_queries(ids, Xn, n_queries)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    assign = np.argmax(Xn @ C.T, axis=1)
+    per_query = {}
+    for qi, qid in enumerate(qids):
+        m = np.isin(assign, probe[qi]) & (ids != qid)
+        cand = np.flatnonzero(m)
+        sims = Xn[cand] @ Qn[qi]
+        top = cand[np.argsort(-sims, kind="stable")[:k]]
+        per_query[qid] = (ids[top], Xn[top] @ Qn[qi])
+    return _naive_topk_table(per_query, qids, k, raw=True)
+
+
+def gen_ann_pq_topk(
+    sf_dir, n_queries=5, k=10, m_sub=8, n_codes=64, refine_iters=1, seed=29
+):
+    ids, Xn = _naive_read_emb(sf_dir)
+    d = Xn.shape[1]
+    dsub = d // m_sub
+    train = Xn[: max(2048, 8 * n_codes)]
+    # per-subspace Lloyd codebooks (euclidean on normalized subvectors)
+    books = []
+    for m in range(m_sub):
+        sub = train[:, m * dsub : (m + 1) * dsub]
+        rng = np.random.default_rng(seed + m)
+        kk = min(n_codes, len(sub))
+        C = sub[rng.choice(len(sub), size=kk, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - C[None]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(kk):
+                msk = a == c
+                if msk.any():
+                    C[c] = sub[msk].mean(0)
+        books.append(C)
+    books = np.stack(books)
+    # full-stream refinement passes (fixed-point, see _naive_lloyd_refine)
+    subs = Xn.reshape(len(Xn), m_sub, dsub)
+    Qfix = np.round(subs * _FIXQ).astype(np.int64)
+    for _ in range(refine_iters):
+        books = books.copy()
+        for m in range(m_sub):
+            d2 = ((subs[:, m, None, :] - books[None, m]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            order = np.argsort(a, kind="stable")
+            a_sorted = a[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
+            )
+            sums = np.add.reduceat(Qfix[order, m], starts, axis=0)
+            counts = np.diff(np.append(starts, a_sorted.size))
+            for cl, srow, n in zip(a_sorted[starts], sums, counts):
+                den = int(n) * _FIXQ
+                books[m, cl] = [int(v) / den for v in srow]
+    qids, Qn = _naive_queries(ids, Xn, n_queries)
+    tables = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), m_sub, dsub), books)
+    codes = np.empty((len(Xn), m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        d2 = ((subs[:, m, None, :] - books[None, m]) ** 2).sum(-1)
+        codes[:, m] = np.argmin(d2, axis=1)
+    marange = np.arange(m_sub)
+    rows = []
+    for qi, qid in enumerate(qids):
+        approx = tables[qi][marange, codes].sum(axis=1)
+        cand = np.flatnonzero(ids != qid)
+        # two-stage, matching the library's driver merge: global top-4k
+        # shortlist by (-approx, vec_id), then top-k by (-exact, vec_id)
+        short = cand[np.lexsort((ids[cand], -approx[cand]))[: 4 * k]]
+        exact = Xn[short] @ Qn[qi]
+        order = short[np.lexsort((ids[short], -exact))[:k]]
+        exact_k = exact[np.lexsort((ids[short], -exact))[:k]]
+        for rank, (i, s) in enumerate(zip(order, exact_k), 1):
+            rows.append((qid, int(ids[i]), round(float(s), 4), rank))
+    return rows
+
+
+def _splitmix64_int(x: int) -> int:
+    x &= _M64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return x
+
+
+class _NaiveHnsw:
+    """Hierarchical navigable small-world graph per Malkov-Yashunin 2016,
+    with the library's parameter choices (simple closest-M neighbor
+    selection, backlink prune to closest M, greedy ef=1 descent) — plain
+    python lists / explicit max-scans instead of heaps and numpy link
+    arrays."""
+
+    def __init__(self, M=8, efc=64, seed=7):
+        self.M, self.M0, self.efc = M, 2 * M, efc
+        self.mL = 1.0 / np.log(M)
+        self.rng = np.random.RandomState(seed)
+
+    def _layer(self, q, entry, ef, level):
+        X, links = self.X, self.links
+        visited = {entry}
+        d0 = float(X[entry] @ q)
+        cand = [(d0, entry)]
+        best = [(d0, entry)]
+        while cand:
+            # pop the candidate with max sim (ties: smallest id)
+            j = max(range(len(cand)), key=lambda i: (cand[i][0], -cand[i][1]))
+            d, c = cand.pop(j)
+            worst = min(best)[0]
+            if d < worst and len(best) >= ef:
+                break
+            for nb in links[c].get(level, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = float(X[nb] @ q)
+                if len(best) < ef or dn > min(best)[0]:
+                    cand.append((dn, nb))
+                    best.append((dn, nb))
+                    if len(best) > ef:
+                        best.remove(min(best))
+        return sorted(best, reverse=True)
+
+    def build(self, X):
+        n = len(X)
+        self.X = X
+        draws = self.rng.random_sample(n)
+        levels = np.floor(-np.log(np.clip(draws, 1e-12, None)) * self.mL).astype(int)
+        self.links = [dict() for _ in range(n)]
+        self.entry, self.max_level = -1, -1
+        for i in range(n):
+            li = int(levels[i])
+            if self.entry < 0:
+                for lev in range(li + 1):
+                    self.links[i][lev] = []
+                self.entry, self.max_level = i, li
+                continue
+            ep = self.entry
+            for lev in range(self.max_level, li, -1):
+                ep = self._layer(X[i], ep, 1, lev)[0][1]
+            for lev in range(min(li, self.max_level), -1, -1):
+                cands = self._layer(X[i], ep, self.efc, lev)
+                mmax = self.M0 if lev == 0 else self.M
+                nbrs = [c[1] for c in cands[:mmax]]
+                self.links[i][lev] = nbrs
+                for nb in nbrs:
+                    cur = list(self.links[nb].get(lev, [])) + [i]
+                    if len(cur) > mmax:
+                        sims = [float(X[c] @ X[nb]) for c in cur]
+                        keep = sorted(range(len(cur)), key=lambda t: -sims[t])[:mmax]
+                        cur = [cur[t] for t in keep]
+                    self.links[nb][lev] = cur
+                ep = cands[0][1]
+            for lev in range(self.max_level + 1, li + 1):
+                self.links[i][lev] = []
+            if li > self.max_level:
+                self.entry, self.max_level = i, li
+
+    def search(self, q, k, ef):
+        ep = self.entry
+        for lev in range(self.max_level, 0, -1):
+            ep = self._layer(q, ep, 1, lev)[0][1]
+        return self._layer(q, ep, max(ef, k), 0)[:k]
+
+
+def gen_ann_hnsw_topk(
+    sf_dir, n_queries=5, k=10, M=8, efc=64, efs=64, n_shards=4
+):
+    ids, Xn = _naive_read_emb(sf_dir)
+    qids, Qn = _naive_queries(ids, Xn, n_queries)
+    shard = np.array([_splitmix64_int(int(i)) % n_shards for i in ids])
+    per_query: dict = {q: ([], []) for q in qids}
+    for s in range(n_shards):
+        m = np.flatnonzero(shard == s)
+        if m.size == 0:
+            continue
+        order = m[np.argsort(ids[m], kind="stable")]
+        sid, sX = ids[order], Xn[order]
+        g = _NaiveHnsw(M=M, efc=efc, seed=7)
+        g.build(sX)
+        for qi, qid in enumerate(qids):
+            for sim, li in g.search(Qn[qi], k + 1, ef=efs):
+                if sid[li] == qid:
+                    continue
+                per_query[qid][0].append(int(sid[li]))
+                per_query[qid][1].append(float(sim))
+    merged = {
+        q: (np.array(v, dtype=np.int64), np.array(sv, dtype=np.float64))
+        for q, (v, sv) in per_query.items()
+    }
+    return _naive_topk_table(merged, qids, k)
+
+
+def gen_ann_approx_topk(sf_dir: str) -> pa.Table:
+    """The folded ``ann_approx_topk`` gate shape: which/qid/vec_id/sim_r/rank
+    union of the IVF, HNSW and PQ naive results (fold order matches
+    gates.ann_approx_topk)."""
+    rows = []
+    for which, fn in (
+        ("ann_ivf_topk", gen_ann_ivf_topk),
+        ("ann_hnsw_topk", gen_ann_hnsw_topk),
+        ("ann_pq_topk", gen_ann_pq_topk),
+    ):
+        for qid, vec_id, sim_r, rank in fn(sf_dir):
+            rows.append((which, qid, vec_id, sim_r, rank))
+    return pa.table(
+        {
+            "which": pa.array([r[0] for r in rows], pa.string()),
+            "qid": pa.array([r[1] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "sim_r": pa.array([r[3] for r in rows], pa.float64()),
+            "rank": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def gen_fixtures(sf_dir: str, tag: str) -> None:
     os.makedirs(FIXDIR, exist_ok=True)
     t = gen_bpe_token_counts(sf_dir)
@@ -271,6 +582,9 @@ def gen_fixtures(sf_dir: str, tag: str) -> None:
     t = gen_sketches_approx(sf_dir)
     pq.write_table(t, os.path.join(FIXDIR, f"sketches_approx_{tag}.parquet"))
     print(f"sketches_approx_{tag}: {t.num_rows} rows")
+    t = gen_ann_approx_topk(sf_dir)
+    pq.write_table(t, os.path.join(FIXDIR, f"ann_approx_topk_{tag}.parquet"))
+    print(f"ann_approx_topk_{tag}: {t.num_rows} rows")
 
 
 if __name__ == "__main__":

@@ -263,6 +263,27 @@ def oracle_neardup_embedding_pairs_lsh() -> str:
     return f"SELECT a, b, sim_r FROM read_parquet('{fix}') ORDER BY a, b"
 
 
+def oracle_ann_approx_topk() -> str:
+    """Fixture oracle for the folded IVF/HNSW/PQ approximate top-k gate:
+    reads a COMMITTED parquet generated by independent naive single-process
+    implementations of the three published algorithms with the library's
+    seeds (scripts/gen_gate_fixtures.py — no Ray, no pipeline code; plain
+    file-order reads, whole-stream Lloyd sums, per-shard python-list HNSW
+    keyed by splitmix64(vec_id)).  Valid at the driver's gate scale
+    (sf0.01); tests/test_gate_fixtures.py regenerates the naive result each
+    round so the fixture cannot go stale."""
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "fixtures",
+        "ann_approx_topk_sf0.01.parquet",
+    )
+    return (
+        f"SELECT which, qid, vec_id, sim_r, rank FROM read_parquet('{fix}') "
+        "ORDER BY which, qid, rank"
+    )
+
+
 def neardup_embedding_pairs_lsh(
     sf_dir: str,
     tau: float = 0.4,
@@ -462,13 +483,42 @@ def _train_centroids(X: np.ndarray, n_clusters: int, iters: int = 10, seed: int 
     return C
 
 
+# Fixed-point quantum for the distributed Lloyd partial sums: coordinates of
+# unit vectors are quantized to q = round(x * 2^40) int64 inside each block,
+# so partial sums are EXACT integers and integer addition is associative —
+# the refined centroids are bit-identical under ANY block structure / batch
+# size / shuffle order (a float partial-sum tree differs from a whole-stream
+# sum by ~1 ulp, which can flip an argmin near a tie and break byte-stable
+# reruns).  Bounds: |q| <= 2^40 and int64 holds 2^63, so a block may hold up
+# to 2^22 ≈ 4.2M rows per cluster (Ray blocks at the default 128 MiB target
+# are ~256k rows of 64-dim float32); the driver accumulates per-block int64
+# partials into arbitrary-precision Python ints, so the TOTAL stream size is
+# unbounded.  Quantization error 2^-40 per coordinate is ~1e-12 — far below
+# kmeans' own convergence tolerance.
+_FIX_SCALE = 1 << 40
+
+
+def _fix_div(acc_obj: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Exact rational -> correctly-rounded float64: each cell is a Python
+    int sum divided by (count * _FIX_SCALE) via int.__truediv__ (one
+    correctly-rounded float op — deterministic on every platform)."""
+    flat = acc_obj.reshape(acc_obj.shape[0], -1)
+    out = np.empty(flat.shape, dtype=np.float64)
+    for r in range(flat.shape[0]):
+        den = int(cnt[r]) * _FIX_SCALE
+        out[r] = [int(v) / den for v in flat[r]]
+    return out.reshape(acc_obj.shape)
+
+
 def _refine_centroids_distributed(ds, C: np.ndarray, iters: int = 2) -> np.ndarray:
     """Lloyd refinement over the WHOLE embedding stream (the scale path the
     sample-seeded trainer was missing): each iteration is one map_batches
     pass emitting per-cluster partial (sum, count) rows; the driver reduces
-    n_clusters x dim floats per block — never the vectors themselves.  At
+    n_clusters x dim cells per block — never the vectors themselves.  At
     10^12 vectors each pass streams with backpressure and the driver-side
-    reduce stays O(blocks * n_clusters * dim)."""
+    reduce stays O(blocks * n_clusters * dim).  Partial sums are fixed-point
+    int64 (see _FIX_SCALE) so the result is bit-deterministic under any
+    blocking."""
     import ray
 
     n_clusters, dim = C.shape
@@ -486,7 +536,8 @@ def _refine_centroids_distributed(ds, C: np.ndarray, iters: int = 2) -> np.ndarr
                 np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
             )
             clusters = a_sorted[starts]
-            sums = np.add.reduceat(Xn[order], starts, axis=0)
+            Q = np.round(Xn * _FIX_SCALE).astype(np.int64)
+            sums = np.add.reduceat(Q[order], starts, axis=0)
             counts = np.diff(np.append(starts, a_sorted.size))
             return pa.table(
                 {
@@ -496,7 +547,7 @@ def _refine_centroids_distributed(ds, C: np.ndarray, iters: int = 2) -> np.ndarr
                 }
             )
 
-        acc = np.zeros((n_clusters, dim))
+        acc = np.zeros((n_clusters, dim), dtype=object)
         cnt = np.zeros(n_clusters, dtype=np.int64)
         for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
@@ -504,13 +555,13 @@ def _refine_centroids_distributed(ds, C: np.ndarray, iters: int = 2) -> np.ndarr
             cl = b["cluster"].to_numpy()
             cn = b["count"].to_numpy()
             sm = np.stack(
-                [np.frombuffer(s, dtype=np.float64) for s in b["sum"].to_pylist()]
-            )
+                [np.frombuffer(s, dtype=np.int64) for s in b["sum"].to_pylist()]
+            ).astype(object)
             np.add.at(acc, cl, sm)
             np.add.at(cnt, cl, cn)
         nz = cnt > 0
         C = C.copy()
-        C[nz] = acc[nz] / cnt[nz, None]
+        C[nz] = _fix_div(acc[nz], cnt[nz])
         norms = np.linalg.norm(C, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         C = C / norms
@@ -584,12 +635,16 @@ def ann_ivf_topk(
     t = pa.concat_tables(parts)
     import pyarrow.compute as pc
 
+    # merge on RAW float64 sims (tie-break vec_id): the global top-k by raw
+    # sim is contained in the union of per-batch top-ks under ANY batching,
+    # so the result is batching-invariant (a rounded-sim merge could admit a
+    # 4-decimal-tied candidate that only survives some batchings)
     rows = []
     for qid in qids:
         sub = t.filter(pc.equal(t["qid"], qid))
         s = sub["sim"].to_numpy()
         v = sub["vec_id"].to_numpy()
-        order = np.lexsort((v, -np.round(s, 4)))[:k]
+        order = np.lexsort((v, -s))[:k]
         for rank, i in enumerate(order, 1):
             rows.append((qid, int(v[i]), round(float(s[i]), 4), rank))
     return pa.table(
@@ -638,7 +693,9 @@ def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> n
     """Distributed Lloyd refinement of PQ codebooks over the WHOLE stream
     (same shape as :func:`_refine_centroids_distributed`): each pass emits
     per-(subspace, code) partial sums from map_batches; the driver reduces
-    m_sub * K * dsub floats per block and never sees a vector."""
+    m_sub * K * dsub cells per block and never sees a vector.  Partial sums
+    are fixed-point int64 (see _FIX_SCALE) so the refined codebooks are
+    bit-deterministic under any blocking."""
     import ray
 
     m_sub, K, dsub = books.shape
@@ -651,6 +708,7 @@ def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> n
             X = _emb_matrix(batch["embedding"])
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             subs = Xn.reshape(len(Xn), msub, dsub_)
+            Qfix = np.round(subs * _FIX_SCALE).astype(np.int64)
             rows_m, rows_c, rows_n, rows_s = [], [], [], []
             for m in range(msub):
                 d2 = ((subs[:, m, None, :] - B[None, m]) ** 2).sum(-1)
@@ -660,7 +718,7 @@ def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> n
                 starts = np.flatnonzero(
                     np.concatenate(([True], a_sorted[1:] != a_sorted[:-1]))
                 )
-                sums = np.add.reduceat(subs[order, m], starts, axis=0)
+                sums = np.add.reduceat(Qfix[order, m], starts, axis=0)
                 counts = np.diff(np.append(starts, a_sorted.size))
                 codes = a_sorted[starts]
                 rows_m.extend([m] * codes.size)
@@ -676,7 +734,7 @@ def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> n
                 }
             )
 
-        acc = np.zeros((m_sub, K, dsub))
+        acc = np.zeros((m_sub, K, dsub), dtype=object)
         cnt = np.zeros((m_sub, K), dtype=np.int64)
         for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow", batch_size=None
@@ -685,13 +743,13 @@ def _refine_pq_codebooks_distributed(ds, books: np.ndarray, iters: int = 1) -> n
             code = b["code"].to_numpy()
             cn = b["count"].to_numpy()
             sm = np.stack(
-                [np.frombuffer(s, dtype=np.float64) for s in b["sum"].to_pylist()]
-            )
+                [np.frombuffer(s, dtype=np.int64) for s in b["sum"].to_pylist()]
+            ).astype(object)
             np.add.at(acc, (sub, code), sm)
             np.add.at(cnt, (sub, code), cn)
         books = books.copy()
         nz = cnt > 0
-        books[nz] = acc[nz] / cnt[nz][:, None]
+        books[nz] = _fix_div(acc[nz], cnt[nz])
     return books
 
 
@@ -740,26 +798,28 @@ def ann_pq_topk(
         for m in range(msub):
             d2 = ((subs[:, m, None, :] - books_[None, m]) ** 2).sum(-1)
             codes[:, m] = np.argmin(d2, axis=1)
-        out_q, out_v, out_s = [], [], []
+        out_q, out_v, out_a, out_s = [], [], [], []
         marange = np.arange(msub)
         for qi, qid in enumerate(qids_):
             approx = tables_[qi][marange, codes].sum(axis=1)  # (nb,)
             mask = ids != qid
             cand = np.flatnonzero(mask)
-            # ADC shortlist (4k) then EXACT rerank of just the shortlist —
-            # the standard PQ search recipe: codes prune ~all of the batch,
-            # exact dot products touch only the survivors
+            # ADC shortlist (4k per batch) with BOTH scores attached; the
+            # global shortlist is picked by the DRIVER so the result is
+            # batching-invariant (a per-batch exact rerank would let extra
+            # candidates in whenever Ray splits the stream into more
+            # batches).  Exact dot products touch only the survivors.
             short = cand[np.argsort(-approx[cand], kind="stable")[: 4 * k]]
             exact = Xn_[short] @ Qn_[qi]
-            top_local = np.argsort(-exact, kind="stable")[:k]
-            top = short[top_local]
-            out_q.extend([qid] * top.size)
-            out_v.extend(ids[top].tolist())
-            out_s.extend(exact[top_local].tolist())
+            out_q.extend([qid] * short.size)
+            out_v.extend(ids[short].tolist())
+            out_a.extend(approx[short].tolist())
+            out_s.extend(exact.tolist())
         return pa.table(
             {
                 "qid": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_v, pa.int64()),
+                "approx": pa.array(out_a, pa.float64()),
                 "sim": pa.array(out_s, pa.float64()),
             }
         )
@@ -773,12 +833,18 @@ def ann_pq_topk(
     t = pa.concat_tables(parts)
     import pyarrow.compute as pc
 
+    # the standard two-stage ADC recipe, made batching-invariant: global
+    # top-4k shortlist by RAW approx score (contained in the union of
+    # per-batch shortlists under any batching), then top-k by RAW exact sim
+    # over exactly that set; ties break on vec_id at both stages
     rows = []
     for qid in qids:
         sub = t.filter(pc.equal(t["qid"], qid))
+        a = sub["approx"].to_numpy()
         s = sub["sim"].to_numpy()
         v = sub["vec_id"].to_numpy()
-        order = np.lexsort((v, -np.round(s, 4)))[:k]
+        short = np.lexsort((v, -a))[: 4 * k]
+        order = short[np.lexsort((v[short], -s[short]))[:k]]
         for rank, i in enumerate(order, 1):
             rows.append((qid, int(v[i]), round(float(s[i]), 4), rank))
     return pa.table(
@@ -895,20 +961,36 @@ class _HnswGraph:
 
 def ann_hnsw_topk(
     sf_dir: str, n_queries: int = 5, k: int = 10, M: int = 8,
-    ef_construction: int = 64, ef_search: int = 64,
+    ef_construction: int = 64, ef_search: int = 64, n_shards: int = 4,
 ) -> pa.Table:
-    """HNSW approximate top-k: per-batch (= per-shard) graphs answer the
-    broadcast queries; driver merges shards x k candidates exactly."""
+    """HNSW approximate top-k over DETERMINISTIC shards: every vector is
+    assigned ``shard = splitmix64(vec_id) % n_shards`` (input-determined —
+    never Ray block boundaries, so the result is stable under any batching
+    / re-run and an independent single-process oracle can reproduce it);
+    one graph per shard is built in insertion order sorted by vec_id and
+    answers the broadcast queries; the driver merges the bounded
+    shards x (k+1) candidate rows.  At 10^12 vectors the shard key doubles
+    as the vector parquet's partitioning key and the graphs live in
+    long-lived shard actors."""
     import ray
+
+    from ..functions.partition import partition_ids
 
     qids, Q = _query_matrix(sf_dir, n_queries)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bcast = ray.put((qids, Qn))
 
-    def shard_topk(batch: pa.Table) -> pa.Table:
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__shard", pa.array(partition_ids(ids, n_shards))
+        )
+
+    def shard_topk(part: pa.Table) -> pa.Table:
         qids_, Qn_ = ray.get(bcast)
-        ids = batch["vec_id"].to_numpy()
-        X = _emb_matrix(batch["embedding"])
+        part = part.sort_by("vec_id")
+        ids = part["vec_id"].to_numpy()
+        X = _emb_matrix(part["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         g = _HnswGraph(M=M, ef_construction=ef_construction, seed=7)
         g.build(Xn)
@@ -928,11 +1010,13 @@ def ann_hnsw_topk(
             }
         )
 
-    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"]).map_batches(
+        add_shard, batch_format="pyarrow"
+    )
     t = pa.concat_tables(
-        ds.map_batches(shard_topk, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
+        ds.groupby("__shard")
+        .map_groups(shard_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     import pyarrow.compute as pc
 

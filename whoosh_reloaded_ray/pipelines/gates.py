@@ -305,7 +305,12 @@ def simhash_all():
 
 
 def ann_approx_topk():
-    """Approximate ANN top-k (rows-only): IVF / HNSW / PQ variants."""
+    """Approximate ANN top-k: IVF / HNSW / PQ variants.  FULLY
+    fixture-oracle-verified as of round 5: the three algorithms are
+    deterministic given their seeds (HNSW shards by splitmix64(vec_id), not
+    Ray block boundaries), so an independent naive single-process
+    implementation (scripts/gen_gate_fixtures.py) reproduces every row and
+    the committed fixture is the oracle."""
     from whoosh_reloaded_ray.pipelines import ann
 
     cases = [
@@ -313,4 +318,7 @@ def ann_approx_topk():
         ("ann_hnsw_topk", ann.ann_hnsw_topk),
         ("ann_pq_topk", ann.ann_pq_topk),
     ]
-    return fold_queries(cases, ["qid", "vec_id", "sim_r", "rank"]), None
+    return (
+        fold_queries(cases, ["qid", "vec_id", "sim_r", "rank"]),
+        ann.oracle_ann_approx_topk(),
+    )
