@@ -49,3 +49,24 @@ def actor_pool_size(divisor: int = 2, floor: int = 2) -> int:
     except Exception:
         cpus = 4
     return max(floor, cpus // divisor)
+
+
+def consume_fault_flag(flag_path: str) -> None:
+    """TEST-ONLY crash hook (fault-injection for the Ray restart paths).
+
+    If ``flag_path`` exists, atomically consume it (os.rename — exactly one
+    process wins) and kill THIS worker process with ``os._exit(1)``: a real
+    mid-task process death, not a Python exception, so Ray's actor-restart
+    + task-retry machinery is what recovers.  No-op when the flag file is
+    absent, which is always true outside tests (the file lives inside the
+    index dir and is only ever created by tests/test_fault_injection.py).
+    """
+    import os
+
+    if not flag_path or not os.path.exists(flag_path):
+        return
+    try:
+        os.rename(flag_path, flag_path + ".consumed")
+    except OSError:
+        return  # another worker already consumed it
+    os._exit(1)

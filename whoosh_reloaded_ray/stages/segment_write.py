@@ -81,8 +81,18 @@ class ShardSegmentWriter:
 
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
+        # fault-injection hook (tests only; see _rayutil.consume_fault_flag):
+        # a flag file at the index root crashes exactly one writer actor
+        # mid-build, proving Ray Data's actor restart + task retry yields a
+        # byte-identical segment (all writes are atomic tmp+rename)
+        self._fault_flag = os.path.join(
+            os.path.dirname(seg_dir.rstrip("/")), ".fault_crash_writer"
+        )
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from .._rayutil import consume_fault_flag
+
+        consume_fault_flag(self._fault_flag)
         if group.num_rows == 0:
             return _summary_table(-1, None, "{}")
         shard = int(group["shard"][0].as_py())

@@ -86,6 +86,11 @@ class _SegmentWorker:
 
         if _PKG_PARENT not in sys.path:
             sys.path.insert(0, _PKG_PARENT)
+        # fault-injection hook (tests only; _rayutil.consume_fault_flag): a
+        # flag file in the index dir crashes exactly one worker mid-query;
+        # the actor's max_restarts/max_task_retries recover it and the
+        # retried read is byte-identical (the index is an immutable snapshot)
+        self._fault_flag = _os.path.join(index_dir, ".fault_crash_eval")
         man = Manifest.from_dict(manifest_dict)
         self.field_kinds = {
             f.name: (f.kind, getattr(f, "numtype", "int"))
@@ -389,9 +394,15 @@ class _SegmentWorker:
         ``initial_theta`` seeds the WAND threshold (a global lower bound on
         the final kth-best score); ``return_theta`` appends the worker's
         final threshold to the return tuple."""
+        from .._rayutil import consume_fault_flag
         from ..query.wand import (
             WAND_MODELS, topk_dismax, topk_wand, wandable_dismax, wandable_terms,
         )
+
+        # getattr: the timelimit path builds bare per-reader workers via
+        # __new__ (no __init__, no flag) — fault injection targets only
+        # fully-constructed actors
+        consume_fault_flag(getattr(self, "_fault_flag", None))
 
         can_wand = (
             scored
@@ -540,7 +551,13 @@ class IndexSearcher:
                 # a fixed default starves large clusters
                 num_actors = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
             num_actors = min(num_actors, max(n_seg, 1))
-            Actor = ray.remote(_SegmentWorker)
+            # workers are pure snapshot readers over an immutable index:
+            # restart re-runs __init__ from the (small, driver-held)
+            # constructor args and a retried evaluate/stats task returns
+            # byte-identical results, so transparent actor restart + task
+            # retry is safe — a died worker (node loss, OOM kill) costs one
+            # query retry, not a failed search (tests/test_fault_injection)
+            Actor = ray.remote(max_restarts=4, max_task_retries=4)(_SegmentWorker)
             if scheduling_strategy is not None:
                 # e.g. "SPREAD": place segment actors across nodes so a
                 # multi-node cluster's aggregate cache/IO is used
@@ -622,6 +639,46 @@ class IndexSearcher:
     def idf(self, field: str, term: str) -> float:
         df = self.doc_frequency(field, term)
         return math.log(self.doc_count_all() / (df + 1)) + 1
+
+    def matched_spans(self, q) -> dict:
+        """Per-document span occurrences of a span-expressible query:
+        ``{docnum: [(start, end), ...]}`` of token positions — the
+        reference matcher protocol's ``m.spans()`` (spans.py Span.start/
+        Span.end, asserted throughout reference tests/test_spans.py),
+        surfaced as one batch call instead of a cursor walk.  Driver-side
+        point API over the pinned segment readers: span payloads are
+        per-document position data the caller is about to consume anyway,
+        so an actor fan-out would just move the same bytes twice."""
+        from ..query import ast as _ast
+        from ..query.exec import _POSMASK, _collect_spans, evaluate
+
+        w = self._local_worker()
+        excluded = set(w.excluded.tolist()) if w.excluded.size else ()
+        out: dict = {}
+        for r in w.readers:
+            if isinstance(q, (_ast.Or, _ast.And)):
+                # plain Union/Intersection matcher spans: sorted union of
+                # the children's spans at docs the WHOLE query matches
+                # (reference matching/binary.py:555 UnionMatcher.spans /
+                # :219 IntersectionMatcher.spans)
+                parts = [_collect_spans(r, s) for s in q.subqueries]
+                sk = np.concatenate([p[0] for p in parts])
+                ek = np.concatenate([p[1] for p in parts])
+                docs_ok, _ = evaluate(r, q, None, scored=False)
+                keep = np.isin(sk >> np.uint64(32), docs_ok.astype(np.uint64))
+                from ..query.exec import _unique_spans
+
+                sk, ek = _unique_spans(sk[keep], ek[keep])
+            else:
+                sk, ek = _collect_spans(r, q)
+            docs = (sk >> np.uint64(32)).astype(np.int64).tolist()
+            ss = (sk & _POSMASK).astype(np.int64).tolist()
+            es = (ek & _POSMASK).astype(np.int64).tolist()
+            for d, s, e in zip(docs, ss, es):
+                if d in excluded:
+                    continue
+                out.setdefault(d, []).append((s, e))
+        return out
 
     def frequencies(self, terms: list) -> dict:
         if self.executor == "ray":
