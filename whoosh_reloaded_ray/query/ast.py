@@ -227,6 +227,28 @@ class Query:
             return min(est, s.doc_count_all())
         if isinstance(self, (AndNot, AndMaybe, Require)):
             return self.a.estimate_size(ixreader)
+        # positional / span queries estimate via the doc-level query they
+        # wrap (reference positional.py:96-103, 234-241 _and_query;
+        # spans.py:601-608 SpanNear2, :712 SpanOr self.q = Or(subqs),
+        # :823/871/906 SpanContains/Before/Condition self.q = And([a, b]),
+        # SpanNot self.q = a, WrappingSpan(SpanFirst) wraps its child)
+        if isinstance(self, Phrase):
+            return min(
+                s.doc_frequency(self.field, w) for w in self.words
+            ) if self.words else 0
+        if isinstance(self, (Sequence, Ordered)) and self.subqueries:
+            return min(q.estimate_size(ixreader) for q in self.subqueries)
+        if isinstance(self, SpanOr) and self.subqueries:
+            est = sum(q.estimate_size(ixreader) for q in self.subqueries)
+            return min(est, s.doc_count_all())
+        if isinstance(self, (SpanNear, SpanContains, SpanBefore, SpanCondition)):
+            return min(
+                self.a.estimate_size(ixreader), self.b.estimate_size(ixreader)
+            )
+        if isinstance(self, SpanNot):
+            return self.a.estimate_size(ixreader)
+        if isinstance(self, SpanFirst):
+            return self.child.estimate_size(ixreader)
         return s.doc_count_all()
 
     def estimate_min_size(self, ixreader) -> int:

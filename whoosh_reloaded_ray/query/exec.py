@@ -1356,6 +1356,13 @@ def _collect_spans(reader, q) -> tuple:
     filter/merge recursively."""
     if isinstance(q, ast.Sequence):
         return _sequence_spans(reader, q)
+    if isinstance(q, ast.Phrase):
+        # Phrase == ordered Sequence of its terms at the phrase slop
+        # (reference positional.py Phrase.matcher -> SpanNear2 tree)
+        return _sequence_spans(
+            reader,
+            ast.Sequence([ast.Term(q.field, w) for w in q.words], slop=q.slop),
+        )
     if isinstance(q, ast.SpanOr):
         parts = [_collect_spans(reader, s) for s in q.subqueries]
         sk = np.concatenate([p[0] for p in parts]) if parts else _NOSPANS[0]
