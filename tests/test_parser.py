@@ -633,3 +633,88 @@ def test_parser_differential_fuzz(whoosh):
                 # operands resolve differently on such malformed input)
             residual.append((s, r, o))
     assert not residual, residual[:5]
+
+
+# ---------------------------------------------------------------------------
+# multitoken_query (reference FieldType.multitoken_query, fields.py:85-124;
+# ported from reference tests/test_parsing.py:846-906 and
+# tests/test_analysis.py:450-469 test_name_field)
+# ---------------------------------------------------------------------------
+
+
+def _mt_schema(mode):
+    from whoosh_reloaded_ray import compat as wrr
+
+    return wrr.Schema(text=wrr.TEXT(multitoken_query=mode)).index_schema
+
+
+def test_multitoken_default():
+    """ref test_parsing.py:846-861: one query word analyzing into several
+    tokens builds the parser's group class by default."""
+    from whoosh_reloaded_ray.query import And, Term
+
+    schema = _mt_schema("default")
+    assert schema.fields[0].multitoken_query == "default"
+    q = QueryParser("text", schema).parse("chaw-bacon")
+    assert q == And([Term("text", "chaw"), Term("text", "bacon")])
+
+
+def test_multitoken_or():
+    # ref test_parsing.py:863-880
+    from whoosh_reloaded_ray.query import Or, Term
+
+    q = QueryParser("text", _mt_schema("or")).parse("chaw-bacon")
+    assert q == Or([Term("text", "chaw"), Term("text", "bacon")])
+
+
+def test_multitoken_phrase():
+    # ref test_parsing.py:882-893
+    from whoosh_reloaded_ray.query import Phrase
+
+    q = QueryParser("text", _mt_schema("phrase")).parse("chaw-bacon")
+    assert isinstance(q, Phrase) and q.words == ("chaw", "bacon")
+
+
+def test_multitoken_first():
+    # reference qparser/default.py:188-190 mode "first"
+    from whoosh_reloaded_ray.query import Term
+
+    q = QueryParser("text", _mt_schema("first")).parse("chaw-bacon")
+    assert q == Term("text", "chaw")
+
+
+def test_singlequote_multitoken():
+    """ref test_parsing.py:896-906: whitespace-separated words are the
+    GROUP (AND) regardless of multitoken mode; a single-quoted 'foo bar'
+    is ONE query word that analyzes into two tokens, so the field's
+    multitoken_query mode (or) decides."""
+    from whoosh_reloaded_ray.query import And, Or, Term
+
+    p = QueryParser("text", _mt_schema("or"))
+    assert p.parse("foo bar") == And([Term("text", "foo"), Term("text", "bar")])
+    assert p.parse("'foo bar'") == Or([Term("text", "foo"), Term("text", "bar")])
+
+
+def test_name_field_multitoken(ray_session, tmp_path):
+    """ref test_analysis.py:450-469 test_name_field: DoubleMetaphone
+    (combine=True) splits one query word into several phonetic tokens;
+    multitoken_query="or" makes 'leaf eriksen' find 'Leif Ericson'."""
+    from whoosh_reloaded_ray import compat as wrr
+
+    ana = (
+        wrr.RegexTokenizer(r"\S+")
+        | wrr.LowercaseFilter()
+        | wrr.DoubleMetaphoneFilter(combine=True)
+    )
+    schema = wrr.Schema(
+        id=wrr.STORED(), name=wrr.TEXT(analyzer=ana, multitoken_query="or")
+    )
+    ix = wrr.create_in(str(tmp_path / "names"), schema)
+    w = ix.writer()
+    w.add_document(id="one", name="Leif Ericson")
+    w.commit()
+
+    with ix.searcher() as s:
+        q = QueryParser("name", ix.index_schema).parse("leaf eriksen")
+        r = s.search(q)
+        assert len(r) == 1

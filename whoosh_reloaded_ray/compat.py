@@ -518,7 +518,8 @@ def _coerce_analyzer(analyzer):
 
 
 def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False,
-         chars=False, boosts=False, format=None, sortable=False):
+         chars=False, boosts=False, format=None, sortable=False,
+         multitoken_query="default"):
     """``format=`` names a USER-REGISTERED posting Format codec (the
     reference's custom Format subclass plug point, formats.py:51-135; see
     whoosh_reloaded_ray/formats.py).  ``sortable=True`` keeps the original
@@ -545,6 +546,7 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
             "chars": chars,
             "boosts": boosts,
             "format": format,
+            "multitoken_query": multitoken_query,
         },
     )
 
@@ -703,6 +705,7 @@ class Schema:
                         boosts=opts.get("boosts", False),
                         format=opts.get("format"),
                         stored=opts.get("stored", True),
+                        multitoken_query=opts.get("multitoken_query", "default"),
                     )
                 )
             elif kind == "id":

@@ -987,6 +987,19 @@ class QueryParser:
             return None
         if len(words) == 1:
             return ast.Term(field, words[0])
+        # one query word -> several tokens: the field's multitoken_query
+        # mode decides the shape (reference qparser/default.py:172-203)
+        mode = (getattr(spec, "multitoken_query", "default") or "default").lower()
+        if mode == "first":
+            return ast.Term(field, words[0])
+        if mode == "phrase":
+            return ast.Phrase(field, words)
+        if mode == "and":
+            return ast.And([ast.Term(field, w) for w in words])
+        if mode == "or":
+            return ast.Or([ast.Term(field, w) for w in words])
+        if mode != "default":
+            raise ast.QueryError(f"Unknown multitoken_query value {mode!r}")
         return self.group_cls([ast.Term(field, w) for w in words])
 
     def _range_query(self, node):

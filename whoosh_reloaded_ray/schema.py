@@ -64,6 +64,12 @@ class FieldSpec:
     # is analyzed with ``analyzer`` in mode="query" (which only differs
     # for n-gram chains).
     query_analyzer: Optional[AnalyzerSpec] = None
+    # What the query parser builds when a single query-string word analyzes
+    # into SEVERAL tokens (reference FieldType.multitoken_query,
+    # fields.py:85-124 + qparser/default.py:172-203): "default" = the
+    # parser's group class, "and" / "or" = that compound, "phrase" = a
+    # Phrase over the tokens, "first" = keep only the first token.
+    multitoken_query: str = "default"
     # Name of a USER-REGISTERED posting Format codec (see
     # whoosh_reloaded_ray/formats.py — the reference's custom Format
     # subclass plug point, formats.py:51-135).  The codec's encode() runs
