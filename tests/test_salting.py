@@ -155,3 +155,86 @@ def test_estimate_hot_terms(corpus):
     hot = estimate_hot_terms(parts, transcript_schema(), df_ratio=0.2, sample_rows=1000)
     assert hot, "zipf corpus should surface hot terms"
     assert all(f == "text" and n >= 2 for (f, _), n in hot.items())
+
+
+def test_adversarial_skew_autosalt(ray_session, tmp_path):
+    """Round-5 adversarial skew stress: one term in ~50% of all turns and
+    one conv_id holding ~20% of all rows.  The salt AUTO-DETECTOR
+    (salt_df_ratio) must engage on the hot term, spread its postings over
+    several sub-shards, and every query + stat must stay byte-identical to
+    the unsalted build; the fat conversation must still group/parent-join
+    correctly (its docnums co-locate by docnum-range partitioning, not by a
+    conv_id hash, so one hot key cannot hot-spot a reducer)."""
+    import pyarrow.compute as _pc
+
+    from whoosh_reloaded_ray.state.searcher import IndexSearcher as _S
+
+    src = str(tmp_path / "skew.parquet")
+    generate_transcripts(src, n_turns=4000, avg_turn_words=20, seed=11, rows_per_file=500)
+    t = pq.read_table(src)
+    rng = np.random.default_rng(5)
+    texts = t["text"].to_pylist()
+    hot_mask = rng.random(len(texts)) < 0.5
+    texts = [
+        (f"hotspot {x}" if m else x) for x, m in zip(texts, hot_mask)
+    ]
+    conv = np.array(t["conv_id"].to_pylist(), dtype=object)
+    conv[rng.random(len(conv)) < 0.2] = "conv-fat"
+    t = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts))
+    t = t.set_column(
+        t.schema.get_field_index("conv_id"), "conv_id", pa.array(list(conv))
+    )
+    pq.write_table(t, src, row_group_size=500)
+
+    plain_dir = str(tmp_path / "plainidx")
+    build_index([src], plain_dir, num_shards=4, partition_rows=500)
+
+    salted_dir = str(tmp_path / "saltidx")
+    build_index(
+        [src], salted_dir, num_shards=4, partition_rows=500,
+        salt_df_ratio=0.25, salt_sample_rows=2000,
+    )
+
+    s_plain, s_salt = _S(plain_dir), _S(salted_dir)
+    seg = s_salt.manifest.segments[0]
+    assert "hotspot" in seg.salted_terms.get("text", {}), (
+        f"auto-detector missed the 50%-df term: {seg.salted_terms}"
+    )
+    n_salts = seg.salted_terms["text"]["hotspot"]
+    assert n_salts >= 2
+    shards_with = [
+        shard
+        for shard in range(seg.num_shards)
+        for f in [os.path.join(salted_dir, seg.name, f"postings-{shard:04d}.parquet")]
+        if os.path.exists(f)
+        and pq.read_table(
+            f, columns=["term"], filters=[("term", "=", "hotspot")]
+        ).num_rows > 0
+    ]
+    assert len(shards_with) >= 2, "hot term not spread across sub-shards"
+
+    queries = [
+        Term("text", "hotspot"),
+        And([Term("text", "hotspot"), Term("conv_id", "conv-fat")]),
+        Or([Term("text", "hotspot"), Term("role", "user")]),
+        Phrase("text", ["hotspot"]),
+    ]
+    for q in queries:
+        a = s_plain.search(q, limit=None)
+        b = s_salt.search(q, limit=None)
+        np.testing.assert_array_equal(a["docnum"].to_numpy(), b["docnum"].to_numpy())
+        np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), atol=0)
+    assert s_plain.doc_frequency("text", "hotspot") == s_salt.doc_frequency(
+        "text", "hotspot"
+    )
+    # the 50% term really is hot, and the fat conv really is fat
+    assert s_plain.doc_frequency("text", "hotspot") >= 1800
+    fat = s_salt.search(Term("conv_id", "conv-fat"), limit=None)
+    assert fat.num_rows >= 600
+    # grouped/parent paths over the skewed conv key stay exact
+    assert s_plain.search_grouped(
+        Term("text", "hotspot"), "conv_id", maptype="count"
+    ) == s_salt.search_grouped(Term("text", "hotspot"), "conv_id", maptype="count")
+    a = s_plain.parent_search(Term("text", "hotspot"), "conv_id", limit=10)
+    b = s_salt.parent_search(Term("text", "hotspot"), "conv_id", limit=10)
+    assert a.to_pydict() == b.to_pydict()
