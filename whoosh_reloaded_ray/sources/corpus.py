@@ -73,7 +73,11 @@ def plan_partitions(paths, target_rows: int = 250_000) -> list:
 def read_partition(part: Partition, columns=None) -> pa.Table:
     """Read one partition's rows and attach the ``docnum`` column."""
     f = pq.ParquetFile(part.path)
-    tbl = f.read_row_groups(list(part.row_groups), columns=columns)
+    # single-threaded decode: this runs inside a num_cpus=1 Ray task whose
+    # concurrency IS the parallelism — arrow's default all-cores thread
+    # pool would oversubscribe the host (and silently un-bound the
+    # ray.init(num_cpus=N) scaling legs)
+    tbl = f.read_row_groups(list(part.row_groups), columns=columns, use_threads=False)
     docnums = np.arange(part.base, part.base + tbl.num_rows, dtype=np.uint64)
     return tbl.append_column("docnum", pa.array(docnums, type=pa.uint64()))
 

@@ -93,6 +93,12 @@ class ShardSegmentWriter:
         from .._rayutil import consume_fault_flag
 
         consume_fault_flag(self._fault_flag)
+        if "n" in group.column_names:
+            # combiner format (tokenize.PACKED_SCHEMA): unpack AFTER the
+            # shuffle so the exchange moved packed runs, not posting rows
+            from .tokenize import unpack_postings
+
+            group = unpack_postings(group)
         if group.num_rows == 0:
             return _summary_table(-1, None, "{}")
         shard = int(group["shard"][0].as_py())
