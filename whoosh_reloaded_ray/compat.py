@@ -691,7 +691,12 @@ class Schema:
     def __init__(self, **fields):
         specs = []
         for name in sorted(fields):  # reference sorts field names
-            kind, opts = fields[name]
+            spec = fields[name]
+            if callable(spec):
+                # reference Schema instantiates bare field types
+                # (fields.py Schema.add: "if isinstance(fieldtype, type)")
+                spec = spec()
+            kind, opts = spec
             if kind == "text":
                 specs.append(
                     text_field(
@@ -760,6 +765,11 @@ class Schema:
                 raise ValueError(f"unknown field kind {kind!r}")
         self.index_schema = IndexSchema(fields=specs)
         self.names = [f.name for f in specs]
+
+    def stored_names(self) -> list:
+        """Names of stored fields in name order (reference
+        fields.Schema.stored_names)."""
+        return [f.name for f in self.index_schema.fields if f.stored]
 
 
 # ---- facet objects (reference sorting.py surface) --------------------------
@@ -1047,7 +1057,20 @@ class Index:
     def searcher(self, **kwargs) -> "CompatSearcher":
         return CompatSearcher(self, **kwargs)
 
+    def _empty_manifest(self):
+        """Zero-segment manifest for searching a created-but-never-
+        committed index (the reference's create_in writes an empty
+        generation-0 TOC; we synthesize it at open)."""
+        from .state.manifest import Manifest
+
+        if self._schema is None:
+            raise FileNotFoundError(f"no committed manifest in {self.dirname}")
+        return Manifest(schema=self._schema.index_schema)
+
     def reader(self) -> "Reader":
+        man = load_manifest(self.dirname)
+        if man is None:
+            return Reader(IndexSearcher(self.dirname, manifest=self._empty_manifest()))
         return Reader(IndexSearcher(self.dirname))
 
     def optimize(self):
@@ -1064,6 +1087,12 @@ class Index:
         """Total docs including deleted (reference doc_count_all)."""
         man = load_manifest(self.dirname)
         return man.doc_count if man else 0
+
+    def _segments(self) -> list:
+        """Committed segment metas (reference Index._segments; used by its
+        own tests to assert generation counts)."""
+        man = load_manifest(self.dirname)
+        return list(man.segments) if man else []
 
     def add_field(self, fieldname: str, fieldtype) -> None:
         """Add a schema field between commits (reference Index.add_field);
@@ -1765,12 +1794,14 @@ class Results:
             (f, t) for f, t in q.terms() if fieldname is None or f == fieldname
         ]
 
-    def key_terms(self, fieldname, docs: int = 10, numterms: int = 5):
+    def key_terms(self, fieldname, docs: int = 10, numterms: int = 5, **kw):
+        docnums = [h.docnum for h in self.hits[:docs]]
+        if not docnums:
+            return []  # reference answers [] on empty results
         s = getattr(self, "_searcher", None)
         if s is None:
             raise ValueError("results have no search context")
-        docnums = [h.docnum for h in self.hits[:docs]]
-        return s.key_terms(docnums, fieldname, numterms=numterms)
+        return s.key_terms(docnums, fieldname, numterms=numterms, **kw)
 
     # ---- combination ops (reference searching.py:1327-1396) --------------
 
@@ -1820,6 +1851,9 @@ class CompatSearcher:
         from .scoring import weighting_kwargs
 
         self.index = index
+        if load_manifest(index.dirname) is None:
+            searcher_kwargs = dict(searcher_kwargs,
+                                   manifest=index._empty_manifest())
         self._s = IndexSearcher(
             index.dirname, **weighting_kwargs(weighting), **searcher_kwargs
         )
@@ -2449,6 +2483,39 @@ class CompatSearcher:
             by_doc[r["docnum"]] = d
         return [by_doc[d] for d in docnums if d in by_doc]
 
+    def all_stored_fields(self):
+        """Stored fields of every LIVE document in docnum order (reference
+        Searcher.all_stored_fields skips deleted docs)."""
+        return iter(self.reader().all_stored_fields())
+
+    def more_like(self, docnum, fieldname, limit=10, numterms=5, model=None,
+                  text=None):
+        """Docs similar to the given doc as hit Results (reference
+        Searcher.more_like, searching.py:561-616); ``text=`` supplies the
+        source text instead of reading the doc (unstored fields)."""
+        from .query import expand as _expand
+
+        model = model or _expand.Bo1Model
+        if text is not None:
+            kts = _expand.key_terms_from_text(
+                self._s, fieldname, text, numterms=numterms, model=model
+            )
+            from .query.ast import Or as _Or
+            from .query.ast import Term as _Term
+
+            q = _Or([_Term(fieldname, t, boost=w) for t, w in kts])
+            res = self._s.search(q, limit=(limit + 1) if limit else None)
+            import numpy as _np
+
+            mask = res["docnum"].to_numpy() != _np.uint64(docnum)
+            res = res.filter(pa.array(mask)).slice(0, limit)
+        else:
+            res = self._s.more_like(
+                docnum, fieldname, limit=limit, numterms=numterms, model=model
+            )
+        stored = [f.name for f in self._schema.fields if f.stored]
+        return self._hits_to_results(res, stored, None, False, truncated=False)
+
     def suggest(self, fieldname, text, **kw):
         return self._s.suggest(fieldname, text, **kw)
 
@@ -2551,20 +2618,48 @@ class PostingReader:
 
 
 class TermInfo:
-    """Collection statistics of one term (reference reading.TermInfo
-    subset: total weight + document frequency)."""
+    """Collection statistics of one term (reference reading.TermInfo,
+    reading.py:90-180): total weight, doc frequency, and — when built from
+    a full terminfo row — min/max stored field length (lossy byte
+    quantization, exactly the reference's byte_to_length(length_to_byte)),
+    max per-doc weight, and min/max matching docnum."""
 
-    __slots__ = ("_weight", "_df")
+    __slots__ = ("_weight", "_df", "_extra")
 
-    def __init__(self, weight: float, df: int):
+    def __init__(self, weight: float, df: int, extra: dict | None = None):
         self._weight = weight
         self._df = df
+        self._extra = extra or {}
 
     def weight(self) -> float:
         return self._weight
 
     def doc_frequency(self) -> int:
         return self._df
+
+    def _x(self, key):
+        if key not in self._extra:
+            raise ValueError(f"TermInfo built without {key!r}")
+        return self._extra[key]
+
+    def min_length(self) -> int:
+        from .functions.quant import BYTE_TO_LENGTH
+
+        return int(BYTE_TO_LENGTH[int(self._x("min_len_byte"))])
+
+    def max_length(self) -> int:
+        from .functions.quant import BYTE_TO_LENGTH
+
+        return int(BYTE_TO_LENGTH[int(self._x("max_len_byte"))])
+
+    def max_weight(self) -> float:
+        return float(self._x("max_weight"))
+
+    def min_id(self) -> int:
+        return int(self._x("doc_min"))
+
+    def max_id(self) -> int:
+        return int(self._x("doc_max"))
 
 
 class Reader:
@@ -2602,11 +2697,16 @@ class Reader:
         return self._s.frequencies([(fieldname, text)]).get((fieldname, text), 0)
 
     def term_info(self, fieldname: str, text: str) -> TermInfo:
-        stats = self._s._term_stats(fieldname, text)
-        if text not in stats:
+        info = self._s.term_info_full(fieldname, text)
+        if info is None:
             raise KeyError((fieldname, text))
-        w, df = stats[text]
-        return TermInfo(w, df)
+        return TermInfo(float(info["weight_sum"]), int(info["doc_freq"]), info)
+
+    def min_field_length(self, fieldname: str) -> int:
+        return self._s.field_length_bounds(fieldname)[0]
+
+    def max_field_length(self, fieldname: str) -> int:
+        return self._s.field_length_bounds(fieldname)[1]
 
     def lexicon(self, fieldname: str):
         return iter(self._s.lexicon(fieldname))
@@ -2618,13 +2718,19 @@ class Reader:
         return iter(self._s.lexicon(fieldname, prefix))
 
     def iter_prefix(self, fieldname: str, prefix: str = ""):
-        stats = self._s._term_stats(fieldname, prefix)
+        """(term, TermInfo) from the first term >= ``prefix`` to the END
+        of the field — the reference iterates ONWARD from the seek point
+        (reading.py iter_prefix/iter_from), it does not filter by
+        prefix."""
+        stats = self._s._term_stats(fieldname, "")
         for term in sorted(stats):
+            if term < prefix:
+                continue
             w, df = stats[term]
             yield term, TermInfo(w, df)
 
-    def iter_field(self, fieldname: str):
-        return self.iter_prefix(fieldname, "")
+    def iter_field(self, fieldname: str, prefix: str = ""):
+        return self.iter_prefix(fieldname, prefix)
 
     def all_terms(self):
         for f in self._s.manifest.schema.fields:
@@ -2722,9 +2828,44 @@ class Reader:
         for d in self.all_doc_ids():
             yield self.stored_fields(d)
 
+    def first_id(self, fieldname: str, text) -> int:
+        """Lowest live docnum containing the term (reference
+        reading.IndexReader.first_id); KeyError when absent."""
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
+        info = self._s.term_info_full(fieldname, text)
+        if info is None:
+            raise KeyError((fieldname, text))
+        tombs = self._tombstones()
+        if not tombs.size:
+            return int(info["doc_min"])
+        excluded = set(tombs.tolist())
+        for d in PostingReader(self._s, fieldname, text).all_ids():
+            if d not in excluded:
+                return d
+        raise KeyError((fieldname, text))
+
+    def cursor(self, fieldname: str) -> "TermCursor":
+        """Seekable cursor over one field's term dictionary (reference
+        codec TermCursor surface via reader.cursor: first/next/find/
+        text/term_info/is_valid).  DECLARED DEVIATION: the reference's
+        MultiReader raises NotImplementedError on multi-segment indexes;
+        ours merges the per-segment lexicons and always works."""
+        return TermCursor(self, fieldname)
+
     # -- vectors / spelling --
     def vector(self, docnum: int, fieldname: str):
         return self._s.vector(docnum, fieldname)
+
+    def vector_as(self, astype: str, docnum: int, fieldname: str):
+        """Per-doc term vector values (reference reader.vector_as);
+        "weight"/"frequency" supported — the vector stores weights."""
+        if astype not in ("weight", "frequency"):
+            raise ValueError(f"unsupported vector_as type {astype!r}")
+        pairs = self._s.vector(docnum, fieldname)
+        if astype == "frequency":
+            return iter((t, int(w)) for t, w in pairs)
+        return iter(pairs)
 
     def corrector(self, fieldname: str):
         from .query.suggest import ReaderCorrector
@@ -2742,6 +2883,107 @@ class Reader:
             t for t in self._s.lexicon(fieldname, prefix=pre)
             if levenshtein_within(text, t, maxdist)
         ]
+
+    def close(self):
+        pass
+
+
+class TermCursor:
+    """Seekable term-dictionary cursor (reference codec/base.py TermCursor
+    via reader.cursor(field)): first()/next()/find(term)/text()/
+    term_info()/is_valid().  Terms are str (this engine's term type);
+    find() accepts bytes like the reference."""
+
+    def __init__(self, reader: Reader, fieldname: str):
+        self._r = reader
+        self._field = fieldname
+        self._terms = list(reader.lexicon(fieldname))
+        self._i = 0
+
+    def is_valid(self) -> bool:
+        return self._i < len(self._terms)
+
+    def text(self):
+        return self._terms[self._i] if self.is_valid() else None
+
+    def first(self):
+        self._i = 0
+        return self.text()
+
+    def next(self):
+        if not self.is_valid():
+            raise Exception("cursor is exhausted")
+        self._i += 1
+        return self.text()
+
+    def find(self, term):
+        """Seek to the first term >= ``term``; returns the landed text
+        (None past the end)."""
+        if isinstance(term, bytes):
+            term = term.decode("utf-8")
+        import bisect
+
+        self._i = bisect.bisect_left(self._terms, term)
+        return self.text()
+
+    def term_info(self) -> TermInfo:
+        if not self.is_valid():
+            raise Exception("cursor is exhausted")
+        return self._r.term_info(self._field, self._terms[self._i])
+
+
+class _EmptyManifest:
+    def __init__(self, schema: IndexSchema):
+        self.schema = schema
+        self.segments: list = []
+        self.doc_count = 0
+        self.partitions: list = []
+
+    def field_length(self, fieldname: str) -> int:
+        return 0
+
+
+class EmptyReader:
+    """Null reader over a schema with no documents (reference
+    reading.EmptyReader): every stat answers zero/empty.  Duck-compatible
+    with classify.Expander and the Reader term surface."""
+
+    def __init__(self, schema):
+        if isinstance(schema, Schema):
+            schema = schema.index_schema
+        self.manifest = _EmptyManifest(schema)
+
+    def doc_count(self) -> int:
+        return 0
+
+    def doc_count_all(self) -> int:
+        return 0
+
+    def frequencies(self, terms: list) -> dict:
+        return {}
+
+    def doc_frequency(self, fieldname: str, text: str) -> int:
+        return 0
+
+    def frequency(self, fieldname: str, text: str) -> float:
+        return 0
+
+    def lexicon(self, fieldname: str):
+        return iter(())
+
+    field_terms = lexicon
+
+    def all_terms(self):
+        return iter(())
+
+    def __iter__(self):
+        return iter(())
+
+    def __contains__(self, term) -> bool:
+        return False
+
+    def all_stored_fields(self):
+        return iter(())
 
     def close(self):
         pass

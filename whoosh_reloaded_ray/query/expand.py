@@ -70,6 +70,10 @@ class Expander:
     """Accumulate top-document term weights, then rank expansion terms."""
 
     def __init__(self, searcher, fieldname: str, model=Bo1Model):
+        # accept the compat Reader / Searcher veneers (reference
+        # classify.Expander takes an IndexReader) as well as the internal
+        # IndexSearcher
+        searcher = getattr(searcher, "_s", searcher)
         self.searcher = searcher
         self.fieldname = fieldname
         if isinstance(model, type):

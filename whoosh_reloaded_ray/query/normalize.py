@@ -220,6 +220,12 @@ def normalize(q: ast.Query) -> ast.Query:
             and not q.startexcl and not q.endexcl
         ):
             return ast.Every(q.field, boost=q.boost)
+        # point range (reference TermRange.normalize, ranges.py:196-203):
+        # [x to x] -> Term; {x to x} / [x to x} is empty
+        if q.start is not None and q.start == q.end:
+            if q.startexcl or q.endexcl:
+                return ast.Or([])
+            return ast.Term(q.field, q.start, boost=q.boost)
         return q
     return q
 

@@ -114,21 +114,42 @@ def _build_token_re(
             parts.append(r"(?P<frange>(?P<frf>\w+):(?P<frbody>[\[{][^\]}]*[\]}]))")
         parts.append(r"(?P<range>[\[{](?P<rbody>[^\]}]*)[\]}])")
     if boost_on:
-        parts.append(r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?))")
+        # terminal-only: the reference BoostPlugin expr requires the boost
+        # to end the token (followed by whitespace/')'/end,
+        # qparser/plugins.py BoostPlugin.expr) — "hi^5x" is a plain word
+        parts.append(r"(?P<boost>\^(?P<bval>\d+(?:\.\d+)?)(?=$|[\s)]))")
     if word_on:
-        excl = r"\s" + ("()" if group_on else "") + (r"\^" if boost_on else "")
-        parts.append(rf"(?P<word>[^{excl}]+)")
+        excl = r"\s" + ("()" if group_on else "")
+        if boost_on:
+            # '^' is a word char unless it starts a terminal boost
+            parts.append(
+                rf"(?P<word>(?:[^{excl}^]|\^(?!\d+(?:\.\d+)?(?:$|[\s)])))+)"
+            )
+        else:
+            parts.append(rf"(?P<word>[^{excl}]+)")
     pat = re.compile("|".join(parts) if parts else r"(?!x)x")
     _TOKEN_RE_CACHE[key] = pat
     return pat
 
 # TO is case-insensitive and may touch the brackets ("[b TO]",
 # "[TO e]", "[1 to 10]" — reference RangePlugin behaviors)
+# start: single-quoted-then-space OR non-greedy until TO; end:
+# space-then-single-quoted OR non-greedy until the close bracket — the
+# reference RangePlugin.expr verbatim semantics (qparser/plugins.py:838-855),
+# so "name:{'to' to 'b'}" and "[to to b]" resolve like the reference
 _RANGE_RE = re.compile(
-    r"^([\[{])\s*(.*?)\s*\b[Tt][Oo]\b\s*(.*?)\s*([\]}])$", re.DOTALL
+    r"""^(?P<open>[\[{])
+    (?P<start>('[^']*?'\s+)|([^\]}]+?(?=[Tt][Oo])))?
+    [Tt][Oo]
+    (?P<end>(\s+'[^']*?')|([^\]}]+?))?
+    (?P<close>[\]}])$""",
+    re.VERBOSE | re.DOTALL,
 )
 # DateParserPlugin ranges use lowercase 'to' ([today to tomorrow])
-_RANGE_RE_NL = re.compile(r"^([\[{])(.*?)\s[Tt][Oo]\s(.*?)([\]}])$", re.DOTALL)
+_RANGE_RE_NL = re.compile(
+    r"^(?P<open>[\[{])(?P<start>.*?)\s[Tt][Oo]\s(?P<end>.*?)(?P<close>[\]}])$",
+    re.DOTALL,
+)
 
 
 @dataclass
@@ -392,7 +413,10 @@ class QueryParser:
         if gd.get("range") is not None:
             return ("range", m.group(0))
         if gd.get("boost") is not None:
-            return ("boost", float(m.group("bval")))
+            # value + raw text: a boost that can't attach (whitespace gap,
+            # leading position) reverts to a plain word, like the
+            # reference BoostPlugin.clean_boost
+            return ("boost", (float(m.group("bval")), m.group(0)))
         w = gd.get("word")
         if w is None:  # scanner-mode regex has no word alternative
             return ("word", m.group(0))
@@ -411,10 +435,15 @@ class QueryParser:
         if custom or (opp is not None and not opp.is_default):
             return self._scan_tokens(text, custom)
         out = []
+        prev_end = -1  # adjacency: token starts exactly where the last one
+        # ended (no whitespace gap) — what boost attachment and the
+        # reference FieldsPlugin's (?=\S) lookahead key on
         for m in self._active_token_re().finditer(text):
             if m.lastgroup is None:
                 continue
-            out.append(self._token_from_match(m, text))
+            kind, val = self._token_from_match(m, text)
+            out.append((kind, val, m.start() == prev_end))
+            prev_end = m.end()
         return out
 
     def _scan_tokens(self, text: str, custom):
@@ -436,11 +465,13 @@ class QueryParser:
         out: list = []
         pos, n = 0, len(text)
         wstart = None
+        prev_end = -1  # see _tokens: adjacency for boost/field attachment
 
         def flush(end):
-            nonlocal wstart
+            nonlocal wstart, prev_end
             if wstart is not None and wstart < end:
-                out.append(("word", text[wstart:end]))
+                out.append(("word", text[wstart:end], wstart == prev_end))
+                prev_end = end
             wstart = None
 
         while pos < n:
@@ -457,8 +488,9 @@ class QueryParser:
                 m = token_re.match(text, pos)
                 if m is not None and m.end() > pos:
                     flush(pos)
-                    out.append(self._token_from_match(m, text))
-                    pos = m.end()
+                    kind, val = self._token_from_match(m, text)
+                    out.append((kind, val, pos == prev_end))
+                    pos = prev_end = m.end()
                     continue
                 for tagger in post:
                     node = tagger.match(self, text, pos)
@@ -467,10 +499,10 @@ class QueryParser:
             if node is not None and node.endchar is not None and node.endchar > pos:
                 flush(pos)
                 if isinstance(node, plg._OpNode):
-                    out.append(("op", node.opname))
+                    out.append(("op", node.opname, pos == prev_end))
                 else:
-                    out.append(("node", node))
-                pos = node.endchar
+                    out.append(("node", node, pos == prev_end))
+                pos = prev_end = node.endchar
                 continue
             if wstart is None:
                 wstart = pos
@@ -522,7 +554,7 @@ class QueryParser:
         nodes = _Group()
         field_ctx = None  # pending "field:" prefix for the next node
         while i < len(tokens):
-            kind, val = tokens[i]
+            kind, val, adj = tokens[i]
             if kind == ")":
                 if top:  # stray close paren: ignored, parsing continues
                     i += 1
@@ -543,8 +575,17 @@ class QueryParser:
             if kind == "op":
                 nodes.append(_Op(val))
             elif kind == "boost":
-                if nodes and not isinstance(nodes[-1], _Op):
-                    nodes[-1] = _Boosted(nodes[-1], val)
+                bval, raw = val
+                if adj and nodes and not isinstance(nodes[-1], _Op):
+                    nodes[-1] = _Boosted(nodes[-1], bval)
+                else:
+                    # whitespace-detached or leading "^n" is a plain word
+                    # (reference BoostPlugin.clean_boost)
+                    nodes.append(
+                        _WordNode(field_ctx or self.default_field, raw,
+                                  explicit=field_ctx is not None)
+                    )
+                    field_ctx = None
             elif kind == "phrase":
                 nodes.append(_PhraseNode(field_ctx or self.default_field, *val,
                                          explicit=field_ctx is not None))
@@ -587,6 +628,18 @@ class QueryParser:
             elif kind == "word":
                 w = val
                 fm = self._match_field_prefix(w)
+                if fm is not None and fm[0] == "*":
+                    # "*:" every-field prefix (reference FieldsPlugin expr
+                    # \w+|[*]): "*:*" is the unfielded Every; "*:word"
+                    # degrades to a default-field word (reference
+                    # test_parsing.py:555-567)
+                    if fm[1] == "*":
+                        nodes.append(ast.Every(None))
+                    elif fm[1]:
+                        nodes.append(_WordNode(self.default_field, fm[1]))
+                    field_ctx = None
+                    i += 1
+                    continue
                 pseudo = self.pseudofields.get(fm[0]) if fm is not None else None
                 if pseudo is not None:
                     # PseudoFieldPlugin: run the user transform on the node
@@ -599,7 +652,19 @@ class QueryParser:
                 elif fm is not None and self._known_field(fm[0]):
                     fname = self.aliases.get(fm[0], fm[0])
                     if fm[1] == "":
-                        field_ctx = fname  # "field:(...)" / "field:[..]"
+                        # "field:(...)" / "field:[..]" — only when the next
+                        # token is ATTACHED: the reference FieldsPlugin expr
+                        # requires (?=\S), so a dangling "name:" (followed
+                        # by whitespace or end) stays a plain word
+                        if i + 1 < len(tokens) and tokens[i + 1][2]:
+                            field_ctx = fname
+                            i += 1
+                            continue
+                        nodes.append(
+                            _WordNode(field_ctx or self.default_field, w,
+                                      explicit=field_ctx is not None)
+                        )
+                        field_ctx = None
                         i += 1
                         continue
                     gm = (
@@ -820,6 +885,8 @@ class QueryParser:
         if isinstance(node, _WordNode):
             field = node.field or self.default_field
             return self._with_copies(field, lambda f: self._word_query(f, node.text))
+        if isinstance(node, ast.Query):
+            return node  # pre-resolved query inlined by the tokenizer
         # custom plugin syntax node: the reference SyntaxNode.query protocol
         make = getattr(node, "query", None)
         if callable(make):
@@ -1010,9 +1077,18 @@ class QueryParser:
                 m = _RANGE_RE_NL.match(node.text)
         if not m:
             return self._word_query(node.field, node.text)
-        lb, lo, hi, rb = m.groups()
+        lo, hi = m.group("start"), m.group("end")
+        if lo:
+            lo = lo.strip()
+            if lo.startswith("'") and lo.endswith("'"):
+                lo = lo[1:-1]  # quoted endpoint (reference RangeTagger)
+        if hi:
+            hi = hi.strip()
+            if hi.startswith("'") and hi.endswith("'"):
+                hi = hi[1:-1]
         return self._make_range(
-            node.field, lo.strip() or None, hi.strip() or None, lb == "{", rb == "}"
+            node.field, lo or None, hi or None,
+            m.group("open") == "{", m.group("close") == "}",
         )
 
     def _make_range(self, field, lo, hi, startexcl, endexcl):
@@ -1047,10 +1123,14 @@ class QueryParser:
             if not text:
                 return None
             words = self._analyze(field, text)
-            # a bound the analyzer rejects (too short / stopword) keeps
-            # its raw lowercased text, like the reference's unanalyzed
-            # range bounds ("[1 to 10]" -> TermRange('1', '10'))
-            return words[0] if words else text.lower()
+            if len(words) == 1:
+                return words[0]
+            # rejected (stopword/too-short) or multi-token bound: the
+            # reference analyzes range bounds with tokenize=False —
+            # the WHOLE string as one case-folded token (syntax.py
+            # RangeNode.query get_single_text), so "['hello there' to
+            # 'what ever']" keeps its spaces and "[1 to 10]" -> '1'/'10'
+            return text.lower()
 
         return ast.TermRange(
             field, bound(lo), bound(hi), startexcl=startexcl, endexcl=endexcl

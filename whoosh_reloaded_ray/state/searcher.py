@@ -587,6 +587,50 @@ class IndexSearcher:
             )
         return w
 
+    def term_info_full(self, field: str, term: str) -> dict | None:
+        """Merged per-term statistics across segments (reference
+        reading.TermInfo: weight/df/max_weight/min+max length/min+max id).
+        Driver-side point API over the pinned segment readers (same shape
+        as doc_field_length below); every stat is associative so the
+        cross-segment merge is exact."""
+        out = None
+        for r in self._local_worker().readers:
+            info = r.terminfo(field, term)
+            if info is None:
+                continue
+            if out is None:
+                out = dict(info)
+                continue
+            out["doc_freq"] += int(info["doc_freq"])
+            out["weight_sum"] += float(info["weight_sum"])
+            out["max_weight"] = max(out["max_weight"], info["max_weight"])
+            out["doc_min"] = min(out["doc_min"], info["doc_min"])
+            out["doc_max"] = max(out["doc_max"], info["doc_max"])
+            out["min_len_byte"] = min(out["min_len_byte"], info["min_len_byte"])
+            out["max_len_byte"] = max(out["max_len_byte"], info["max_len_byte"])
+        return out
+
+    def field_length_bounds(self, fieldname: str) -> tuple:
+        """(min, max) stored per-doc length of a field across the index
+        (reference reader.min_field_length / max_field_length), in the
+        same lossy byte quantization the reference stores."""
+        from ..functions.quant import BYTE_TO_LENGTH
+
+        lo = hi = None
+        for r in self._local_worker().readers:
+            lens = r.doclens(fieldname)
+            if lens is None:
+                continue
+            nz = lens[lens > 0]
+            if not nz.size:
+                continue
+            mn, mx = int(nz.min()), int(nz.max())
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if lo is None:
+            return (0, 0)
+        return (int(BYTE_TO_LENGTH[lo]), int(BYTE_TO_LENGTH[hi]))
+
     def doc_field_length(self, docnum: int, fieldname: str, default: int = 0) -> int:
         """Stored (quantized) length of one doc's field (reference
         reader.doc_field_length — the reference also answers the lossy
