@@ -194,16 +194,23 @@ def test_facet_objects(ix):
 
 
 def test_hit_highlights(ix, whoosh):
-    """Hit.highlights parity shape vs whoosh (reference Hit.highlights,
-    searching.py:1232): matched terms uppercased in context fragments."""
+    """Hit.highlights parity vs whoosh (reference Hit.highlights routes
+    through Results' default Highlighter, whose formatter is
+    HtmlFormatter("b") — highlight.py:972): matched terms wrapped in
+    <b class="match termN">."""
     with ix.searcher() as s:
         r = s.search(Term("value", "red"), limit=None)
         h = next(hit for hit in r if hit["key"] == "A")
         frag = h.highlights("value")
-        assert "RED" in frag and "red" not in frag.replace("RED", "")
+        assert '<b class="match term0">red</b>' in frag
         # text= override path
         frag2 = h.highlights("value", text="red tape red line")
-        assert frag2.count("RED") == 2
+        assert frag2.count('<b class="match term0">red</b>') == 2
+        # explicit formatter still honored
+        from whoosh_reloaded_ray.query.highlight import UppercaseFormatter
+
+        frag3 = h.highlights("value", formatter=UppercaseFormatter())
+        assert "RED" in frag3 and "<b" not in frag3
 
 
 def test_stored_value_override(ray_session, tmp_path_factory):

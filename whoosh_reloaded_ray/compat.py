@@ -1573,6 +1573,14 @@ class Hit:
             )
             if v is not None:
                 kw[name] = v
+        if "formatter" not in kw:
+            # the reference routes Hit.highlights through Results'
+            # default Highlighter, whose formatter is HtmlFormatter("b")
+            # (highlight.py Highlighter.__init__) — NOT the bare
+            # highlight() default of UppercaseFormatter
+            from .query.highlight import HtmlFormatter
+
+            kw["formatter"] = HtmlFormatter(tagname="b")
         if text is not None:
             terms = {t for (f, t) in self._q.terms() if f == fieldname}
             fspec = next(

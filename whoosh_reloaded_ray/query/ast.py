@@ -17,6 +17,12 @@ from typing import Optional
 class Query:
     boost: float = 1.0
 
+    @property
+    def fieldname(self):
+        """Reference-parity alias (reference queries expose ``fieldname``;
+        our nodes store ``field``; None on field-less nodes)."""
+        return getattr(self, "field", None)
+
     def children(self) -> tuple:
         return ()
 
@@ -103,10 +109,12 @@ class Query:
 
     def all_terms(self, phrases: bool = True) -> set:
         """Set of (field, text) pairs in the tree (reference
-        Query.all_terms)."""
+        Query.all_terms).  Expanding leaves (FuzzyTerm/Variations)
+        contribute their BASE text like the reference's ExpandingTerm
+        (terms.py:431-433)."""
         out = set()
         for leaf in self.leaves():
-            if isinstance(leaf, Term):
+            if isinstance(leaf, (Term, FuzzyTerm, Variations)):
                 out.add((leaf.field, leaf.text))
             elif phrases and isinstance(leaf, Phrase):
                 out.update((leaf.field, w) for w in leaf.words)
@@ -133,10 +141,11 @@ class Query:
     def iter_all_terms(self, phrases: bool = True):
         """Iterator of (field, text) pairs over the tree in leaf order
         (reference Query.iter_all_terms, qcore.py:413-436); multiterm
-        leaves (Prefix/Wildcard/...) contribute nothing, Phrase words are
-        included when ``phrases``."""
+        leaves (Prefix/Wildcard/...) contribute nothing, expanding leaves
+        (FuzzyTerm/Variations) contribute their base text, Phrase words
+        are included when ``phrases``."""
         for leaf in self.leaves():
-            if isinstance(leaf, Term):
+            if isinstance(leaf, (Term, FuzzyTerm, Variations)):
                 yield (leaf.field, leaf.text)
             elif phrases and isinstance(leaf, Phrase):
                 for w in leaf.words:
@@ -763,6 +772,12 @@ class Wildcard(Query):
         object.__setattr__(self, "pattern", pattern)
         object.__setattr__(self, "boost", boost)
 
+    def _find_prefix(self, text: str) -> str:
+        """Literal prefix usable for candidate pruning (reference
+        Wildcard._find_prefix: everything before the first ``*?[``)."""
+        import re as _re
+
+        return _re.match(r"[^*?\[]*", text).group(0)
 
     def simplify(self, ixreader):
         import re as _re
@@ -770,8 +785,7 @@ class Wildcard(Query):
         from .exec import _wildcard_to_regex
 
         s = getattr(ixreader, "_s", ixreader)
-        m = _re.match(r"[^*?\[]*", self.pattern)
-        cands = s.lexicon(self.field, prefix=m.group(0))
+        cands = s.lexicon(self.field, prefix=self._find_prefix(self.pattern))
         rex = _re.compile(_wildcard_to_regex(self.pattern))
         return _simplified_terms(
             self.field, (t for t in cands if rex.fullmatch(t)), self.boost
@@ -794,6 +808,44 @@ class Regex(Query):
         object.__setattr__(self, "text", text)
         object.__setattr__(self, "boost", boost)
 
+    def _find_prefix(self, text: str) -> str:
+        return regex_prefix(text)
+
+    def simplify(self, ixreader):
+        import re as _re
+
+        s = getattr(ixreader, "_s", ixreader)
+        cands = s.lexicon(self.field, prefix=regex_prefix(self.text))
+        rex = _re.compile(self.text)
+        return _simplified_terms(
+            self.field, (t for t in cands if rex.match(t)), self.boost
+        )
+
+
+_REGEX_SPECIAL = frozenset("{}()[].?*+^$\\")
+
+
+def regex_prefix(text: str) -> str:
+    """Literal prefix of a regex for candidate pruning — replicates the
+    reference Regex._find_prefix (query/terms.py:392-408) exactly,
+    including its conservative last-char drop when no special char is
+    found and the ``*``/``?`` zero-repeat back-off.  A shorter prefix is
+    always safe (it only widens the candidate scan)."""
+    if "|" in text:
+        return ""
+    if text.startswith("^"):
+        text = text[1:]
+    elif text.startswith("\\A"):
+        text = text[2:]
+    i = 0
+    for i, ch in enumerate(text):
+        if ch in _REGEX_SPECIAL:
+            break
+    prefix = text[:i]
+    if len(prefix) < len(text) and text[len(prefix)] in "*?":
+        prefix = prefix[:-1]
+    return prefix
+
 
 @dataclass(frozen=True)
 class TermRange(Query):
@@ -813,6 +865,26 @@ class TermRange(Query):
         object.__setattr__(self, "endexcl", endexcl)
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "constantscore", constantscore)
+
+    def simplify(self, ixreader):
+        s = getattr(ixreader, "_s", ixreader)
+
+        def keep(t):
+            if self.start is not None:
+                if self.startexcl and t <= self.start:
+                    return False
+                if not self.startexcl and t < self.start:
+                    return False
+            if self.end is not None:
+                if self.endexcl and t >= self.end:
+                    return False
+                if not self.endexcl and t > self.end:
+                    return False
+            return True
+
+        return _simplified_terms(
+            self.field, (t for t in s.lexicon(self.field) if keep(t)), self.boost
+        )
 
 
 def _simplified_terms(field: str, terms, boost: float):

@@ -317,6 +317,14 @@ class SegmentReader:
         self._terminfo_cache: dict = {}
         self._column_cache: dict = {}
         self._vocab_cache: dict = {}
+        self._all_docnums: "np.ndarray | None" = None
+        # constant-score docsets (range / expanded-multiterm unions) are
+        # recomputed per query otherwise; the reference Searcher keeps the
+        # analogous filter cache (searching.py _filter_cache).  Bounded by
+        # BYTES, not entries — one 10M-doc segment's full docset is 80 MB
+        self._docset_cache: "OrderedDict" = OrderedDict()
+        self._docset_bytes = 0
+        self._docset_cap = 128 << 20
         # partition docnum ranges (sorted); a MERGED segment's ranges may be
         # non-contiguous, so docnum <-> dense-index mapping goes through them
         parts = sorted(seg.partitions, key=lambda p: p.base)
@@ -325,13 +333,31 @@ class SegmentReader:
         self._part_cum = np.concatenate([[0], np.cumsum(self._part_rows)])
 
     def all_docnums(self) -> np.ndarray:
-        """Every docnum in this segment, ascending (from partition lineage)."""
-        return np.concatenate(
-            [
-                np.arange(b, b + r, dtype=np.uint64)
-                for b, r in zip(self._part_bases, self._part_rows)
-            ]
-        ) if self._part_bases.size else np.empty(0, dtype=np.uint64)
+        """Every docnum in this segment, ascending (from partition lineage).
+        Memoized — callers only slice/index the result, never mutate."""
+        if self._all_docnums is None:
+            self._all_docnums = np.concatenate(
+                [
+                    np.arange(b, b + r, dtype=np.uint64)
+                    for b, r in zip(self._part_bases, self._part_rows)
+                ]
+            ) if self._part_bases.size else np.empty(0, dtype=np.uint64)
+        return self._all_docnums
+
+    def docset_cached(self, key, build) -> np.ndarray:
+        """LRU for constant-score docsets keyed by the query shape."""
+        hit = self._docset_cache.get(key)
+        if hit is not None:
+            self._docset_cache.move_to_end(key)
+            return hit
+        docs = build()
+        if docs.nbytes <= self._docset_cap:
+            self._docset_cache[key] = docs
+            self._docset_bytes += docs.nbytes
+            while self._docset_bytes > self._docset_cap and self._docset_cache:
+                _, old = self._docset_cache.popitem(last=False)
+                self._docset_bytes -= old.nbytes
+        return docs
 
     def dense_index(self, docnums: np.ndarray) -> np.ndarray:
         """Map docnums -> dense [0, doc_count) positions in all_docnums order."""
@@ -894,6 +920,20 @@ def _eval_and(reader, q: ast.And, ctx, scored):
     negs = [s for s in q.subqueries if isinstance(s, ast.Not)]
     if not pos:
         negs = []  # all-Not And: fall back to complement evaluation
+    # columnar-range pushdown: a NumericRange child intersected with any
+    # other positive child never needs its full docset materialized (at
+    # 10M docs that's an 80 MB array per query) — evaluate the rest, then
+    # test the predicate only at the surviving docnums.  Score parity: the
+    # range contributes the same constant 1.0·boost per surviving doc the
+    # full _intersect sum would have added (its huge docset sorts last in
+    # the size-ordered fold, so the addition order matches too).
+    preds = []
+    if len(pos) > 1:
+        preds = [s for s in pos if type(s) is ast.NumericRange]
+        if len(preds) == len(pos):
+            preds = []  # all-range And: keep the docset path
+        elif preds:
+            pos = [s for s in pos if type(s) is not ast.NumericRange]
     subs = [evaluate(reader, s, ctx, scored) for s in (pos or q.subqueries)]
     if not subs:
         return EMPTY
@@ -903,6 +943,13 @@ def _eval_and(reader, q: ast.And, ctx, scored):
         if acc[0].size == 0:
             return EMPTY
         acc = _intersect(acc, s)
+    for p in preds:
+        docs, scores = acc
+        if docs.size == 0:
+            return EMPTY
+        vals = reader.column(p.field)[reader.dense_index(docs)]
+        mask = _range_mask(p, vals)
+        acc = (docs[mask], scores[mask] + 1.0 * p.boost)
     if negs and acc[0].size:
         docs, scores = acc
         keep = np.ones(docs.size, dtype=bool)
@@ -1188,15 +1235,12 @@ def _eval_wildcard(reader, q: ast.Wildcard, ctx, scored):
 
 
 def _wildcard_to_regex(pat: str) -> str:
-    out = []
-    for ch in pat:
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-    return "".join(out)
+    # the reference delegates to fnmatch.translate (query/terms.py:346),
+    # which also handles [seq]/[!seq] character classes; the produced
+    # pattern embeds \Z, so match == fullmatch for callers
+    import fnmatch
+
+    return fnmatch.translate(pat)
 
 
 def _seq_child_terms(reader, q) -> tuple:
@@ -1709,9 +1753,7 @@ def _eval_termrange(reader, q: ast.TermRange, ctx, scored):
     return _expand_to_or(reader, q, ctx, scored, terms)
 
 
-def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
-    col = reader.column(q.field)
-    vals = col
+def _range_mask(q: ast.NumericRange, vals: np.ndarray) -> np.ndarray:
     if np.issubdtype(vals.dtype, np.datetime64):
         vals = vals.astype("datetime64[us]").astype(np.int64)
         conv = lambda v: np.datetime64(v, "us").astype(np.int64) if v is not None else None
@@ -1723,7 +1765,17 @@ def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
         mask &= (vals > lo) if q.startexcl else (vals >= lo)
     if hi is not None:
         mask &= (vals < hi) if q.endexcl else (vals <= hi)
-    docs = reader.all_docnums()[mask]
+    return mask
+
+
+def _eval_numericrange(reader, q: ast.NumericRange, ctx, scored):
+    key = ("nr", q.field, q.start, q.end, q.startexcl, q.endexcl)
+
+    def build():
+        mask = _range_mask(q, reader.column(q.field))
+        return reader.all_docnums()[mask]
+
+    docs = reader.docset_cached(key, build)
     return docs, np.full(docs.size, 1.0 * q.boost)
 
 
@@ -1743,14 +1795,19 @@ def _eval_column(reader, q, ctx, scored):
 
 
 def _eval_constant_terms(reader, q: ast.ConstantTerms, ctx, scored):
-    docs_list = []
-    for t in q.termlist:
-        plist = reader.postings(q.field, t)
-        if plist is not None:
-            docs_list.append(plist.docs)
-    if not docs_list:
+    def build():
+        docs_list = []
+        for t in q.termlist:
+            plist = reader.postings(q.field, t)
+            if plist is not None:
+                docs_list.append(plist.docs)
+        if not docs_list:
+            return EMPTY[0]
+        return np.unique(np.concatenate(docs_list))
+
+    union = reader.docset_cached(("ct", q.field, q.termlist), build)
+    if union.size == 0:
         return EMPTY
-    union = np.unique(np.concatenate(docs_list))
     # score is exactly 1 (boost ignored): reference matching/combo.py:216-219
     return union, np.ones(union.size, dtype=np.float64)
 

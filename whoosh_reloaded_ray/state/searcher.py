@@ -467,29 +467,8 @@ class _SegmentWorker:
         return out
 
 
-_REGEX_SPECIAL = frozenset("{}()[].?*+^$\\")
-
-
-def _regex_prefix(text: str) -> str:
-    """Literal prefix of a regex for candidate pruning — replicates the
-    reference Regex._find_prefix (query/terms.py:392-408) exactly,
-    including its conservative last-char drop when no special char is
-    found and the ``*``/``?`` zero-repeat back-off.  A shorter prefix is
-    always safe (it only widens the candidate scan)."""
-    if "|" in text:
-        return ""
-    if text.startswith("^"):
-        text = text[1:]
-    elif text.startswith("\\A"):
-        text = text[2:]
-    i = 0
-    for i, ch in enumerate(text):
-        if ch in _REGEX_SPECIAL:
-            break
-    prefix = text[:i]
-    if len(prefix) < len(text) and text[len(prefix)] in "*?":
-        prefix = prefix[:-1]
-    return prefix
+# canonical home is the AST module (Regex._find_prefix / simplify use it)
+from ..query.ast import regex_prefix as _regex_prefix  # noqa: E402
 
 
 class TimeLimitExceeded(Exception):
