@@ -341,10 +341,13 @@ def main():
         return
 
     os.makedirs(WORK, exist_ok=True)
-    # bounded-segment default: ~8 segments at the full 10M size (each
-    # segment's shuffle working set then fits the object store; see
-    # phase_build docstring); 0 would mean one corpus-spanning shuffle
-    rps = args.rows_per_segment or max(args.turns // 8, 250_000)
+    # bounded-segment default: ~4 segments at the full 10M size — with the
+    # build's overlap depth of 2, in-flight shuffle state is then half the
+    # corpus, which fits the object store (0 spill measured), while bigger
+    # segments keep each pipeline's stages saturated (measured 85.2k
+    # turns/s at 4x2.5M/depth-2 vs 51k at 8x1.25M/depth-4 on 32 CPUs);
+    # 0 would mean one corpus-spanning shuffle (29.6 GiB spill at 10M)
+    rps = args.rows_per_segment or max(args.turns // 4, 250_000)
     report = {"turns": args.turns, "docs": args.docs, "vectors": args.vectors}
     report["gen"] = _run_phase("gen", args.cpus, turns=args.turns)
     report["build"] = _run_phase(

@@ -99,11 +99,16 @@ def test_parser_integration():
     # time-only start + datetime end errors in the reference
     # (timespan.disambiguated calls end.ceil() on a plain datetime ->
     # AttributeError -> error/NullQuery), so it must be a no-match here too
+    def _is_nomatch(q):
+        return isinstance(q, ast._NullQuery) or (
+            isinstance(q, ast.Or) and not q.subqueries
+        )
+
     qerr = p.parse("ts:'midnight to +3 mins'")
-    assert isinstance(qerr, ast.Or) and not qerr.subqueries
+    assert _is_nomatch(qerr)
     q2 = p.parse("ts:'tomorrow 3pm'")
     assert q2.start == np.datetime64("2026-01-02T15:00:00.000000", "us")
     assert q2.end == np.datetime64("2026-01-02T15:59:59.999999", "us")
-    # unparseable -> no-match query (NullQuery analog)
+    # unparseable -> no-match query (reference NullQuery)
     q3 = p.parse("ts:'may 3 pm'")
-    assert isinstance(q3, ast.Or) and not q3.subqueries
+    assert _is_nomatch(q3)

@@ -154,7 +154,8 @@ def test_parser_structure():
     assert isinstance(q, And) and isinstance(q.subqueries[0], Not)
     q = p.parse('"x1 y1"~2')
     assert isinstance(q, Phrase) and q.slop == 2
-    assert p.parse("the") == Or([])  # stopword removed -> null query
+    from whoosh_reloaded_ray.query.ast import NullQuery
+    assert p.parse("the") == NullQuery  # stopword removed -> null query (ref-exact)
 
 
 def test_multifield_parser(ray_session, whoosh, tmp_path_factory):
@@ -489,11 +490,13 @@ def test_binary_null_rewrites():
     )
     from whoosh_reloaded_ray.query.normalize import normalize
 
+    from whoosh_reloaded_ray.query.ast import NullQuery, _NullQuery
+
     t = Term("text", "hello")
-    null = Or([])
+    null = Or([])  # an empty group normalizes to the NullQuery singleton
 
     def is_null(q):
-        return isinstance(q, Or) and not q.subqueries
+        return isinstance(q, _NullQuery) or (isinstance(q, Or) and not q.subqueries)
 
     assert is_null(normalize(AndNot(null, t)))
     assert normalize(AndNot(t, null)) == t

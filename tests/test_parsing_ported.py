@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 
 from whoosh_reloaded_ray import compat as wrr
+from whoosh_reloaded_ray.query import ast as wrr_ast
 from whoosh_reloaded_ray.qparser import (
     DisMaxParser,
     MultifieldParser,
@@ -318,9 +319,9 @@ def test_nonexistant_fieldnames():
 
 
 def test_stopped():
-    # ref :743-747: all-stopword input -> null query (our null = Or([]))
+    # ref :743-747: all-stopword input -> NullQuery (reference-exact)
     q = QueryParser("text", _schema(text=wrr.TEXT())).parse("a b")
-    assert q == Or([])
+    assert q == wrr_ast.NullQuery
 
 
 def test_analyzing_terms():
@@ -417,7 +418,8 @@ def test_bool_True():
     # ref :1015-1021
     s = _schema(text=wrr.TEXT(), bool=wrr.BOOLEAN())
     q = QueryParser("text", s).parse("bool:True")
-    assert isinstance(q, ColumnQuery) and q.condition is True
+    # reference BOOLEAN.parse_query -> Term(field, True)
+    assert isinstance(q, Term) and q.text is True
 
 
 def test_not_order():
@@ -479,10 +481,10 @@ def test_multitoken_with_factory():
 
 
 def test_empty_querystring():
-    # ref :160-164 (our null query is Or([]))
+    # ref :160-164 (NullQuery, reference-exact)
     s = _schema(content=wrr.TEXT(), title=wrr.TEXT(), id=wrr.ID())
     q = QueryParser("content", s).parse("")
-    assert q == Or([])
+    assert q == wrr_ast.NullQuery
 
 
 def test_multifield():

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -62,7 +63,19 @@ from .state.searcher import IndexSearcher
 def _pattern_of(expression) -> str:
     if expression is None:
         return DEFAULT_TOKEN_PATTERN
-    return getattr(expression, "pattern", expression)
+    pat = getattr(expression, "pattern", expression)
+    flags = getattr(expression, "flags", 0)
+    if flags:
+        # keep a compiled pattern's flags (e.g. url_pattern is VERBOSE)
+        # through the serializable string form via an inline flag group
+        inline = "".join(
+            ch for bit, ch in ((re.IGNORECASE, "i"), (re.MULTILINE, "m"),
+                               (re.DOTALL, "s"), (re.VERBOSE, "x"))
+            if flags & bit
+        )
+        if inline:
+            pat = f"(?{inline}:{pat})"
+    return pat
 
 
 def _stops_of(stoplist):
@@ -151,61 +164,165 @@ def LanguageAnalyzer(lang, expression=None, gaps=False, cachesize=50000):
 # NameError-free, actionable TypeError instead of silently mis-analyzing.
 
 
+class CompositionError(TypeError):
+    """Raised for invalid analyzer compositions (reference
+    analysis/acore.py CompositionError), e.g. a tokenizer mid-chain."""
+
+
+class Token:
+    """Mutable analysis token (reference analysis/acore.py Token).  The
+    pipe-DSL __call__ path yields these so ported/user filters can mutate
+    text/pos/boost/startchar/endchar in place.  All attributes are always
+    present (a superset of what the reference sets conditionally)."""
+
+    __slots__ = ("text", "pos", "startchar", "endchar", "boost", "mode",
+                 "positions", "chars", "stopped", "original")
+
+    def __init__(self, text="", pos=0, startchar=None, endchar=None,
+                 boost=1.0, mode="", positions=False, chars=False,
+                 stopped=False, original=None):
+        self.text = text
+        self.pos = pos
+        self.startchar = startchar
+        self.endchar = endchar
+        self.boost = boost
+        self.mode = mode
+        self.positions = positions
+        self.chars = chars
+        self.stopped = stopped
+        self.original = original if original is not None else text
+
+    def copy(self):
+        t = Token.__new__(Token)
+        for name in Token.__slots__:
+            setattr(t, name, getattr(self, name))
+        return t
+
+    def __repr__(self):
+        return f"Token({self.text!r}, pos={self.pos})"
+
+
+def _is_tokenizer(obj) -> bool:
+    from .functions.analysis import AnalyzerSpec as _Spec
+
+    return hasattr(obj, "_base_spec") or hasattr(obj, "_tokens") or isinstance(obj, _Spec)
+
+
 class _AnalysisComponent:
     """Base for pipe-composable tokenizers/filters."""
 
     def __or__(self, other):
-        return _AnalysisChain((self,)) | other
+        return CompositeAnalyzer((self,)) | other
 
-    def __call__(self, text):
-        return _AnalysisChain((self,))(text)
+    def __ror__(self, other):
+        # AnalyzerSpec | component is handled by AnalyzerSpec.__or__;
+        # anything else piping into a component is a composition error
+        raise CompositionError(f"cannot compose {other!r} | {self!r}")
+
+    def __call__(self, value, **kw):
+        return CompositeAnalyzer((self,))(value, **kw)
 
     def to_spec(self) -> AnalyzerSpec:
-        return _AnalysisChain((self,)).to_spec()
+        return CompositeAnalyzer((self,)).to_spec()
+
+    def _filter_tokens(self, tokens, mode=""):
+        raise TypeError(f"{type(self).__name__} has no token-stream path")
 
 
-class _AnalysisChain:
+class CompositeAnalyzer:
+    """CompositeAnalyzer (reference analysis/analyzers.py): a tokenizer
+    head followed by filters.  ``to_spec()`` compiles to the serializable
+    AnalyzerSpec used by the Ray index pipeline; calling the chain runs
+    the reference-style generator protocol over Token objects."""
+
     def __init__(self, parts):
-        self.parts = tuple(parts)
+        flat = []
+        for p in parts:
+            if isinstance(p, CompositeAnalyzer):
+                flat.extend(p.parts)
+            else:
+                flat.append(p)
+        for p in flat[1:]:
+            if _is_tokenizer(p):
+                raise CompositionError(
+                    f"tokenizer/analyzer {p!r} cannot appear mid-chain"
+                )
+        self.parts = tuple(flat)
 
     def __or__(self, other):
-        if isinstance(other, _AnalysisChain):
-            return _AnalysisChain(self.parts + other.parts)
-        if isinstance(other, _AnalysisComponent):
-            return _AnalysisChain(self.parts + (other,))
+        from .functions.analysis import AnalyzerSpec as _Spec
+
+        if isinstance(other, (CompositeAnalyzer, _AnalysisComponent, _Spec)):
+            return CompositeAnalyzer(self.parts + (other,))
         return NotImplemented
 
+    def __getitem__(self, i):
+        return self.parts[i]
+
+    def __len__(self):
+        return len(self.parts)
+
     def to_spec(self) -> AnalyzerSpec:
-        from dataclasses import replace
+        from .functions.analysis import AnalyzerSpec as _Spec
 
         parts = list(self.parts)
         head, rest = parts[0], parts[1:]
-        if not hasattr(head, "_base_spec"):
+        if isinstance(head, _Spec):
+            spec = head
+        elif hasattr(head, "_base_spec"):
+            spec = head._base_spec()
+        else:
             raise TypeError(
                 f"chain must start with a tokenizer, got {head!r}"
             )
-        spec = head._base_spec()
         for f in rest:
-            if hasattr(f, "_base_spec"):
-                raise TypeError(f"tokenizer {f!r} mid-chain")
             if not isinstance(f, _AnalysisComponent):
                 raise TypeError(f"not an analysis component: {f!r}")
             spec = f._apply(spec)
         return spec
 
-    def __call__(self, text):
-        from .functions.analysis import make_analyzer
+    def __call__(self, value, positions=False, chars=False, mode="",
+                 start_pos=0, **kw):
+        from .functions.analysis import AnalyzerSpec as _Spec
 
-        for tok, pos in make_analyzer(self.to_spec())(text):
-            yield _CompatToken(tok, pos)
+        head, rest = self.parts[0], self.parts[1:]
+        if isinstance(head, _Spec):
+            gen = _spec_tokens(head, value, mode, start_pos)
+        elif hasattr(head, "_tokens"):
+            gen = head._tokens(value, mode=mode, start_pos=start_pos,
+                               positions=positions, chars=chars)
+        else:
+            # tokenizers without a bespoke char-aware path run through
+            # their compiled spec (no startchar/endchar)
+            gen = _spec_tokens(head._base_spec(), value, mode, start_pos)
+        for f in rest:
+            gen = f._filter_tokens(gen, mode=mode)
+        return gen
+
+    def _filter_tokens(self, tokens, mode=""):
+        # filter-only chains (e.g. a TeeFilter branch built by piping two
+        # filters) fold over the incoming token stream
+        for f in self.parts:
+            tokens = f._filter_tokens(tokens, mode=mode)
+        return tokens
 
 
-class _CompatToken:
-    __slots__ = ("text", "pos")
+# internal alias kept for older imports
+_AnalysisChain = CompositeAnalyzer
+# legacy internal alias (older tests/modules referred to _CompatToken)
+_CompatToken = Token
 
-    def __init__(self, text, pos):
-        self.text = text
-        self.pos = pos
+
+def _spec_tokens(spec, value, mode="", start_pos=0):
+    """Token stream from a compiled AnalyzerSpec (no char offsets — spec
+    analyzers are the indexing path; chains needing startchar/endchar use
+    explicit tokenizer components)."""
+    from .functions.analysis import make_analyzer
+
+    fn = make_analyzer(spec, mode or "index")
+    for tup in fn(value):
+        boost = tup[2] if len(tup) > 2 else 1.0
+        yield Token(tup[0], tup[1] + start_pos, boost=boost, mode=mode)
 
 
 class RegexTokenizer(_AnalysisComponent):
@@ -221,10 +338,81 @@ class RegexTokenizer(_AnalysisComponent):
             gaps=self.gaps, lowercase=False,
         )
 
+    def _tokens(self, value, mode="", start_pos=0, **kw):
+        import re as _re
+
+        pat = _re.compile(_pattern_of(self.expression), _re.UNICODE)
+        pos = start_pos
+        if self.gaps:
+            prevend = 0
+            for m in pat.finditer(value):
+                if m.start() > prevend:
+                    yield Token(value[prevend:m.start()], pos,
+                                prevend, m.start(), mode=mode)
+                    pos += 1
+                prevend = m.end()
+            if prevend < len(value):
+                yield Token(value[prevend:], pos, prevend, len(value),
+                            mode=mode)
+            return
+        for m in pat.finditer(value):
+            yield Token(m.group(0), pos, m.start(), m.end(), mode=mode)
+            pos += 1
+
 
 class IDTokenizer(_AnalysisComponent):
     def _base_spec(self):
         return id_analyzer(lowercase=False)
+
+    def _tokens(self, value, mode="", start_pos=0, **kw):
+        # reference IDTokenizer pos quirk: start_pos + 1
+        # (analysis/tokenizers.py:70)
+        yield Token(value, start_pos + 1, 0, len(value), mode=mode)
+
+
+class PathTokenizer(_AnalysisComponent):
+    """Progressive path-prefix tokens (reference PathTokenizer,
+    analysis/tokenizers.py:318-339): "/a/b/c" -> /a, /a/b, /a/b/c."""
+
+    def __init__(self, expression="[^/]+"):
+        self.expression = expression
+
+    def _base_spec(self):
+        from dataclasses import replace
+
+        return replace(
+            simple_analyzer(), kind="path", pattern=self.expression,
+            lowercase=False, stopwords=None, minsize=0,
+        )
+
+    def _tokens(self, value, mode="", start_pos=0, **kw):
+        import re as _re
+
+        pat = _re.compile(self.expression, _re.UNICODE)
+        for i, m in enumerate(pat.finditer(value)):
+            yield Token(value[: m.end()], start_pos + i, 0, m.end(),
+                        mode=mode)
+
+
+class CharsetTokenizer(_AnalysisComponent):
+    """Tokenize by charmap translation: falsy-mapped chars break tokens
+    (reference CharsetTokenizer, analysis/tokenizers.py:239-315; the
+    final-token raw-slice quirk is replicated in charset_tokenize)."""
+
+    def __init__(self, charmap):
+        self.charmap = dict(charmap)
+
+    def _base_spec(self):
+        raise CompositionError(
+            "CharsetTokenizer has no serializable spec; index with a "
+            "RegexTokenizer | CharsetFilter chain instead"
+        )
+
+    def _tokens(self, value, mode="", start_pos=0, **kw):
+        from .functions.analysis import charset_tokenize
+
+        for text, pos in charset_tokenize(value, self.charmap):
+            yield Token(text, pos + start_pos, mode=mode)
 
 
 class SpaceSeparatedTokenizer(_AnalysisComponent):
@@ -232,6 +420,23 @@ class SpaceSeparatedTokenizer(_AnalysisComponent):
 
     def _base_spec(self):
         return keyword_analyzer(lowercase=False, commas=self.commas)
+
+    def _tokens(self, value, mode="", start_pos=0, **kw):
+        import re as _re
+
+        pos = start_pos
+        if self.commas:
+            for m in _re.finditer(r"[^,]+", value):
+                text = m.group(0).strip()
+                if text:
+                    lead = len(m.group(0)) - len(m.group(0).lstrip())
+                    sc = m.start() + lead
+                    yield Token(text, pos, sc, sc + len(text), mode=mode)
+                    pos += 1
+            return
+        for m in _re.finditer(r"[^ \t\r\n]+", value):
+            yield Token(m.group(0), pos, m.start(), m.end(), mode=mode)
+            pos += 1
 
 
 class CommaSeparatedTokenizer(SpaceSeparatedTokenizer):
@@ -243,6 +448,11 @@ class LowercaseFilter(_AnalysisComponent):
         from dataclasses import replace
 
         return replace(spec, lowercase=True)
+
+    def _filter_tokens(self, tokens, mode=""):
+        for t in tokens:
+            t.text = t.text.lower()
+            yield t
 
 
 class StopFilter(_AnalysisComponent):
@@ -267,6 +477,25 @@ class StopFilter(_AnalysisComponent):
             spec, stopwords=stops or None, minsize=self.minsize,
             maxsize=self.maxsize, renumber=self.renumber,
         )
+
+    def _filter_tokens(self, tokens, mode=""):
+        from .functions.lang_stopwords import STOPLISTS
+
+        stops = frozenset(self.stoplist) if self.stoplist else frozenset()
+        if self.lang is not None:
+            stops = stops | frozenset(STOPLISTS.get(self.lang, ()))
+        minsize, maxsize = self.minsize, self.maxsize
+        pos = None
+        for t in tokens:
+            text = t.text
+            if (len(text) < minsize
+                    or (maxsize is not None and len(text) > maxsize)
+                    or text in stops):
+                continue
+            if self.renumber:
+                pos = t.pos if pos is None else pos + 1
+                t.pos = pos
+            yield t
 
 
 class StemFilter(_AnalysisComponent):
@@ -310,6 +539,22 @@ class StemFilter(_AnalysisComponent):
             stemmer = la.stemmer or "porter"
         return replace(spec, kind="stemming", stemmer=stemmer)
 
+    def _filter_tokens(self, tokens, mode=""):
+        import types as _types
+
+        from .functions.analysis import resolve_stemmer
+
+        if self.stemfn is not None:
+            name = self.stemfn
+        elif self.lang is None:
+            name = "porter"
+        else:
+            name = language_analyzer(self.lang).stemmer or "porter"
+        stem = resolve_stemmer(_types.SimpleNamespace(stemmer=name))
+        for t in tokens:
+            t.text = stem(t.text)
+            yield t
+
 
 class CharsetFilter(_AnalysisComponent):
     """Accent/case folding via a str.translate() map (reference
@@ -326,6 +571,12 @@ class CharsetFilter(_AnalysisComponent):
         from .functions.analysis import charmap_key
 
         return replace(spec, charmap=charmap_key(self.charmap))
+
+    def _filter_tokens(self, tokens, mode=""):
+        cmap = self.charmap
+        for t in tokens:
+            t.text = t.text.translate(cmap)
+            yield t
 
 
 class NgramFilter(_AnalysisComponent):
@@ -345,6 +596,50 @@ class NgramFilter(_AnalysisComponent):
             lowercase=spec.lowercase,
         )
 
+    def _filter_tokens(self, tokens, mode=""):
+        gmin = self.minsize
+        gmax = self.maxsize or gmin
+        at = self.at
+        for t in tokens:
+            w = t.text
+            n = len(w)
+            if n < gmin:
+                continue
+            base = t.startchar or 0
+            if mode == "query":
+                # single gram size per word (reference NgramFilter query
+                # branch, analysis/ngrams.py:180-198)
+                size = min(gmax, n)
+                starts = ([0] if at == "start" else [n - size]
+                          if at == "end" else range(0, n - size + 1))
+                for s in starts:
+                    nt = t.copy()
+                    nt.text = w[s:s + size]
+                    nt.startchar, nt.endchar = base + s, base + s + size
+                    yield nt
+                continue
+            if at == "start":
+                for size in range(gmin, min(gmax, n) + 1):
+                    nt = t.copy()
+                    nt.text = w[:size]
+                    nt.startchar, nt.endchar = base, base + size
+                    yield nt
+            elif at == "end":
+                for start in range(max(0, n - gmax), n - gmin + 1):
+                    nt = t.copy()
+                    nt.text = w[start:]
+                    nt.startchar, nt.endchar = base + start, base + n
+                    yield nt
+            else:
+                for start in range(0, n - gmin + 1):
+                    for size in range(gmin, gmax + 1):
+                        if start + size <= n:
+                            nt = t.copy()
+                            nt.text = w[start:start + size]
+                            nt.startchar = base + start
+                            nt.endchar = base + start + size
+                            yield nt
+
 
 class _PostFilter(_AnalysisComponent):
     """Base for filters that append a serializable entry to
@@ -363,13 +658,39 @@ class _PostFilter(_AnalysisComponent):
             spec, post_filters=spec.post_filters + ((self.name, self._kwargs()),)
         )
 
+    def _filter_tokens(self, tokens, mode=""):
+        # generic token path: run the registered list-function over
+        # (text, pos) pairs; text-reshaping filters invalidate char spans
+        from .functions.analysis import _post_filter_registry
+
+        fn = _post_filter_registry()[self.name]
+        toks = list(tokens)
+        proto = toks[0] if toks else None
+        for tup in fn([(t.text, t.pos) for t in toks], **dict(self._kwargs())):
+            t = proto.copy() if proto is not None else Token()
+            t.text, t.pos = tup[0], tup[1]
+            t.startchar = t.endchar = None
+            if len(tup) > 2:
+                t.boost = tup[2]
+            yield t
+
 
 class StripFilter(_PostFilter):
     name = "strip"
 
+    def _filter_tokens(self, tokens, mode=""):
+        for t in tokens:
+            t.text = t.text.strip()
+            yield t
+
 
 class ReverseTextFilter(_PostFilter):
     name = "reverse"
+
+    def _filter_tokens(self, tokens, mode=""):
+        for t in tokens:
+            t.text = t.text[::-1]
+            yield t
 
 
 class SubstitutionFilter(_PostFilter):
@@ -382,6 +703,14 @@ class SubstitutionFilter(_PostFilter):
     def _kwargs(self):
         return (("pattern", self.pattern), ("replacement", self.replacement))
 
+    def _filter_tokens(self, tokens, mode=""):
+        import re as _re
+
+        pat = _re.compile(self.pattern)
+        for t in tokens:
+            t.text = pat.sub(self.replacement, t.text)
+            yield t
+
 
 class BiWordFilter(_PostFilter):
     name = "biword"
@@ -391,6 +720,25 @@ class BiWordFilter(_PostFilter):
 
     def _kwargs(self):
         return (("sep", self.sep),)
+
+    def _filter_tokens(self, tokens, mode=""):
+        # char-aware pairs; a lone token passes through unchanged
+        # (reference BiWordFilter, analysis/filters.py)
+        prev = None
+        pos = None
+        emitted = False
+        for t in tokens:
+            if prev is not None:
+                pos = prev.pos if pos is None else pos + 1
+                bt = prev.copy()
+                bt.text = prev.text + self.sep + t.text
+                bt.pos = pos
+                bt.endchar = t.endchar
+                emitted = True
+                yield bt
+            prev = t
+        if not emitted and prev is not None:
+            yield prev
 
 
 class ShingleFilter(_PostFilter):
@@ -402,6 +750,27 @@ class ShingleFilter(_PostFilter):
 
     def _kwargs(self):
         return (("size", self.size), ("sep", self.sep))
+
+    def _filter_tokens(self, tokens, mode=""):
+        # char-aware sliding window; fewer tokens than ``size`` emit the
+        # lone tokens unchanged (mirrors BiWordFilter's lone-token rule)
+        buf = []
+        pos = None
+        emitted = False
+        for t in tokens:
+            buf.append(t)
+            if len(buf) == self.size:
+                pos = buf[0].pos if pos is None else pos + 1
+                st = buf[0].copy()
+                st.text = self.sep.join(x.text for x in buf)
+                st.pos = pos
+                st.endchar = buf[-1].endchar
+                emitted = True
+                yield st
+                buf.pop(0)
+        if not emitted:
+            for t in buf:
+                yield t
 
 
 class CompoundWordFilter(_PostFilter):
@@ -425,9 +794,29 @@ class DoubleMetaphoneFilter(_PostFilter):
 
     def __init__(self, primary_boost=1.0, secondary_boost=0.5, combine=False):
         self.combine = combine
+        self.primary_boost = primary_boost
+        self.secondary_boost = secondary_boost
 
     def _kwargs(self):
         return (("combine", self.combine),)
+
+    def _filter_tokens(self, tokens, mode=""):
+        # boost-carrying token path (reference DoubleMetaphoneFilter,
+        # analysis/morph.py: primary_boost / secondary_boost)
+        from .functions.dmetaphone import double_metaphone
+
+        for t in tokens:
+            if self.combine:
+                yield t.copy()
+            primary, secondary = double_metaphone(t.text)
+            if primary:
+                nt = t.copy()
+                nt.text, nt.boost = primary, self.primary_boost
+                yield nt
+            if secondary:
+                nt = t.copy()
+                nt.text, nt.boost = secondary, self.secondary_boost
+                yield nt
 
 
 class DelimitedAttributeFilter(_PostFilter):
@@ -455,10 +844,28 @@ class DelimitedAttributeFilter(_PostFilter):
             ("typ", typ_name),
         )
 
+    def _filter_tokens(self, tokens, mode=""):
+        delim = self.delimiter
+        for t in tokens:
+            text = t.text
+            i = text.rfind(delim)
+            if i >= 0:
+                try:
+                    t.boost = self.type(text[i + len(delim):])
+                    t.text = text[:i]
+                except (TypeError, ValueError):
+                    t.boost = self.default
+            else:
+                t.boost = self.default
+            yield t
+
 
 class PassFilter(_AnalysisComponent):
     def _apply(self, spec):
         return spec
+
+    def _filter_tokens(self, tokens, mode=""):
+        return tokens
 
 
 class LoggingFilter(PassFilter):
@@ -493,28 +900,255 @@ class NgramTokenizer(_AnalysisComponent):
         )
 
 
+class Filter(_AnalysisComponent):
+    """User-extensible token filter (reference analysis/acore.py
+    Composable/Filter): subclass and override ``__call__(tokens)`` as a
+    generator over Token objects, then pipe it into a chain.  Custom
+    filters participate in the __call__ token path only; they have no
+    serializable AnalyzerSpec form, so an index-time analyzer must use
+    the built-in filter classes."""
+
+    def __call__(self, tokens):
+        raise NotImplementedError
+
+    def _filter_tokens(self, tokens, mode=""):
+        return self.__call__(tokens)
+
+    def _apply(self, spec):
+        raise CompositionError(
+            f"{type(self).__name__} is a runtime token filter with no "
+            "serializable index-analyzer form"
+        )
+
+
+class MultiFilter(Filter):
+    """Mode-dispatched filter bundle (reference MultiFilter,
+    analysis/filters.py:130-160): picks the sub-filter named by the
+    analysis call's ``mode`` argument, PassFilter otherwise."""
+
+    default_filter = PassFilter()
+
+    def __init__(self, **filters):
+        self.filters = filters
+
+    def _filter_tokens(self, tokens, mode=""):
+        chosen = self.filters.get(mode, self.default_filter)
+        return chosen._filter_tokens(tokens, mode=mode)
+
+    def _apply(self, spec):
+        # index-time spec uses the "index"-mode sub-filter; the schema's
+        # separate query_analyzer covers the query side (schema.py:62)
+        chosen = self.filters.get("index")
+        if chosen is None:
+            return spec
+        return chosen._apply(spec)
+
+
+class TeeFilter(Filter):
+    """Clone the stream through n filter branches and interleave their
+    outputs round-robin (reference TeeFilter, analysis/filters.py:184-236)."""
+
+    def __init__(self, *filters):
+        if len(filters) < 2:
+            raise CompositionError("TeeFilter requires two or more filters")
+        self.filters = filters
+
+    def _filter_tokens(self, tokens, mode=""):
+        toks = list(tokens)
+        branches = [
+            list(f._filter_tokens(iter([t.copy() for t in toks]), mode=mode))
+            for f in self.filters
+        ]
+        i = 0
+        while any(branches):
+            b = branches[i % len(branches)]
+            if b:
+                yield b.pop(0)
+            i += 1
+
+
+class IntraWordFilter(Filter):
+    """Split words on case/letter-number transitions and delimiters,
+    optionally merging runs back together (reference IntraWordFilter,
+    analysis/intraword.py:221-509).  Char-span-aware: subword tokens carry
+    their slice of the parent span; a merged run spans first-to-last part.
+    The ``delims`` parameter is accepted for signature parity but the
+    reference's default delimiter set is always used."""
+
+    def __init__(self, delims=None, splitwords=True, splitnums=True,
+                 mergewords=False, mergenums=False):
+        self.splitwords = splitwords
+        self.splitnums = splitnums
+        self.mergewords = mergewords
+        self.mergenums = mergenums
+
+    @staticmethod
+    def _merge_chars(parts, mergewords, mergenums):
+        # same insertion logic as functions.analysis._iw_merge, carrying
+        # [text, pos, startchar, endchar] so merged runs get the full span
+        last = 0
+        insertat = 0
+        buf = []
+        pos = 0
+
+        def insert_item(at, newpos):
+            parts.insert(
+                at,
+                ["".join(p[0] for p in buf), newpos, buf[0][2], buf[-1][3]],
+            )
+
+        for item in list(parts):
+            text, pos = item[0], item[1]
+            if text.isalpha():
+                this = 1
+            elif text.isdigit():
+                this = 2
+            else:
+                this = None
+            if buf and (
+                (this == last == 1 and mergewords)
+                or (this == last == 2 and mergenums)
+            ):
+                buf.append(item)
+            else:
+                if len(buf) > 1:
+                    insert_item(insertat, pos - 1)
+                    insertat += 1
+                buf = [item]
+                last = this
+            insertat += 1
+        if len(buf) > 1:
+            insert_item(len(parts), pos)
+
+    def _filter_tokens(self, tokens, mode=""):
+        from .functions.analysis import _iw_split
+
+        newpos = None
+        for tk in tokens:
+            text = tk.text
+            if newpos is None:
+                newpos = tk.pos
+            if ((text.isalpha() and (text.islower() or text.isupper()))
+                    or text.isdigit()):
+                t = tk.copy()
+                t.pos = newpos
+                newpos += 1
+                yield t
+                continue
+            base = tk.startchar or 0
+            ranges = list(_iw_split(text, self.splitwords, self.splitnums))
+            parts = [
+                [text[sc:ec], newpos + i, base + sc, base + ec]
+                for i, (sc, ec) in enumerate(ranges)
+            ]
+            if len(parts) > 1 and (self.mergewords or self.mergenums):
+                self._merge_chars(parts, self.mergewords, self.mergenums)
+            for ptext, ppos, sc, ec in parts:
+                t = tk.copy()
+                t.text, t.pos, t.startchar, t.endchar = ptext, ppos, sc, ec
+                yield t
+            if parts:
+                newpos = parts[-1][1] + 1
+
+    def _apply(self, spec):
+        # index path: FancyAnalyzer's spec covers the split-only default;
+        # merge modes are __call__-path only
+        from dataclasses import replace
+
+        if self.mergewords or self.mergenums:
+            raise CompositionError(
+                "IntraWordFilter merge modes have no serializable "
+                "index-analyzer form; use FancyAnalyzer or the __call__ path"
+            )
+        return replace(spec, kind="fancy")
+
+
+# the reference's URL-preserving token pattern (analysis/filters.py:79-90)
+url_pattern = re.compile(
+    r"""
+    (
+        [A-Za-z+]+://          # URL protocol
+        \S+?                   # URL body
+        (?=\s|[.]\s|$|[.]$)    # stop at space/end, or a dot then space/end
+    ) | (
+        \w+([:.]?\w+)*         # word chars, with optional internal colons/dots
+    )
+    """,
+    re.VERBOSE | re.UNICODE,
+)
+
+# default RegexTokenizer pattern, importable like the reference's
+# analysis.default_pattern (tokenizers.py:31)
+default_pattern = re.compile(DEFAULT_TOKEN_PATTERN, re.UNICODE)
+
 # base-class/exception names from the reference analysis namespace
 Composable = _AnalysisComponent
 Analyzer = _AnalysisComponent
 Tokenizer = _AnalysisComponent
-Filter = _AnalysisComponent
-Token = _CompatToken
-
-
-class CompositionError(TypeError):
-    pass
 
 
 def _coerce_analyzer(analyzer):
     """Accept AnalyzerSpec, a pipe chain, or a bare component."""
     if analyzer is None or isinstance(analyzer, AnalyzerSpec):
         return analyzer
-    if isinstance(analyzer, (_AnalysisChain, _AnalysisComponent)):
+    if isinstance(analyzer, (CompositeAnalyzer, _AnalysisComponent)):
         return analyzer.to_spec()
     raise TypeError(f"unsupported analyzer: {analyzer!r}")
 
 
 # ---- field constructors (reference fields.py surface) ----------------------
+
+
+class _FieldDecl(tuple):
+    """Field-constructor result: the (kind, options) pair Schema consumes,
+    plus the reference FieldType.process_text hook (fields.py:178-190 —
+    yields analyzed token TEXTS for a query/index string)."""
+
+    def process_text(self, qstring, mode="", **kwargs):
+        from .functions.analysis import AnalyzerSpec, make_analyzer
+
+        ana = self[1].get("analyzer") or standard_analyzer()
+        if isinstance(ana, AnalyzerSpec):
+            fn = make_analyzer(ana, mode or "index")
+            return (tup[0] for tup in fn(qstring))
+        return (t.text for t in ana(qstring, mode=mode, **kwargs))
+
+    def index(self, value, **kwargs):
+        """Reference FieldType.index: per-term postings for one value.
+        Numeric fields validate the declared bits/signed range
+        (fields.py NUMERIC.prepare_number raising ValueError) and return
+        the int64 sortable; text fields return sorted
+        (term, doc_freq, summed_weight) triples — the packed value bytes
+        of the reference's format are a codec detail this engine stores
+        as Parquet columns instead."""
+        kind, opts = self
+        if kind == "numeric":
+            bits = opts.get("bits", 64)
+            signed = opts.get("signed", True)
+            if isinstance(value, int):
+                lo = -(1 << (bits - 1)) if signed else 0
+                hi = (1 << (bits - 1 if signed else bits)) - 1
+                if value < lo or value > hi:
+                    raise ValueError(
+                        f"{value} out of range for {bits}-bit "
+                        f"{'signed' if signed else 'unsigned'} field"
+                    )
+            return [(int(value),)]
+        if kind not in ("text", "keyword"):
+            raise TypeError(f"index() unsupported for field kind {kind!r}")
+        agg: dict = {}
+        for t in self._analyze_tokens(value):
+            freq, weight = agg.get(t.text, (0, 0.0))
+            agg[t.text] = (freq + 1, weight + t.boost)
+        return sorted((text, fw[0], fw[1]) for text, fw in agg.items())
+
+    def _analyze_tokens(self, value, mode=""):
+        from .functions.analysis import AnalyzerSpec
+
+        ana = self[1].get("analyzer") or standard_analyzer()
+        if isinstance(ana, AnalyzerSpec):
+            return ana(value, mode=mode)
+        return ana(value, mode=mode)
 
 
 def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=False,
@@ -535,7 +1169,7 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
     analyzer for drop-in compatibility."""
     if stored is not True and stored is not False and not isinstance(stored, int):
         stored, analyzer = True, stored
-    return (
+    return _FieldDecl((
         "text",
         {
             "analyzer": analyzer,
@@ -548,7 +1182,7 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
             "format": format,
             "multitoken_query": multitoken_query,
         },
-    )
+    ))
 
 
 def ID(stored=True, unique=False):
@@ -572,22 +1206,25 @@ def NUMERIC(numtype=int, stored=True, unique=False, decimal_places=0,
     import decimal as _decimal
 
     if numtype is _decimal.Decimal:
-        return (
+        return _FieldDecl((
             "numeric",
             {"stored": stored, "numtype": "int", "unique": unique,
-             "decimal_places": int(decimal_places)},
-        )
-    return (
+             "decimal_places": int(decimal_places),
+             "bits": bits, "signed": signed},
+        ))
+    return _FieldDecl((
         "numeric",
         {"stored": stored, "numtype": "float" if numtype is float else "int",
          "unique": unique,
          # the reference also accepts NUMERIC(int, decimal_places=n)
-         "decimal_places": int(decimal_places)},
-    )
+         "decimal_places": int(decimal_places),
+         "bits": bits, "signed": signed},
+    ))
 
 
-def DATETIME(stored=True):
-    return ("datetime", {"stored": stored})
+def DATETIME(stored=True, unique=False, sortable=False):
+    return _FieldDecl(("datetime", {"stored": stored or sortable,
+                                    "unique": unique}))
 
 
 def BOOLEAN(stored=True):
@@ -667,6 +1304,10 @@ class MetaSchema(type):
             for k, v in vars(base).items():
                 if isinstance(v, tuple) and len(v) == 2 and isinstance(v[0], str):
                     fields[k] = v
+                elif callable(v) and getattr(v, "__name__", "").isupper():
+                    # bare field type (``content = fields.TEXT``) — the
+                    # reference instantiates it (fields.py MetaSchema)
+                    fields[k] = v()
         cls._declared_fields = fields
         return cls
 
@@ -682,20 +1323,68 @@ class SchemaClass(metaclass=MetaSchema):
             body = TEXT()
 
         ix = create_in(dirname, MySchema)
-    """
+
+    Instantiating the class (``MySchema()``) builds the Schema, like the
+    reference's ``ix = storage.create_index(MySchema())``."""
+
+    def __new__(cls, *args, **kwargs):
+        return Schema(**cls._declared_fields)
 
 
 class Schema:
-    """Field-name -> field-constructor schema (reference fields.Schema)."""
+    """Field-name -> field-constructor schema (reference fields.Schema,
+    incl. add/copy/eq/getitem/contains and the names() method)."""
 
     def __init__(self, **fields):
+        self._decls: dict = {}
+        for name, spec in fields.items():
+            self._put(name, spec)
+        self._rebuild()
+
+    def _put(self, name, spec):
+        if name.startswith("_") or " " in name:
+            raise FieldConfigurationError(f"invalid field name {name!r}")
+        if callable(spec):
+            # reference Schema instantiates bare field types
+            # (fields.py Schema.add: "if isinstance(fieldtype, type)")
+            spec = spec()
+        self._decls[name] = spec
+
+    def add(self, name, spec):
+        """Reference Schema.add (fields.py): validates the name,
+        instantiates bare field-type callables."""
+        self._put(name, spec)
+        self._rebuild()
+
+    def copy(self):
+        s = Schema.__new__(Schema)
+        s._decls = dict(self._decls)
+        s._rebuild()
+        return s
+
+    def names(self) -> list:
+        """Sorted field names (reference Schema.names)."""
+        return [f.name for f in self.index_schema.fields]
+
+    def __contains__(self, name) -> bool:
+        return name in self._decls
+
+    def __getitem__(self, name):
+        for f in self.index_schema.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Schema)
+            and self.index_schema.fields == other.index_schema.fields
+        )
+
+    def _rebuild(self):
         specs = []
-        for name in sorted(fields):  # reference sorts field names
-            spec = fields[name]
-            if callable(spec):
-                # reference Schema instantiates bare field types
-                # (fields.py Schema.add: "if isinstance(fieldtype, type)")
-                spec = spec()
+        for name in sorted(self._decls):  # reference sorts field names
+            spec = self._decls[name]
             kind, opts = spec
             if kind == "text":
                 specs.append(
@@ -742,7 +1431,11 @@ class Schema:
                     )
                 )
             elif kind == "datetime":
-                specs.append(numeric_field(name, kind="datetime"))
+                specs.append(numeric_field(
+                    name, kind="datetime",
+                    unique=opts.get("unique", False),
+                    stored=opts.get("stored", True),
+                ))
             elif kind == "boolean":
                 from .schema import boolean_field
 
@@ -764,7 +1457,6 @@ class Schema:
             else:
                 raise ValueError(f"unknown field kind {kind!r}")
         self.index_schema = IndexSchema(fields=specs)
-        self.names = [f.name for f in specs]
 
     def stored_names(self) -> list:
         """Names of stored fields in name order (reference
@@ -1014,6 +1706,10 @@ class EmptyIndexError(Exception):
 def create_in(dirname: str, schema: Schema) -> "Index":
     if isinstance(schema, type) and issubclass(schema, SchemaClass):
         schema = schema.schema()  # declarative SchemaClass accepted
+    if not isinstance(schema, (Schema, IndexSchema)):
+        # reference index.create_in via Schema coercion raises
+        # FieldConfigurationError for non-schema arguments
+        raise FieldConfigurationError(f"not a schema: {schema!r}")
     os.makedirs(dirname, exist_ok=True)
     return Index(dirname, schema)
 
@@ -1087,6 +1783,11 @@ class Index:
         """Total docs including deleted (reference doc_count_all)."""
         man = load_manifest(self.dirname)
         return man.doc_count if man else 0
+
+    def is_empty(self) -> bool:
+        """True when the index holds no documents (reference
+        Index.is_empty, index.py)."""
+        return self.doc_count_all() == 0
 
     def _segments(self) -> list:
         """Committed segment metas (reference Index._segments; used by its
@@ -2678,6 +3379,11 @@ class Reader:
 
     def __init__(self, searcher: IndexSearcher):
         self._s = searcher
+
+    @property
+    def schema(self):
+        """The index schema (reference IndexReader.schema)."""
+        return self._s.manifest.schema
 
     # -- collection stats --
     def doc_count_all(self) -> int:

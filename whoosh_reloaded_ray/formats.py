@@ -155,3 +155,26 @@ def _read_varint(buf: bytes, i: int) -> tuple:
         if not b & 0x80:
             return v, i
         shift += 7
+
+
+def entoken(texts, positions=False, chars=False, start_pos=0, **kw):
+    """Token stream from pre-tokenized strings (reference
+    formats.py entoken): one Token per string, positions counted from
+    ``start_pos``."""
+    from .compat import Token
+
+    pos = start_pos
+    for text in texts:
+        yield Token(text, pos, **{k: v for k, v in kw.items()
+                                  if k in ("mode", "boost")})
+        pos += 1
+
+
+def tokens(value, analyzer, kwargs):
+    """Analyze ``value`` (or wrap a pre-tokenized list/tuple) into a Token
+    stream (reference formats.tokens, formats.py:35-42)."""
+    if isinstance(value, (tuple, list)):
+        gen = entoken(value, **kwargs)
+    else:
+        gen = analyzer(value, **kwargs)
+    return gen

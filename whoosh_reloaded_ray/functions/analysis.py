@@ -45,6 +45,15 @@ Token = tuple  # (term: str, pos: int)
 AnalyzeFn = Callable[[str], list]
 
 
+
+def _findall(pat, text: str) -> list:
+    """Whole-match findall even when the pattern has capture groups (the
+    reference tokenizes with finditer, so group-bearing patterns like its
+    url_pattern must yield full matches, not group tuples)."""
+    if pat.groups:
+        return [m.group(0) for m in pat.finditer(text)]
+    return pat.findall(text)
+
 def _gap_split(pat, text: str) -> list:
     """Texts BETWEEN pattern matches (reference RegexTokenizer gaps=True,
     analysis/tokenizers.py:160-197): empty gaps are skipped, the tail after
@@ -62,7 +71,22 @@ def _gap_split(pat, text: str) -> list:
 
 @dataclass(frozen=True)
 class AnalyzerSpec:
-    """Serializable analyzer configuration (shipped to Ray workers)."""
+    """Serializable analyzer configuration (shipped to Ray workers).
+
+    Composes with the compat pipe DSL like a reference analyzer object:
+    ``StandardAnalyzer() | CharsetFilter(map)`` lifts the spec into an
+    analysis chain, and calling a spec on text yields reference-style
+    Token objects (reference analyzers are callable, analysis/acore.py)."""
+
+    def __or__(self, other):
+        from ..compat import CompositeAnalyzer
+
+        return CompositeAnalyzer((self,)) | other
+
+    def __call__(self, value, **kw):
+        from ..compat import CompositeAnalyzer
+
+        return CompositeAnalyzer((self,))(value, **kw)
 
     kind: str = "standard"  # standard | simple | id | keyword | ngram | stemming
     pattern: str = DEFAULT_TOKEN_PATTERN
@@ -335,7 +359,7 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
         def analyze(text: str) -> list:
             if not text:
                 return []
-            toks = _gap_split(pat, text) if gaps else pat.findall(text)
+            toks = _gap_split(pat, text) if gaps else _findall(pat, text)
             if lower:
                 toks = [t.lower() for t in toks]
             if cmap is not None:
@@ -367,7 +391,7 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
             if not text:
                 return []
             out = []
-            for pos, w in enumerate(pat.findall(text)):
+            for pos, w in enumerate(_findall(pat, text)):
                 w = w.lower()
                 if len(w) < gmin:
                     continue
@@ -461,6 +485,16 @@ def make_analyzer(spec: AnalyzerSpec, mode: str = "index") -> AnalyzeFn:
             return out
 
         return analyze_ng
+
+    if kind == "path":
+        expr = spec.pattern
+
+        def analyze_path(text: str) -> list:
+            if not text:
+                return []
+            return path_tokenize(text, expr)
+
+        return analyze_path
 
     raise ValueError(f"unknown analyzer kind: {kind!r}")
 

@@ -190,14 +190,18 @@ def build_index(
 
     # Overlap consecutive segment builds: each segment pipeline ends in a
     # shuffle + bounded reducer tail during which the tokenize stage is
-    # idle; running the NEXT segments' read/tokenize under that tail keeps
-    # the cluster busy (measured: 8-CPU leg of the 10M-turn probe only
-    # kept ~4 cores busy at depth 2; 32 CPUs need ~4 pipelines in flight).
-    # Commits stay strictly in plan order so resume semantics are
-    # unchanged (a crash commits only a prefix).  Depth bounds in-flight
-    # shuffle memory to `overlap` segments — size rows_per_segment so
-    # overlap x segment postings fits the aggregate object store.
-    overlap = 1 if len(to_build) < 2 or cpus < 8 else max(2, cpus // 8)
+    # idle; running the NEXT segment's read/tokenize under that tail keeps
+    # the cluster busy.  Commits stay strictly in plan order so resume
+    # semantics are unchanged (a crash commits only a prefix).  Depth 2 is
+    # the measured sweet spot (10M-turn / 32-CPU probe, 2026-08-19:
+    # depth 2 = 85.2k turns/s vs depth 4 = 42-51k — more concurrent
+    # pipelines fragment the per-stage actor pools and thrash the driver's
+    # per-dataset executors) and bounds in-flight shuffle memory to TWO
+    # segments — size rows_per_segment so 2 x segment postings fits the
+    # aggregate object store.  WRR_OVERLAP overrides for experiments.
+    overlap = 1 if len(to_build) < 2 or cpus < 8 else 2
+    if os.environ.get("WRR_OVERLAP"):
+        overlap = max(1, int(os.environ["WRR_OVERLAP"]))
     overlap = min(overlap, len(to_build))
     try:
         if overlap == 1:

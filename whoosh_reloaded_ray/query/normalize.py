@@ -93,6 +93,8 @@ def _merge_ranges(a: ast.TermRange, b: ast.TermRange, intersect: bool) -> ast.Te
 
 
 def _is_empty(q: ast.Query) -> bool:
+    if isinstance(q, ast._NullQuery):
+        return True
     return isinstance(q, (ast.And, ast.Or, ast.DisMax)) and not q.subqueries
 
 
@@ -164,7 +166,9 @@ def normalize(q: ast.Query) -> ast.Query:
                 pass
             out.append(s)
         if not out:
-            return ast.Or([])
+            # reference And/Or.normalize of an empty group -> NullQuery
+            # (qcore.py); evaluates to the empty docset
+            return ast.NullQuery
         if len(out) == 1:
             s = out[0]
             return dataclasses.replace(s, boost=s.boost * q.boost)

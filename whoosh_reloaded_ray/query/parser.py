@@ -33,8 +33,8 @@ strings, tests/test_parser.py::test_parser_differential_fuzz):
     already-boosted left group, leaking the boost onto it
     (``(a b)^2 AND c`` boosts ``c`` too) — here the boost stays on the
     left group only;
-  * an empty parse is the empty ``Or([])`` (this engine's null query
-    representation) instead of the ``_NullQuery`` singleton.
+  * an empty parse is the reference's ``NullQuery`` singleton (empty
+    groups normalize to it, query/normalize.py).
 """
 
 from __future__ import annotations
@@ -208,6 +208,11 @@ class QueryParser:
             self.group_scale = getattr(group, "scale", None)
             group = "and" if getattr(group, "kindname", "or") == "and" else "or"
         self.group_cls = ast.And if group == "and" else ast.Or
+        # accept the compat fields.Schema wrapper directly (the reference
+        # passes its Schema object straight to QueryParser)
+        if schema is not None and not hasattr(schema, "fields"):
+            schema = getattr(schema, "index_schema", schema)
+            self.schema = schema
         self.fields = {} if schema is None else {f.name: f for f in schema.fields}
         self.plugins: list = []
         if plugins is None:
@@ -543,7 +548,7 @@ class QueryParser:
                 raise Exception(f"Filter {f!r} did not return anything")
         q = self._resolve(group)
         if q is None:
-            return ast.Or([])
+            return ast.NullQuery
         from .normalize import normalize
 
         # the reference parser normalizes by default (default.py parse
@@ -991,14 +996,17 @@ class QueryParser:
     def _word_query(self, field: str, text: str):
         spec = self.fields.get(field)
         if spec is not None and spec.kind == "boolean" and text != "*":
+            # reference BOOLEAN.parse_query yields Term(field, True/False)
+            # (fields.py); the executor evaluates bool-text Terms as a
+            # columnar mask, so this keeps the ColumnQuery fast path
             low = text.lower()
             if low in self.BOOL_TRUES:
-                return ast.ColumnQuery(field, True)
+                return ast.Term(field, True)
             if low in self.BOOL_FALSES:
-                return ast.ColumnQuery(field, False)
+                return ast.Term(field, False)
             # reference BOOLEAN._obj_to_bool: anything else is bool(x) —
             # a non-empty string queries True (fields.py:963-974)
-            return ast.ColumnQuery(field, bool(text))
+            return ast.Term(field, bool(text))
         if spec is not None and spec.kind == "datetime" and text != "*":
             bounds = _datetime_bounds(text)
             if bounds is None and self.dateparse_basedate is not None:
@@ -1112,12 +1120,14 @@ class QueryParser:
                 endexcl=endexcl,
             )
         if spec is not None and spec.kind == "numeric":
+            lov = _parse_number(lo) if lo is not None else None
+            hiv = _parse_number(hi) if hi is not None else None
+            if (lo is not None and lov is None) or (hi is not None and hiv is None):
+                # unparseable bound text ("[10 to *]") -> NullQuery
+                # (reference NUMERIC.parse_range raising -> NullQuery)
+                return ast.NullQuery
             return ast.NumericRange(
-                field,
-                _parse_number(lo) if lo is not None else None,
-                _parse_number(hi) if hi is not None else None,
-                startexcl=startexcl,
-                endexcl=endexcl,
+                field, lov, hiv, startexcl=startexcl, endexcl=endexcl,
             )
         def bound(text):
             if not text:
@@ -1462,7 +1472,7 @@ class SimpleParser(QueryParser):
             base = q if q is not None else ast.Or([])
             q = ast.AndNot(base, grp(banned, ast.Or))
         if q is None:
-            return ast.Or([])
+            return ast.NullQuery
         from .normalize import normalize
 
         return normalize(q)

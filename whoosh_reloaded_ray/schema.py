@@ -168,6 +168,10 @@ class IndexSchema:
     def __post_init__(self):
         self.by_name = {f.name: f for f in self.fields}
 
+    def names(self) -> list:
+        """Sorted field names (reference Schema.names)."""
+        return sorted(f.name for f in self.fields)
+
     @property
     def indexed_fields(self) -> list:
         return [f for f in self.fields if f.indexed]

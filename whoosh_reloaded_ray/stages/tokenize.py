@@ -427,7 +427,15 @@ class Tokenizer:
 
         texts = batch[fname].to_pylist()
         valid = np.array([t is not None for t in texts])
-        toks_per_row = [pat.findall(t) if t is not None else [] for t in texts]
+        if pat.groups:
+            # group-bearing patterns (e.g. the reference url_pattern) must
+            # yield whole matches, not findall's group tuples
+            toks_per_row = [
+                [m.group(0) for m in pat.finditer(t)] if t is not None else []
+                for t in texts
+            ]
+        else:
+            toks_per_row = [pat.findall(t) if t is not None else [] for t in texts]
         counts = np.fromiter((len(r) for r in toks_per_row), dtype=np.int64, count=len(texts))
         n = int(counts.sum())
         row_idx = np.repeat(np.arange(len(texts)), counts)
