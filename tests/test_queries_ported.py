@@ -3,9 +3,9 @@ covered by same-named tests elsewhere (ref line numbers cited per test).
 
 Declared deviations (see Reader.__iter__ / TODO.md):
 - reference terms are utf-8 bytes, ours str — assertions compare text;
-- str(query) is the dataclass repr, not whoosh's infix rendering —
-  simplify() results are compared STRUCTURALLY (same trees the reference
-  asserts as strings).
+- simplify() results are compared STRUCTURALLY (same trees the reference
+  asserts as strings; str(query) now renders the reference's infix form
+  too — see test_searching_ported.py::test_fieldboost).
 """
 
 from __future__ import annotations

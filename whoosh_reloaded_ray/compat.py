@@ -1185,8 +1185,11 @@ def TEXT(stored=True, analyzer=None, phrase=True, field_boost=1.0, spelling=Fals
     ))
 
 
-def ID(stored=True, unique=False):
-    return ("id", {"stored": stored, "unique": unique})
+def ID(stored=True, unique=False, sortable=False, field_boost=1.0):
+    # sortable=True keeps the value readable per doc (native Parquet
+    # column here, like the reference's sortable column)
+    return ("id", {"stored": stored or sortable, "unique": unique,
+                   "field_boost": field_boost})
 
 
 def KEYWORD(stored=True, lowercase=False, commas=False, scorable=False,
@@ -1696,8 +1699,8 @@ class LockError(Exception):
     whole batch jobs — kept for except-clause compatibility)."""
 
 
-class EmptyIndexError(Exception):
-    """Reference index.EmptyIndexError."""
+class EmptyIndexError(IndexError):
+    """Reference index.EmptyIndexError (index.py:78, an IndexError)."""
 
 
 # ---- index object ----------------------------------------------------------
@@ -1723,7 +1726,7 @@ def exists_in(dirname: str) -> bool:
 def open_dir(dirname: str) -> "Index":
     man = load_manifest(dirname)
     if man is None:
-        raise FileNotFoundError(f"no index in {dirname}")
+        raise EmptyIndexError(f"no index in {dirname}")
     return Index(dirname, None)
 
 
@@ -1794,6 +1797,20 @@ class Index:
         own tests to assert generation counts)."""
         man = load_manifest(self.dirname)
         return list(man.segments) if man else []
+
+    def delete_by_term(self, fieldname: str, text: str) -> int:
+        """One-shot delete+commit (reference Index.delete_by_term,
+        index.py convenience wrapper around a writer)."""
+        w = self.writer()
+        n = w.delete_by_term(fieldname, text)
+        w.commit(merge=False)
+        return n
+
+    def delete_by_query(self, q) -> int:
+        """One-shot delete+commit (reference Index.delete_by_query)."""
+        from .pipelines.write_ops import delete_by_query as _del
+
+        return _del(self.dirname, q)
 
     def add_field(self, fieldname: str, fieldtype) -> None:
         """Add a schema field between commits (reference Index.add_field);
@@ -1879,7 +1896,10 @@ class Writer:
         default fib-heuristic pass), OPTIMIZE (full merge), CLEAR
         (drop the existing index before committing the buffer).
         ``merge=False`` is the reference's commit(merge=False) shorthand
-        for NO_MERGE (writing.py IndexWriter.commit)."""
+        for NO_MERGE (writing.py IndexWriter.commit).  Setting
+        ``writer.optimize = True`` before commit forces a full merge like
+        the reference writer attribute."""
+        optimize = optimize or getattr(self, "optimize", False)
         if not merge and mergetype is None:
             mergetype = NO_MERGE
         if getattr(self, "_deletes", None):
@@ -1930,6 +1950,21 @@ class Writer:
                     cols[f.name] = pa.array(vals, pa.bool_())
                 elif f.kind == "datetime":
                     cols[f.name] = pa.array(vals, pa.timestamp("us"))
+                elif f.kind == "stored":
+                    # STORED keeps the native value type (reference stored
+                    # fields round-trip Python values); mixed-type buffers
+                    # degrade to strings.  Keep types consistent across
+                    # commits of the same index.
+                    try:
+                        arr = pa.array(vals)
+                        if pa.types.is_null(arr.type):
+                            arr = pa.array(vals, pa.string())
+                        cols[f.name] = arr
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        cols[f.name] = pa.array(
+                            [None if v is None else str(v) for v in vals],
+                            pa.string(),
+                        )
                 else:
                     cols[f.name] = pa.array(
                         [None if v is None else str(v) for v in vals], pa.string()
@@ -1991,6 +2026,12 @@ class Writer:
         from .pipelines.write_ops import delete_by_term
 
         return delete_by_term(self.index.dirname, fieldname, text)
+
+    def delete_by_query(self, q) -> int:
+        """Reference IndexWriter.delete_by_query (writing.py:334-342)."""
+        from .pipelines.write_ops import delete_by_query
+
+        return delete_by_query(self.index.dirname, q)
 
     def add_field(self, fieldname: str, fieldtype) -> None:
         """Reference IndexWriter.add_field (writing.py:279-287)."""
@@ -2643,6 +2684,45 @@ class CompatSearcher:
             return self._search_sorted_by_keys(
                 count_q, sortedby, limit, reverse, groupedby, maptype
             )
+        if (
+            sortedby is not None
+            and collapse is not None
+            and not isinstance(sortedby, ScoreFacet)
+        ):
+            # sortedby + collapse composition (reference CollapseCollector
+            # wrapping a sorting collector): keep the per-key best under
+            # collapse_order — or under the sort order itself when no
+            # explicit collapse_order — then order survivors by sortedby.
+            # Distributed: the keyed keep happens in segment partials
+            # (search_collapsed), the survivor re-sort is a second bounded
+            # pass (n_keys x collapse_limit docs).  Keep-rank uses the
+            # PRIMARY sort key (single-key order_spec at the partial).
+            pairs = _sortedby_fields(sortedby)
+            if isinstance(collapse, FieldFacet):
+                collapse = collapse.fieldname
+            if isinstance(collapse_order, FieldFacet):
+                collapse_order = (collapse_order.fieldname, collapse_order.reverse)
+            keep_order = collapse_order
+            if keep_order is None and pairs:
+                keep_order = (pairs[0][0], bool(pairs[0][1]) ^ bool(reverse))
+            kept = self._s.search_collapsed(
+                count_q, collapse, limit=None,
+                collapse_limit=collapse_limit, collapse_order=keep_order,
+            )
+            kept_docs = kept["docnum"].to_pylist()
+            t = self._s.search_sorted(
+                _docset_query(kept_docs), pairs, limit=limit, reverse=reverse
+            )
+            docnums = t["docnum"].to_pylist()
+            rows = self.stored_fields_many(docnums) if docnums else []
+            hits = [Hit(d, None, r) for d, r in zip(docnums, rows)]
+            out = Results(hits, len(kept_docs))
+            out._searcher, out._q = self._s, q
+            for h in hits:
+                h._searcher, h._q, h._results = self._s, q, out
+            if groupedby is not None:
+                out._groups = self._groups_for(count_q, groupedby, limit, maptype)
+            return out
         if sortedby is not None and not isinstance(sortedby, ScoreFacet):
             pairs = _sortedby_fields(sortedby)
             t = self._s.search_sorted(count_q, pairs, limit=limit, reverse=reverse)
@@ -2666,6 +2746,7 @@ class CompatSearcher:
             if groupedby is not None:
                 out._groups = self._groups_for(count_q, groupedby, limit, maptype)
             return out
+        total_fn = None
         if collapse is not None:
             if isinstance(collapse, FieldFacet):
                 collapse = collapse.fieldname
@@ -2675,6 +2756,14 @@ class CompatSearcher:
                 count_q, collapse, limit=limit, collapse_limit=collapse_limit,
                 collapse_order=collapse_order,
             )
+            # len(Results) counts collapse SURVIVORS (the reference's
+            # CollapseCollector removes collapsed docs from the count);
+            # the survivor set is bounded by n_keys x collapse_limit
+            _ck, _cl, _co = collapse, collapse_limit, collapse_order
+            total_fn = lambda: self._s.search_collapsed(  # noqa: E731
+                count_q, _ck, limit=None, collapse_limit=_cl,
+                collapse_order=_co,
+            ).num_rows
         elif self._final is not None:
             # rank by final()-adjusted scores: evaluate unlimited, adjust
             # per doc on the driver (the reference's collector is equally
@@ -2703,12 +2792,13 @@ class CompatSearcher:
         if groupedby is not None:
             out = self._hits_to_results(
                 res, stored, q, terms, truncated=limit is not None,
-                count_q=count_q,
+                count_q=count_q, total_fn=total_fn,
             )
             out._groups = self._groups_for(count_q, groupedby, limit, maptype)
             return out
         return self._hits_to_results(
-            res, stored, q, terms, truncated=limit is not None, count_q=count_q
+            res, stored, q, terms, truncated=limit is not None,
+            count_q=count_q, total_fn=total_fn,
         )
 
     def _facet_keys(self, facet, sorted_docs) -> list:
@@ -2993,18 +3083,22 @@ class CompatSearcher:
         return groups
 
     def _hits_to_results(self, res, stored, q, terms: bool,
-                         truncated: bool = False, count_q=None) -> Results:
+                         truncated: bool = False, count_q=None,
+                         total_fn=None) -> Results:
         if truncated:
             # the reference's len(Results) is the EXACT hit count even
             # when limit pruned collection; count lazily on demand.
             # ``count_q`` carries filter/mask composed in (they restrict
-            # the reference collector's count too)
+            # the reference collector's count too); an explicit
+            # ``total_fn`` overrides (collapse: count SURVIVORS)
             from .query.collectors import CountCollector
 
             cq = count_q if count_q is not None else q
-            total, total_fn = None, (
-                lambda: self._s.search_with_collector(cq, CountCollector())
-            )
+            total = None
+            if total_fn is None:
+                total_fn = (
+                    lambda: self._s.search_with_collector(cq, CountCollector())
+                )
         else:
             total, total_fn = res.num_rows, None
         if res.num_rows == 0:
@@ -3053,6 +3147,41 @@ class CompatSearcher:
         return ResultsPage(
             self.search(q, limit=pagenum * pagelen, **kwargs), pagenum, pagelen
         )
+
+    def collector(self, limit: int = 10, sortedby=None, reverse: bool = False,
+                  groupedby=None, maptype: str = "ordered", **kw) -> "CollectorSpec":
+        """Reference Searcher.collector (searching.py:671-716): returns a
+        reusable collector handle for search_with_collector.  Here the
+        handle records the search kwargs; wrapping collectors
+        (collectors.CollapseCollector) layer their own kwargs on top, and
+        search_with_collector runs the equivalent distributed search."""
+        return CollectorSpec(
+            self, limit=limit, sortedby=sortedby, reverse=reverse,
+            groupedby=groupedby, maptype=maptype, **kw,
+        )
+
+    def search_with_collector(self, q, collector):
+        """Reference Searcher.search_with_collector (searching.py:718-740).
+        Accepts either a handle from :meth:`collector` (optionally wrapped
+        in collectors.CollapseCollector) — results readable via
+        ``collector.results()`` — or this engine's VectorCollector
+        segment-partial protocol (forwarded to the distributed executor)."""
+        spec = collector
+        extra: dict = {}
+        while isinstance(spec, CollapseCollector):
+            extra = dict(
+                collapse=spec._collapse, collapse_limit=spec._limit,
+                collapse_order=spec._order, **extra,
+            )
+            spec = spec._child
+        if isinstance(spec, CollectorSpec):
+            kwargs = dict(spec._kwargs)
+            kwargs.update(extra)
+            spec._results = self.search(q, **kwargs)
+            if isinstance(collector, CollapseCollector):
+                collector._results = spec._results
+            return spec._results
+        return self._s.search_with_collector(q, collector)
 
     def document_numbers(self, **kw):
         """Docnums of documents whose fields contain the given terms
@@ -3271,6 +3400,44 @@ def _add_searcher_passthroughs():
 _add_searcher_passthroughs()
 
 
+class CollectorSpec:
+    """Handle returned by Searcher.collector() (reference collectors.py
+    Collector family): records search kwargs; search_with_collector runs
+    the distributed search and stores the Results here."""
+
+    def __init__(self, searcher, **kwargs):
+        self._searcher = searcher
+        self._kwargs = kwargs
+        self._results = None
+
+    def results(self) -> "Results":
+        if self._results is None:
+            raise ValueError("collector has not been run yet")
+        return self._results
+
+
+class CollapseCollector:
+    """Reference collectors.CollapseCollector: wraps a collector handle,
+    keeping the ``limit`` best docs per ``keyfacet`` value (best under
+    ``order`` if given, else under the wrapped collector's own order).
+    Runs as segment-partial keyed keeps + a bounded driver merge — see
+    Searcher.search(collapse=...)."""
+
+    def __init__(self, child, keyfacet, limit: int = 1, order=None):
+        self._child = child
+        self._collapse = keyfacet
+        self._limit = limit
+        self._order = order
+        self._results = None
+
+    def results(self) -> "Results":
+        if self._results is not None:
+            return self._results
+        if isinstance(self._child, (CollectorSpec, CollapseCollector)):
+            return self._child.results()
+        raise ValueError("collector has not been run yet")
+
+
 # ---- IndexReader veneer (reference reading.py surface) ----------------------
 
 
@@ -3286,8 +3453,9 @@ class PostingReader:
         from .query import ast as _ast
         from .query.exec import term_scores
 
+        self._field, self._text = fieldname, text
         ctx = s._context(_ast.Term(fieldname, text))
-        docs, weights, scores = [], [], []
+        docs, weights, scores, srcs = [], [], [], []
         for r in s._local_worker().readers:
             pl = r.postings(fieldname, text)
             if pl is None:
@@ -3295,16 +3463,19 @@ class PostingReader:
             docs.append(pl.docs)
             weights.append(pl.weights)
             scores.append(term_scores(pl, fieldname, text, ctx))
+            srcs.extend((r, i) for i in range(pl.docs.size))
         if docs:
             d = _np.concatenate(docs)
             order = _np.argsort(d, kind="stable")
             self._docs = d[order]
             self._weights = _np.concatenate(weights)[order]
             self._scores = _np.concatenate(scores)[order]
+            self._srcs = [srcs[i] for i in order]
         else:
             self._docs = _np.empty(0, _np.uint64)
             self._weights = _np.empty(0, _np.float64)
             self._scores = _np.empty(0, _np.float64)
+            self._srcs = []
         self._i = 0
 
     def is_active(self) -> bool:
@@ -3321,6 +3492,16 @@ class PostingReader:
 
     def next(self):
         self._i += 1
+
+    def value_as(self, astype: str):
+        """Decoded per-posting payload at the cursor (reference
+        Matcher.value_as): "positions" -> list[int] of term positions in
+        the current doc (requires the field to store positions)."""
+        if astype != "positions":
+            raise ValueError(f"unsupported value_as type: {astype!r}")
+        r, idx = self._srcs[self._i]
+        pl = r.postings(self._field, self._text, need_positions=True)
+        return [int(p) for p in pl.positions_for(idx)]
 
     def all_ids(self):
         yield from (int(d) for d in self._docs)

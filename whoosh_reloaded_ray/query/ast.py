@@ -1012,3 +1012,100 @@ class Every(Query):
     def __init__(self, field=None, boost=1.0):
         object.__setattr__(self, "field", field)
         object.__setattr__(self, "boost", boost)
+
+
+# ---- reference-exact query strings ------------------------------------------
+# Each node's __str__ matches the reference's rendering so constructed and
+# parsed trees print identically (reference query/terms.py:69,317,342,386,
+# 490,563, compound.py:53,308,455, positional.py:175, ranges.py:48,
+# qcore.py:601,712, wrappers.py:106).  Installed as class attributes to keep
+# the frozen dataclass bodies data-only.
+
+def _term_str(self):
+    t = f"{self.field}:{self.text}"
+    if self.boost != 1:
+        t += "^" + str(self.boost)
+    return t
+
+
+def _joint_str(joint):
+    def _s(self):
+        return "(" + joint.join(str(s) for s in self.children()) + ")"
+
+    return _s
+
+
+def _or_str(self):
+    r = "(" + " OR ".join(str(s) for s in self.subqueries) + ")"
+    if self.minmatch:
+        r += f">{self.minmatch}"
+    return r
+
+
+def _dismax_str(self):
+    r = "DisMax(" + " ".join(sorted(str(s) for s in self.subqueries)) + ")"
+    if self.tiebreak:
+        r += "~" + str(self.tiebreak)
+    return r
+
+
+def _fuzzy_str(self):
+    r = f"{self.field}:{self.text}" + "~"
+    if self.maxdist > 1:
+        r += "%d" % self.maxdist
+    if self.boost != 1.0:
+        r += f"^{self.boost:f}"
+    return r
+
+
+def _range_str(self):
+    startchar = "{" if self.startexcl else "["
+    endchar = "}" if self.endexcl else "]"
+    start = "" if self.start is None else self.start
+    end = "" if self.end is None else self.end
+    return f"{self.field}:{startchar}{start} TO {end}{endchar}"
+
+
+Term.__str__ = _term_str
+And.__str__ = _joint_str(" AND ")
+Or.__str__ = _or_str
+DisMax.__str__ = _dismax_str
+AndNot.__str__ = _joint_str(" ANDNOT ")
+AndMaybe.__str__ = _joint_str(" ANDMAYBE ")
+Require.__str__ = _joint_str(" REQUIRE ")
+Otherwise.__str__ = _joint_str(" OTHERWISE ")
+Not.__str__ = lambda self: "NOT " + str(self.subquery)
+Phrase.__str__ = lambda self: f"{self.field}:\"{' '.join(self.words)}\""
+Prefix.__str__ = lambda self: f"{self.field}:{self.text}*"
+Wildcard.__str__ = lambda self: f"{self.field}:{self.pattern}"
+Regex.__str__ = lambda self: f'{self.field}:r"{self.text}"'
+FuzzyTerm.__str__ = _fuzzy_str
+Variations.__str__ = lambda self: f"{self.field}:<{self.text}>"
+TermRange.__str__ = _range_str
+NumericRange.__str__ = _range_str
+Every.__str__ = lambda self: f"{self.field}:*"
+_NullQuery.__str__ = lambda self: "<_NullQuery>"
+
+
+# ---- reference operator/sequence sugar ---------------------------------------
+# qcore.Query.__or__/__and__/__sub__ (qcore.py:178-204) and CompoundQuery's
+# sequence protocol (compound.py:67-74).
+
+def _q_or(self, other):
+    return Or([self, other]).normalize()
+
+
+def _q_and(self, other):
+    return And([self, other]).normalize()
+
+
+def _q_sub(self, other):
+    return And([self, Not(other)]).normalize()
+
+
+Query.__or__ = _q_or
+Query.__and__ = _q_and
+Query.__sub__ = _q_sub
+_Compound.__getitem__ = lambda self, i: self.subqueries[i]
+_Compound.__len__ = lambda self: len(self.subqueries)
+_Compound.__iter__ = lambda self: iter(self.subqueries)

@@ -801,10 +801,13 @@ def _score_postings_fwd(
     ctx: ScoreContext,
 ) -> np.ndarray:
     avgfl = ctx.avgfl.get(field)
-    if not avgfl:  # non-scorable field: WeightScorer in every model
-        return weights.astype(np.float64)
     m = ctx.field_models.get(field, ctx.model)
     tf = weights.astype(np.float64)
+    if not avgfl and m != "fn":
+        # non-scorable field: WeightScorer in every model EXCEPT a user
+        # FunctionWeighting, whose scorer the reference hands out for any
+        # field (scoring.py FunctionWeighting.scorer)
+        return tf
     if m == "bm25f":
         fl = BYTE_TO_LENGTH[len_bytes].astype(np.float64)
         idf = ctx.idf.get((field, term), 1.0)

@@ -1101,6 +1101,10 @@ class QueryParser:
 
     def _make_range(self, field, lo, hi, startexcl, endexcl):
         spec = self.fields.get(field)
+        if spec is not None and spec.kind == "datetime" and lo is None and hi is None:
+            # fully-open date range -> Every (reference DateRange(None,
+            # None).normalize(), ranges.py; "[to]" behaves like "*")
+            return ast.Every(field)
         if spec is not None and spec.kind == "datetime":
             # range bounds: start -> floor, end -> ceil (reference
             # DATETIME.parse_range, fields.py:920-934)

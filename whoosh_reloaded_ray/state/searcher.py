@@ -287,7 +287,20 @@ class _SegmentWorker:
         """Vectorized per-key rank filter: keep a doc iff its rank within
         its key < collapse_limit.  Default rank = (-score, docnum); with
         ``order_vals`` (reference collapse_order facet) rank = (value
-        asc — or desc when reverse — then docnum)."""
+        asc — or desc when reverse — then docnum).  Docs with a missing
+        (None) collapse key are never collapsed (reference
+        CollapseCollector: no key -> not collapsed)."""
+        none_mask = np.fromiter(
+            (k is None for k in keys), dtype=bool, count=len(keys)
+        )
+        if none_mask.any():
+            idx = np.flatnonzero(~none_mask)
+            sub = _SegmentWorker._collapse_rank_keep(
+                keys[idx], docs[idx], scores[idx], collapse_limit,
+                None if order_vals is None else order_vals[idx],
+                order_reverse,
+            )
+            return np.concatenate([np.flatnonzero(none_mask), idx[sub]])
         if order_vals is None:
             order = np.lexsort((docs, -scores, keys))
         else:
@@ -910,7 +923,10 @@ class IndexSearcher:
         if isinstance(q, ast.Prefix):
             spec = (q.field, q.text, q.text + "￿", False, False)
             terms = self._expand([spec])[spec]
-            return self._multiterm(q.field, terms, q.boost)
+            return self._multiterm(
+                q.field, terms, q.boost,
+                getattr(q, "constantscore", True),
+            )
         if isinstance(q, ast.Wildcard):
             m = _re.match(r"[^*?\[]*", q.pattern)
             prefix = m.group(0)
@@ -926,12 +942,13 @@ class IndexSearcher:
             cands = self._expand([spec])[spec]
             rex = _re.compile(_wildcard_to_regex(q.pattern))
             return self._multiterm(
-                q.field, [t for t in cands if rex.fullmatch(t)], q.boost
+                q.field, [t for t in cands if rex.fullmatch(t)], q.boost,
+                getattr(q, "constantscore", True),
             )
         if isinstance(q, ast.TermRange):
             spec = (q.field, q.start, q.end, q.startexcl, q.endexcl)
             terms = self._expand([spec])[spec]
-            return self._multiterm(q.field, terms, q.boost)
+            return self._multiterm(q.field, terms, q.boost, q.constantscore)
         if isinstance(q, ast.Regex):
             # reference Regex.matcher (query/terms.py:410-418): '.*' is
             # Every; otherwise prefix-pruned vocab scan + re.match filter
@@ -945,7 +962,8 @@ class IndexSearcher:
             cands = self._expand([spec])[spec]
             rex = _re.compile(q.text)
             return self._multiterm(
-                q.field, [t for t in cands if rex.match(t)], q.boost
+                q.field, [t for t in cands if rex.match(t)], q.boost,
+                getattr(q, "constantscore", True),
             )
         if isinstance(q, ast.FuzzyTerm):
             from ..query.suggest import levenshtein_within
@@ -954,7 +972,7 @@ class IndexSearcher:
             spec = (q.field, pre or None, (pre + "\uffff") if pre else None, False, False)
             cands = self._expand([spec])[spec]
             terms = [t for t in cands if levenshtein_within(q.text, t, q.maxdist)]
-            return self._multiterm(q.field, terms, q.boost)
+            return self._multiterm(q.field, terms, q.boost, q.constantscore)
         if isinstance(q, ast.Variations):
             from ..query.variations import variations as _vars
 
@@ -1085,17 +1103,24 @@ class IndexSearcher:
     # constant-score multiterm queries pins every score to exactly 1.
     TOO_MANY_CLAUSES = 1024
 
-    def _multiterm(self, field: str, terms: list, boost: float) -> ast.Query:
-        """Rewrite an expanded Prefix/Wildcard/TermRange (constantscore=True
-        in the reference) per the reference's matcher auto-selection:
-        one term -> plain Term (boost DROPPED — reference MultiTerm.matcher
-        builds the single term without boost, terms.py:409); scored Or for
-        2 terms or large doc counts; constant 1.0 otherwise."""
+    def _multiterm(self, field: str, terms: list, boost: float,
+                   constantscore: bool = True) -> ast.Query:
+        """Rewrite an expanded Prefix/Wildcard/TermRange per the
+        reference's matcher selection (terms.py:215-241): one term ->
+        plain Term (boost DROPPED — reference MultiTerm.matcher builds the
+        single term without boost, terms.py:409); constantscore=False ->
+        scored Or of the terms (the reference never nulls the weighting
+        then); constantscore=True -> scored Or only where the reference's
+        union would still surface real weights (2 terms or doc_count >
+        5000, compound.py:334-345), else the array matcher pinning every
+        score to exactly 1."""
         n = len(terms)
         if n == 0:
             return ast.Or([])
         if n == 1:
             return ast.Term(field, terms[0])
+        if not constantscore and n < self.TOO_MANY_CLAUSES:
+            return ast.Or([ast.Term(field, t) for t in terms], boost=boost)
         if n < self.TOO_MANY_CLAUSES and (n == 2 or self.doc_count_all() > 5000):
             return ast.Or([ast.Term(field, t) for t in terms], boost=boost)
         return ast.ConstantTerms(field, terms)
